@@ -1,0 +1,58 @@
+"""Deterministic charset sniffing + decode policy for raw page bytes.
+
+Policy (SURVEY.md §7.3 "binary html with arbitrary charsets"):
+
+1. sniff a ``charset=`` declaration in the first 1024 bytes
+   (``<meta charset=...>`` or ``http-equiv`` content-type);
+2. try the declared codec, then utf-8;
+3. final fallback latin-1 (total — never fails), flagged
+   ``charset_fallback``.
+
+The reference's bad-sample policy is *silent random substitution*
+(mindocr/data/det_dataset.py:100-102); ours is an explicit ``status``
+column so bad rows are counted, never hidden.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Tuple
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.I)
+
+_ALIASES = {
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "windows-1252": "cp1252",
+    "gb2312": "gbk",
+    "utf8": "utf-8",
+}
+
+
+def sniff_charset(html: bytes, default: str = "utf-8") -> str:
+    head = html[:1024]
+    m = _CHARSET_RE.search(head)
+    if not m:
+        return default
+    name = m.group(1).decode("ascii", "ignore").lower()
+    name = _ALIASES.get(name, name)
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return default
+    return name
+
+
+def decode_bytes(raw: bytes, charset: str) -> Tuple[str, str]:
+    """→ (text, status); status ∈ {ok, charset_fallback}."""
+    try:
+        return raw.decode(charset), "ok"
+    except (UnicodeDecodeError, LookupError):
+        pass
+    if charset != "utf-8":
+        try:
+            return raw.decode("utf-8"), "charset_fallback"
+        except UnicodeDecodeError:
+            pass
+    return raw.decode("latin-1"), "charset_fallback"

@@ -1,0 +1,44 @@
+"""Pipeline configuration.
+
+Knob names mirror the reference's detection/recognition knobs so goldens
+are reproducible from config alone:
+
+* ``binary_thresh`` / ``box_thresh`` / ``max_candidates`` / ``expand_ratio``
+  — ``DBPostprocess`` (reference mindocr/postprocess/det_postprocess.py:14-30)
+* ``drop_score`` — final text-confidence filter
+  (reference tools/infer/text/config.py:77, predict_system.py:92-100)
+* ``limit_side_len`` — input size cap, the ``DetResize limit_type=max``
+  analog (reference mindocr/data/transforms/det_transforms.py:185-310)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # --- stage 1: detection (DBPostprocess analog) ---
+    binary_thresh: float = 0.55      # per-block score threshold (det_postprocess.py:42)
+    box_thresh: float = 0.60         # per-span weighted-score threshold (det_postprocess.py:63-64)
+    min_block_chars: int = 2         # _min_size analog (det_postprocess.py:72-74)
+    min_span_chars: int = 25         # span-level min size filter
+    max_candidates: int = 1000       # cap spans considered (det_postprocess.py:60)
+    merge_gap: int = 0               # max non-candidate blocks bridged when merging runs
+    tag_weight: float = 8.0          # weight of a markup tag vs one text char in density
+    expand_ratio: float = 0.0        # unclip analog: widen span into surrounding whitespace
+
+    # --- stage 2: recognition (RecCTCLabelDecode analog) ---
+    drop_score: float = 0.5          # drop spans with score < drop_score (config.py:77)
+    join_sep: str = "\n"             # separator between decoded spans (save_res analog)
+
+    # --- input policy ---
+    limit_side_len: int = 4_000_000  # truncate html longer than this many bytes
+    default_charset: str = "utf-8"   # fallback when no meta charset declared
+
+    # --- physical plan (explicit partitioning per north rule) ---
+    repartition: int | None = None   # None → keep scan partitioning (narrow plan)
+    salt_buckets: int = 16           # secondary salt key for mega-host skew
+    size_gears: bool = False         # add log2-size bucket to partition key (gear_utils analog)
+
+    passthrough: tuple = field(default=("warc_ts", "lang"))

@@ -1,0 +1,122 @@
+"""Stage 1 — block-level boilerplate detector (the DBPostprocess analog).
+
+Maps the reference's dense-score-map → threshold → contours → scored
+polygons pipeline (mindocr/postprocess/det_postprocess.py:13-145) onto a
+block table:
+
+* per-block score = text_density × (1 − link_density)   (the score map)
+* ``score >= binary_thresh``                              (binarization, :42)
+* merge contiguous candidate runs into spans              (findContours, :53)
+* span score = text-length-weighted mean block score      (_calc_score, :137-145)
+* ``span_score >= box_thresh`` + min-size filter          (:63-64, :72-74)
+* ``max_candidates`` cap                                  (:60)
+
+Scoring is numpy-vectorized over the *flattened block table of an entire
+Arrow batch* (all documents at once); only run-merging walks per-document
+boundaries. Deterministic: pure float arithmetic with fixed tie-breaking
+(block order = byte order).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+from webx.config import ExtractConfig
+from webx.tokenize import Block
+
+
+class Span(NamedTuple):
+    start: int          # byte offset into html (inclusive)
+    end: int            # byte offset (exclusive)
+    score: float
+    kind: str           # 'content' | 'heading'
+    first_block: int    # index into the doc's block list
+    last_block: int
+
+
+def block_scores(
+    tlen: np.ndarray,
+    link_tlen: np.ndarray,
+    tag_cnt: np.ndarray,
+    boiler: np.ndarray,
+    cfg: ExtractConfig,
+) -> np.ndarray:
+    """Vectorized per-block score in [0, 1]; structural boilerplate → 0."""
+    tl = tlen.astype(np.float64)
+    density = tl / (tl + cfg.tag_weight * tag_cnt.astype(np.float64) + 1.0)
+    link_density = link_tlen.astype(np.float64) / np.maximum(tl, 1.0)
+    score = density * (1.0 - link_density)
+    score[boiler] = 0.0
+    return score
+
+
+def merge_runs(blocks: Sequence[Block], scores: np.ndarray, cfg: ExtractConfig) -> List[Span]:
+    """Merge consecutive candidate blocks of ONE document into scored spans."""
+    n = len(blocks)
+    if n == 0:
+        return []
+    tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
+    cand = (scores >= cfg.binary_thresh) & (tlen >= cfg.min_block_chars)
+
+    spans: List[Span] = []
+    i = 0
+    while i < n:
+        if not cand[i]:
+            i += 1
+            continue
+        j = i
+        last = i
+        while j + 1 < n:
+            # bridge up to merge_gap non-candidate blocks
+            k = j + 1
+            gap = 0
+            while k < n and not cand[k] and gap < cfg.merge_gap:
+                k += 1
+                gap += 1
+            if k < n and cand[k]:
+                j = k
+                last = k
+            else:
+                break
+        run = slice(i, last + 1)
+        w = tlen[run].astype(np.float64)
+        sc = float(np.dot(scores[run], w) / max(w.sum(), 1.0))
+        span_tlen = int(w.sum())
+        if sc >= cfg.box_thresh and span_tlen >= cfg.min_span_chars:
+            kinds = [blocks[k].heading for k in range(i, last + 1)]
+            kind = "heading" if all(kinds) else "content"
+            spans.append(
+                Span(blocks[i].start, blocks[last].end, sc, kind, i, last)
+            )
+        i = last + 1
+
+    if len(spans) > cfg.max_candidates:
+        spans = spans[: cfg.max_candidates]
+    return spans
+
+
+def detect(blocks: Sequence[Block], cfg: ExtractConfig) -> List[Span]:
+    """Single-document convenience wrapper (tests / debug)."""
+    if not blocks:
+        return []
+    n = len(blocks)
+    tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
+    link = np.fromiter((b.link_tlen for b in blocks), dtype=np.int64, count=n)
+    tags = np.fromiter((b.tag_cnt for b in blocks), dtype=np.int64, count=n)
+    boiler = np.fromiter((b.boiler for b in blocks), dtype=bool, count=n)
+    scores = block_scores(tlen, link, tags, boiler, cfg)
+    return merge_runs(blocks, scores, cfg)
+
+
+def validate_spans(spans: Sequence[Span], doc_len: int) -> List[Span]:
+    """Clip spans to [0, doc_len), drop empty/inverted — the
+    ``validate_det_res`` invariants (tools/infer/text/predict_det.py:131-187)."""
+    out: List[Span] = []
+    for s in spans:
+        start = max(0, min(s.start, doc_len))
+        end = max(0, min(s.end, doc_len))
+        if end > start:
+            out.append(s._replace(start=start, end=end))
+    return out

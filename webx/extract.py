@@ -1,0 +1,172 @@
+"""The fused two-stage extractor as an Arrow-batched ``mapInPandas`` op.
+
+One pass over each Arrow batch: tokenize every document, score ALL blocks
+of the batch in one numpy call (the batch = the reference's tensor batch,
+mindocr/data/builder.py:154-161), merge runs per document, decode spans.
+Stage boundaries are columnar hand-offs inside the same batch — the Spark
+recast of predict_system.py's det → crop → rec → merge loop
+(tools/infer/text/predict_system.py:45-117).
+
+Also exposes the stages separately (``detect_batch`` / parity with
+save_det_res / save_rec_res debug sinks, tools/infer/text/predict_det.py:190-201).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from webx.charset import decode_bytes, sniff_charset
+from webx.config import ExtractConfig
+from webx.detect import Span, block_scores, merge_runs, validate_spans
+from webx.recognize import decode_span
+from webx.tokenize import Block, tokenize
+
+
+def _extract_doc_stage1(
+    html: Optional[bytes], cfg: ExtractConfig
+) -> Tuple[List[Block], List[Span], dict]:
+    """Tokenize + detect one document. Returns (blocks, spans, meta)."""
+    if html is None:
+        html = b""
+    nbytes = len(html)
+    truncated = False
+    if nbytes > cfg.limit_side_len:
+        # DetResize limit_type=max analog (det_transforms.py:185-310):
+        # cap work per document, record the truncation in metadata.
+        html = html[: cfg.limit_side_len]
+        truncated = True
+    charset = sniff_charset(html, cfg.default_charset)
+    blocks = tokenize(html)
+    if blocks:
+        n = len(blocks)
+        tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
+        link = np.fromiter((b.link_tlen for b in blocks), dtype=np.int64, count=n)
+        tags = np.fromiter((b.tag_cnt for b in blocks), dtype=np.int64, count=n)
+        boiler = np.fromiter((b.boiler for b in blocks), dtype=bool, count=n)
+        scores = block_scores(tlen, link, tags, boiler, cfg)
+        spans = validate_spans(merge_runs(blocks, scores, cfg), len(html))
+    else:
+        spans = []
+    meta = {
+        "html_bytes": nbytes,
+        "n_blocks": len(blocks),
+        "truncated": truncated,
+        "charset": charset,
+    }
+    return blocks, spans, meta
+
+
+def _decode_spans(
+    html: bytes, spans: List[Span], charset: str, cfg: ExtractConfig
+) -> Tuple[List[dict], str, float, str]:
+    """Stage 2 over one document's surviving spans.
+
+    Returns (span_rows, joined_text, conf, status)."""
+    status = "ok"
+    rows: List[dict] = []
+    weights: List[int] = []
+    for s in spans:
+        if s.score < cfg.drop_score:  # drop_score filter (predict_system.py:92-100)
+            continue
+        raw = html[s.start : s.end]
+        text = decode_span(raw, charset)
+        if not text:
+            continue
+        rows.append(
+            {
+                "start": s.start,
+                "end": s.end,
+                "score": s.score,
+                "kind": s.kind,
+                "text": text,
+            }
+        )
+        weights.append(len(text))
+    joined = cfg.join_sep.join(r["text"] for r in rows)
+    if weights:
+        w = np.asarray(weights, dtype=np.float64)
+        sc = np.asarray([r["score"] for r in rows], dtype=np.float64)
+        conf = float(np.dot(sc, w) / w.sum())
+    else:
+        conf = 0.0
+    return rows, joined, conf, status
+
+
+def extract_batch(
+    pdf: pd.DataFrame, cfg: ExtractConfig, passthrough: Tuple[str, ...] = ()
+) -> pd.DataFrame:
+    """Run both stages over one Arrow batch → output pandas frame."""
+    urls = pdf["url"].tolist()
+    htmls = pdf["html"].tolist()
+    out = {
+        "url": urls,
+        "text": [],
+        "spans": [],
+        "conf": [],
+        "status": [],
+        "meta": [],
+    }
+    for i, html in enumerate(htmls):
+        if html is None or len(html) == 0:
+            out["text"].append("")
+            out["spans"].append([])
+            out["conf"].append(0.0)
+            out["status"].append("empty")
+            out["meta"].append(
+                {"html_bytes": 0, "n_blocks": 0, "truncated": False, "charset": cfg.default_charset}
+            )
+            continue
+        html = bytes(html)
+        _, spans, meta = _extract_doc_stage1(html, cfg)
+        trunc_html = html[: cfg.limit_side_len]
+        # decode once to establish charset status deterministically
+        _, cs_status = decode_bytes(trunc_html, meta["charset"])
+        rows, joined, conf, _ = _decode_spans(trunc_html, spans, meta["charset"], cfg)
+        out["text"].append(joined)
+        out["spans"].append(rows)
+        out["conf"].append(conf)
+        out["status"].append(cs_status if cs_status != "ok" else "ok")
+        out["meta"].append(meta)
+    res = pd.DataFrame(out)
+    for col in passthrough:
+        res[col] = pdf[col].values
+    return res
+
+
+def make_extract_fn(cfg: ExtractConfig, passthrough: Tuple[str, ...] = ()):
+    """mapInPandas body: Iterator[pd.DataFrame] → Iterator[pd.DataFrame]."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_batch(pdf, cfg, passthrough)
+
+    return fn
+
+
+def detect_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """Stage-1-only batch op → (url, spans[start,end,score,kind], meta)."""
+    out = {"url": pdf["url"].tolist(), "spans": [], "meta": []}
+    for html in pdf["html"].tolist():
+        if html is None or len(html) == 0:
+            out["spans"].append([])
+            out["meta"].append(
+                {"html_bytes": 0, "n_blocks": 0, "truncated": False, "charset": cfg.default_charset}
+            )
+            continue
+        _, spans, meta = _extract_doc_stage1(bytes(html), cfg)
+        out["spans"].append(
+            [{"start": s.start, "end": s.end, "score": s.score, "kind": s.kind} for s in spans]
+        )
+        out["meta"].append(meta)
+    return pd.DataFrame(out)
+
+
+def make_detect_fn(cfg: ExtractConfig):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield detect_batch(pdf, cfg)
+
+    return fn

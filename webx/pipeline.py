@@ -1,0 +1,104 @@
+"""End-to-end extraction pipeline as DataFrame transformations.
+
+The Spark recast of the reference's serial CLI loop
+(tools/infer/text/predict_system.py:45-137) and of its hand-built
+multiprocess DAG (deploy/py_infer/src/parallel/*, SURVEY.md §3.4): Spark
+supplies the pipelined stages, bounded buffers, fan-out/fan-in by key and
+straggler handling; we keep (a) the stage decomposition, (b) explicit
+partitioning/skew control, (c) per-partition metrics (webx.lineage).
+
+Scale notes (the plan this produces at 100 TB):
+* default is a NARROW plan — scan → mapInPandas → sink, no shuffle at
+  all; Iceberg/parquet split sizing already balances bytes per task, and
+  the extractor is embarrassingly per-row.
+* ``cfg.repartition`` adds an explicit url-hash exchange only when the
+  source layout is pathological (e.g. crawl files sorted by host so one
+  task gets all of a mega-host). Salt (``pmod(xxhash64(url, salt), B)``)
+  breaks mega-host runs; ``size_gears`` adds a log2(html length) bucket —
+  the dynamic-gear analog (deploy/py_infer/src/data_process/utils/
+  gear_utils.py:9-48) — so giant pages spread across tasks.
+* column pruning: we select only the columns the stage needs before the
+  mapInPandas, so the parquet/Iceberg scan reads url+html (+passthrough),
+  never the teacher ``text`` column.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from webx.config import ExtractConfig
+from webx.extract import make_detect_fn, make_extract_fn
+from webx.schema import DET_SPAN_TYPE, META_TYPE, extracted_schema
+
+import pyspark.sql.types as T
+
+
+def partition_for_extraction(df: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Explicit url-hash repartition with salt + optional size gears."""
+    if cfg.repartition is None:
+        return df
+    keys = [F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(cfg.salt_buckets))]
+    if cfg.size_gears:
+        keys.append(F.ceil(F.log2(F.greatest(F.length("html"), F.lit(1)))))
+    keys.append(F.xxhash64("url"))
+    return df.repartition(cfg.repartition, *keys)
+
+
+def run_extraction(
+    pages: DataFrame,
+    cfg: Optional[ExtractConfig] = None,
+    passthrough: Optional[Tuple[str, ...]] = None,
+) -> DataFrame:
+    """pages(url, html, …) → (url, text, spans, conf, status, meta, *passthrough)."""
+    cfg = cfg or ExtractConfig()
+    pt = tuple(passthrough if passthrough is not None else ())
+    pt = tuple(c for c in pt if c in pages.columns)
+    cols = ["url", "html", *pt]
+    df = pages.select(*cols)  # column pruning reaches the scan
+    df = partition_for_extraction(df, cfg)
+    out_schema = extracted_schema([pages.schema[c] for c in pt])
+    return df.mapInPandas(make_extract_fn(cfg, pt), schema=out_schema)
+
+
+def run_detect(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """Stage 1 only → (url, spans, meta); debug parity with save_det_res."""
+    cfg = cfg or ExtractConfig()
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("spans", T.ArrayType(DET_SPAN_TYPE)),
+            T.StructField("meta", META_TYPE),
+        ]
+    )
+    df = pages.select("url", "html")
+    df = partition_for_extraction(df, cfg)
+    return df.mapInPandas(make_detect_fn(cfg), schema=schema)
+
+
+def explode_spans(extracted: DataFrame) -> DataFrame:
+    """1 doc → N spans lateral view (the crop fan-out analog,
+    predict_system.py:71-79): (url, span_idx, start, end, score, kind, text)."""
+    return extracted.select(
+        "url", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "url",
+        "span_idx",
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        F.col("span.score").alias("score"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+    )
+
+
+def write_extracted(extracted: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink analog of save_res (predict_system.py:119-137): one output
+    table; Spark handles the per-partition single-writer discipline that
+    CollectNode hand-rolls (collect_node.py:67-98)."""
+    (
+        extracted.select(
+            "url", "text", "conf", "status", F.to_json("spans").alias("spans_json")
+        ).write.mode(mode).parquet(path)
+    )

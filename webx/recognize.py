@@ -1,0 +1,61 @@
+"""Stage 2 — span decoder (the RecCTCLabelDecode analog).
+
+The reference decodes a character-index sequence by: argmax → collapse
+repeated chars → drop blank tokens → join
+(mindocr/postprocess/rec_postprocess.py:75-142). Our span decoder is the
+same shape over markup:
+
+1. drop raw-text element content (script/style/textarea) and comments —
+   the *blank tokens*;
+2. block-boundary tags → ``\n``, all other tags → `''` — token removal
+   preserving reading order (``sorted_boxes`` is free: byte order IS
+   reading order, tools/infer/text/utils.py:93-101);
+3. charset-decode (errors='replace' → deterministic U+FFFD);
+4. entity substitution — the char-dictionary lookup;
+5. per-line whitespace-run collapse — the *duplicate collapse*;
+6. join non-empty lines with ``\n``.
+
+All regexes are module-level compiled; per-span work is C-level.
+"""
+
+from __future__ import annotations
+
+import re
+
+from webx.entities import unescape
+
+_BLOCK_NAMES = (
+    rb"p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|"
+    rb"article|section|header|footer|nav|aside|main|blockquote|pre|title|form|"
+    rb"figure|figcaption|fieldset|legend|address|summary|details|body|html|head"
+)
+
+_RAWTEXT_RE = re.compile(
+    rb"<(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>", re.I | re.S
+)
+_COMMENT_RE = re.compile(rb"<!--.*?--\s*>|<!\[CDATA\[.*?\]\]>", re.S)
+_BLOCKTAG_RE = re.compile(
+    rb"</?(?:" + _BLOCK_NAMES + rb")(?:[\s/](?:[^>\"']|\"[^\"]*\"|'[^']*')*)?>", re.I
+)
+_ANYTAG_RE = re.compile(
+    rb"<(?:[!?][^>]*|/?[a-zA-Z][a-zA-Z0-9:_-]*(?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+)
+
+# horizontal whitespace (plus NBSP) collapsed within a line
+_HWS_RE = re.compile(r"[ \t\f\v ]+")
+
+
+def decode_span(raw: bytes, charset: str) -> str:
+    """Decode one span's raw bytes into normalized text."""
+    raw = _RAWTEXT_RE.sub(b" ", raw)
+    raw = _COMMENT_RE.sub(b" ", raw)
+    raw = _BLOCKTAG_RE.sub(b"\n", raw)
+    raw = _ANYTAG_RE.sub(b"", raw)
+    try:
+        text = raw.decode(charset, errors="replace")
+    except LookupError:
+        text = raw.decode("utf-8", errors="replace")
+    text = unescape(text)
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    lines = [_HWS_RE.sub(" ", ln).strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)

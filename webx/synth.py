@@ -1,0 +1,191 @@
+"""Deterministic synthetic page generation — generate-input-from-expected-output.
+
+The reference's system test synthesizes an input image *from known
+texts+boxes* and then requires the pipeline to recover them
+(tests/st/test_online_infer.py:18-75). We apply the same trick to HTML:
+pages are built from the driver's ``documents`` parquet with JVM-side SQL
+expressions only (concat/replace/encode — no Python in the synthesis path),
+so the same pages can be produced at any scale, and the *expected* extracted
+text / span offsets are closed-form functions of ``documents`` columns that
+a SQL oracle (DuckDB) can compute independently.
+
+Page anatomy (flagship): head(title+style+script) → header(logo+nav link
+list) → comment → article(h1 + one content paragraph) → aside(link list) →
+footer. Everything outside the article is boilerplate the detector must
+drop; the article must survive byte-identically.
+
+TEMPLATE PARTS ARE FROZEN — tests and the oracle arithmetic depend on the
+exact byte lengths exported in ``template_constants()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------- template
+# All parts are pure ASCII except P_TAIL (©), which sits after every offset
+# the oracle needs, so char arithmetic == byte arithmetic for spans.
+
+P_HEAD_UTF8 = '<!DOCTYPE html><html><head><meta charset="utf-8"><title>'
+P_HEAD_LATIN1 = '<!DOCTYPE html><html><head><meta charset="iso-8859-1"><title>'
+P_CHROME = (
+    "</title>"
+    "<style>body{font:14px/1.5 serif;color:#222}nav a{color:#06c}</style>"
+    '<script>var t=1;if(t>0){console.log("x <b>not a tag</b>")}</script>'
+    "</head><body>"
+    '<header><div class="logo">Example Site</div>'
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/products">Products</a></li>'
+    '<li><a href="/pricing">Pricing</a></li><li><a href="/about">About us</a></li>'
+    '<li><a href="/contact">Contact</a></li></ul></nav></header>'
+    "<!-- begin content -->"
+    "<article><h1>"
+)
+P_MID = "</h1><p>"
+P_TAIL = (
+    "</p></article>"
+    '<aside><h3>Related</h3><ul><li><a href="/r/1">Related one</a></li>'
+    '<li><a href="/r/2">Related two</a></li><li><a href="/r/3">Related three</a></li></ul></aside>'
+    '<footer><p>© 2026 Example Corp. All rights reserved. '
+    '<a href="/terms">Terms</a> · <a href="/privacy">Privacy</a></p></footer>'
+    "</body></html>"
+)
+# link-farm divider between sections of the multi-article page: link
+# density 1.0 → never a candidate → breaks the run merge.
+P_AD = (
+    '<div class="ad"><a href="/buy">Buy now</a> <a href="/offer">Special offer</a> '
+    '<a href="/deal">Deal</a></div>'
+)
+P_MID2 = "</p></article><!-- ad -->" + P_AD + "<article><h2>Notes</h2><p>"
+ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
+ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
+BOILER_ONLY_BODY = (
+    "</title></head><body>"
+    '<header><nav><ul><li><a href="/">Home</a></li><li><a href="/x">X</a></li></ul></nav></header>'
+    '<footer><p>© 2026 Example Corp.</p></footer></body></html>'
+)
+
+WS_CLASS = "[ \\t\\r\\n\\f\\x0B]+"  # Java + RE2 compatible whitespace class
+
+
+def template_constants() -> dict:
+    """Byte-length constants for oracle arithmetic (ASCII parts only)."""
+    return {
+        "head_utf8": len(P_HEAD_UTF8),
+        "chrome": len(P_CHROME),
+        "mid": len(P_MID),
+        "mid2": len(P_MID2),
+        "entity_demo": len(ENTITY_DEMO),
+        "tail_bytes": len(P_TAIL.encode("utf-8")),
+    }
+
+
+# ------------------------------------------------------------ column exprs
+
+def _norm(col):  # whitespace-normalize, the contract both sides share
+    return F.trim(F.regexp_replace(col, WS_CLASS, " "))
+
+
+def _esc(col):  # minimal HTML escape for text nodes
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _did():
+    return F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+
+
+def _url():
+    return F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _warc_ts():
+    return F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+
+
+def _assemble(html_str_col) -> list:
+    return [
+        _url().alias("url"),
+        _warc_ts().alias("warc_ts"),
+        F.encode(html_str_col, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    ]
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship single-article pages. Expected text:
+    ``'Doc '||doc_id||'\\n'||norm(text)``."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc, F.lit(P_TAIL)
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-article pages separated by a link-farm ad div. Expected text:
+    ``'Doc '||id||'\\n'||norm||'\\nNotes\\n'||upper(norm)`` — two spans."""
+    docs = load_documents(spark, sf_dir)
+    did = _did()
+    norm = _norm(F.col("text"))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        _esc(norm), F.lit(P_MID2), _esc(F.upper(norm)), F.lit(P_TAIL),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose paragraph starts with an entity gauntlet.
+    Expected text: ``'Doc '||id||'\\n'||ENTITY_DEMO_DECODED||norm(text)``."""
+    docs = load_documents(spark, sf_dir)
+    did = _did()
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        F.lit(ENTITY_DEMO), _esc(_norm(F.col("text"))), F.lit(P_TAIL),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id%5==0 → boilerplate-only page (no main content, the ``'[]'``
+    empty-annotation analog, det_dataset.py:131-132); else flagship page."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    full = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc, F.lit(P_TAIL)
+    )
+    boiler = F.concat(F.lit(P_HEAD_UTF8), did, F.lit(BOILER_ONLY_BODY))
+    html = F.when(F.col("doc_id") % 5 == 0, boiler).otherwise(full)
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latin-1 encoded pages with a non-ASCII token. Expected text:
+    ``'Doc '||id||'\\n'||norm(text)||' caf'||chr(233)``."""
+    docs = load_documents(spark, sf_dir)
+    did = _did()
+    content = F.concat(_esc(_norm(F.col("text"))), F.lit(" café"))
+    html_str = F.concat(
+        F.lit(P_HEAD_LATIN1), did, F.lit(P_CHROME), did, F.lit(P_MID), content,
+        # ASCII-only tail for latin-1 (strip the © / · chars)
+        F.lit("</p></article><footer><p>(c) 2026 Example Corp.</p></footer></body></html>"),
+    )
+    return docs.select(
+        _url().alias("url"),
+        _warc_ts().alias("warc_ts"),
+        F.encode(html_str, "ISO-8859-1").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

@@ -1,0 +1,67 @@
+"""Text-analysis operators over a document table — all built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen; zero Python in
+the hot path). These are the training-data-pipeline companions to the
+extractor: token counting, quality scoring, language-ID heuristics,
+document fingerprinting.
+
+The formulas are frozen so a SQL oracle can recompute them exactly
+(see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+WS_SPLIT = "[ \\t\\r\\n]+"
+PUNCT_CLASS = "[.,!?;:]"
+STOPWORDS = ("the", "a", "an", "and", "of", "in", "to", "is", "for", "on")
+
+
+def _tokens(col="text"):
+    return F.split(F.trim(F.col(col)), WS_SPLIT)
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return docs.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Integer quality counters (ratios derive trivially; integers keep
+    cross-engine comparisons exact): chars, tokens, stopwords, punctuation."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))).alias(
+            "n_stopwords"
+        ),
+        (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).alias(
+            "n_punct"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic stopword-presence language heuristic.
+
+    (A real model would be a broadcast n-gram table; the *operator shape* —
+    pure column expression, no shuffle — is what matters at scale.)
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    the_cnt = (
+        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
+    ) / 5
+    return docs.select(
+        "doc_id",
+        F.when(the_cnt >= 1, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 of the lower-cased whitespace-normalized text;
+    the exact-dedup key and cross-run document identity."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), WS_SPLIT, " "))
+    return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))

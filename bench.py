@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Method mirrors the reference's FPS measurement — wall time over a full
+materialization, docs / total_time (tools/infer/text/predict_system.py:174-177)
+— but forces computation with a ``noop`` sink so we measure the whole
+distributed plan, never a driver-side collect.
+
+Throughput block: the flagship extractor also runs on a replicated page
+set (``$SPARK_GRAFT_BENCH_REPL`` copies, default 8) so per-document cost
+dominates fixed Spark overhead; reports docs/sec and MB/s of HTML decoded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "8"))
+
+BENCH_QUERIES = [
+    "q_extract",
+    "q_extract_multispan",
+    "q_extract_entities",
+    "q_golden_spans",
+    "q_rec_metric",
+    "q_lang_rollup",
+    "q_token_count",
+    "q_quality",
+    "q_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_cosine",
+    "q_ann_lsh",
+    "q_events_window",
+]
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as E
+    from webx import synth
+    from webx.config import ExtractConfig
+    from webx.pipeline import run_extraction
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("webx-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = E.queries()
+
+    # Warm up JVM + Arrow python workers so per-query numbers are compute.
+    _noop(queries["q_extract"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _noop(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- flagship throughput: replicated page set, docs/sec + MB/s ----
+    pages = synth.synth_pages(spark, SF_DIR)
+    if REPL > 1:
+        reps = spark.range(REPL).select(F.col("id").alias("rep"))
+        pages = pages.crossJoin(reps).withColumn(
+            "url", F.concat_ws("#", "url", F.col("rep").cast("string"))
+        ).drop("rep")
+    pages = pages.cache()
+    stats = pages.select(
+        F.count("*").alias("n"), F.sum(F.octet_length("html")).alias("b")
+    ).first()
+    n_docs, n_bytes = int(stats["n"]), int(stats["b"])
+    _noop(run_extraction(pages, ExtractConfig()))  # warm the cache
+    t0 = time.perf_counter()
+    _noop(run_extraction(pages, ExtractConfig()))
+    dt = time.perf_counter() - t0
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_queries_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": int(CPUS),
+                "extract_docs": n_docs,
+                "extract_sec": round(dt, 3),
+                "extract_docs_per_sec": round(n_docs / dt, 1),
+                "extract_mb_per_sec": round(n_bytes / dt / 1e6, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

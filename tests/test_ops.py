@@ -1,0 +1,134 @@
+"""Dedup / similarity / textstats operator tests on tiny crafted frames."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webx.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_neardup,
+    minhash_signatures,
+    simhash,
+    simhash_neardup,
+)
+from webx.similarity import cosine_topk, hyperplanes, lsh_topk
+from webx.textstats import fingerprint, lang_id, quality_score, token_count
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = docs_df(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r["min_doc_id"]: r["n_dups"] for r in exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    d = docs_df(spark, [(1, t), (2, t), (3, "completely different words entirely here now")])
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(d).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_neardup_finds_planted_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    near = base + " omicron"  # one extra word -> high jaccard
+    d = docs_df(spark, [(1, base), (2, near), (3, "unrelated totally different text body here")])
+    pairs = minhash_neardup(d, threshold=0.6).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.6
+
+
+def test_jaccard_verify_exact_value(spark):
+    # shingle sets: doc1 k=3 over 4 tokens -> {abc, bcd}; doc2 -> {abc}
+    d = docs_df(spark, [(1, "a b c d"), (2, "a b c")])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = jaccard_verify(d, pairs, shingle_k=3, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_identical(spark):
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7", "word7x")
+    d = docs_df(spark, [(1, base), (2, near), (3, "x y z")])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham12 < ham13
+    pairs = simhash_neardup(d, max_hamming=ham12).collect()
+    assert (1, 2) in [(r["id_a"], r["id_b"]) for r in pairs]
+
+
+def test_lsh_candidates_superset_of_identical(spark):
+    t = "one two three four five six seven eight nine ten eleven twelve"
+    d = docs_df(spark, [(1, t), (2, t)])
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    df = emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 3)
+    out = cosine_topk(df, queries, k=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos"]))
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        cos = (v @ v[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        expect = sorted(range(20), key=lambda i: (-cos[i], i))[:4]
+        assert [n for _, n, _ in sorted(got[q])] == expect
+        for rank, n, c in got[q]:
+            assert math.isclose(c, cos[n], rel_tol=1e-5)
+
+
+def test_lsh_topk_self_bucket_recall(spark):
+    """A query's near-identical twin lands in the same bucket -> found."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    vecs[1] = vecs[0] + 1e-4  # planted near-dup of vec 0
+    df = emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") == 0)
+    out = lsh_topk(df, queries, dim=8, k=3).collect()
+    assert out and out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplanes(8, 4, seed=1) == hyperplanes(8, 4, seed=1)
+    assert hyperplanes(8, 4, seed=1) != hyperplanes(8, 4, seed=2)
+
+
+def test_textstats(spark):
+    d = docs_df(spark, [(1, "The cat, the hat!  "), (2, "uno dos tres")])
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(d).collect()}
+    assert tc == {1: 4, 2: 3}
+    q = {r["doc_id"]: r for r in quality_score(d).collect()}
+    assert q[1]["n_stopwords"] == 2  # 'The', 'the'
+    assert q[1]["n_punct"] == 2  # ',' and '!'
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(d).collect()}
+    assert langs == {1: "en", 2: "und"}
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(d).collect()}
+    d2 = docs_df(spark, [(1, "the  CAT, the HAT!")])
+    fp2 = fingerprint(d2).collect()[0]["fp"]
+    assert fps[1] == fp2  # case + whitespace insensitive

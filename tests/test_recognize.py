@@ -1,0 +1,93 @@
+"""Stage-2 decoder micro-goldens (RecCTCLabelDecode-analog round-trips,
+modeled on the reference's rec_postprocess.py:252-267 inline asserts)."""
+
+from __future__ import annotations
+
+from webx.charset import decode_bytes, sniff_charset
+from webx.entities import unescape
+from webx.recognize import decode_span
+
+
+def test_plain_text():
+    assert decode_span(b"hello world", "utf-8") == "hello world"
+
+
+def test_inline_tags_stripped():
+    assert decode_span(b"a <b>bold</b> c", "utf-8") == "a bold c"
+
+
+def test_block_tags_become_newlines():
+    assert decode_span(b"<h1>Title</h1><p>Body text</p>", "utf-8") == "Title\nBody text"
+
+
+def test_empty_lines_dropped():
+    assert decode_span(b"<p>a</p><p>  </p><p>b</p>", "utf-8") == "a\nb"
+
+
+def test_whitespace_collapse():
+    assert decode_span(b"a   b\t\tc", "utf-8") == "a b c"
+
+
+def test_script_content_dropped():
+    assert decode_span(b"x<script>var y = '<p>no</p>';</script>z", "utf-8") == "x z"
+
+
+def test_comment_dropped():
+    assert decode_span(b"x<!-- <b>hidden</b> -->y", "utf-8") == "x y"
+
+
+def test_entities():
+    assert unescape("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'"
+    assert unescape("&#65;&#x42;&#X43;") == "ABC"
+    assert unescape("&hellip;&mdash;&nbsp;") == "…— "
+    assert unescape("&bogusref;&#xD800;&#0;") == "&bogusref;&#xD800;&#0;"
+    assert unescape("no entities") == "no entities"
+
+
+def test_decode_span_entities():
+    assert decode_span(b"Fish &amp; chips &lt;tag&gt;", "utf-8") == "Fish & chips <tag>"
+
+
+def test_latin1_decode():
+    raw = "café".encode("latin-1")
+    assert decode_span(raw, "latin-1") == "café"
+
+
+def test_invalid_utf8_replacement_deterministic():
+    out = decode_span(b"ab\xff\xfecd", "utf-8")
+    assert out == "ab��cd"
+
+
+def test_crlf_normalized():
+    assert decode_span(b"a\r\nb\rc", "utf-8") == "a\nb\nc"
+
+
+# ---- charset sniffing ----
+
+def test_sniff_meta_charset():
+    assert sniff_charset(b'<meta charset="ISO-8859-1">') == "latin-1"
+    assert sniff_charset(b"<meta charset=gb2312>") == "gbk"
+    assert (
+        sniff_charset(b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">')
+        == "cp1252"
+    )
+
+
+def test_sniff_default_and_unknown():
+    assert sniff_charset(b"<html><p>x</p>") == "utf-8"
+    assert sniff_charset(b'<meta charset="not-a-codec-xx">') == "utf-8"
+
+
+def test_sniff_only_first_1024_bytes():
+    html = b"x" * 2000 + b'<meta charset="iso-8859-1">'
+    assert sniff_charset(html) == "utf-8"
+
+
+def test_decode_bytes_fallback_chain():
+    assert decode_bytes(b"abc", "utf-8") == ("abc", "ok")
+    # gbk-invalid but utf-8-valid -> fallback to utf-8, flagged
+    text, status = decode_bytes("café".encode("utf-8"), "ascii")
+    assert (text, status) == ("café", "charset_fallback")
+    # total fallback latin-1 never fails
+    text, status = decode_bytes(b"\xff\xfe", "utf-8")
+    assert status == "charset_fallback" and len(text) == 2

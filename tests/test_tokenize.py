@@ -1,0 +1,121 @@
+"""Tokenizer micro-goldens — hand-written expected block tables, the style
+of the reference's inline __main__ asserts (rec_transforms.py:386-446)."""
+
+from __future__ import annotations
+
+from webx.tokenize import Block, tokenize
+
+
+def test_empty_and_whitespace():
+    assert tokenize(b"") == []
+    assert tokenize(b"   \n\t ") == []
+    assert tokenize(b"<p>   </p>") == []
+
+
+def test_single_paragraph_offsets():
+    html = b"<p>hello world</p>"
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"hello world"
+    assert b.tlen == len(b"helloworld")  # non-whitespace bytes
+    assert b.link_tlen == 0 and not b.boiler and not b.heading
+
+
+def test_whitespace_trimmed_offsets():
+    html = b"<p>  hi there \n</p>"
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"hi there"
+
+
+def test_block_boundary_splits_blocks():
+    html = b"<p>one</p><p>two</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"one", b"two"]
+
+
+def test_inline_tags_do_not_split():
+    html = b"<p>one <b>bold</b> two</p>"
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"one <b>bold</b> two"
+    assert b.tag_cnt == 2  # <b> and </b>
+
+
+def test_link_text_counted():
+    html = b'<p>pre <a href="/x">link text</a> post</p>'
+    [b] = tokenize(html)
+    assert b.link_tlen == len(b"linktext")
+    assert b.tlen == len(b"prelinktextpost")
+
+
+def test_boiler_flag_nav_footer():
+    html = b"<nav><li>Home</li></nav><p>real</p><footer><p>c</p></footer>"
+    bs = tokenize(html)
+    flags = [(html[b.start : b.end], b.boiler) for b in bs]
+    assert flags == [(b"Home", True), (b"real", False), (b"c", True)]
+
+
+def test_heading_flag():
+    html = b"<h1>Title</h1><p>body</p>"
+    bs = tokenize(html)
+    assert [b.heading for b in bs] == [True, False]
+
+
+def test_script_style_content_skipped():
+    html = b'<script>var a="<p>not text</p>";</script><p>yes</p><style>p{}</style>'
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"yes"]
+
+
+def test_unclosed_script_swallows_rest():
+    html = b"<script>var a=1; <p>gone</p>"
+    assert tokenize(html) == []
+
+
+def test_comment_and_cdata_skipped():
+    html = b"<p>a<!-- <p>no</p> -->b</p><![CDATA[ <p>x</p> ]]><p>c</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"a<!-- <p>no</p> -->b", b"c"]
+    # the comment inside the first block counts as a tag, not text
+    assert bs[0].tlen == 2
+
+
+def test_attribute_with_gt_in_quotes():
+    html = b'<p data-x="a>b">text</p>'
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"text"
+
+
+def test_doctype_and_pi_ignored():
+    html = b"<!DOCTYPE html><?xml version='1.0'?><p>x</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"x"]
+
+
+def test_self_closing_and_br():
+    html = b"<p>one<br/>two</p>"
+    bs = tokenize(html)
+    # br is a block boundary: flushes the run
+    assert [html[b.start : b.end] for b in bs] == [b"one", b"two"]
+
+
+def test_nested_boiler_depth():
+    html = b"<header><nav><p>x</p></nav><p>y</p></header><p>z</p>"
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"x", True),
+        (b"y", True),
+        (b"z", False),
+    ]
+
+
+def test_multibyte_utf8_offsets_are_bytes():
+    html = "<p>café ok</p>".encode("utf-8")
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == "café ok".encode("utf-8")
+    # tlen counts bytes, not chars: é is 2 bytes
+    assert b.tlen == len("café ok".encode("utf-8")) - 1
+
+
+def test_block_is_namedtuple_contract():
+    [b] = tokenize(b"<p>abc</p>")
+    assert isinstance(b, Block)
+    assert b._fields == ("start", "end", "tlen", "link_tlen", "tag_cnt", "heading", "boiler")

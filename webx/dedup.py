@@ -2,22 +2,30 @@
 
 All signature computation is built-in JVM expressions (xxhash64 /
 higher-order array functions) — no Python UDFs; the only shuffles are the
-ones the algorithms require (groupBy key / band, self-join on band).
+ones the algorithms require (groupBy fingerprint / band bucket).
 
 Scale notes:
 * exact dedup = one hash-aggregate shuffle on the fingerprint.
-* MinHash LSH = narrow signature computation, then explode to (band,
-  band_hash) — the self-join is on band buckets, so cost is bounded by
-  bucket sizes, not corpus²; skewed buckets (boilerplate-identical docs)
-  are exactly the near-dups we want.
-* verification joins shingle arrays only for candidate pairs.
+* MinHash = ONE expensive pass per row (shingle + hash each shingle once);
+  the 64 signature slots are cheap two-long rehashes ``xxhash64(h, i)``
+  folded over the shingle-hash array with a single ``aggregate`` whose
+  first argument is evaluated once — never nest the expensive array inside
+  a per-seed lambda, or Catalyst re-evaluates it per seed.
+* LSH candidates come from ``groupBy(band, band_hash)`` + per-bucket pair
+  expansion — signatures are computed once (no self-join recompute), cost
+  is bounded by bucket sizes, not corpus²; ``max_bucket`` caps pathological
+  buckets (boilerplate-identical mega-clusters) explicitly at scale.
+* verification joins shingle arrays only for the candidate pairs.
 """
 
 from __future__ import annotations
 
+
 from pyspark.sql import DataFrame, functions as F
 
 from webx.textstats import WS_SPLIT
+
+_MAX_LONG = (1 << 63) - 1
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
@@ -41,20 +49,35 @@ def _shingles(col="text", k: int = 3):
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — sig[h] = min over shingles of
-    xxhash64(shingle, h). One narrow projection, no shuffle."""
-    sh = _shingles(k=shingle_k)
-    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    sig = F.transform(
-        seeds, lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h)))
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles s of
+    ``xxhash64(xxhash64(s), i)``: each shingle is string-hashed ONCE, the
+    per-slot rehash is a cheap two-long hash (ANSI-safe — no overflow).
+    One narrow projection, no shuffle; the shingle-hash array is the
+    aggregate's input, so it is computed exactly once per row."""
+    h0 = F.transform(_shingles(k=shingle_k), lambda s: F.xxhash64(s))
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))  # constant-folded
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), n_hashes)
+    sig = F.aggregate(
+        h0,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))
+        ),
     )
     return docs.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band hash → candidate pairs (a < b)."""
+    """Banded LSH: docs sharing any band hash → candidate pairs (a < b).
+
+    One signature pass → explode to (band, band_hash) → groupBy bucket →
+    expand ordered pairs inside each bucket. ``max_bucket`` (scale knob)
+    drops buckets larger than the cap — log the dropped count upstream."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         "doc_id",
@@ -63,20 +86,32 @@ def lsh_candidate_pairs(
                 band_idx,
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias("bh"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
+                    ).alias("bh"),
                 ),
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -108,11 +143,12 @@ def minhash_neardup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard)."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
     return jaccard_verify(docs, pairs, shingle_k, threshold)
 
 
@@ -120,52 +156,85 @@ def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens → (doc_id, simhash: bigint).
 
     bit i set ⇔ sum over tokens of ±1 (sign of token-hash bit i) > 0.
-    Pure higher-order JVM expressions."""
+    One aggregate over the token-hash array (evaluated once per row); the
+    per-token step updates all 64 counters with cheap bit arithmetic."""
     toks = F.split(F.trim(F.col(col)), WS_SPLIT)
-    hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit masks 2^0..2^62, then the sign bit as min-long (two's complement)
+    masks = [1 << i for i in range(63)] + [-(1 << 63)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    zeros = F.array_repeat(F.lit(0), 64)
+    counts = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
     )
-    # shift-by-column needs the SQL expression form
-    val = F.expr(
-        "aggregate("
-        "  transform(sequence(0, 63), i -> struct(i AS i,"
-        "    aggregate(th, 0, (acc, h) -> acc +"
-        "      if((shiftright(h, i) & 1) = 1, 1, -1)) AS s)),"
-        "  cast(0 AS bigint),"
-        "  (acc, e) -> acc + if(e.s > 0, shiftleft(cast(1 AS bigint), e.i),"
-        "                       cast(0 AS bigint)))"
+    val = F.aggregate(
+        F.zip_with(
+            counts,
+            mask_arr,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
-    return hashed.select("doc_id", val.alias("simhash"))
+    return docs.select("doc_id", val.alias("simhash"))
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Band 64-bit simhash into 4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
-    some chunk equal) → candidates → exact hamming filter."""
+    some chunk equal) → bucket by chunk value → exact hamming filter.
+
+    Like LSH above, signatures are computed once and pairs come from a
+    groupBy bucket expansion, not a self-join."""
     sh = simhash(docs)
     chunks = sh.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> struct(c AS chunk,"
-                "  (shiftright(simhash, c * 16) & 65535) AS cv))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.chunk", "e.cv")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    buckets = (
+        chunks.groupBy("chunk", "cv")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("sh")))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"),
+                    y["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the checkpointed extraction job.
+
+Usage (cluster):
+    spark-submit --py-files webx.zip jobs/extract.py \
+        --input s3://…/pages --input-format iceberg \
+        --output s3://…/extracted --checkpoint s3://…/lineage \
+        --run-id nightly-2026-08-17 --snapshot-id 1234567890 \
+        --n-partitions 16384 --chunk-size 256 --repartition 4096
+
+Usage (sandbox smoke):
+    spark-submit --master 'local[8]' --py-files /tmp/webx.zip jobs/extract.py \
+        --synth /root/testdata/sf0.001 --output /tmp/out \
+        --checkpoint /tmp/ckpt --run-id smoke --snapshot-id sfsmall
+
+The config → seeded source → staged computation → per-partition lineage →
+resumable re-run skeleton mirrors the reference's train-loop driver
+(SURVEY.md §3.2, tools/train.py)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="webx checkpointed extraction")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="input table path (url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", help="synthesize pages from this testdata sf dir")
+    p.add_argument("--input-format", default="parquet", help="parquet | iceberg")
+    p.add_argument("--output", required=True)
+    p.add_argument("--output-format", default="parquet")
+    p.add_argument("--checkpoint", required=True, help="lineage/checkpoint table path")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--n-partitions", type=int, default=64)
+    p.add_argument("--chunk-size", type=int, default=16)
+    p.add_argument("--max-chunks", type=int, default=None)
+    p.add_argument("--repartition", type=int, default=None,
+                   help="explicit url-hash+salt exchange width (skew mitigation)")
+    p.add_argument("--size-gears", action="store_true",
+                   help="add log2(html size) bucket to the partition key")
+    p.add_argument("--limit-side-len", type=int, default=4_000_000)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from webx import synth
+    from webx.config import ExtractConfig
+    from webx.lineage import CheckpointStore, run_checkpointed_extraction
+
+    spark = SparkSession.builder.appName(f"webx-extract-{args.run_id}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synth:
+        pages = synth.synth_pages(spark, args.synth)
+    else:
+        pages = spark.read.format(args.input_format).load(args.input)
+
+    cfg = ExtractConfig(
+        repartition=args.repartition,
+        size_gears=args.size_gears,
+        limit_side_len=args.limit_side_len,
+    )
+    store = CheckpointStore(args.checkpoint)
+    t0 = time.time()
+    processed = run_checkpointed_extraction(
+        spark,
+        pages,
+        args.output,
+        store,
+        args.run_id,
+        args.snapshot_id,
+        cfg,
+        n_partitions=args.n_partitions,
+        chunk_size=args.chunk_size,
+        max_chunks=args.max_chunks,
+        output_fmt=args.output_format,
+    )
+    dt = time.time() - t0
+    lineage = store.read(spark)
+    from pyspark.sql import functions as F
+
+    agg = (
+        lineage.filter(
+            (F.col("run_id") == args.run_id)
+            & (F.col("input_snapshot_id") == args.snapshot_id)
+        )
+        .agg(
+            F.sum("row_count").alias("rows"),
+            F.sum("bytes_in").alias("bytes"),
+            F.sum("err_count").alias("errs"),
+        )
+        .first()
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "partitions_processed": len(processed),
+                "wall_sec": round(dt, 2),
+                "rows_total": agg["rows"],
+                "bytes_in_total": agg["bytes"],
+                "err_total": agg["errs"],
+                "docs_per_sec": round((agg["rows"] or 0) / dt, 1) if processed else 0.0,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

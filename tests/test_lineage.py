@@ -1,0 +1,88 @@
+"""Kill/resume test (SURVEY §5): a run killed after K chunks must resume
+at partition granularity and converge to the identical final output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from webx import synth
+from webx.config import ExtractConfig
+from webx.lineage import (
+    CheckpointStore,
+    read_extracted,
+    run_checkpointed_extraction,
+    with_partition_id,
+)
+from webx.pipeline import run_extraction
+
+CFG = ExtractConfig()
+NP = 8
+
+
+def test_partition_id_stable_across_parallelism(spark):
+    pages = synth.synth_pages(spark, SF_SMALL)
+    a = with_partition_id(pages, NP).select("url", "partition_id")
+    b = with_partition_id(pages.repartition(13), NP).select("url", "partition_id")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_full_run_and_idempotence(spark, tmp_path):
+    pages = synth.synth_pages(spark, SF_SMALL)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    done = run_checkpointed_extraction(
+        spark, pages, out, store, "run1", "snapA", CFG, n_partitions=NP, chunk_size=NP
+    )
+    assert sorted(done) == list(range(NP))
+    lineage = store.read(spark)
+    rows = lineage.collect()
+    assert len(rows) == NP
+    assert sum(r["row_count"] for r in rows) == 500
+    assert all(r["status"] == "done" for r in rows)
+    assert all(r["bytes_in"] > 0 and r["spans_out"] > 0 for r in rows)
+    # second invocation: nothing left to do
+    assert run_checkpointed_extraction(
+        spark, pages, out, store, "run1", "snapA", CFG, n_partitions=NP
+    ) == []
+
+
+def test_kill_and_resume_byte_identical(spark, tmp_path):
+    pages = synth.synth_pages(spark, SF_SMALL)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    # killed run: only 2 chunks of 2 partitions land
+    first = run_checkpointed_extraction(
+        spark, pages, out, store, "r", "s", CFG,
+        n_partitions=NP, chunk_size=2, max_chunks=2,
+    )
+    assert len(first) == 4
+    assert store.completed_partitions(spark, "r", "s") == sorted(first)
+    # resume: must process exactly the remaining partitions
+    second = run_checkpointed_extraction(
+        spark, pages, out, store, "r", "s", CFG, n_partitions=NP, chunk_size=2
+    )
+    assert sorted(first + second) == list(range(NP))
+    assert set(first).isdisjoint(second)
+    # final output == straight (non-checkpointed) run, byte-identical
+    final = read_extracted(spark, out).select("url", "text")
+    straight = run_extraction(pages, CFG).select("url", "text")
+    assert final.count() == 500
+    assert final.exceptAll(straight).count() == 0
+    assert straight.exceptAll(final).count() == 0
+
+
+def test_lineage_counts_match_output(spark, tmp_path):
+    pages = synth.synth_pages_edge(spark, SF_SMALL)  # 1 in 5 boiler-only
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    run_checkpointed_extraction(
+        spark, pages, out, store, "r", "s", CFG, n_partitions=4, chunk_size=4
+    )
+    lineage = store.read(spark)
+    agg = lineage.agg(
+        F.sum("row_count").alias("rows"), F.sum("spans_out").alias("spans")
+    ).first()
+    written = read_extracted(spark, out)
+    assert agg["rows"] == written.count() == 500
+    assert agg["spans"] == written.agg(F.sum("n_spans")).first()[0] == 400

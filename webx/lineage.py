@@ -1,0 +1,187 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+The union of the reference's ``PerfRecorder`` (per-epoch metric rows,
+mindocr/utils/recorder.py:48-91) and ``CheckpointManager`` (retained
+restart points, mindocr/utils/checkpoint.py:11-97), recast for a data
+pipeline: a **lineage table** with one row per (run_id, partition_id)
+recording row counts, error counts, bytes in, spans out, and status —
+written only after that partition's output is durably committed, so a
+restarted run resumes at partition granularity by anti-joining completed
+partitions (the Spark recast of the train-loop skeleton, SURVEY.md §3.2).
+
+Design for 10^12 documents:
+
+* **Logical partitions are content-addressed**, not physical:
+  ``partition_id = pmod(xxhash64(url), n_partitions)`` — stable across
+  cluster sizes, input splits, and re-runs, so "partition 17 is done"
+  means the same set of urls on any re-run at any parallelism.
+* **Chunked commits**: the driver loops over small groups of logical
+  partitions (``chunk_size`` per Spark action). Each action writes its
+  output partitioned by ``partition_id`` with *dynamic partition
+  overwrite* (idempotent — a crashed chunk's partial partitions are
+  replaced wholesale on retry), then appends lineage rows. The loop is
+  O(n_partitions / chunk_size) driver iterations — a few hundred at
+  petabyte scale — never per-row.
+* **Format-agnostic tables**: everything goes through
+  ``spark.read.format(fmt)`` / ``df.write.format(fmt)``; ``fmt`` is
+  "parquet" in this sandbox and "iceberg" on a real cluster (same API;
+  Iceberg additionally gives snapshot ids — passed in as
+  ``snapshot_id`` — and atomic commits).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webx.config import ExtractConfig
+from webx.pipeline import run_extraction
+from webx.schema import LINEAGE_SCHEMA
+
+PARTITION_COL = "partition_id"
+
+
+def with_partition_id(pages: DataFrame, n_partitions: int) -> DataFrame:
+    """Stable content-addressed logical partition id from the url."""
+    return pages.withColumn(
+        PARTITION_COL,
+        F.pmod(F.xxhash64("url"), F.lit(n_partitions)).cast("int"),
+    )
+
+
+@dataclass
+class CheckpointStore:
+    """Lineage/checkpoint table accessor (LINEAGE_SCHEMA rows)."""
+
+    path: str
+    fmt: str = "parquet"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.format(self.fmt).schema(LINEAGE_SCHEMA).load(self.path)
+        except Exception:  # first run: table does not exist yet
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def completed_partitions(
+        self, spark: SparkSession, run_id: str, snapshot_id: str
+    ) -> List[int]:
+        df = self.read(spark)
+        rows = (
+            df.filter(
+                (F.col("run_id") == run_id)
+                & (F.col("input_snapshot_id") == snapshot_id)
+                & (F.col("status") == "done")
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["partition_id"] for r in rows)
+
+    def append(self, rows_df: DataFrame) -> None:
+        rows_df.write.format(self.fmt).mode("append").save(self.path)
+
+
+def _chunk_metrics(
+    committed: DataFrame,
+    run_id: str,
+    snapshot_id: str,
+) -> DataFrame:
+    """One LINEAGE_SCHEMA row per logical partition of the committed
+    output (columns: partition_id, status, html_bytes, n_spans)."""
+    ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return (
+        committed.groupBy(PARTITION_COL)
+        .agg(
+            F.count("*").alias("row_count"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("ok_count"),
+            F.sum((F.col("status") != "ok").cast("long")).alias("err_count"),
+            F.sum("html_bytes").alias("bytes_in"),
+            F.sum(F.col("n_spans").cast("long")).alias("spans_out"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("input_snapshot_id"),
+            F.col(PARTITION_COL),
+            "row_count",
+            "ok_count",
+            "err_count",
+            "bytes_in",
+            "spans_out",
+            F.lit("done").alias("status"),
+            F.lit(ts).alias("ts"),
+        )
+    )
+
+
+def run_checkpointed_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    checkpoint: CheckpointStore,
+    run_id: str,
+    snapshot_id: str,
+    cfg: Optional[ExtractConfig] = None,
+    n_partitions: int = 64,
+    chunk_size: int = 16,
+    max_chunks: Optional[int] = None,
+    output_fmt: str = "parquet",
+) -> List[int]:
+    """Resumable extraction: skip partitions the checkpoint marks done,
+    process the rest in chunks, commit output-then-lineage per chunk.
+
+    ``max_chunks`` bounds the number of chunks processed this call (test
+    hook: simulates a killed run). Returns the partition ids processed."""
+    cfg = cfg or ExtractConfig()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = set(checkpoint.completed_partitions(spark, run_id, snapshot_id))
+    todo = [p for p in range(n_partitions) if p not in done]
+    if not todo:
+        return []
+
+    pages_pid = with_partition_id(pages, n_partitions)
+    processed: List[int] = []
+    chunks = [todo[i : i + chunk_size] for i in range(0, len(todo), chunk_size)]
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+
+    for chunk in chunks:
+        subset = pages_pid.filter(F.col(PARTITION_COL).isin(chunk))
+        extracted = run_extraction(subset, cfg, passthrough=(PARTITION_COL,))
+        out = extracted.select(
+            "url",
+            "text",
+            "conf",
+            "status",
+            F.to_json("spans").alias("spans_json"),
+            F.col("meta.html_bytes").alias("html_bytes"),
+            F.size("spans").alias("n_spans"),
+            PARTITION_COL,
+        )
+        # 1) durable output first (dynamic overwrite -> idempotent retry)
+        (
+            out.write.format(output_fmt)
+            .mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .save(output_path)
+        )
+        # 2) lineage rows only after the output commit succeeded; metrics
+        #    are computed from the committed files (never a recompute of
+        #    the extraction itself)
+        committed = (
+            spark.read.format(output_fmt)
+            .load(output_path)
+            .filter(F.col(PARTITION_COL).isin(chunk))
+            .select(PARTITION_COL, "status", "html_bytes", "n_spans")
+        )
+        checkpoint.append(_chunk_metrics(committed, run_id, snapshot_id))
+        processed.extend(chunk)
+    return processed
+
+
+def read_extracted(spark: SparkSession, output_path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(output_path)

@@ -89,7 +89,7 @@ def main() -> None:
         pages = pages.crossJoin(reps).withColumn(
             "url", F.concat_ws("#", "url", F.col("rep").cast("string"))
         ).drop("rep")
-    pages = pages.cache()
+    pages = pages.repartition(int(CPUS) * 4, "url").cache()
     stats = pages.select(
         F.count("*").alias("n"), F.sum(F.octet_length("html")).alias("b")
     ).first()

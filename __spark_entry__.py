@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from webx import synth
 from webx.config import ExtractConfig
-from webx.dedup import exact_dedup, minhash_neardup, simhash_neardup
+from webx.dedup import exact_dedup, jaccard_verify, minhash_neardup, simhash_neardup
+from webx.media import media_features, synth_media
+from webx.metrics import det_metrics, rec_metrics
 from webx.pipeline import explode_spans, run_detect, run_extraction
-from webx.similarity import cosine_topk, lsh_topk
+from webx.similarity import cosine_neardup_pairs, cosine_topk, lsh_topk
 from webx.textstats import fingerprint, lang_id, quality_score, token_count
 
 CFG = ExtractConfig()
@@ -194,6 +196,86 @@ def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_det_metric(spark: SparkSession, sf: str) -> DataFrame:
+    """DetMetric analog (det_metrics.py:94-153) as an interval-IoU join:
+    detector output on edge pages vs the closed-form golden spans for all
+    docs -> precision 1.0, recall = non-boiler fraction."""
+    pred = run_detect(synth.synth_pages_edge(spark, sf), CFG)
+    golden = synth.golden_flagship_spans(spark, sf)
+    return det_metrics(pred, golden)
+
+
+def q_rec_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """RecMetric analog (rec_metrics.py:62-151): extracted text vs the raw
+    teacher text -> acc + normalized edit distance."""
+    pages = synth.synth_pages(spark, sf).withColumnRenamed("text", "teacher")
+    out = run_extraction(pages, CFG, passthrough=("teacher",))
+    pred = out.select("url", "text")
+    golden = out.select("url", F.col("teacher").alias("text"))
+    return rec_metrics(pred, golden)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard on the planted near-dup pairs (oracle
+    recomputes the shingle sets independently in DuckDB)."""
+    docs = _docs_with_neardups(spark, sf)
+    pairs = spark.range(20).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1_000_000).alias("id_b")
+    )
+    return jaccard_verify(docs, pairs, shingle_k=3, threshold=0.0).orderBy("id_a")
+
+
+def _emb_with_planted(spark, sf):
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def q_neardup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: all-pairs exact baseline finds exactly
+    the planted scaled copies (cos = 1)."""
+    return (
+        cosine_neardup_pairs(_emb_with_planted(spark, sf), threshold=0.95)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads through an Arrow mapInPandas
+    feature extractor (deterministic fake codec, webx/media.py)."""
+    return media_features(synth_media(spark, sf)).select(
+        "media_id", "kind", "n_bytes", "byte_sum"
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational coverage: broadcast dim join + partial/final agg."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host rollup of extraction output (the mega-host skew lens)."""
+    out = run_extraction(synth.synth_pages(spark, sf), CFG)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return out.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -224,6 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_events_window": q_events_window,
         "q_media_meta": q_media_meta,
+        "q_det_metric": q_det_metric,
+        "q_rec_quality": q_rec_quality,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_neardup_embedding": q_neardup_embedding,
+        "q_media_features": q_media_features,
+        "q_orders_rollup": q_orders_rollup,
+        "q_host_stats": q_host_stats,
     }
 
 
@@ -317,6 +406,62 @@ def oracle_sql() -> dict[str, str]:
             f"CAST({c['head_utf8']} + 2 * length({DID}) + {c['chrome']} + {c['mid']} "
             f"+ {esc_len} + {c['tail_bytes']} AS INT) AS n_bytes, TRUE AS is_html "
             "FROM documents"
+        ),
+        "q_det_metric": (
+            "WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS nb FROM documents) "
+            "SELECT n AS n_golden, nb AS n_pred, nb AS tp, CAST(1.0 AS DOUBLE) AS precision, "
+            "nb / CAST(n AS DOUBLE) AS recall, "
+            "(2.0 * (nb / CAST(n AS DOUBLE))) / (1.0 + nb / CAST(n AS DOUBLE)) AS f1 FROM c"
+        ),
+        "q_rec_quality": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(CASE WHEN {GOLDEN} = text THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+            f"AVG(CASE WHEN {GOLDEN} = text THEN 1.0 ELSE 0.0 END) AS acc, "
+            f"AVG(1.0 - levenshtein({GOLDEN}, text) / "
+            f"CAST(greatest(length({GOLDEN}), length(text), 1) AS DOUBLE)) AS norm_edit "
+            "FROM documents"
+        ),
+        "q_dedup_jaccard": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20), "
+            "p AS (SELECT doc_id + 1000000 AS doc_id, "
+            "regexp_replace(text, '\\s+\\S+$', '') AS text FROM d), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(toks) - 2, 1)), "
+            "i -> array_to_string(toks[i:i+2], ' '))) AS sh "
+            f"FROM (SELECT doc_id, regexp_split_to_array(trim(text), {WS_SPLIT_SQL}) AS toks "
+            "FROM (SELECT * FROM d UNION ALL SELECT * FROM p))) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh)) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
+        ),
+        "q_neardup_embedding": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000, "
+            "CAST(list_transform(embedding, x -> x * 2) AS FLOAT[]) "
+            "FROM embeddings WHERE vec_id < 20) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b "
+            "WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q_media_features": (
+            "SELECT doc_id AS media_id, "
+            "(CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+            "ELSE 'video' END) AS kind, "
+            "CAST(2 * length(text) + 1 AS INT) AS n_bytes, "
+            "CAST(2 * list_sum(list_transform(generate_series(1, length(text)), "
+            "i -> ascii(text[i]))) + 124 AS BIGINT) AS byte_sum FROM documents"
+        ),
+        "q_orders_rollup": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "q_host_stats": (
+            "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            f"CAST(count(*) AS BIGINT) AS n_docs, SUM(length({GOLDEN})) AS sum_chars "
+            "FROM documents GROUP BY 1"
         ),
         # q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-algorithm-
         # specific (xxhash64) / approximate — rows-only checks by design.

@@ -44,6 +44,13 @@ BENCH_QUERIES = [
     "q_ann_cosine",
     "q_ann_lsh",
     "q_events_window",
+    "q_det_metric",
+    "q_rec_quality",
+    "q_dedup_jaccard",
+    "q_neardup_embedding",
+    "q_media_features",
+    "q_orders_rollup",
+    "q_host_stats",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Multimodal plumbing + Structured Streaming parity tests."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from webx import synth
+from webx.config import ExtractConfig
+from webx.media import media_features, resize_image, sample_frames, synth_media
+from webx.pipeline import run_extraction
+from webx.streaming import run_extraction_stream
+
+CFG = ExtractConfig()
+
+
+def test_media_features_deterministic(spark):
+    media = synth_media(spark, SF_SMALL)
+    feats = media_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    docs = {r["doc_id"]: r["text"] for r in synth.load_documents(spark, SF_SMALL).collect()}
+    assert len(rows) == len(docs)
+    # spot-check byte arithmetic against pure python
+    for did in list(docs)[:5]:
+        raw = (docs[did] + "|" + docs[did]).encode("utf-8")
+        r = rows[did]
+        assert r["n_bytes"] == len(raw)
+        assert r["byte_sum"] == sum(raw)
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+
+
+def test_media_features_schema_stable(spark):
+    media = synth_media(spark, SF_SMALL).limit(10)
+    feats = media_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "kind", "n_bytes", "byte_sum", "feature",
+    ]
+
+
+def test_sample_frames(spark):
+    media = synth_media(spark, SF_SMALL)
+    frames = sample_frames(media, every_n=2)
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", F.col("meta.n_frames").alias("nf"), F.octet_length("payload").alias("nb")
+    )
+    j = (
+        frames.groupBy("media_id").agg(F.count("*").alias("got"))
+        .join(vids, "media_id")
+    )
+    # every_n=2 over nf frames -> ceil(nf/2) sampled
+    bad = j.filter(F.col("got") != F.ceil(F.col("nf") / 2)).count()
+    assert bad == 0
+    assert frames.filter(F.octet_length("frame") == 0).count() == 0
+
+
+def test_resize_stub_raises(spark):
+    media = synth_media(spark, SF_SMALL)
+    with pytest.raises(NotImplementedError):
+        resize_image(media, 64, 64)
+
+
+def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth.synth_pages(spark, SF_SMALL)
+    first = pages.filter(F.col("url").endswith("0"))
+    rest = pages.filter(~F.col("url").endswith("0"))
+    first.write.mode("append").parquet(inp)
+
+    q = run_extraction_stream(spark, inp, out, ckpt, CFG)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    n1 = got1.count()
+    assert n1 == first.count()
+
+    # append more input files; second drain processes ONLY the new files
+    rest.write.mode("append").parquet(inp)
+    q2 = run_extraction_stream(spark, inp, out, ckpt, CFG)
+    q2.awaitTermination(180)
+    final = spark.read.parquet(out)
+    assert final.count() == 500
+
+    # byte-identical to the batch pipeline
+    batch = run_extraction(pages, CFG).select("url", "text")
+    stream = final.select("url", "text")
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0

@@ -1,0 +1,77 @@
+"""Metric goldens hand-computed in the style of the reference's
+tests/ut/test_metrics.py:28-78 (crafted cases with known P/R/F, acc)."""
+
+from __future__ import annotations
+
+import math
+
+from webx.metrics import det_metrics, rec_metrics, span_matches
+
+
+def spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, spans array<struct<start:long,end:long>>"
+    )
+
+
+def test_det_metric_half_match(spark):
+    """2 golden, 2 pred, 1 match -> P=R=F=0.5 (the reference's crafted
+    3-box case shape, test_metrics.py:28-63)."""
+    golden = spans_df(spark, [("u", [(0, 100), (200, 300)])])
+    pred = spans_df(spark, [("u", [(0, 100), (400, 500)])])
+    row = det_metrics(pred, golden).first()
+    assert (row["n_golden"], row["n_pred"], row["tp"]) == (2, 2, 1)
+    assert row["precision"] == row["recall"] == row["f1"] == 0.5
+
+
+def test_iou_threshold_boundary(spark):
+    golden = spans_df(spark, [("u", [(0, 100)])])
+    # overlap 50/150 = 1/3 < 0.5 -> no match
+    pred_low = spans_df(spark, [("u", [(50, 150)])])
+    assert det_metrics(pred_low, golden).first()["tp"] == 0
+    # overlap 80/120 = 2/3 >= 0.5 -> match
+    pred_hi = spans_df(spark, [("u", [(20, 120)])])
+    assert det_metrics(pred_hi, golden).first()["tp"] == 1
+
+
+def test_one_to_one_matching(spark):
+    """Two preds over one golden: only one TP (first-match discipline)."""
+    golden = spans_df(spark, [("u", [(0, 100)])])
+    pred = spans_df(spark, [("u", [(0, 90), (5, 100)])])
+    row = det_metrics(pred, golden).first()
+    assert row["tp"] == 1 and row["n_pred"] == 2
+    assert math.isclose(row["precision"], 0.5)
+
+
+def test_ignore_region_anti_join(spark):
+    """Pred covered >50% by an ignored region is excluded from FP count
+    (det_metrics.py:46-57)."""
+    golden = spans_df(spark, [("u", [(0, 100)])])
+    pred = spans_df(spark, [("u", [(0, 100), (200, 300)])])
+    ignore = spark.createDataFrame(
+        [("u", 190, 290)], "url string, start long, end long"
+    )
+    row = det_metrics(pred, golden, ignore=ignore).first()
+    assert (row["n_pred"], row["tp"], row["precision"], row["recall"]) == (1, 1, 1.0, 1.0)
+
+
+def test_span_matches_pairs(spark):
+    golden = spans_df(spark, [("u", [(0, 10), (20, 30)]), ("v", [(0, 10)])])
+    pred = spans_df(spark, [("u", [(0, 10), (20, 30)])])
+    got = {(r["url"], r["p_idx"], r["g_idx"]) for r in span_matches(pred, golden).collect()}
+    assert got == {("u", 0, 0), ("u", 1, 1)}
+
+
+def test_rec_metric_half_correct(spark):
+    """acc=0.5 and hand-computed norm_edit (RecMetric golden shape,
+    test_metrics.py:66-78)."""
+    pred = spark.createDataFrame(
+        [("a", "hello"), ("b", "worxd")], "url string, text string"
+    )
+    golden = spark.createDataFrame(
+        [("a", "hello"), ("b", "world")], "url string, text string"
+    )
+    row = rec_metrics(pred, golden).first()
+    assert (row["n_docs"], row["n_correct"], row["acc"]) == (2, 1, 0.5)
+    # norm_edit = mean(1 - 0/5, 1 - 1/5) = 0.9
+    assert math.isclose(row["norm_edit"], 0.9)

@@ -1,0 +1,135 @@
+"""Evaluation metrics as DataFrame aggregations.
+
+* ``det_metrics`` — the ``DetMetric`` analog (reference
+  mindocr/metrics/det_metrics.py:29-153): predicted vs golden byte spans
+  matched by interval IoU ≥ 0.5 (the 1-D recast of the polygon IoU
+  theta-join), with ignored golden regions excluded via an anti-join
+  (det_metrics.py:46-57); TP/FP/FN → precision/recall/F1. Partial/final
+  aggregation is Spark's native two-phase agg — the reference's manual
+  ``AllReduce`` (det_metrics.py:141-153) is the shuffle exchange.
+* ``rec_metrics`` — the ``RecMetric`` analog
+  (mindocr/metrics/rec_metrics.py:62-151): exact-match ratio + mean
+  normalized edit distance (1 − lev/maxlen) via built-in ``levenshtein``.
+
+Scale: everything is an equi-join on ``url`` (broadcast when one side is
+a small golden set) followed by one aggregation — fully lazy, no
+driver-side loops; the final counts combine via crossJoins of one-row
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _explode(df: DataFrame, prefix: str) -> DataFrame:
+    """(url, spans) → (url, {p}_idx, {p}_start, {p}_end)."""
+    return df.select(
+        "url", F.posexplode("spans").alias(f"{prefix}_idx", "s")
+    ).select(
+        "url",
+        f"{prefix}_idx",
+        F.col("s.start").alias(f"{prefix}_start"),
+        F.col("s.end").alias(f"{prefix}_end"),
+    )
+
+
+def _match_pairs(p: DataFrame, g: DataFrame, iou_thresh: float) -> DataFrame:
+    """IoU-matched (url, p_idx, g_idx, iou) pairs on exploded frames.
+
+    Join on ``url`` + overlap predicate (a range join); IoU =
+    |intersection| / |union| of the byte intervals; pairs ≥ thresh are
+    deduped to one golden per prediction and one prediction per golden
+    (lowest index wins — deterministic first-match, the greedy-match
+    analog of det_metrics.py:58-77)."""
+    overlap = (F.col("p_start") < F.col("g_end")) & (F.col("g_start") < F.col("p_end"))
+    inter = F.least("p_end", "g_end") - F.greatest("p_start", "g_start")
+    union = F.greatest("p_end", "g_end") - F.least("p_start", "g_start")
+    pairs = (
+        p.join(g, "url")
+        .filter(overlap)
+        .withColumn("iou", inter / union)
+        .filter(F.col("iou") >= iou_thresh)
+    )
+    by_gt = Window.partitionBy("url", "g_idx").orderBy("p_idx")
+    by_pred = Window.partitionBy("url", "p_idx").orderBy("g_idx")
+    return (
+        pairs.withColumn("rp", F.row_number().over(by_gt))
+        .filter(F.col("rp") == 1)
+        .withColumn("rg", F.row_number().over(by_pred))
+        .filter(F.col("rg") == 1)
+        .select("url", "p_idx", "g_idx", "iou")
+    )
+
+
+def span_matches(
+    pred: DataFrame, golden: DataFrame, iou_thresh: float = 0.5
+) -> DataFrame:
+    """Matched pairs for (url, spans)-shaped inputs."""
+    return _match_pairs(_explode(pred, "p"), _explode(golden, "g"), iou_thresh)
+
+
+def det_metrics(
+    pred: DataFrame,
+    golden: DataFrame,
+    iou_thresh: float = 0.5,
+    ignore: DataFrame | None = None,
+) -> DataFrame:
+    """→ one row (n_golden, n_pred, tp, precision, recall, f1).
+
+    ``ignore``: optional (url, start, end) regions; predictions covered
+    > 50% by an ignored region are excluded entirely (the ignore-region
+    anti-join, det_metrics.py:46-57); ignored golden spans should simply
+    be absent from ``golden``."""
+    p = _explode(pred, "p")
+    if ignore is not None:
+        ig = ignore.select(
+            "url", F.col("start").alias("i_start"), F.col("end").alias("i_end")
+        )
+        cover = F.least("p_end", "i_end") - F.greatest("p_start", "i_start")
+        covered = (
+            p.join(ig, "url")
+            .filter(cover * 2 > (F.col("p_end") - F.col("p_start")))
+            .select("url", "p_idx")
+            .distinct()
+        )
+        p = p.join(covered, ["url", "p_idx"], "left_anti")
+    g = _explode(golden, "g")
+    tp = _match_pairs(p, g, iou_thresh).agg(F.count("*").alias("tp"))
+    counts = (
+        g.agg(F.count("*").alias("n_golden"))
+        .crossJoin(p.agg(F.count("*").alias("n_pred")))
+        .crossJoin(tp)
+    )
+    precision = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    recall = F.when(F.col("n_golden") > 0, F.col("tp") / F.col("n_golden")).otherwise(0.0)
+    return (
+        counts.withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+    )
+
+
+def rec_metrics(
+    pred: DataFrame, golden: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact-match + normalized-edit-distance vs golden, joined on url →
+    one row (n_docs, n_correct, acc, norm_edit)."""
+    p = pred.select("url", F.col(text_col).alias("pred_text"))
+    g = golden.select("url", F.col(text_col).alias("gold_text"))
+    j = p.join(g, "url")
+    lev = F.levenshtein("pred_text", "gold_text")
+    maxlen = F.greatest(F.length("pred_text"), F.length("gold_text"), F.lit(1))
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("pred_text") == F.col("gold_text")).cast("long")).alias("n_correct"),
+        F.avg((F.col("pred_text") == F.col("gold_text")).cast("double")).alias("acc"),
+        F.avg(1.0 - lev / maxlen).alias("norm_edit"),
+    )

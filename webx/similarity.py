@@ -62,6 +62,25 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    id_a < id_b and cos >= threshold.
+
+    This is the EXACT baseline (all-pairs — O(n²), fine up to ~10^5
+    vectors per run); the scale path first buckets by random-hyperplane
+    LSH (see ``lsh_topk``) so the cross product shrinks to per-bucket
+    joins, trading recall for cost."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    cos = (_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b"))).alias("cos")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list:
     """Deterministic random hyperplanes as a plain nested list literal."""
     rng = np.random.default_rng(seed)

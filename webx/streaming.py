@@ -1,0 +1,66 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is batch-only (SURVEY.md §2.10) — its "streaming" is
+bounded producer/consumer queues in the multiprocess runtime
+(deploy/py_infer/src/parallel/framework/module_manager.py:89-93). We add
+the real thing on top of the same stage functions: ``readStream`` over
+the input table → the identical fused ``mapInPandas`` extractor →
+``writeStream`` with exactly-once file-sink semantics. Incremental
+ingestion of new crawl files therefore reuses byte-identical extraction
+logic; ``Trigger.AvailableNow`` drains the backlog and stops (the
+batch-parity mode used by tests), while a live deployment runs the same
+query unbounded. No watermarks needed — extraction is stateless per row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from webx.config import ExtractConfig
+from webx.extract import make_extract_fn
+from webx.schema import PAGES_SCHEMA, extracted_schema
+
+
+def read_pages_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def extract_stream(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """Same fused extractor as batch ``run_extraction`` on a streaming DF
+    (stateless mapInPandas — no shuffle, no state store)."""
+    cfg = cfg or ExtractConfig()
+    df = pages.select("url", "html")
+    return df.mapInPandas(make_extract_fn(cfg, ()), schema=extracted_schema())
+
+
+def run_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: Optional[ExtractConfig] = None,
+    available_now: bool = True,
+):
+    """Drain ``input_path`` (parquet dir) → extracted parquet at
+    ``output_path``; file-source + checkpoint give exactly-once per input
+    file, so re-runs only process files added since the last drain."""
+    pages = read_pages_stream(spark, input_path)
+    extracted = extract_stream(pages, cfg).select(
+        "url", "text", "conf", "status", F.to_json("spans").alias("spans_json")
+    )
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -133,6 +133,27 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(*_assemble(html))
 
 
+def golden_flagship_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, spans[{start,end}]) — closed-form golden byte spans of the
+    flagship template for EVERY document (the annotator's ground truth;
+    pages without the article, e.g. synth_pages_edge boiler-only rows,
+    simply have nothing matching these spans)."""
+    c = template_constants()
+    docs = load_documents(spark, sf_dir)
+    did_len = F.length(_did())
+    esc_len = F.length(_esc(_norm(F.col("text"))))
+    start = F.lit(c["head_utf8"]) + did_len + F.lit(c["chrome"])
+    end = start + did_len + F.lit(c["mid"]) + esc_len
+    return docs.select(
+        _url().alias("url"),
+        F.array(
+            F.struct(
+                start.cast("long").alias("start"), end.cast("long").alias("end")
+            )
+        ).alias("spans"),
+    )
+
+
 def synth_pages_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-article pages separated by a link-farm ad div. Expected text:
     ``'Doc '||id||'\\n'||norm||'\\nNotes\\n'||upper(norm)`` — two spans."""

@@ -1,0 +1,107 @@
+"""Fused-extractor unit tests on pandas batches (no Spark session) —
+charset edge cases and the expand (unclip-analog) knob."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from webx.config import ExtractConfig
+from webx.detect import Span, detect, expand_spans
+from webx.extract import extract_batch
+from webx.tokenize import tokenize
+
+CFG = ExtractConfig()
+
+
+def run_one(html: bytes, cfg: ExtractConfig = CFG) -> dict:
+    out = extract_batch(pd.DataFrame({"url": ["u"], "html": [html]}), cfg)
+    return out.iloc[0].to_dict()
+
+
+def test_gbk_page_decodes():
+    content = "中文内容的测试段落 需要足够的字符来通过检测 " * 3
+    html = (
+        '<html><head><meta charset="gb2312"></head><body><p>'
+        + content
+        + "</p></body></html>"
+    ).encode("gbk")
+    row = run_one(html)
+    assert row["status"] == "ok"
+    assert row["meta"]["charset"] == "gbk"
+    assert row["text"] == " ".join(content.split())
+
+
+def test_cp1252_page_decodes():
+    content = "Smart “quotes” and €uro signs in a long enough paragraph body."
+    html = (
+        '<html><head><meta charset="windows-1252"></head><body><p>'
+        + content
+        + "</p></body></html>"
+    ).encode("cp1252")
+    row = run_one(html)
+    assert row["meta"]["charset"] == "cp1252"
+    assert row["text"] == content
+
+
+def test_misdeclared_charset_falls_back():
+    # declares gbk but the bytes are invalid gbk AND valid utf-8
+    content = "Résumé déjà vu — a paragraph long enough to be detected here."
+    html = (
+        '<html><head><meta charset="gb2312"></head><body><p>'
+        + content
+        + "</p></body></html>"
+    ).encode("utf-8")
+    row = run_one(html)
+    assert row["status"] == "charset_fallback"
+    assert row["meta"]["charset"] == "utf-8"  # effective codec recorded
+    assert row["text"] == content  # decoded via utf-8 fallback, no mojibake
+
+
+def test_expand_spans_whitespace_only():
+    html = b"<div>junk</div>  \n  CONTENT  \n  <div>tail</div>"
+    s = html.index(b"CONTENT")
+    spans = [Span(s, s + 7, 0.9, "content", 0, 0)]
+    ex = expand_spans(html, spans, expand_ratio=1.0)
+    assert len(ex) == 1
+    got = html[ex[0].start : ex[0].end]
+    assert got.strip() == b"CONTENT"
+    assert got != b"CONTENT"  # actually expanded
+    assert set(got) - set(b"CONTENT") <= set(b" \t\r\n\f\v")
+
+
+def test_expand_spans_budget_cap():
+    html = b"A" + b" " * 50 + b"CONTENT" + b" " * 50 + b"Z"
+    s = html.index(b"CONTENT")
+    spans = [Span(s, s + 7, 0.9, "content", 0, 0)]
+    ex = expand_spans(html, spans, expand_ratio=0.5)  # budget = 3 per side
+    assert ex[0].start == s - 3 and ex[0].end == s + 7 + 3
+    assert expand_spans(html, spans, expand_ratio=0.0) == spans
+
+
+def test_expand_spans_never_cross_neighbor():
+    html = b"AAAA   BBBB"
+    spans = [Span(0, 4, 0.9, "content", 0, 0), Span(7, 11, 0.9, "content", 1, 1)]
+    ex = expand_spans(html, spans, expand_ratio=10.0)
+    assert ex[0].end <= ex[1].start  # first expands right, second can't cross
+
+
+def test_expand_keeps_decoded_text_identical():
+    html = (
+        b"<nav><li><a href='/'>Home</a></li></nav>"
+        b"<p>The long main paragraph with enough characters to detect.</p>"
+        b"<footer><p>(c)</p></footer>"
+    )
+    base = run_one(html, ExtractConfig())
+    expanded = run_one(html, ExtractConfig(expand_ratio=0.3))
+    assert base["text"] == expanded["text"]  # whitespace-only expansion
+    b0, e0 = base["spans"][0]["start"], base["spans"][0]["end"]
+    b1, e1 = expanded["spans"][0]["start"], expanded["spans"][0]["end"]
+    assert (b1, e1) != (b0, e0) or (b1 <= b0 and e1 >= e0)
+
+
+def test_detect_unaffected_by_default_expand():
+    html = b"<p>Plain long paragraph with sufficient characters inside it.</p>"
+    spans = detect(tokenize(html), CFG)
+    row = run_one(html)
+    assert row["spans"][0]["start"] == spans[0].start
+    assert row["spans"][0]["end"] == spans[0].end

@@ -84,10 +84,10 @@ def test_sniff_only_first_1024_bytes():
 
 
 def test_decode_bytes_fallback_chain():
-    assert decode_bytes(b"abc", "utf-8") == ("abc", "ok")
-    # gbk-invalid but utf-8-valid -> fallback to utf-8, flagged
-    text, status = decode_bytes("café".encode("utf-8"), "ascii")
-    assert (text, status) == ("café", "charset_fallback")
+    assert decode_bytes(b"abc", "utf-8") == ("abc", "ok", "utf-8")
+    # ascii-invalid but utf-8-valid -> fallback to utf-8, flagged
+    text, status, codec = decode_bytes("café".encode("utf-8"), "ascii")
+    assert (text, status, codec) == ("café", "charset_fallback", "utf-8")
     # total fallback latin-1 never fails
-    text, status = decode_bytes(b"\xff\xfe", "utf-8")
-    assert status == "charset_fallback" and len(text) == 2
+    text, status, codec = decode_bytes(b"\xff\xfe", "utf-8")
+    assert status == "charset_fallback" and codec == "latin-1" and len(text) == 2

@@ -44,15 +44,19 @@ def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     return name
 
 
-def decode_bytes(raw: bytes, charset: str) -> Tuple[str, str]:
-    """→ (text, status); status ∈ {ok, charset_fallback}."""
+def decode_bytes(raw: bytes, charset: str) -> Tuple[str, str, str]:
+    """→ (text, status, effective_codec); status ∈ {ok, charset_fallback}.
+
+    The effective codec is what actually decoded the bytes — span
+    decoding MUST use it (not the declared charset) or a misdeclared
+    page decodes as mojibake while status correctly says fallback."""
     try:
-        return raw.decode(charset), "ok"
+        return raw.decode(charset), "ok", charset
     except (UnicodeDecodeError, LookupError):
         pass
     if charset != "utf-8":
         try:
-            return raw.decode("utf-8"), "charset_fallback"
+            return raw.decode("utf-8"), "charset_fallback", "utf-8"
         except UnicodeDecodeError:
             pass
-    return raw.decode("latin-1"), "charset_fallback"
+    return raw.decode("latin-1"), "charset_fallback", "latin-1"

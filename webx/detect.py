@@ -110,6 +110,41 @@ def detect(blocks: Sequence[Block], cfg: ExtractConfig) -> List[Span]:
     return merge_runs(blocks, scores, cfg)
 
 
+_WS_BYTES = frozenset(b" \t\r\n\f\v")
+
+
+def expand_spans(
+    html: bytes, spans: Sequence[Span], expand_ratio: float
+) -> List[Span]:
+    """The unclip analog (DBPostprocess expand, det_postprocess.py:76-77 /
+    expand_poly, det_transforms.py:313-316): widen each span outward into
+    the surrounding WHITESPACE bytes only, by at most
+    ``expand_ratio * span_len`` per side, never crossing a neighboring
+    span. Whitespace-only expansion keeps decoded text byte-identical
+    (stage 2 collapses it) while making offsets cover the full visual
+    extent — exactly the reference's shrink/unclip asymmetry."""
+    if expand_ratio <= 0 or not spans:
+        return list(spans)
+    out: List[Span] = []
+    prev_end = 0
+    n = len(html)
+    for idx, s in enumerate(spans):
+        budget = int((s.end - s.start) * expand_ratio)
+        start, end = s.start, s.end
+        b = budget
+        while start > prev_end and b > 0 and html[start - 1] in _WS_BYTES:
+            start -= 1
+            b -= 1
+        hi = spans[idx + 1].start if idx + 1 < len(spans) else n
+        b = budget
+        while end < hi and b > 0 and html[end] in _WS_BYTES:
+            end += 1
+            b -= 1
+        out.append(s._replace(start=start, end=end))
+        prev_end = end
+    return out
+
+
 def validate_spans(spans: Sequence[Span], doc_len: int) -> List[Span]:
     """Clip spans to [0, doc_len), drop empty/inverted — the
     ``validate_det_res`` invariants (tools/infer/text/predict_det.py:131-187)."""

@@ -20,7 +20,7 @@ import pandas as pd
 
 from webx.charset import decode_bytes, sniff_charset
 from webx.config import ExtractConfig
-from webx.detect import Span, block_scores, merge_runs, validate_spans
+from webx.detect import Span, block_scores, expand_spans, merge_runs, validate_spans
 from webx.recognize import decode_span
 from webx.tokenize import Block, tokenize
 
@@ -47,7 +47,10 @@ def _extract_doc_stage1(
         tags = np.fromiter((b.tag_cnt for b in blocks), dtype=np.int64, count=n)
         boiler = np.fromiter((b.boiler for b in blocks), dtype=bool, count=n)
         scores = block_scores(tlen, link, tags, boiler, cfg)
-        spans = validate_spans(merge_runs(blocks, scores, cfg), len(html))
+        spans = validate_spans(
+            expand_spans(html, merge_runs(blocks, scores, cfg), cfg.expand_ratio),
+            len(html),
+        )
     else:
         spans = []
     meta = {
@@ -122,9 +125,12 @@ def extract_batch(
         html = bytes(html)
         _, spans, meta = _extract_doc_stage1(html, cfg)
         trunc_html = html[: cfg.limit_side_len]
-        # decode once to establish charset status deterministically
-        _, cs_status = decode_bytes(trunc_html, meta["charset"])
-        rows, joined, conf, _ = _decode_spans(trunc_html, spans, meta["charset"], cfg)
+        # one strict decode establishes status + the EFFECTIVE codec;
+        # spans decode with that codec (a misdeclared page must not
+        # produce mojibake while status says fallback)
+        _, cs_status, codec = decode_bytes(trunc_html, meta["charset"])
+        meta["charset"] = codec
+        rows, joined, conf, _ = _decode_spans(trunc_html, spans, codec, cfg)
         out["text"].append(joined)
         out["spans"].append(rows)
         out["conf"].append(conf)

@@ -52,12 +52,18 @@ def block_scores(
     return score
 
 
-def merge_runs(blocks: Sequence[Block], scores: np.ndarray, cfg: ExtractConfig) -> List[Span]:
+def merge_runs(
+    blocks: Sequence[Block],
+    scores: np.ndarray,
+    cfg: ExtractConfig,
+    tlen: np.ndarray | None = None,
+) -> List[Span]:
     """Merge consecutive candidate blocks of ONE document into scored spans."""
     n = len(blocks)
     if n == 0:
         return []
-    tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
+    if tlen is None:
+        tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
     cand = (scores >= cfg.binary_thresh) & (tlen >= cfg.min_block_chars)
 
     spans: List[Span] = []

@@ -41,14 +41,17 @@ def _extract_doc_stage1(
     charset = sniff_charset(html, cfg.default_charset)
     blocks = tokenize(html)
     if blocks:
-        n = len(blocks)
-        tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
-        link = np.fromiter((b.link_tlen for b in blocks), dtype=np.int64, count=n)
-        tags = np.fromiter((b.tag_cnt for b in blocks), dtype=np.int64, count=n)
-        boiler = np.fromiter((b.boiler for b in blocks), dtype=bool, count=n)
+        # one C-level transpose of the block table (zip of namedtuples)
+        _, _, tl_c, link_c, tag_c, _, boiler_c = zip(*blocks)
+        tlen = np.array(tl_c, dtype=np.int64)
+        link = np.array(link_c, dtype=np.int64)
+        tags = np.array(tag_c, dtype=np.int64)
+        boiler = np.array(boiler_c, dtype=bool)
         scores = block_scores(tlen, link, tags, boiler, cfg)
         spans = validate_spans(
-            expand_spans(html, merge_runs(blocks, scores, cfg), cfg.expand_ratio),
+            expand_spans(
+                html, merge_runs(blocks, scores, cfg, tlen=tlen), cfg.expand_ratio
+            ),
             len(html),
         )
     else:

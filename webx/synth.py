@@ -122,10 +122,17 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_pages(spark: SparkSession, sf_dir: str, page_repeat: int = 1) -> DataFrame:
     """Flagship single-article pages. Expected text:
-    ``'Doc '||doc_id||'\\n'||norm(text)``."""
+    ``'Doc '||doc_id||'\\n'||norm(text)``.
+
+    ``page_repeat`` > 1 repeats the paragraph text (bench-only knob: page
+    sizes approach real crawl pages; oracle queries always use 1)."""
     docs = load_documents(spark, sf_dir)
+    if page_repeat > 1:
+        docs = docs.withColumn(
+            "text", F.array_join(F.array_repeat(F.col("text"), page_repeat), " ")
+        )
     did, esc = _did(), _esc(_norm(F.col("text")))
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc, F.lit(P_TAIL)

@@ -44,6 +44,10 @@ def parse_args(argv):
     p.add_argument("--size-gears", action="store_true",
                    help="add log2(html size) bucket to the partition key")
     p.add_argument("--limit-side-len", type=int, default=4_000_000)
+    p.add_argument("--config", default=None,
+                   help="JSON file of ExtractConfig fields (overrides the "
+                        "individual CLI knobs; goldens are reproducible "
+                        "from this file alone)")
     return p.parse_args(argv)
 
 
@@ -64,11 +68,15 @@ def main(argv=None) -> int:
     else:
         pages = spark.read.format(args.input_format).load(args.input)
 
-    cfg = ExtractConfig(
-        repartition=args.repartition,
-        size_gears=args.size_gears,
-        limit_side_len=args.limit_side_len,
-    )
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExtractConfig.from_dict(json.load(f))
+    else:
+        cfg = ExtractConfig(
+            repartition=args.repartition,
+            size_gears=args.size_gears,
+            limit_side_len=args.limit_side_len,
+        )
     store = CheckpointStore(args.checkpoint)
     t0 = time.time()
     processed = run_checkpointed_extraction(

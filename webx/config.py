@@ -13,7 +13,7 @@ are reproducible from config alone:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 
 @dataclass(frozen=True)
@@ -42,3 +42,22 @@ class ExtractConfig:
     size_gears: bool = False         # add log2-size bucket to partition key (gear_utils analog)
 
     passthrough: tuple = field(default=("warc_ts", "lang"))
+
+    # -- config-driven pipeline (the YAML-config analog,
+    #    configs/det/dbnet/db_r50_icdar15.yaml): goldens are reproducible
+    #    from the serialized config alone --
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["passthrough"] = list(d["passthrough"])
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExtractConfig":
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        d = dict(d)
+        if "passthrough" in d:
+            d["passthrough"] = tuple(d["passthrough"])
+        return cls(**d)

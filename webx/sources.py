@@ -1,0 +1,155 @@
+"""Input sources → the canonical pages table (url, warc_ts, html, …).
+
+The reference's dataset zoo (DetDataset / LMDBDataset / PredictDataset,
+SURVEY.md §2.1) collapses to "anything that yields the pages schema":
+
+* ``read_pages`` — Iceberg/parquet table (the primary path).
+* ``read_binary_files`` — a directory of raw .html files via Spark's
+  ``binaryFile`` source (the PredictDataset analog: unlabeled input dir,
+  mindocr/data/predict_dataset.py:66-79).
+* ``read_warc`` — Common-Crawl WARC archives: each task parses one WARC
+  file's response records (url, date, HTTP body) inside ``mapInPandas``.
+  One ~1 GB WARC per task is the standard Common-Crawl processing shape;
+  the file list parallelizes across executors, records never cross task
+  boundaries.
+
+All sources emit the same schema, so the pipeline composes with any of
+them unchanged.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+_CL_RE = re.compile(rb"^content-length:\s*(\d+)\s*$", re.I | re.M)
+_TYPE_RE = re.compile(rb"^warc-type:\s*(\S+)\s*$", re.I | re.M)
+_URI_RE = re.compile(rb"^warc-target-uri:\s*(\S+)\s*$", re.I | re.M)
+_DATE_RE = re.compile(rb"^warc-date:\s*(\S+)\s*$", re.I | re.M)
+
+
+def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
+    """Minimal WARC/1.0 reader: walk records via Content-Length, keep
+    ``response`` records, strip the HTTP header block → (url, ts, body).
+
+    Deterministic and allocation-light; malformed trailing bytes end the
+    scan (never raise — bad records are skipped, counted by the caller
+    via row counts, matching our explicit bad-row policy)."""
+    if raw[:2] == b"\x1f\x8b":  # gzipped warc (members concatenated)
+        try:
+            raw = gzip.decompress(raw)
+        except OSError:
+            return []
+    out: List[Tuple[str, Optional[datetime], bytes]] = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"WARC/":
+            nxt = raw.find(b"\r\n\r\nWARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt + 4
+            continue
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        header = raw[pos:hdr_end]
+        m = _CL_RE.search(header)
+        if m is None:
+            break
+        length = int(m.group(1))
+        body = raw[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        # records are separated by two CRLFs
+        while raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"response":
+            continue
+        u = _URI_RE.search(header)
+        if u is None:
+            continue
+        url = u.group(1).decode("utf-8", "replace").strip("<>")
+        ts = None
+        d = _DATE_RE.search(header)
+        if d is not None:
+            try:
+                ts = datetime.strptime(
+                    d.group(1).decode("ascii", "replace"), "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=timezone.utc)
+            except ValueError:
+                ts = None
+        # body = HTTP response: status line + headers, blank line, payload
+        http_end = body.find(b"\r\n\r\n")
+        html = body[http_end + 4 :] if http_end >= 0 else body
+        out.append((url, ts, html))
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → (url, warc_ts, html). One file per input row of
+    ``binaryFile``; parsing runs distributed inside mapInPandas."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": []}
+            for content in pdf["content"]:
+                for url, ts, html in parse_warc(bytes(content)):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+                    rows["html"].append(html)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=WARC_PAGES_SCHEMA)
+
+
+def write_warc(records: List[Tuple[str, datetime, bytes]]) -> bytes:
+    """Serialize (url, ts, html) to a WARC/1.0 byte stream (test fixture
+    generator — the generate-input-from-expected-output trick applied to
+    the container format)."""
+    chunks: List[bytes] = []
+    for url, ts, html in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        )
+        chunks.append(header + b"\r\n" + http + b"\r\n\r\n")
+    return b"".join(chunks)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*.html") -> DataFrame:
+    """Directory of raw page files → (url=file path, warc_ts=mtime, html)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+    )
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """The canonical table source (parquet here, iceberg in prod)."""
+    return spark.read.format(fmt).load(path)

@@ -120,8 +120,17 @@ def jaccard_verify(
     docs: DataFrame, pairs: DataFrame, shingle_k: int = 3, threshold: float = 0.7
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard),
-    filtered to >= threshold. Joins only the candidate set."""
-    sh = docs.select("doc_id", _shingles(k=shingle_k).alias("sh"))
+    filtered to >= threshold. Shingles are computed ONLY for documents
+    that appear in a candidate pair (broadcast semi-join prefilter) —
+    at corpus scale the candidate set is orders of magnitude smaller
+    than the corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = docs.join(F.broadcast(ids), "doc_id", "left_semi")
+    sh = needed.select("doc_id", _shingles(k=shingle_k).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -1,0 +1,79 @@
+"""Property tests (hypothesis): the pipeline must never crash and must
+hold its byte-offset invariants on ARBITRARY byte input — the
+``validate_det_res`` invariant family (SURVEY §5) under fuzz."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from webx.charset import decode_bytes, sniff_charset
+from webx.config import ExtractConfig
+from webx.extract import extract_batch
+from webx.recognize import decode_span
+from webx.tokenize import tokenize
+
+CFG = ExtractConfig(min_span_chars=1, min_block_chars=1)
+
+# arbitrary bytes, plus html-ish fragments to hit tag paths
+tag_soup = st.lists(
+    st.sampled_from(
+        [b"<p>", b"</p>", b"<div>", b"</div>", b"<a href='/x'>", b"</a>",
+         b"<script>", b"</script>", b"<!--", b"-->", b"<nav>", b"</nav>",
+         b"<h1>", b"</h1>", b"text here", b"&amp;", b"&#65;", b" \t\n",
+         b"<![CDATA[", b"]]>", b"<br/>", b'<p data-x="a>b">', b"\xff\xfe",
+         b"caf\xc3\xa9", b"<meta charset=gbk>", b"<"]
+    ),
+    max_size=30,
+).map(b"".join)
+raw_bytes = st.binary(max_size=400)
+html_like = st.one_of(raw_bytes, tag_soup)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_like)
+def test_tokenize_invariants(html):
+    blocks = tokenize(html)
+    prev_end = 0
+    for b in blocks:
+        # offsets in bounds, ordered, non-overlapping, trimmed, non-empty text
+        assert 0 <= b.start < b.end <= len(html)
+        assert b.start >= prev_end
+        prev_end = b.end
+        seg = html[b.start : b.end]
+        assert seg == seg.strip(b" \t\r\n\f\v")
+        assert b.tlen > 0
+        assert 0 <= b.link_tlen <= b.tlen
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_like)
+def test_extract_never_crashes_and_spans_valid(html):
+    out = extract_batch(pd.DataFrame({"url": ["u"], "html": [html]}), CFG)
+    row = out.iloc[0]
+    assert row["status"] in ("ok", "charset_fallback", "empty")
+    prev_end = 0
+    for s in row["spans"]:
+        assert 0 <= s["start"] < s["end"] <= len(html)
+        assert s["start"] >= prev_end
+        prev_end = s["end"]
+        assert s["text"]
+    assert isinstance(row["text"], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_like)
+def test_extract_deterministic(html):
+    pdf = pd.DataFrame({"url": ["u"], "html": [html]})
+    a = extract_batch(pdf, CFG).iloc[0]
+    b = extract_batch(pdf, CFG).iloc[0]
+    assert a["text"] == b["text"] and a["spans"] == b["spans"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(raw_bytes, st.sampled_from(["utf-8", "latin-1", "gbk", "nope-codec"]))
+def test_decode_total_functions(raw, charset):
+    text, status, codec = decode_bytes(raw, charset)
+    assert isinstance(text, str) and status in ("ok", "charset_fallback")
+    assert isinstance(decode_span(raw, charset), str)
+    assert isinstance(sniff_charset(raw), str)

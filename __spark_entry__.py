@@ -266,6 +266,23 @@ def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (webx/events.py): lag → flag → running
+    sum → per-session agg, all window functions."""
+    from webx.events import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user lifetime totals — the batch twin of the stateful
+    streaming counter (webx/streaming.py running_user_counts)."""
+    from webx.events import user_rollup
+
+    return user_rollup(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host rollup of extraction output (the mega-host skew lens)."""
     out = run_extraction(synth.synth_pages(spark, sf), CFG)
@@ -313,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         "q_orders_rollup": q_orders_rollup,
         "q_host_stats": q_host_stats,
+        "q_sessions": q_sessions,
+        "q_user_rollup": q_user_rollup,
     }
 
 
@@ -462,6 +481,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
             f"CAST(count(*) AS BIGINT) AS n_docs, SUM(length({GOLDEN})) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_sessions": (
+            "WITH x AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "y AS (SELECT user_id, ts, value, CAST(SUM(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_id FROM x) "
+            "SELECT user_id, session_id, MIN(ts) AS session_start, "
+            "MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM y GROUP BY user_id, session_id"
+        ),
+        "q_user_rollup": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM events GROUP BY user_id"
         ),
         # q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-algorithm-
         # specific (xxhash64) / approximate — rows-only checks by design.

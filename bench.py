@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q_media_features",
     "q_orders_rollup",
     "q_host_stats",
+    "q_sessions",
+    "q_user_rollup",
 ]
 
 

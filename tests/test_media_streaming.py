@@ -90,3 +90,68 @@ def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):
     stream = final.select("url", "text")
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_sessionize_batch(spark):
+    from datetime import datetime as dt
+
+    from webx.events import sessionize
+
+    rows = [
+        (1, dt(2026, 1, 1, 10, 0), 100, "a", 1.25, ""),
+        (2, dt(2026, 1, 1, 10, 10), 100, "a", 2.50, ""),   # same session (10 min)
+        (3, dt(2026, 1, 1, 11, 0), 100, "a", 0.75, ""),    # new session (50 min gap)
+        (4, dt(2026, 1, 1, 10, 5), 200, "b", 9.99, ""),    # other user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert set(got) == {(100, 1), (100, 2), (200, 1)}
+    s1 = got[(100, 1)]
+    assert s1["n_events"] == 2 and s1["sum_cents"] == 125 + 250
+    assert s1["session_start"].minute == 0 and s1["session_end"].minute == 10
+    assert got[(100, 2)]["n_events"] == 1
+    assert got[(200, 1)]["sum_cents"] == 999
+
+
+def test_stateful_running_counts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: state persists across two AvailableNow
+    drains via the checkpoint; final totals match the batch twin."""
+    from pyspark.sql import functions as F
+
+    from webx.events import user_rollup
+    from webx.streaming import running_user_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    rest = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(inp)
+
+    q = running_user_counts(spark, inp, out, ckpt)
+    q.awaitTermination(180)
+    rest.write.mode("append").parquet(inp)
+    q2 = running_user_counts(spark, inp, out, ckpt)
+    q2.awaitTermination(180)
+
+    emitted = spark.read.parquet(out)
+    # latest emission per user = the row with the highest running count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    latest = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )
+    batch = user_rollup(ev)
+    assert latest.exceptAll(batch).count() == 0
+    assert batch.exceptAll(latest).count() == 0

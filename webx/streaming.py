@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from webx.config import ExtractConfig
 from webx.extract import make_extract_fn
@@ -64,3 +66,65 @@ def run_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- custom stateful operator
+
+COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def _update_counts(key, pdfs, state: GroupState):
+    """applyInPandasWithState update fn: fold this trigger's events into
+    the per-user running totals, emit the new totals."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # floor(value*100) matches the batch twin exactly (F.floor)
+        cents += int(np.floor(pdf["value"].to_numpy(dtype="float64") * 100).sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
+
+
+def running_user_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+):
+    """Stateful streaming per-user totals via ``applyInPandasWithState``
+    (the custom-stateful-operator surface): state survives across
+    triggers AND across restarts via the checkpoint — each AvailableNow
+    drain folds only new files into the persisted totals. Batch twin for
+    parity checks: webx.events.user_rollup."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_path)
+    )
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        _update_counts,
+        outputStructType=COUNTS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",  # file sinks are append-only
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

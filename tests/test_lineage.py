@@ -86,3 +86,44 @@ def test_lineage_counts_match_output(spark, tmp_path):
     written = read_extracted(spark, out)
     assert agg["rows"] == written.count() == 500
     assert agg["spans"] == written.agg(F.sum("n_spans")).first()[0] == 400
+
+
+def test_retention_queries(spark, tmp_path):
+    """save_top_k / save_latest_k analogs as lineage-table queries."""
+    from webx.lineage import best_runs, latest_runs
+
+    pages = synth.synth_pages(spark, SF_SMALL)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    for i, rid in enumerate(("r1", "r2")):
+        run_checkpointed_extraction(
+            spark, pages, str(tmp_path / f"out{i}"), store, rid, "s", CFG,
+            n_partitions=4, chunk_size=4,
+        )
+    lineage = store.read(spark)
+    latest = latest_runs(lineage, k=1).collect()
+    assert len(latest) == 1 and latest[0]["run_id"] == "r2"
+    assert latest[0]["partitions"] == 4 and latest[0]["rows"] == 500
+    best = best_runs(lineage, k=2).collect()
+    assert {r["run_id"] for r in best} == {"r1", "r2"}
+    assert all(r["err_ratio"] == 0.0 for r in best)
+
+
+def test_salted_partitioning_balances_mega_host(spark):
+    """Explicit skew mitigation: 90% of urls on one mega-host must still
+    spread across tasks (url-hash + salt key, pipeline.py)."""
+    from webx.pipeline import partition_for_extraction
+
+    n = 2000
+    df = spark.range(n).selectExpr(
+        "concat('https://', case when id % 10 < 9 then 'mega' else concat('h', id % 10) end, "
+        "'.example.com/p/', id) AS url",
+        "cast(repeat('x', 100) AS BINARY) AS html",
+    )
+    parts = partition_for_extraction(df, ExtractConfig(repartition=16, size_gears=True))
+    sizes = (
+        parts.select(F.spark_partition_id().alias("p"))
+        .groupBy("p").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 16
+    assert max(counts) <= 2.0 * (n / 16)  # no partition dominated by the mega-host

@@ -22,7 +22,7 @@ UDFs). See ``webx.pipeline`` for the end-to-end job and
 """
 
 from webx.config import ExtractConfig
-from webx.pipeline import run_extraction
+from webx.pipeline import run_detect, run_extraction
 
-__all__ = ["ExtractConfig", "run_extraction"]
-__version__ = "0.1.0"
+__all__ = ["ExtractConfig", "run_detect", "run_extraction"]
+__version__ = "0.2.0"

@@ -185,3 +185,38 @@ def run_checkpointed_extraction(
 
 def read_extracted(spark: SparkSession, output_path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(output_path)
+
+
+# ----------------------------------------------------- retention queries
+# The CheckpointManager keep-top-k / keep-latest-k policies
+# (mindocr/utils/checkpoint.py:55-76) become plain queries over the
+# lineage table — no file juggling, the table IS the history.
+
+def latest_runs(lineage: DataFrame, k: int = 5) -> DataFrame:
+    """k most recent runs by last activity → (run_id, last_ts, partitions,
+    rows) — the ``save_latest_k`` analog."""
+    return (
+        lineage.groupBy("run_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("partition_id").alias("partitions"),
+            F.sum("row_count").alias("rows"),
+        )
+        .orderBy(F.desc("last_ts"))
+        .limit(k)
+    )
+
+
+def best_runs(lineage: DataFrame, k: int = 5) -> DataFrame:
+    """k runs with the lowest error ratio (then most rows) — the
+    ``save_top_k``-by-metric analog."""
+    agg = lineage.groupBy("run_id").agg(
+        F.sum("row_count").alias("rows"),
+        F.sum("err_count").alias("errs"),
+    )
+    ratio = (F.col("errs") / F.greatest(F.col("rows"), F.lit(1))).alias("err_ratio")
+    return (
+        agg.select("run_id", "rows", "errs", ratio)
+        .orderBy(F.asc("err_ratio"), F.desc("rows"))
+        .limit(k)
+    )

@@ -5,7 +5,6 @@ extracted text is a closed-form function of that table."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL

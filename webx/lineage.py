@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import datetime as _dt
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -19,7 +19,7 @@ from webx.dedup import exact_dedup, jaccard_verify, minhash_neardup, simhash_nea
 from webx.media import media_features, synth_media
 from webx.metrics import det_metrics, rec_metrics
 from webx.pipeline import explode_spans, run_detect, run_extraction
-from webx.similarity import cosine_neardup_pairs, cosine_topk, lsh_topk
+from webx.similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
 from webx.textstats import fingerprint, lang_id, quality_score, token_count
 
 CFG = ExtractConfig()
@@ -176,6 +176,16 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=5).select("query_id", "rank", "neighbor_id")
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means inverted lists + n_probe rerank (approximate by
+    design — rows-only check, like q_ann_lsh)."""
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return ev.groupBy(
@@ -321,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_events_window": q_events_window,
         "q_media_meta": q_media_meta,
         "q_det_metric": q_det_metric,

@@ -32,7 +32,9 @@ def test_entry_contract_alignment():
     # every oracle key maps to a query
     assert set(osql) <= set(qs)
     # the documented rows-only exceptions are the ONLY ones missing oracles
-    assert set(qs) - set(osql) == {"q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh"}
+    assert set(qs) - set(osql) == {
+        "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
+    }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     for name, fn in qs.items():

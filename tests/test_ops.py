@@ -132,3 +132,30 @@ def test_textstats(spark):
     d2 = docs_df(spark, [(1, "the  CAT, the HAT!")])
     fp2 = fingerprint(d2).collect()[0]["fp"]
     assert fps[1] == fp2  # case + whitespace insensitive
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probe finds the planted twin; recall vs brute force is high."""
+    from webx.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    vecs[1] = vecs[0] + 1e-4  # planted twin of vec 0
+    df = emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 4)
+    got = ivf_topk(df, queries, k=3, n_centroids=4, n_probe=2)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[0])[0][1] == 1  # twin is rank 1
+    # per-query: ranks are 1..n without gaps, neighbors unique
+    for q, lst in by_q.items():
+        ranks = sorted(r for r, _ in lst)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len({n for _, n in lst}) == len(lst)
+    # recall vs exact top-3 across the 4 queries >= 50% (probing half the lists)
+    exact = cosine_topk(df, queries, k=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got_set = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(got_set & exact_set) / len(exact_set) >= 0.5

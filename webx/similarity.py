@@ -129,6 +129,92 @@ def _bucket(emb_col, planes: list):
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into inverted lists; each query probes its
+    ``n_probe`` nearest centroids and reranks exactly within those lists.
+
+    Scale shape: train on a sample, assign once (narrow mapInPandas with
+    the centroid matrix broadcast — at 10^9 vectors persist the
+    assignment, partitioned by ``centroid_id``), then every query batch
+    touches ~n_probe/n_centroids of the corpus. Approximate by design →
+    rows-only correctness check (like LSH)."""
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    train = corpus.select(array_to_vector("embedding").alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        c = b_centers.value
+        for p in batches:
+            m = np.array(p["embedding"].tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": p["vec_id"], "centroid_id": d.argmin(axis=1).astype("int32")}
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        c = b_centers.value
+        for p in batches:
+            m = np.array(p["embedding"].tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1)[:, :n_probe]
+            ids = np.repeat(p["vec_id"].to_numpy(), n_probe)
+            yield pd.DataFrame(
+                {"vec_id": ids, "centroid_id": near.ravel().astype("int32")}
+            )
+
+    lists = corpus.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
+    probes = queries.select("vec_id", "embedding").mapInPandas(probe, probe_schema)
+
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    ).join(lists.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).join(
+        F.broadcast(probes.withColumnRenamed("vec_id", "query_id")), "query_id"
+    )
+    joined = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("cos")
+    scored = joined.select("query_id", "neighbor_id", cos).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

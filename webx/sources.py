@@ -150,6 +150,17 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*.html") -> D
     )
 
 
-def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """The canonical table source (parquet here, iceberg in prod)."""
-    return spark.read.format(fmt).load(path)
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    sample_ratio: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """The canonical table source (parquet here, iceberg in prod).
+    ``sample_ratio`` < 1 is the reference's per-dataset ``sample_ratio``
+    (mindocr/data/det_dataset.py:106-139) as seeded ``df.sample``."""
+    df = spark.read.format(fmt).load(path)
+    if sample_ratio < 1.0:
+        df = df.sample(fraction=sample_ratio, seed=seed)
+    return df

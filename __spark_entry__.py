@@ -346,6 +346,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of webx.textstats.lang_id, generated from the same
+    LANG_STOPWORDS table so the two can never drift."""
+    from webx.textstats import LANG_STOPWORDS
+
+    score_cols = []
+    for lang, sw in LANG_STOPWORDS:
+        lst = "[" + ",".join(f"'{w}'" for w in sw) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, w -> list_contains({lst}, w))) AS s_{lang}"
+        )
+    best = "greatest(" + ",".join(f"s_{lang}" for lang, _ in LANG_STOPWORDS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_STOPWORDS
+    )
+    return (
+        "WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL}), w -> lower(w)) AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t) "
+        f"SELECT doc_id, (CASE WHEN {best} < 1 THEN 'und' {cases} END) AS pred_lang FROM s"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     c = _C
     span_start = f"{c['head_utf8']} + length({DID}) + {c['chrome']}"
@@ -403,11 +426,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) "
             "AS n_punct FROM documents"
         ),
-        "q_langid": (
-            "SELECT doc_id, (CASE WHEN "
-            "(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 >= 1 "
-            "THEN 'en' ELSE 'und' END) AS pred_lang FROM documents"
-        ),
+        "q_langid": _langid_oracle_sql(),
         "q_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))) "
             "AS fp FROM documents"

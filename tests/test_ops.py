@@ -159,3 +159,15 @@ def test_ivf_topk_recall(spark):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     got_set = {(r["query_id"], r["neighbor_id"]) for r in rows}
     assert len(got_set & exact_set) / len(exact_set) >= 0.5
+
+
+def test_langid_multilang(spark):
+    d = docs_df(spark, [
+        (1, "the cat is on the mat and it is happy"),
+        (2, "der Hund ist nicht mit der Katze und so"),
+        (3, "le chat est dans les maisons pour que tu"),
+        (4, "los gatos y el perro es una cosa para ti"),
+        (5, "zzz qqq www"),
+    ])
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(d).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}

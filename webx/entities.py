@@ -9,42 +9,24 @@ immutable, so decode is deterministic everywhere.
 
 from __future__ import annotations
 
+import html.entities
 import re
 
+# Full HTML5 named-entity table from the stdlib (public, frozen data),
+# restricted to the canonical ';'-terminated forms — plus explicit policy
+# overrides. This is the char-dictionary load
+# (rec_postprocess.py:42-48) with the dict shipped in the stdlib.
 NAMED = {
-    "amp": "&",
-    "lt": "<",
-    "gt": ">",
-    "quot": '"',
-    "apos": "'",
-    "nbsp": " ",  # policy: non-breaking space → plain space (documented)
-    "copy": "©",
-    "reg": "®",
-    "trade": "™",
-    "mdash": "—",
-    "ndash": "–",
-    "hellip": "…",
-    "lsquo": "‘",
-    "rsquo": "’",
-    "ldquo": "“",
-    "rdquo": "”",
-    "laquo": "«",
-    "raquo": "»",
-    "middot": "·",
-    "bull": "•",
-    "deg": "°",
-    "euro": "€",
-    "pound": "£",
-    "yen": "¥",
-    "cent": "¢",
-    "sect": "§",
-    "para": "¶",
-    "plusmn": "±",
-    "times": "×",
-    "divide": "÷",
-    "frac12": "½",
-    "frac14": "¼",
+    name[:-1]: value
+    for name, value in html.entities.html5.items()
+    if name.endswith(";")
 }
+NAMED.update(
+    {
+        "nbsp": " ",   # policy: non-breaking space → plain space
+        "NonBreakingSpace": " ",
+    }
+)
 
 _ENT_RE = re.compile(r"&(?:#[xX]([0-9a-fA-F]{1,6})|#([0-9]{1,7})|([a-zA-Z][a-zA-Z0-9]{1,31}));")
 

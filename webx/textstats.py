@@ -16,6 +16,14 @@ WS_SPLIT = "[ \\t\\r\\n]+"
 PUNCT_CLASS = "[.,!?;:]"
 STOPWORDS = ("the", "a", "an", "and", "of", "in", "to", "is", "for", "on")
 
+# per-language stopword tables for lang_id; priority order breaks ties
+LANG_STOPWORDS = (
+    ("en", STOPWORDS),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")),
+    ("fr", ("le", "les", "et", "est", "une", "des", "du", "pour", "que", "dans")),
+    ("es", ("el", "los", "las", "y", "es", "una", "del", "para", "por", "como")),
+)
+
 
 def _tokens(col="text"):
     return F.split(F.trim(F.col(col)), WS_SPLIT)
@@ -45,19 +53,26 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Deterministic stopword-presence language heuristic.
+    """Deterministic multi-language stopword-count heuristic: the language
+    with the most stopword hits wins (priority order breaks ties;
+    zero hits → 'und').
 
     (A real model would be a broadcast n-gram table; the *operator shape* —
-    pure column expression, no shuffle — is what matters at scale.)
+    pure column expressions, no shuffle, no Python — is what matters at
+    scale.)
     """
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    the_cnt = (
-        F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))
-    ) / 5
-    return docs.select(
-        "doc_id",
-        F.when(the_cnt >= 1, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
-    )
+    toks = F.transform(_tokens(), lambda w: F.lower(w))
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda w: F.array_contains(F.array(*map(F.lit, sw)), w))
+        )
+        for lang, sw in LANG_STOPWORDS
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best < 1, F.lit("und"))
+    for lang, _ in LANG_STOPWORDS:  # priority order on ties
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select("doc_id", pred.alias("pred_lang"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

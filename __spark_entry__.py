@@ -127,6 +127,12 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_score(synth.load_documents(spark, sf))
 
 
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from webx.textstats import quality_filter
+
+    return quality_filter(synth.load_documents(spark, sf))
+
+
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return lang_id(synth.load_documents(spark, sf))
 
@@ -324,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_spans": q_topk_spans,
         "q_token_count": q_token_count,
         "q_quality": q_quality,
+        "q_quality_filter": q_quality_filter,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
@@ -425,6 +432,24 @@ def oracle_sql() -> dict[str, str]:
             f"w -> list_contains({STOP_SQL}, lower(w)))) AS INT) AS n_stopwords, "
             "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) "
             "AS n_punct FROM documents"
+        ),
+        "q_quality_filter": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            f"{WS_SPLIT_SQL}) AS toks FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens, "
+            "list_sum(list_transform(toks, w -> length(w))) AS sum_len, "
+            "len(list_filter(toks, w -> w IN ('#','...',chr(8230)) "
+            "OR starts_with(w, '#'))) AS n_sym, "
+            f"len(list_filter(toks, w -> list_contains({STOP_SQL}, lower(w)))) AS n_stop "
+            "FROM t), "
+            "f AS (SELECT doc_id, n_tokens, "
+            "sum_len / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_word_len, "
+            "(n_tokens >= 50 AND n_tokens <= 100000) AS ok_len, "
+            "(sum_len / CAST(greatest(n_tokens, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0) AS ok_word, "
+            "(n_sym / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 0.1) AS ok_sym, "
+            "(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.03) AS ok_stop FROM s) "
+            "SELECT doc_id, n_tokens, mean_word_len, ok_len, ok_word, ok_sym, ok_stop, "
+            "(ok_len AND ok_word AND ok_sym AND ok_stop) AS keep FROM f"
         ),
         "q_langid": _langid_oracle_sql(),
         "q_fingerprint": (

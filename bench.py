@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_lang_rollup",
     "q_token_count",
     "q_quality",
+    "q_quality_filter",
     "q_fingerprint",
     "q_dedup_exact",
     "q_dedup_minhash",

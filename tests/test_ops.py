@@ -171,3 +171,19 @@ def test_langid_multilang(spark):
     ])
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(d).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_filter_flags(spark):
+    from webx.textstats import quality_filter
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs today also"] * 6)  # 60 toks
+    short = "too short"
+    symbols = " ".join(["# ## ### #tag"] * 20 + ["the of and is in to for on a an"] * 2)
+    nostop = " ".join(f"zyx{i}" for i in range(60))
+    d = docs_df(spark, [(1, good), (2, short), (3, symbols), (4, nostop)])
+    got = {r["doc_id"]: r for r in quality_filter(d).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_len"] is False
+    assert got[3]["keep"] is False and got[3]["ok_sym"] is False
+    assert got[4]["keep"] is False and got[4]["ok_stop"] is False
+    assert got[1]["n_tokens"] == 60

@@ -75,6 +75,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_frac: float = 0.03,
+) -> DataFrame:
+    """Gopher-style document quality gate (the published web-corpus
+    heuristics: token-count bounds, mean-word-length band, symbol-to-token
+    ratio, stopword fraction) as pure column expressions → one row per doc
+    with each flag plus the final ``keep``.
+
+    Integer/ratio formulas are frozen for the SQL oracle; thresholds are
+    explicit arguments so goldens reproduce from config alone."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = sum_word_len / F.greatest(n_tokens, F.lit(1))
+    n_symbols = F.size(
+        F.filter(toks, lambda w: w.isin("#", "...", "…") | w.startswith("#"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    ok_len = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_word = (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
+    ok_sym = (n_symbols / F.greatest(n_tokens, F.lit(1))) <= max_symbol_ratio
+    ok_stop = (n_stop / F.greatest(n_tokens, F.lit(1))) >= min_stopword_frac
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        ok_len.alias("ok_len"),
+        ok_word.alias("ok_word"),
+        ok_sym.alias("ok_sym"),
+        ok_stop.alias("ok_stop"),
+        (ok_len & ok_word & ok_sym & ok_stop).alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — md5 of the lower-cased whitespace-normalized text;
     the exact-dedup key and cross-run document identity."""

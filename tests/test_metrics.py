@@ -75,3 +75,38 @@ def test_rec_metric_half_correct(spark):
     assert (row["n_docs"], row["n_correct"], row["acc"]) == (2, 1, 0.5)
     # norm_edit = mean(1 - 0/5, 1 - 1/5) = 0.9
     assert math.isclose(row["norm_edit"], 0.9)
+
+
+def test_reference_det_metric_golden_values(spark):
+    golden = spans_df(spark, [("u", [(0, 9), (40, 45)])])
+    pred = spans_df(spark, [("u", [(0, 10), (12, 19), (20, 30)])])
+    ignore = spark.createDataFrame([("u", 20, 30)], "url string, start long, end long")
+    row = det_metrics(pred, golden, ignore=ignore).first()
+    assert (row["n_golden"], row["n_pred"], row["tp"]) == (2, 2, 1)
+    assert row["precision"] == row["recall"] == row["f1"] == 0.5
+
+
+def test_reference_rec_metric_golden_values(spark):
+    """The reference's RecMetric golden (tests/ut/test_metrics.py:68-80,
+    rec_metrics.py:153-162): after its lower/strip-space/OOD-filter
+    preprocessing, gt=['balala','ba'] vs pred=['baxlala','ba'] ->
+    acc = 0.5, norm_edit ~= 0.92857 (= 1 - (1/7)/2)."""
+    from pyspark.sql import functions as F
+
+    def prep(df):
+        return df.select(
+            "url",
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("text"),
+        )
+
+    golden = prep(
+        spark.createDataFrame(
+            [("a", "ba la la!    "), ("b", "ba       ")], "url string, text string"
+        )
+    )
+    pred = spark.createDataFrame(
+        [("a", "baxlala"), ("b", "ba")], "url string, text string"
+    )
+    row = rec_metrics(pred, golden).first()
+    assert (row["n_docs"], row["n_correct"], row["acc"]) == (2, 1, 0.5)
+    assert abs(row["norm_edit"] - 0.92857) < 1e-4

@@ -127,6 +127,12 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_score(synth.load_documents(spark, sf))
 
 
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    from webx.textstats import token_count_bpe
+
+    return token_count_bpe(synth.load_documents(spark, sf))
+
+
 def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     from webx.textstats import quality_filter
 
@@ -329,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_rollup": q_lang_rollup,
         "q_topk_spans": q_topk_spans,
         "q_token_count": q_token_count,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_quality": q_quality,
         "q_quality_filter": q_quality_filter,
         "q_langid": q_langid,
@@ -432,6 +439,11 @@ def oracle_sql() -> dict[str, str]:
             f"w -> list_contains({STOP_SQL}, lower(w)))) AS INT) AS n_stopwords, "
             "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) "
             "AS n_punct FROM documents"
+        ),
+        "q_token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]')) "
+            "AS INT) AS n_bpe_tokens FROM documents"
         ),
         "q_quality_filter": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), "

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q_rec_metric",
     "q_lang_rollup",
     "q_token_count",
+    "q_token_count_bpe",
     "q_quality",
     "q_quality_filter",
     "q_fingerprint",

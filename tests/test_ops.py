@@ -187,3 +187,13 @@ def test_quality_filter_flags(spark):
     assert got[3]["keep"] is False and got[3]["ok_sym"] is False
     assert got[4]["keep"] is False and got[4]["ok_stop"] is False
     assert got[1]["n_tokens"] == 60
+
+
+def test_token_count_bpe(spark):
+    from webx.textstats import token_count_bpe
+
+    d = docs_df(spark, [(1, "don't stop! it's 42 words-ish."), (2, "")])
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(d).collect()}
+    # don | 't | stop | ! | it | 's | 42 | words | - | ish | .
+    assert got[1] == 11
+    assert got[2] == 0

@@ -34,6 +34,21 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(_tokens()).alias("n_tokens"))
 
 
+# GPT-2-style pretokenizer, ASCII-restricted so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte: contractions, letter runs,
+# digit runs, single non-alnum non-space chars.
+BPE_SPLIT = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish regex pretokenization count (the
+    token-budget estimator for training-data pipelines)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT), 0)).alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Integer quality counters (ratios derive trivially; integers keep
     cross-engine comparisons exact): chars, tokens, stopwords, punctuation."""

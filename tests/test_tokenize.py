@@ -119,3 +119,44 @@ def test_block_is_namedtuple_contract():
     [b] = tokenize(b"<p>abc</p>")
     assert isinstance(b, Block)
     assert b._fields == ("start", "end", "tlen", "link_tlen", "tag_cnt", "heading", "boiler")
+
+
+def test_table_rows_are_blocks():
+    html = b"<table><tr><td>a1</td><td>a2</td></tr><tr><td>b1</td></tr></table>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"a1", b"a2", b"b1"]
+
+
+def test_definition_list():
+    html = b"<dl><dt>Term</dt><dd>The definition text</dd></dl>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"Term", b"The definition text"]
+
+
+def test_svg_inline_content_kept_as_inline():
+    # unknown tags (svg/text/path) are inline: they don't split blocks
+    html = b"<p>before <svg><text>label</text></svg> after</p>"
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"before <svg><text>label</text></svg> after"
+    assert b.tag_cnt == 4
+
+
+def test_iframe_and_noscript():
+    html = b"<p>x</p><noscript><p>js off</p></noscript><iframe src='/y'></iframe><p>z</p>"
+    bs = tokenize(html)
+    flagged = [(html[b.start : b.end], b.boiler) for b in bs]
+    assert (b"js off", True) in flagged
+    assert (b"x", False) in flagged and (b"z", False) in flagged
+
+
+def test_pre_block_single():
+    html = b"<pre>line one\n  line two</pre>"
+    [b] = tokenize(html)
+    assert html[b.start : b.end] == b"line one\n  line two"
+
+
+def test_upper_and_mixed_case_tags():
+    html = b"<P>one</P><Div>two</DIV><A HREF='/x'>link</A>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"one", b"two", b"link"]
+    assert bs[2].link_tlen == 4

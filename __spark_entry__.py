@@ -288,6 +288,44 @@ def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization ops (webx/urls.py) over deterministically
+    messy urls; the oracle states the expected canonical form closed-form
+    (generate-input-from-expected-output)."""
+    from webx.urls import with_url_features
+
+    docs = synth.load_documents(spark, sf)
+    h = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTP://USER@H"), h, F.lit(".Example.COM:80/Post/"), i,
+                     F.lit("/Comments?x=1#sec")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://H"), h, F.lit(".example.com:443/")),
+        )
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit(".example.com/doc/"), i, F.lit("#frag")))
+    )
+    df = docs.select("doc_id", messy.alias("url"))
+    return with_url_features(df).select(
+        "doc_id", "url_norm", "url_host", "url_depth", "url_tld"
+    )
+
+
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling (webx/media.py): payload split into n_frames
+    chunks, every 2nd kept — frame sizes are closed-form arithmetic."""
+    from webx.media import sample_frames
+
+    frames = sample_frames(synth_media(spark, sf), every_n=2)
+    return frames.select(
+        "media_id", "frame_idx", F.octet_length("frame").alias("n_bytes")
+    )
+
+
 def q_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (webx/events.py): lag → flag → running
     sum → per-session agg, all window functions."""
@@ -357,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_stats": q_host_stats,
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
+        "q_url_normalize": q_url_normalize,
+        "q_media_frames": q_media_frames,
     }
 
 
@@ -548,6 +588,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
             f"CAST(count(*) AS BIGINT) AS n_docs, SUM(length({GOLDEN})) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_url_normalize": (
+            "SELECT doc_id, "
+            "(CASE doc_id % 3 "
+            "WHEN 0 THEN 'http://user@h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com/Post/' || CAST(doc_id AS VARCHAR) || '/Comments?x=1' "
+            "WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' "
+            "ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' "
+            "|| CAST(doc_id AS VARCHAR) END) AS url_norm, "
+            "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS url_host, "
+            "(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END) AS url_depth, "
+            "'com' AS url_tld FROM documents"
+        ),
+        "q_media_frames": (
+            "WITH v AS (SELECT doc_id, 2 * length(text) + 1 AS plen, "
+            "1 + doc_id % 7 AS nf FROM documents WHERE doc_id % 3 = 2), "
+            "s AS (SELECT doc_id, greatest(plen // nf, 1) AS step, nf FROM v) "
+            "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(step AS INT) AS n_bytes "
+            "FROM s, unnest(generate_series(0, nf - 1, 2)) AS t(i)"
         ),
         "q_sessions": (
             "WITH x AS (SELECT user_id, ts, value, "

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q_host_stats",
     "q_sessions",
     "q_user_rollup",
+    "q_url_normalize",
+    "q_media_frames",
 ]
 
 

@@ -197,3 +197,34 @@ def test_token_count_bpe(spark):
     # don | 't | stop | ! | it | 's | 42 | words | - | ish | .
     assert got[1] == 11
     assert got[2] == 0
+
+
+def test_url_ops(spark):
+    from webx.urls import host, normalize_url, path_depth, tld
+
+    d = spark.createDataFrame(
+        [
+            (1, "HTTP://User@WWW.Example.COM:80/A/B?q=1#frag"),
+            (2, "https://example.org:443/"),
+            (3, "https://sub.example.co:8080/x//y/"),
+            (4, "not-a-url"),
+        ],
+        "i long, url string",
+    )
+    out = {
+        r["i"]: r
+        for r in d.select(
+            "i",
+            normalize_url("url").alias("n"),
+            host("url").alias("h"),
+            path_depth("url").alias("d"),
+            tld("url").alias("t"),
+        ).collect()
+    }
+    assert out[1]["n"] == "http://user@www.example.com/A/B?q=1"
+    assert out[1]["h"] == "www.example.com" and out[1]["d"] == 2 and out[1]["t"] == "com"
+    assert out[2]["n"] == "https://example.org"
+    assert out[2]["d"] == 0 and out[2]["t"] == "org"
+    assert out[3]["n"] == "https://sub.example.co:8080/x//y/"  # non-default port kept
+    assert out[3]["h"] == "sub.example.co" and out[3]["d"] == 2
+    assert out[4]["n"] == "not-a-url"  # non-url passthrough

@@ -30,7 +30,8 @@ def parse_args(argv):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="input table path (url, warc_ts, html, text, lang)")
     src.add_argument("--synth", help="synthesize pages from this testdata sf dir")
-    p.add_argument("--input-format", default="parquet", help="parquet | iceberg")
+    p.add_argument("--input-format", default="parquet",
+                   help="parquet | iceberg | warc | binaryFile")
     p.add_argument("--output", required=True)
     p.add_argument("--output-format", default="parquet")
     p.add_argument("--checkpoint", required=True, help="lineage/checkpoint table path")
@@ -65,6 +66,14 @@ def main(argv=None) -> int:
 
     if args.synth:
         pages = synth.synth_pages(spark, args.synth)
+    elif args.input_format == "warc":
+        from webx.sources import read_warc
+
+        pages = read_warc(spark, args.input)
+    elif args.input_format == "binaryFile":
+        from webx.sources import read_binary_files
+
+        pages = read_binary_files(spark, args.input)
     else:
         pages = spark.read.format(args.input_format).load(args.input)
 

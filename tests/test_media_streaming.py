@@ -155,3 +155,51 @@ def test_stateful_running_counts_across_restarts(spark, tmp_path):
     batch = user_rollup(ev)
     assert latest.exceptAll(batch).count() == 0
     assert batch.exceptAll(latest).count() == 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Feed all events, then per-user far-future sentinels: every real
+    session closes and is emitted; the emitted set must equal the batch
+    sessionize output exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from webx.events import sessionize
+    from webx.streaming import sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev.write.mode("append").parquet(inp)
+
+    q = sessionize_stream(spark, inp, out, ckpt)
+    q.awaitTermination(180)
+    # sentinel drain: one far-future event per user closes open sessions
+    sentinel_ts = dt.datetime(2030, 1, 1)
+    sentinels = ev.groupBy("user_id").agg(F.max("event_id").alias("m")).select(
+        (F.col("m") + 10_000_000).alias("event_id"),
+        F.lit(sentinel_ts).cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    sentinels.write.mode("append").parquet(inp)
+    q2 = sessionize_stream(spark, inp, out, ckpt)
+    q2.awaitTermination(180)
+
+    streamed = spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_cents"
+    )
+    batch = sessionize(ev).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ltz").cast("long").alias("session_start"),
+        F.col("session_end").cast("timestamp_ltz").cast("long").alias("session_end"),
+        "n_events",
+        "sum_cents",
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

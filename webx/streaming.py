@@ -68,6 +68,101 @@ def run_extraction_stream(
     return writer.start()
 
 
+# ---------------------------------------------- custom stateful operators
+
+SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),  # epoch seconds
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _make_sessionize_update(gap_seconds: int):
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            start, last, n, cents = state.get
+        else:
+            start = None
+        closed = []
+        rows = []
+        for pdf in pdfs:
+            ts = (pdf["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+            cv = np.floor(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64")
+            rows.append(np.stack([ts, cv], axis=1))
+        if rows:
+            ev = np.concatenate(rows)
+            ev = ev[np.argsort(ev[:, 0], kind="stable")]
+            for ts, c in ev:
+                if start is None:
+                    start, last, n, cents = int(ts), int(ts), 1, int(c)
+                elif ts - last > gap_seconds:
+                    closed.append((key[0], start, last, n, cents))
+                    start, last, n, cents = int(ts), int(ts), 1, int(c)
+                else:
+                    last, n, cents = int(ts), n + 1, cents + int(c)
+        if start is not None:
+            state.update((start, last, n, cents))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_cents"],
+        )
+
+    return update
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap_minutes: int = 30,
+):
+    """Streaming gap sessionization via ``applyInPandasWithState``: per
+    user, fold events in event-time order; a gap > ``gap_minutes`` closes
+    and EMITS the finished session (epoch-second bounds); the open
+    session survives in state across triggers and restarts.
+
+    Assumes per-user event-time order across triggers (true for
+    append-only crawl/event logs drained in file order); a production
+    deployment with genuinely late data would add a watermark + event
+    time timeout. Batch twin: webx.events.sessionize."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_path)
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_update(gap_minutes * 60),
+        outputStructType=SESSIONS_SCHEMA,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------- custom stateful operator
 
 COUNTS_SCHEMA = T.StructType(

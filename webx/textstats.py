@@ -26,7 +26,8 @@ LANG_STOPWORDS = (
 
 
 def _tokens(col="text"):
-    return F.split(F.trim(F.col(col)), WS_SPLIT)
+    # null-safe: a NULL document yields zero tokens, not NULL stats
+    return F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), WS_SPLIT)
 
 
 def token_count(docs: DataFrame) -> DataFrame:

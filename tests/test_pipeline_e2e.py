@@ -133,3 +133,24 @@ def test_passthrough_columns(spark):
     )
     assert "lang" in out.columns and "warc_ts" in out.columns
     assert out.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed by url join with NO shuffle."""
+    from webx.pipeline import write_extracted_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = run_extraction(synth.synth_pages(spark, SF_SMALL), CFG)
+        write_extracted_bucketed(out, "t_bucketed_a", buckets=4)
+        write_extracted_bucketed(out, "t_bucketed_b", buckets=4)
+        a = spark.table("t_bucketed_a").select("url", "text")
+        b = spark.table("t_bucketed_b").select("url", F.col("conf").alias("conf_b"))
+        joined = a.join(b, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")

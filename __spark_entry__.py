@@ -9,6 +9,11 @@ reference's tests/st/test_online_infer.py trick — see webx/synth.py).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # CWD-independent
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F

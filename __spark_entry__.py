@@ -82,6 +82,40 @@ def q_extract_filter_empty(spark: SparkSession, sf: str) -> DataFrame:
     return out.filter(F.size("spans") > 0).select("url", "text")
 
 
+def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end through the WARC container: flagship pages serialized
+    into WARC files (deterministic fixture, cached per sf dir), read back
+    via the distributed WARC source (webx/sources.py), extracted — must
+    be byte-identical to the same closed-form oracle as q_extract."""
+    import hashlib
+    import os
+
+    from webx.sources import read_warc, write_warc
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    d = f"/tmp/webx_warcq_{key}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            synth.synth_pages(spark, sf)
+            .select("url", "warc_ts", "html")
+            .collect()  # fixture GENERATION only — the query path is distributed
+        )
+        shards = 8
+        for s_i in range(shards):
+            recs = [
+                (r["url"], r["warc_ts"], bytes(r["html"]))
+                for j, r in enumerate(rows)
+                if j % shards == s_i
+            ]
+            with open(os.path.join(d, f"part-{s_i}.warc"), "wb") as f:
+                f.write(write_warc(recs))
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = read_warc(spark, os.path.join(d, "part-*.warc"))
+    return run_extraction(pages, CFG).select("url", "text")
+
+
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
@@ -391,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_entities": q_extract_entities,
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
+        "q_extract_warc": q_extract_warc,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -470,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_filter_empty": (
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
+        "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_spans_stats": (
             f"SELECT {URL} AS url, (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS n_spans "
             "FROM documents"

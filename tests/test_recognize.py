@@ -91,3 +91,10 @@ def test_decode_bytes_fallback_chain():
     # total fallback latin-1 never fails
     text, status, codec = decode_bytes(b"\xff\xfe", "utf-8")
     assert status == "charset_fallback" and codec == "latin-1" and len(text) == 2
+
+
+def test_html5_entity_coverage():
+    # stdlib-backed table: accented letters, greek, arrows, math
+    assert unescape("&ouml;&Uuml;&szlig;") == "öÜß"
+    assert unescape("&alpha;&Omega;&rarr;&infin;") == "αΩ→∞"
+    assert unescape("&NonBreakingSpace;") == " "  # policy override

@@ -187,6 +187,12 @@ def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return quality_filter(synth.load_documents(spark, sf))
 
 
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from webx.textstats import repetition_stats
+
+    return repetition_stats(synth.load_documents(spark, sf))
+
+
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return lang_id(synth.load_documents(spark, sf))
 
@@ -435,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_quality": q_quality,
         "q_quality_filter": q_quality_filter,
+        "q_repetition": q_repetition,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
@@ -562,6 +569,24 @@ def oracle_sql() -> dict[str, str]:
             "(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.03) AS ok_stop FROM s) "
             "SELECT doc_id, n_tokens, mean_word_len, ok_len, ok_word, ok_sym, ok_stop, "
             "(ok_len AND ok_word AND ok_sym AND ok_stop) AS keep FROM f"
+        ),
+        "q_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), "
+            "x -> trim(x)), ln -> ln <> '') AS lines, "
+            f"regexp_split_to_array(trim(coalesce(text, '')), {WS_SPLIT_SQL}) AS toks "
+            "FROM documents), "
+            "b AS (SELECT doc_id, len(lines) AS n_lines, "
+            "len(list_distinct(lines)) AS n_distinct, len(toks) AS n, "
+            "(CASE WHEN len(toks) >= 2 THEN list_transform("
+            "generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) "
+            "ELSE [] END) AS bg FROM t) "
+            "SELECT doc_id, CAST(n_lines AS INT) AS n_lines, "
+            "(CASE WHEN n_lines > 0 THEN 1.0 - n_distinct / CAST(n_lines AS DOUBLE) "
+            "ELSE 0.0 END) AS dup_line_frac, "
+            "(CASE WHEN n >= 2 THEN 2.0 * list_max(list_transform(bg, "
+            "x -> len(list_filter(bg, y -> y = x)))) / CAST(n AS DOUBLE) "
+            "ELSE 0.0 END) AS top_bigram_frac FROM b"
         ),
         "q_langid": _langid_oracle_sql(),
         "q_fingerprint": (

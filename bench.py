@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_token_count_bpe",
     "q_quality",
     "q_quality_filter",
+    "q_repetition",
     "q_fingerprint",
     "q_dedup_exact",
     "q_dedup_minhash",

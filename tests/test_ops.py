@@ -228,3 +228,21 @@ def test_url_ops(spark):
     assert out[3]["n"] == "https://sub.example.co:8080/x//y/"  # non-default port kept
     assert out[3]["h"] == "sub.example.co" and out[3]["d"] == 2
     assert out[4]["n"] == "not-a-url"  # non-url passthrough
+
+
+def test_repetition_stats(spark):
+    from webx.textstats import repetition_stats
+
+    d = docs_df(spark, [
+        (1, "unique one\nunique two\nunique one"),        # 1 dup line of 3
+        (2, "spam spam spam spam spam spam"),             # one bigram dominates
+        (3, "plain regular text with no repeats at all"),
+        (4, ""),
+    ])
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert got[1]["n_lines"] == 3 and abs(got[1]["dup_line_frac"] - 1/3) < 1e-9
+    # doc2: 5 bigrams all "spam spam" -> top=5, frac = 2*5/6
+    assert abs(got[2]["top_bigram_frac"] - 10/6) < 1e-9 or got[2]["top_bigram_frac"] <= 2.0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] < 0.5
+    assert got[4]["n_lines"] == 0 and got[4]["top_bigram_frac"] == 0.0

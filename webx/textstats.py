@@ -134,6 +134,61 @@ def quality_filter(
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction and the
+    fraction of tokens covered by the most frequent bigram — high values
+    mark boilerplate/spam for corpus filtering.
+
+    The heavy-hitter count is RELATIONAL, not a per-row O(n²) lambda:
+    explode bigrams → two-phase count per (doc, bigram) → max per doc →
+    join back. All codegen; scales to arbitrarily long documents."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), F.trim),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    toks = _tokens()
+    n = F.size(toks)
+    stats = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct"),
+        n.alias("n_toks"),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    j = stats.join(top, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        (
+            F.when(
+                F.col("n_lines") > 0,
+                1.0 - F.col("n_distinct") / F.col("n_lines").cast("double"),
+            ).otherwise(0.0)
+        ).alias("dup_line_frac"),
+        (
+            F.when(
+                F.col("n_toks") >= 2,
+                2.0 * F.coalesce(F.col("top_bg"), F.lit(0)) / F.col("n_toks").cast("double"),
+            ).otherwise(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — md5 of the lower-cased whitespace-normalized text;
     the exact-dedup key and cross-run document identity."""

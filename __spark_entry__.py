@@ -212,7 +212,10 @@ def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
-    return _par(docs.unionByName(planted), spark)
+    # persisted: the dedup DAGs reference this subtree 2-3x (signature
+    # pass, candidate prefilter, verify joins) — a few MB cached beats
+    # re-reading + re-shuffling it per branch
+    return _par(docs.unionByName(planted), spark).persist()
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:

@@ -160,3 +160,12 @@ def test_upper_and_mixed_case_tags():
     bs = tokenize(html)
     assert [html[b.start : b.end] for b in bs] == [b"one", b"two", b"link"]
     assert bs[2].link_tlen == 4
+
+
+def test_unbalanced_quote_in_script_does_not_swallow_following_tag():
+    """A quote construct opened inside a script body must not consume a
+    real tag after </script> (the lexer re-scans from the skip point)."""
+    html = b'<script>x="<i a=\x22;</script><p>A real paragraph" >more</p>'
+    [b] = tokenize(html)
+    assert b.start == html.index(b"A real")  # block begins AFTER the <p> tag
+    assert html[b.start : b.end] == b'A real paragraph" >more'

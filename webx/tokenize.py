@@ -100,12 +100,16 @@ def tokenize(html: bytes) -> List[Block]:
     heading_depth = 0
 
     pos = 0
-    # one C-driven finditer pass; matches inside raw-text skips (script/
-    # style bodies) start before `pos` and are simply ignored
-    for m in _TAG_RE.finditer(html):
+    search = _TAG_RE.search
+    # search(html, pos) rather than finditer: after a raw-text skip the
+    # lexer MUST re-scan from `pos` — a quote construct opened inside a
+    # script body can otherwise swallow a real tag that follows the
+    # </script> (finditer's internal cursor would have passed it)
+    while True:
+        m = search(html, pos)
+        if m is None:
+            break
         seg_end = m.start()
-        if seg_end < pos:
-            continue
         if seg_end > pos:
             # ---- emit text segment [pos, seg_end) ----
             seg = html[pos:seg_end]

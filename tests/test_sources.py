@@ -82,3 +82,14 @@ def test_read_binary_files(spark, tmp_path):
     assert pages.count() == 3
     out = run_extraction(pages, ExtractConfig())
     assert out.filter(F.col("text") != "").count() == 3
+
+
+def test_warc_per_record_gzip_members():
+    """Common-Crawl style: each record its own gzip member, concatenated."""
+    import gzip
+
+    raw = write_warc(records(3))
+    parts = [p for p in raw.split(b"WARC/1.0") if p]
+    members = b"".join(gzip.compress(b"WARC/1.0" + p) for p in parts)
+    got = parse_warc(members)
+    assert [u for u, _, _ in got] == [f"https://ex.com/{i}" for i in range(3)]

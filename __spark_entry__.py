@@ -92,7 +92,12 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
 
     from webx.sources import read_warc, write_warc
 
-    key = hashlib.md5(sf.encode()).hexdigest()[:10]
+    # key by content fingerprint (mtime+size of the source parquet), not
+    # just the path — regenerated testdata at the same path must not
+    # silently reuse a stale fixture
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{sf}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
     d = f"/tmp/webx_warcq_{key}"
     if not os.path.exists(os.path.join(d, "_DONE")):
         os.makedirs(d, exist_ok=True)
@@ -212,10 +217,11 @@ def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
-    # persisted: the dedup DAGs reference this subtree 2-3x (signature
-    # pass, candidate prefilter, verify joins) — a few MB cached beats
-    # re-reading + re-shuffling it per branch
-    return _par(docs.unionByName(planted), spark).persist()
+    # materialized once: the dedup DAGs reference this subtree 2-3x
+    # (signature pass, candidate prefilter, verify joins) — a few MB
+    # cached beats re-reading + re-shuffling it per branch. localCheckpoint
+    # (not persist) so the blocks are GC-released between queries.
+    return _par(docs.unionByName(planted), spark).localCheckpoint(eager=False)
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -279,7 +285,7 @@ def q_det_metric(spark: SparkSession, sf: str) -> DataFrame:
     """DetMetric analog (det_metrics.py:94-153) as an interval-IoU join:
     detector output on edge pages vs the closed-form golden spans for all
     docs -> precision 1.0, recall = non-boiler fraction."""
-    pred = run_detect(synth.synth_pages_edge(spark, sf), CFG)
+    pred = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     golden = synth.golden_flagship_spans(spark, sf)
     return det_metrics(pred, golden)
 
@@ -528,10 +534,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_rec_metric": (
             "SELECT COUNT(*) AS n_docs, COUNT(*) AS n_correct, "
-            f"SUM(levenshtein({GOLDEN}, text)) AS sum_edit FROM documents"
+            f"CAST(SUM(levenshtein({GOLDEN}, text)) AS BIGINT) AS sum_edit FROM documents"
         ),
         "q_lang_rollup": (
-            f"SELECT lang, COUNT(*) AS n_docs, SUM(length({GOLDEN})) AS sum_chars "
+            f"SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
         ),
         "q_topk_spans": (
@@ -612,7 +618,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_events_window": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "COUNT(*) AS n_events, SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY 1, 2"
         ),
         "q_media_meta": (
@@ -669,12 +676,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_orders_rollup": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
-            "SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents "
+            "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "q_host_stats": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
-            f"CAST(count(*) AS BIGINT) AS n_docs, SUM(length({GOLDEN})) AS sum_chars "
+            f"CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
         "q_url_normalize": (
@@ -692,9 +700,10 @@ def oracle_sql() -> dict[str, str]:
         "q_media_frames": (
             "WITH v AS (SELECT doc_id, 2 * length(text) + 1 AS plen, "
             "1 + doc_id % 7 AS nf FROM documents WHERE doc_id % 3 = 2), "
-            "s AS (SELECT doc_id, greatest(plen // nf, 1) AS step, nf FROM v) "
+            "s AS (SELECT doc_id, plen, greatest(plen // nf, 1) AS step, nf FROM v) "
             "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, "
-            "CAST(step AS INT) AS n_bytes "
+            # python slice semantics: trailing frames may run past the payload
+            "CAST(least(step, greatest(plen - i * step, 0)) AS INT) AS n_bytes "
             "FROM s, unnest(generate_series(0, nf - 1, 2)) AS t(i)"
         ),
         "q_sessions": (
@@ -707,12 +716,12 @@ def oracle_sql() -> dict[str, str]:
             "AS session_id FROM x) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents "
+            "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM y GROUP BY user_id, session_id"
         ),
         "q_user_rollup": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
-            "SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents "
+            "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY user_id"
         ),
         # q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-algorithm-

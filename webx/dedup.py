@@ -160,12 +160,16 @@ def minhash_neardup(
     The candidate-pair set is tiny relative to the corpus but its lineage
     contains the whole signature+banding computation; the verify stage
     references it twice (id prefilter + join input), so by default it is
-    persisted — one materialization instead of two full recomputes."""
+    materialized once via ``localCheckpoint`` — blocks are released by the
+    ContextCleaner when the DataFrame is garbage-collected, so long-lived
+    drivers running many queries don't accumulate pinned cache. (On a
+    real cluster where executor loss must be survivable, callers should
+    instead persist to a reliable store and own the unpersist lifecycle.)"""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_k)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
     if persist_candidates:
-        pairs = pairs.persist()
+        pairs = pairs.localCheckpoint(eager=False)
     return jaccard_verify(docs, pairs, shingle_k, threshold)
 
 

@@ -136,8 +136,37 @@ def run_checkpointed_extraction(
     ``max_chunks`` bounds the number of chunks processed this call (test
     hook: simulates a killed run). Returns the partition ids processed."""
     cfg = cfg or ExtractConfig()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic overwrite is required for idempotent per-partition retries,
+    # but it must not leak into unrelated writes in the same session —
+    # save the prior value and restore it on exit
+    _OVR = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(_OVR, None)
+    spark.conf.set(_OVR, "dynamic")
+    try:
+        return _run_checkpointed_chunks(
+            spark, pages, output_path, checkpoint, run_id, snapshot_id,
+            cfg, n_partitions, chunk_size, max_chunks, output_fmt,
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(_OVR)
+        else:
+            spark.conf.set(_OVR, prev_mode)
 
+
+def _run_checkpointed_chunks(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    checkpoint: CheckpointStore,
+    run_id: str,
+    snapshot_id: str,
+    cfg: ExtractConfig,
+    n_partitions: int,
+    chunk_size: int,
+    max_chunks: Optional[int],
+    output_fmt: str,
+) -> List[int]:
     done = set(checkpoint.completed_partitions(spark, run_id, snapshot_id))
     todo = [p for p in range(n_partitions) if p not in done]
     if not todo:

@@ -3,11 +3,12 @@ typed metadata, processed by Arrow-batched ``mapInPandas`` ops.
 
 The Spark-side plumbing — schema, batch shape, UDF signatures, partition
 behavior — is real and tested; the *codec* step is stubbed because no
-image/audio library ships in this container: ``decode_image``/
-``resize_image``/``sample_frames`` raise ``NotImplementedError`` unless
-the optional library imports, and ``media_features`` computes a
-clearly-marked DETERMINISTIC FAKE feature (pure byte arithmetic) so the
-pipeline stays oracle-checkable end-to-end.
+image/audio library ships in this container: every op here ALWAYS runs
+the clearly-marked DETERMINISTIC FAKE codec (pure byte arithmetic) so the
+pipeline stays oracle-checkable end-to-end. ``_HAVE_PIL`` below only
+*detects* an optional real codec — it is the documented slot-in point for
+a real JPEG/PNG decode inside ``decode_image_bytes``, not a switch that
+is consulted today.
 
 This mirrors how the reference treats images as opaque bytes until
 ``DecodeImage`` materializes them (mindocr/data/transforms/

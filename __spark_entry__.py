@@ -217,11 +217,12 @@ def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
-    # materialized once: the dedup DAGs reference this subtree 2-3x
-    # (signature pass, candidate prefilter, verify joins) — a few MB
-    # cached beats re-reading + re-shuffling it per branch. localCheckpoint
-    # (not persist) so the blocks are GC-released between queries.
-    return _par(docs.unionByName(planted), spark).localCheckpoint(eager=False)
+    # NOT cached: the dedup DAGs reference this subtree 2-3x but each
+    # branch is a cheap pruned parquet re-scan + narrow ops — measured
+    # 2.2x faster than a localCheckpoint materialization barrier at
+    # sf0.1, and re-scanning (not materializing the corpus) is also the
+    # only sane plan at crawl scale.
+    return _par(docs.unionByName(planted), spark)
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:

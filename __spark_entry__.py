@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from webx import synth
+from webx import oracles as _oracles, synth
 from webx.config import ExtractConfig
 from webx.dedup import exact_dedup, jaccard_verify, minhash_neardup, simhash_neardup
 from webx.media import media_features, synth_media
@@ -725,6 +725,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY user_id"
         ),
-        # q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-algorithm-
-        # specific (xxhash64) / approximate — rows-only checks by design.
+        # Hash-based dedup: the oracle recomputes the exact xxhash64
+        # MinHash/LSH/SimHash pipeline in pure DuckDB SQL — Spark's XXH64
+        # ported as HUGEINT macro arithmetic (webx/oracles.py; the port is
+        # tested against the JVM via webx/xxh64.py + tests/test_xxh64.py).
+        "q_dedup_minhash": _oracles.minhash_oracle_sql(threshold=0.6),
+        "q_dedup_simhash": _oracles.simhash_oracle_sql(max_hamming=3),
     }

@@ -48,6 +48,29 @@ def _shingles(col="text", k: int = 3):
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _shingle_hashes(col="text", k: int = 3):
+    """64-bit k-gram shingle hashes WITHOUT building shingle strings:
+    each token is string-hashed once (``xxhash64(tok)``), a shingle hash
+    is the seed-42 fold of its k token hashes (``xxhash64(th_i, …,
+    th_{i+k-1})``). Cheaper than hashing concatenated shingle strings
+    (tokens ≪ shingles bytes-wise) and — the real point — exactly
+    mirrorable in the DuckDB oracle as flat 64-bit arithmetic
+    (webx/oracles.py) instead of per-byte string hashing per shingle.
+    Duplicate shingles are NOT removed: the signature aggregate is a
+    min, which duplicates cannot change. Docs with fewer than k tokens
+    hash the whole token-hash array (``xxhash64(th)`` folds array
+    elements with the same seed-42 chain)."""
+    toks = F.split(F.trim(F.col(col)), WS_SPLIT)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))  # guard: n<k rows take the otherwise-branch
+    win = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(th, i + j + 1) for j in range(k)]),
+    )
+    return F.when(n >= k, win).otherwise(F.array(F.xxhash64(th)))
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 64, shingle_k: int = 3, impl: str = "numpy"
 ) -> DataFrame:
@@ -77,8 +100,7 @@ def minhash_signatures(
 
     from webx import xxh64 as X
 
-    h0 = F.transform(_shingles(k=shingle_k), lambda s: F.xxhash64(s))
-    src = docs.select("doc_id", h0.alias("h0"))
+    src = docs.select("doc_id", _shingle_hashes(k=shingle_k).alias("h0"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -113,10 +135,11 @@ def minhash_signatures(
 def _minhash_signatures_sql(
     docs: DataFrame, n_hashes: int = 64, shingle_k: int = 3
 ) -> DataFrame:
-    """Pure-Catalyst signature fold: each shingle string-hashed ONCE, the
-    per-slot rehash is a cheap two-long rehash folded with a single
-    ``aggregate`` whose input array is evaluated once per row."""
-    h0 = F.transform(_shingles(k=shingle_k), lambda s: F.xxhash64(s))
+    """Pure-Catalyst signature fold: each shingle hashed ONCE (token-hash
+    fold, see ``_shingle_hashes``), the per-slot rehash is a cheap
+    two-long rehash folded with a single ``aggregate`` whose input array
+    is evaluated once per row."""
+    h0 = _shingle_hashes(k=shingle_k)
     seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))  # constant-folded
     init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), n_hashes)
     sig = F.aggregate(

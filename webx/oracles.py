@@ -1,0 +1,337 @@
+"""DuckDB oracle SQL for the hash-based approximate queries.
+
+Round 1 shipped ``q_dedup_minhash`` / ``q_dedup_simhash`` / ``q_ann_lsh``
+/ ``q_ann_ivf`` with rows-only checks ("hash-algorithm-specific"). This
+module removes that excuse: it ports Spark's XXH64 (seed-42 fold
+semantics — see webx/xxh64.py, bit-identical to the JVM) to pure DuckDB
+SQL — ``CREATE TEMP MACRO`` arithmetic on HUGEINT with wraparound via
+``% 2^64`` and split 32×32-bit multiplication — so the oracle recomputes
+the SAME MinHash signatures, LSH band hashes, and SimHash values
+independently, then mirrors the banding/bucketing/verify pipeline in
+relational SQL. The driver's plain ``con.execute(sql)`` runs the whole
+thing: DuckDB executes the semicolon-separated macro prelude and returns
+the final SELECT.
+
+Design notes:
+* All sequential hash phases (stripe loop, 8-byte tail, byte tail,
+  final mix) run as ``list_reduce`` folds whose accumulator is a VALUE —
+  never as nested macro textual expansion, which would duplicate the
+  argument expression tree exponentially.
+* Per-(shingle, slot) work is flattened to rows (CROSS JOIN a slot
+  series) instead of list lambdas so DuckDB vectorizes and parallelizes
+  it.
+* The signature min is a SIGNED 64-bit min (Spark ``least`` on longs);
+  u64 values convert at the comparison boundary.
+
+Correctness of the port is tested in tests/test_oracle_sql.py against
+webx.xxh64 (which tests/test_xxh64.py ties to the JVM).
+"""
+
+from __future__ import annotations
+
+from webx import xxh64 as X
+
+U = "18446744073709551616::HUGEINT"
+_P = {f"P{i}": f"{v}::HUGEINT" for i, v in enumerate((X.P1, X.P2, X.P3, X.P4, X.P5), 1)}
+P1, P2, P3, P4, P5 = _P["P1"], _P["P2"], _P["P3"], _P["P4"], _P["P5"]
+
+# WS_SPLIT mirror (webx/textstats.py) — already used by passing oracles
+WS = "'[ \\t\\r\\n]+'"
+
+XXH64_MACROS = f"""
+CREATE OR REPLACE TEMP MACRO xmul(a, b) AS
+  ((a::HUGEINT % 4294967296::HUGEINT) * b::HUGEINT
+   + (((a::HUGEINT // 4294967296::HUGEINT) * (b::HUGEINT % 4294967296::HUGEINT))
+      % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {U};
+CREATE OR REPLACE TEMP MACRO xrotl(x, s) AS
+  ((x::HUGEINT * (1::HUGEINT << s::INT)) % {U}) + (x::HUGEINT >> (64 - s::INT));
+CREATE OR REPLACE TEMP MACRO xfmix(h) AS
+  list_reduce(
+    list_prepend([h::HUGEINT],
+                 [[33::HUGEINT, {P2}], [29::HUGEINT, {P3}], [32::HUGEINT, 1::HUGEINT]]),
+    (acc, op) -> [xmul(xor(acc[1]::HUGEINT, acc[1]::HUGEINT >> op[1]::INT), op[2])]
+  )[1];
+CREATE OR REPLACE TEMP MACRO xround(acc, inp) AS
+  xmul(xrotl((acc::HUGEINT + xmul(inp, {P2})) % {U}, 31), {P1});
+CREATE OR REPLACE TEMP MACRO xtail8(h, v) AS
+  (xmul(xrotl(xor(h::HUGEINT, xround(0::HUGEINT, v)), 27), {P1}) + {P4}) % {U};
+CREATE OR REPLACE TEMP MACRO xmerge(h, v) AS
+  (xmul(xor(h::HUGEINT, xround(0::HUGEINT, v)), {P1}) + {P4}) % {U};
+CREATE OR REPLACE TEMP MACRO xhash_long(v, seed) AS
+  xfmix(xtail8((seed::HUGEINT + {P5} + 8::HUGEINT) % {U}, v));
+CREATE OR REPLACE TEMP MACRO xhash_int(v, seed) AS
+  xfmix(
+    (xmul(xrotl(xor((seed::HUGEINT + {P5} + 4::HUGEINT) % {U},
+                    xmul(v::HUGEINT % 4294967296::HUGEINT, {P1})), 23), {P2}) + {P3}) % {U}
+  );
+CREATE OR REPLACE TEMP MACRO xsigned(v) AS
+  CASE WHEN v::HUGEINT >= 9223372036854775808::HUGEINT
+       THEN (v::HUGEINT - {U})::BIGINT ELSE v::BIGINT END;
+CREATE OR REPLACE TEMP MACRO xunsigned(v) AS
+  CASE WHEN v::HUGEINT < 0::HUGEINT THEN v::HUGEINT + {U} ELSE v::HUGEINT END;
+"""
+
+
+def xxh64_str_ctes(src: str, keycols: str, strcol: str, out: str = "xh_out") -> str:
+    """CTE chain body: from table ``src`` (cols ``keycols``, ``strcol``)
+    to CTE ``out`` with (keycols, h HUGEINT) = Spark ``xxhash64(strcol)``
+    over UTF-8 bytes, seed 42. keycols must keep rows unique."""
+    return f"""
+{out}_b AS (
+  SELECT {keycols}, hex(encode({strcol})) AS hx, octet_length(encode({strcol})) AS n
+  FROM {src}),
+{out}_bs AS (
+  SELECT {keycols}, n,
+    list_transform(generate_series(1, n),
+      i -> ('0x' || substr(hx, 2*i - 1, 2))::UBIGINT::HUGEINT) AS bs
+  FROM {out}_b),
+{out}_w AS (
+  SELECT {keycols}, n, bs,
+    list_transform(generate_series(1, n // 8),
+      j -> bs[8*j-7] + 256*bs[8*j-6] + 65536*bs[8*j-5] + 16777216*bs[8*j-4]
+         + 4294967296*bs[8*j-3] + 1099511627776*bs[8*j-2]
+         + 281474976710656*bs[8*j-1] + 72057594037927936*bs[8*j]) AS w
+  FROM {out}_bs),
+{out}_stripe AS (
+  SELECT {keycols}, n, bs, w,
+    CASE WHEN n >= 32 THEN
+      list_reduce(
+        list_prepend(
+          [(42::HUGEINT + {P1} + {P2}) % {U}, (42::HUGEINT + {P2}) % {U},
+           42::HUGEINT, (42::HUGEINT - {P1} + {U}) % {U}],
+          list_transform(generate_series(1, n // 32),
+            s -> [w[4*s-3], w[4*s-2], w[4*s-1], w[4*s]])),
+        (acc, q) -> [xround(acc[1], q[1]), xround(acc[2], q[2]),
+                     xround(acc[3], q[3]), xround(acc[4], q[4])])
+    ELSE NULL END AS st
+  FROM {out}_w),
+{out}_base AS (
+  SELECT {keycols}, n, bs, w,
+    CASE WHEN n >= 32 THEN
+      list_reduce(
+        list_prepend(
+          [(xrotl(st[1], 1) + xrotl(st[2], 7) + xrotl(st[3], 12)
+            + xrotl(st[4], 18)) % {U}],
+          [[st[1]], [st[2]], [st[3]], [st[4]]]),
+        (acc, v) -> [xmerge(acc[1], v[1])])[1]
+    ELSE (42::HUGEINT + {P5}) % {U} END AS hb
+  FROM {out}_stripe),
+{out}_t8 AS (
+  SELECT {keycols}, n, bs,
+    list_reduce(
+      list_prepend([(hb + n) % {U}],
+                   list_transform(w[(4*(n//32))+1 : n//8], v -> [v])),
+      (acc, v) -> [xtail8(acc[1], v[1])])[1] AS h8
+  FROM {out}_base),
+{out}_t4 AS (
+  SELECT {keycols}, n, bs,
+    CASE WHEN n % 8 >= 4 THEN
+      (xmul(xrotl(xor(h8,
+         xmul(bs[(n//8)*8+1] + 256*bs[(n//8)*8+2] + 65536*bs[(n//8)*8+3]
+              + 16777216*bs[(n//8)*8+4], {P1})), 23), {P2}) + {P3}) % {U}
+    ELSE h8 END AS h4,
+    (n // 8) * 8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END AS tail_off
+  FROM {out}_t8),
+{out} AS (
+  SELECT {keycols},
+    xfmix(
+      list_reduce(
+        list_prepend([h4], list_transform(bs[tail_off+1 : n], b -> [b])),
+        (acc, b) -> [xmul(xrotl(xor(acc[1], xmul(b[1], {P5})), 11), {P1})])[1]
+    ) AS h
+  FROM {out}_t4)
+"""
+
+
+# Corpus CTE shared by the dedup oracles — mirrors _docs_with_neardups
+# (__spark_entry__.py): documents ∪ planted near-dups (last word dropped)
+CORPUS_CTE = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '')
+  FROM documents WHERE doc_id < 20)
+"""
+
+
+def _chain(src_sql: str, steps: list[tuple[str, str]], out_cols: str) -> str:
+    """Flatten a sequential hash computation into nested subqueries — one
+    plain column per step, so DuckDB executes it as vectorized columnar
+    arithmetic instead of per-row list_reduce lambdas (~100× faster on
+    the hot stages)."""
+    q = src_sql
+    for name, expr in steps:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return f"SELECT {out_cols} FROM ({q})"
+
+
+def _hash_long_steps(v: str, seed: str, p: str) -> list[tuple[str, str]]:
+    """Spark hashLong(v, seed) as flat steps; result column ``{p}hh``."""
+    return [
+        (f"{p}h1", f"({seed} + {P5} + 8::HUGEINT) % {U}"),
+        (f"{p}k1", f"xmul({v}, {P2})"),
+        (f"{p}k2", f"xrotl({p}k1, 31)"),
+        (f"{p}k3", f"xmul({p}k2, {P1})"),
+        (f"{p}h2", f"xor({p}h1, {p}k3)"),
+        (f"{p}h3", f"xrotl({p}h2, 27)"),
+        (f"{p}h4", f"(xmul({p}h3, {P1}) + {P4}) % {U}"),
+    ] + _fmix_steps(f"{p}h4", p)
+
+
+def _hash_int_steps(v: str, seed: str, p: str) -> list[tuple[str, str]]:
+    """Spark hashInt(v, seed) as flat steps; result column ``{p}hh``."""
+    return [
+        (f"{p}h1", f"({seed} + {P5} + 4::HUGEINT) % {U}"),
+        (f"{p}k1", f"xmul({v}::HUGEINT % 4294967296::HUGEINT, {P1})"),
+        (f"{p}h2", f"xor({p}h1, {p}k1)"),
+        (f"{p}h3", f"xrotl({p}h2, 23)"),
+        (f"{p}h4", f"(xmul({p}h3, {P2}) + {P3}) % {U}"),
+    ] + _fmix_steps(f"{p}h4", p)
+
+
+def _fmix_steps(src: str, p: str) -> list[tuple[str, str]]:
+    return [
+        (f"{p}f1", f"xor({src}, {src} >> 33)"),
+        (f"{p}f2", f"xmul({p}f1, {P2})"),
+        (f"{p}f3", f"xor({p}f2, {p}f2 >> 29)"),
+        (f"{p}f4", f"xmul({p}f3, {P3})"),
+        (f"{p}hh", f"xor({p}f4, {p}f4 >> 32)"),
+    ]
+
+
+# Shared front half of the dedup oracles: corpus → tokens (with position
+# and multiplicity) → DISTINCT token vocabulary string-hashed once via
+# the byte-level XXH64 CTE chain → hashes joined back per occurrence.
+def _token_hash_ctes() -> str:
+    return f"""{CORPUS_CTE},
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), {WS}) AS toks FROM corpus),
+tokr AS (
+  -- parallel unnests zip: (pos, token) rows, multiplicity preserved
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+         unnest(toks) AS t
+  FROM tok),
+vocab AS (SELECT DISTINCT t FROM tokr),
+{xxh64_str_ctes("vocab", "t", "t", "vh")},
+thr AS (SELECT tokr.doc_id, tokr.pos, vh.h FROM tokr JOIN vh USING (t))
+"""
+
+
+def minhash_oracle_sql(
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> str:
+    """Exact mirror of webx.dedup.minhash_neardup: token-hash-fold
+    signatures → banded LSH buckets → candidate pairs → n-gram Jaccard
+    verify. Returns (id_a, id_b) — must equal the Spark pipeline's
+    output bit-for-bit. The hot per-(shingle, slot) stage runs as
+    flattened vectorized column arithmetic (see ``_chain``)."""
+    rpb = n_hashes // bands
+    k1 = shingle_k - 1  # duckdb list slice is inclusive: toks[i:i+k-1]
+    # shingle hash = seed-42 fold of the k consecutive token hashes
+    sh_steps = (
+        _hash_long_steps("t1", "42::HUGEINT", "a")
+        + _hash_long_steps("t2", "ahh", "b")
+        + _hash_long_steps("t3", "bhh", "c")
+        # inner rehash: xxhash64(shingle_hash) — slot-independent part
+        + _hash_long_steps("chh", "42::HUGEINT", "d")
+    )
+    shw_src = (
+        "SELECT doc_id, unnest(th[1:n-2]) AS t1, unnest(th[2:n-1]) AS t2, "
+        "unnest(th[3:n]) AS t3 FROM thl WHERE n >= 3"
+    )
+    slot_steps = _hash_int_steps("slot", "ih", "s")
+    slot_src = (
+        "SELECT doc_id, ih, unnest(generate_series(0, "
+        f"{n_hashes - 1})) AS slot FROM ih_all"
+    )
+    # band hash: seed-42 fold of the band's rpb signature slots (as
+    # unsigned), then the band index (4-byte int path) — flattened
+    band_src = (
+        "SELECT doc_id, b.band AS band, "
+        + ", ".join(
+            f"xunsigned(sig[{rpb}*b.band+{j+1}]) AS v{j+1}" for j in range(rpb)
+        )
+        + " FROM sigl CROSS JOIN (SELECT unnest(generate_series(0, "
+        f"{bands - 1})) AS band) b"
+    )
+    band_steps: list[tuple[str, str]] = []
+    prev_seed = "42::HUGEINT"
+    for j in range(rpb):
+        p = f"w{j}"
+        band_steps += _hash_long_steps(f"v{j+1}", prev_seed, p)
+        prev_seed = f"{p}hh"
+    band_steps += _hash_int_steps("band", prev_seed, "e")
+    return XXH64_MACROS + f"""
+WITH {_token_hash_ctes()},
+thl AS (
+  SELECT doc_id, list(h ORDER BY pos) AS th, count(*) AS n
+  FROM thr GROUP BY doc_id),
+ih_win AS ({_chain(shw_src, sh_steps, "doc_id, dhh AS ih")}),
+ih_short AS (
+  -- docs with < k tokens: one shingle = fold of ALL token hashes
+  SELECT doc_id,
+    xhash_long(
+      list_reduce(
+        list_prepend([42::HUGEINT], list_transform(th, x -> [x])),
+        (acc, v) -> [xhash_long(v[1], acc[1])])[1],
+      42::HUGEINT) AS ih
+  FROM thl WHERE n < 3),
+ih_all AS (SELECT * FROM ih_win UNION ALL SELECT * FROM ih_short),
+slot AS ({_chain(slot_src, slot_steps, "doc_id, slot, shh AS sh64")}),
+sig AS (
+  SELECT doc_id, slot, min(xsigned(sh64)) AS m
+  FROM slot GROUP BY doc_id, slot),
+sigl AS (
+  SELECT doc_id, list(m ORDER BY slot) AS sig FROM sig GROUP BY doc_id),
+band AS MATERIALIZED ({_chain(band_src, band_steps, "doc_id, band, ehh AS bh")}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+shl AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - {k1}, 1)),
+      i -> array_to_string(toks[i:i+{k1}], ' '))) AS sh
+  FROM tok),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh, sb.sh))
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+  FROM cand c
+  JOIN shl sa ON sa.doc_id = c.id_a
+  JOIN shl sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b FROM ver WHERE jac >= {threshold}
+"""
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact mirror of webx.dedup.simhash_neardup. The 4×16-bit chunk
+    bucketing has recall 1 by pigeonhole (hamming ≤ 3 ⇒ some chunk
+    equal), so the pipeline's output EQUALS the all-pairs hamming filter
+    — which is what this oracle computes, from independently recomputed
+    SimHash values (distinct tokens string-hashed once, counts carried
+    through a join; the 64 per-bit counters are 64 aggregate columns in
+    ONE group-by pass, no row explosion)."""
+    bit_aggs = ", ".join(
+        f"sum(c * CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64)
+    )
+    bit_val = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return XXH64_MACROS + f"""
+WITH {_token_hash_ctes()},
+tc AS (
+  SELECT doc_id, h, count(*) AS c FROM thr GROUP BY doc_id, h),
+bits AS (
+  SELECT doc_id, {bit_aggs} FROM tc GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, xsigned({bit_val}) AS simhash FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -24,7 +24,12 @@ from webx.dedup import exact_dedup, jaccard_verify, minhash_neardup, simhash_nea
 from webx.media import media_features, synth_media
 from webx.metrics import det_metrics, rec_metrics
 from webx.pipeline import explode_spans, run_detect, run_extraction
-from webx.similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_topk
+from webx.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplanes as _hyperplanes,
+    lsh_topk,
+)
 from webx.textstats import fingerprint, lang_id, quality_score, token_count
 
 CFG = ExtractConfig()
@@ -253,11 +258,22 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: k-means inverted lists + n_probe rerank (approximate by
-    design — rows-only check, like q_ann_lsh)."""
+    """IVF ANN with a fixed sampled-anchor coarse quantizer (centroids =
+    the first 16 corpus vectors — a standard quantizer init, playing the
+    role of an offline-trained quantizer): inverted lists + n_probe
+    probing + exact rerank. Deterministic ⇒ full value-hash oracle
+    (webx/oracles.py mirrors the same left-associative double
+    arithmetic). The KMeans-trained variant remains as
+    webx.similarity.ivf_topk."""
+    from webx.similarity import ivf_topk_deterministic
+
     emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return ivf_topk_deterministic(emb, queries, cents, k=5, n_probe=4).select(
         "query_id", "rank", "neighbor_id"
     )
 
@@ -731,4 +747,11 @@ def oracle_sql() -> dict[str, str]:
         # tested against the JVM via webx/xxh64.py + tests/test_xxh64.py).
         "q_dedup_minhash": _oracles.minhash_oracle_sql(threshold=0.6),
         "q_dedup_simhash": _oracles.simhash_oracle_sql(max_hamming=3),
+        # ANN: the oracle regenerates the same hyperplane literals /
+        # anchor centroids and mirrors the left-associative double
+        # arithmetic, so buckets, probes, and cosine ranks agree exactly.
+        "q_ann_lsh": _oracles.ann_lsh_oracle_sql(
+            planes=_hyperplanes(_oracles.EMB_DIM, 6, 42), k=5
+        ),
+        "q_ann_ivf": _oracles.ann_ivf_oracle_sql(n_centroids=16, n_probe=4, k=5),
     }

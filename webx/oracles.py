@@ -307,6 +307,102 @@ SELECT id_a, id_b FROM ver WHERE jac >= {threshold}
 """
 
 
+EMB_DIM = 64  # every driver embeddings table is 64-dim (TESTDATA.md)
+
+
+def _dot_ff(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Mirror of webx.similarity._dot on two FLOAT arrays: per-element
+    float multiply, cast to double, LEFT-ASSOCIATIVE sum from 0.0 —
+    bit-identical to Spark's aggregate fold."""
+    return "(0.0 + " + " + ".join(
+        f"({a}[{i}] * {b}[{i}])::DOUBLE" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _dot_lit(a: str, coeffs: list, dim: int = EMB_DIM) -> str:
+    """Mirror of _dot(float array, double literal array): element cast to
+    double FIRST, then double multiply (Spark promotes float→double)."""
+    return "(0.0 + " + " + ".join(
+        f"({a}[{i}]::DOUBLE * {float(c)!r})" for i, c in zip(range(1, dim + 1), coeffs)
+    ) + ")"
+
+
+def _l2_cols(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Mirror of webx.similarity._l2_expr between a float-array column
+    and a centroid float-array column: both elements cast to double,
+    difference squared, left-associative sum from 0.0."""
+    return "(0.0 + " + " + ".join(
+        f"(({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE) * ({a}[{i}]::DOUBLE - {b}[{i}]::DOUBLE))"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot_ff(a, b)} / (sqrt({_dot_ff(a, a)}) * sqrt({_dot_ff(b, b)}))"
+
+
+def ann_lsh_oracle_sql(planes: list, k: int = 5, n_queries: int = 8) -> str:
+    """Exact mirror of webx.similarity.lsh_topk: sign-bit bucket against
+    the same hyperplane literals (passed in — generated by
+    ``hyperplanes(dim, n_planes, seed)``), bucket equi-join, exact
+    cosine rerank with (cos DESC, neighbor_id) tie-break."""
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_lit('embedding', p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS ce, {bucket} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, {bucket} AS bucket
+      FROM embeddings WHERE vec_id < {n_queries}),
+s AS (SELECT q.query_id, c.neighbor_id, {_cos('q.qe', 'c.ce')} AS cos
+      FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
+def ann_ivf_oracle_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, n_queries: int = 8
+) -> str:
+    """Exact mirror of q_ann_ivf (ivf_topk_deterministic with sampled
+    anchors): centroids = embeddings of vec_id < n_centroids; assignment
+    = argmin of the bit-identical L2 chain with lowest-index tie-break;
+    probes = n_probe nearest centroids; exact cosine rerank."""
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id < {n_centroids}),
+a AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {_l2_cols('e.embedding', 'c.cemb')} AS d
+  FROM embeddings e CROSS JOIN cent c),
+asn AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a) WHERE rn = 1),
+prb AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}),
+s AS (
+  SELECT p.query_id, asn.neighbor_id, {_cos('qe.embedding', 'ne.embedding')} AS cos
+  FROM prb p
+  JOIN asn ON asn.cid = p.cid
+  JOIN embeddings ne ON ne.vec_id = asn.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  WHERE asn.neighbor_id <> p.query_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
 def simhash_oracle_sql(max_hamming: int = 3) -> str:
     """Exact mirror of webx.dedup.simhash_neardup. The 4×16-bit chunk
     bucketing has recall 1 by pigeonhole (hamming ≤ 3 ⇒ some chunk

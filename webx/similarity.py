@@ -129,6 +129,87 @@ def _bucket(emb_col, planes: list):
     return bucket
 
 
+def _l2_fold(a, b):
+    """Squared L2 distance between two float arrays: per-element cast to
+    double, difference squared, LEFT-ASSOCIATIVE sum from 0.0. The fold
+    order is part of the contract — the DuckDB oracle (webx/oracles.py
+    ``_l2_cols``) generates the same chain, so both engines produce
+    bit-identical distances (hence identical argmin/probe decisions)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a FIXED coarse quantizer (``centroids``: list of
+    dim-length float lists, e.g. trained offline or sampled anchors —
+    sampling corpus vectors as centroids is a standard quantizer init).
+
+    Fully deterministic and JVM-side: the tiny centroid table is
+    broadcast-joined against the corpus (one narrow pass — persist the
+    assignment partitioned by ``centroid_id`` at 10^9 vectors),
+    assignment/probes are (distance, cid) window ranks with exact
+    lowest-cid tie-break. No Python in the pipeline and array-fold
+    arithmetic with pinned fold order ⇒ exactly mirrorable by the
+    DuckDB oracle. (Literal-coefficient expression chains were rejected:
+    16 centroids × 64 dims exceeds the JVM codegen method limit and
+    falls back to interpreted eval, ~20× slower.)"""
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cemb array<float>",
+    )
+    dist = _l2_fold(F.col("embedding"), F.col("cemb")).alias("d")
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
+    c = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", dist)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("cid").alias("centroid_id"),
+        )
+    )
+    q = (
+        queries.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", dist)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("centroid_id"),
+        )
+    )
+    joined = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias("cos")
+    scored = joined.select("query_id", "neighbor_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,12 +221,12 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into inverted lists; each query probes its
     ``n_probe`` nearest centroids and reranks exactly within those lists.
+    (For a fixed pre-trained quantizer use ``ivf_topk_deterministic``.)
 
     Scale shape: train on a sample, assign once (narrow mapInPandas with
     the centroid matrix broadcast — at 10^9 vectors persist the
     assignment, partitioned by ``centroid_id``), then every query batch
-    touches ~n_probe/n_centroids of the corpus. Approximate by design →
-    rows-only correctness check (like LSH)."""
+    touches ~n_probe/n_centroids of the corpus."""
     import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

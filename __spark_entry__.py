@@ -343,7 +343,9 @@ def _emb_with_planted(spark, sf):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    return emb.unionByName(planted)
+    # single-file parquet -> single split; the interpreted hyperplane
+    # folds in the LSH bucket pass want the session's full parallelism
+    return _par(emb.unionByName(planted), spark)
 
 
 def q_neardup_embedding(spark: SparkSession, sf: str) -> DataFrame:

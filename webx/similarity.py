@@ -62,18 +62,43 @@ def cosine_topk(
     )
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_tables: int = 16,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
-    id_a < id_b and cos >= threshold. EXACT all-pairs result.
+    id_a < id_b and cos >= threshold.
 
-    Execution is a blocked matrix multiply, not a row-pair join: the
-    corpus is broadcast once as a normalized numpy matrix (~256 MB at
-    10^6 × 64-dim fp32 — broadcast-join territory), and each Arrow batch
-    of rows computes its cosines against the whole corpus with one BLAS
-    gemm inside ``mapInPandas``. The 12.6M-pair interpreted-expression
-    crossJoin this replaces was ~50× slower at 5k vectors. Beyond ~10^6
-    vectors, tile the broadcast side (corpus chunks × row blocks) or
-    prefilter candidates with ``lsh_topk``-style bucketing."""
+    ``method="lsh"`` (default — the scale path): ONE narrow pass buckets
+    every vector into ``n_tables`` random-hyperplane tables of
+    ``n_planes`` sign bits — all tables' signs in one Arrow-batched gemm
+    against the broadcast plane matrix (256 interpreted per-row JVM
+    folds would be ~100× slower; this is the same expression-tree-vs-
+    kernel call as the MinHash signature pass). No driver collect of
+    the corpus. Candidate pairs come from per-(table, bucket) expansion
+    (the webx.dedup LSH pattern, ``max_bucket`` caps mega-buckets); the
+    exact cosine rerank touches only candidates. Recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables — ≈0.96 at the cos=0.95
+    boundary with the defaults (p=0.899 per plane → 0.18 per 16-bit
+    table → 16 tables), higher above it, and exactly 1 for collinear
+    duplicates (every table agrees); random pairs collide at ~2^-16 per
+    table, so candidates stay ≈ true-pair-sized. At 10^9 vectors raise
+    n_planes (wider buckets) and set ``max_bucket``.
+
+    ``method="exact"``: all-pairs blocked matrix multiply — the corpus
+    is collected and broadcast once as a normalized numpy matrix and
+    each Arrow batch computes one BLAS gemm against it. Exact, and fast
+    to ~10^6 × 64-dim fp32 (~256 MB broadcast); beyond that the driver
+    materialization is the bottleneck — use the LSH path."""
+    if method == "lsh":
+        return _cosine_neardup_lsh(
+            emb, threshold, n_tables, n_planes, seed, max_bucket
+        )
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -111,6 +136,83 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
+
+
+def _cosine_neardup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_tables: int,
+    n_planes: int,
+    seed: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """LSH candidate generation + exact rerank (see cosine_neardup_pairs)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = len(emb.select("embedding").first()[0])  # O(1) row, not a collect
+    planes = np.concatenate(
+        [np.asarray(hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    )  # (n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    b_planes = emb.sparkSession.sparkContext.broadcast(planes)
+
+    banded_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        pl = b_planes.value
+        for p in batches:
+            m = np.array(p["embedding"].tolist(), dtype=np.float64)
+            signs = (m @ pl.T) > 0  # one gemm: all tables, all planes
+            sb = signs.reshape(len(m), n_tables, n_planes)
+            bkt = (sb * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(p["vec_id"].to_numpy(), n_tables),
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(m)
+                    ),
+                    "bucket": bkt.ravel(),
+                }
+            )
+
+    banded = emb.select("vec_id", "embedding").mapInPandas(fn, banded_schema)
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    cos = (_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b"))).alias("cos")
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list:

@@ -445,6 +445,100 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-style 3-table join: lineitem ⋈ orders as an explicit
+    SORT-MERGE join (hinted — both sides are fact tables at crawl scale,
+    where broadcasting is impossible; AQE would pick broadcast at test
+    scale and hide the plan we need to prove), customer as a broadcast
+    dim. Revenue in exact integer cents."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum(rev).alias("rev_cents"))
+    )
+
+
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join: customers who never placed an order above $300k,
+    decorated with their nation and region via broadcast dims (touches
+    all dim tables; the price filter pushes below the anti-probe)."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_totalprice") > 300000
+    )
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join: suppliers with at least one line item shipped on/after
+    1995-06-01 — the filter is pushed below the semi-join probe."""
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp")
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def q_topk_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-after-join: top-3 parts by revenue within each brand
+    (broadcast part dim → partial agg on (brand, part) → ranked)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev).alias("rev_cents"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("rev_cents"), F.asc("p_partkey")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "rev_cents", "rn")
+    )
+
+
+def q_lang_host_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """True ``rollup()`` (SURVEY §2.4 grouping-sets row): extraction
+    output rolled up over (lang, host) with subtotal and grand-total
+    rows — NULL-marked levels must match DuckDB's GROUP BY ROLLUP."""
+    out = run_extraction(_pages(spark, sf), CFG, passthrough=("lang",))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return (
+        out.select("lang", host.alias("host"), F.length("text").alias("chars"))
+        .rollup("lang", "host")
+        .agg(F.count("*").alias("n_docs"), F.sum("chars").alias("sum_chars"))
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -486,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_media_features": q_media_features,
         "q_orders_rollup": q_orders_rollup,
+        "q_join3": q_join3,
+        "q_join_anti": q_join_anti,
+        "q_join_semi": q_join_semi,
+        "q_topk_parts": q_topk_parts,
+        "q_lang_host_rollup": q_lang_host_rollup,
         "q_host_stats": q_host_stats,
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
@@ -703,6 +802,41 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_join3": (
+            "SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"
+        ),
+        "q_join_anti": (
+            "SELECT c_custkey, c_mktsegment, n_name AS nation, r_name AS region "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_totalprice > 300000)"
+        ),
+        "q_join_semi": (
+            "SELECT s_suppkey, s_name FROM supplier WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey "
+            "AND l_shipdate >= TIMESTAMP '1995-06-01')"
+        ),
+        "q_topk_parts": (
+            "WITH a AS (SELECT p_brand, p_partkey, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2) "
+            "SELECT p_brand, p_partkey, rev_cents, rn FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY rev_cents DESC, p_partkey) AS INT) AS rn FROM a) WHERE rn <= 3"
+        ),
+        "q_lang_host_rollup": (
+            f"SELECT lang, host, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(chars) AS BIGINT) AS sum_chars FROM ("
+            f"SELECT lang, ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            f"length({GOLDEN}) AS chars FROM documents) "
+            "GROUP BY ROLLUP(lang, host)"
         ),
         "q_url_normalize": (
             "SELECT doc_id, "

@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "q_neardup_embedding",
     "q_media_features",
     "q_orders_rollup",
+    "q_join3",
+    "q_join_anti",
+    "q_join_semi",
+    "q_topk_parts",
+    "q_lang_host_rollup",
+    "q_ann_ivf",
     "q_host_stats",
     "q_sessions",
     "q_user_rollup",

@@ -110,3 +110,19 @@ def test_reference_rec_metric_golden_values(spark):
     row = rec_metrics(pred, golden).first()
     assert (row["n_docs"], row["n_correct"], row["acc"]) == (2, 1, 0.5)
     assert abs(row["norm_edit"] - 0.92857) < 1e-4
+
+
+def test_iterated_greedy_rematches_unclaimed_golden(spark):
+    """One prediction overlaps two goldens: a single greedy round claims
+    it for the first golden and would drop the second golden's alternate
+    prediction — the iterated matcher re-matches it (TP=2, not 1).
+    Intervals picked so P0 clears the 0.3 IoU gate with BOTH goldens."""
+    golden = spans_df(spark, [("u", [(0, 10), (10, 20)])])
+    pred = spans_df(spark, [("u", [(4, 16), (12, 20)])])
+    m = sorted(
+        (r["p_idx"], r["g_idx"])
+        for r in span_matches(pred, golden, iou_thresh=0.3).collect()
+    )
+    assert m == [(0, 0), (1, 1)]
+    row = det_metrics(pred, golden, iou_thresh=0.3).first()
+    assert (row["tp"], row["precision"], row["recall"]) == (2, 1.0, 1.0)

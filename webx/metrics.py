@@ -34,14 +34,27 @@ def _explode(df: DataFrame, prefix: str) -> DataFrame:
     )
 
 
-def _match_pairs(p: DataFrame, g: DataFrame, iou_thresh: float) -> DataFrame:
-    """IoU-matched (url, p_idx, g_idx, iou) pairs on exploded frames.
+def _match_pairs(
+    p: DataFrame, g: DataFrame, iou_thresh: float, max_rounds: int = 5
+) -> DataFrame:
+    """IoU-matched (url, p_idx, g_idx, iou) pairs on exploded frames —
+    a one-to-one matching computed by ITERATED greedy rounds.
 
     Join on ``url`` + overlap predicate (a range join); IoU =
-    |intersection| / |union| of the byte intervals; pairs ≥ thresh are
-    deduped to one golden per prediction and one prediction per golden
-    (lowest index wins — deterministic first-match, the greedy-match
-    analog of det_metrics.py:58-77)."""
+    |intersection| / |union| of the byte intervals. Each round keeps,
+    among still-unmatched pairs, the lowest-p_idx pair per golden then
+    the lowest-g_idx pair per prediction (deterministic first-match, the
+    greedy-match analog of det_metrics.py:58-77), then removes every
+    pair touching a matched endpoint and repeats. A single round
+    undercounts when one prediction overlaps two goldens (the second
+    golden's alternate prediction was discarded with the first filter);
+    iterating to fixpoint re-matches unclaimed goldens against remaining
+    predictions, yielding a maximal matching. With IoU > 0.5 over
+    non-overlapping span sets the matching is unique and round 2 is
+    already empty, so the loop's extra actions are one cheap isEmpty on
+    a tiny frame in the common case; ``max_rounds`` bounds adversarial
+    inputs (any leftover pairs then stay unmatched — TP is exact for
+    every real layout and a lower bound in that pathological corner)."""
     overlap = (F.col("p_start") < F.col("g_end")) & (F.col("g_start") < F.col("p_end"))
     inter = F.least("p_end", "g_end") - F.greatest("p_start", "g_start")
     union = F.greatest("p_end", "g_end") - F.least("p_start", "g_start")
@@ -50,16 +63,30 @@ def _match_pairs(p: DataFrame, g: DataFrame, iou_thresh: float) -> DataFrame:
         .filter(overlap)
         .withColumn("iou", inter / union)
         .filter(F.col("iou") >= iou_thresh)
+        .select("url", "p_idx", "g_idx", "iou")
     )
     by_gt = Window.partitionBy("url", "g_idx").orderBy("p_idx")
     by_pred = Window.partitionBy("url", "p_idx").orderBy("g_idx")
-    return (
-        pairs.withColumn("rp", F.row_number().over(by_gt))
-        .filter(F.col("rp") == 1)
-        .withColumn("rg", F.row_number().over(by_pred))
-        .filter(F.col("rg") == 1)
-        .select("url", "p_idx", "g_idx", "iou")
-    )
+    matched: DataFrame | None = None
+    remaining = pairs
+    for _ in range(max_rounds):
+        m = (
+            remaining.withColumn("rp", F.row_number().over(by_gt))
+            .filter(F.col("rp") == 1)
+            .withColumn("rg", F.row_number().over(by_pred))
+            .filter(F.col("rg") == 1)
+            .select("url", "p_idx", "g_idx", "iou")
+            # referenced 3x below (union + two anti-joins) and by the
+            # emptiness probe: materialize once, GC-released after use
+            .localCheckpoint(eager=True)
+        )
+        if m.isEmpty():
+            break
+        matched = m if matched is None else matched.unionByName(m)
+        remaining = remaining.join(
+            m.select("url", "p_idx"), ["url", "p_idx"], "left_anti"
+        ).join(m.select("url", "g_idx"), ["url", "g_idx"], "left_anti")
+    return matched if matched is not None else pairs.limit(0)
 
 
 def span_matches(

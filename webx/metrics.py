@@ -64,6 +64,10 @@ def _match_pairs(
         .withColumn("iou", inter / union)
         .filter(F.col("iou") >= iou_thresh)
         .select("url", "p_idx", "g_idx", "iou")
+        # every round's windows/anti-joins re-reference this frame; an
+        # uncached lineage would re-run the whole upstream detect pass
+        # per round — materialize it once
+        .localCheckpoint(eager=False)
     )
     by_gt = Window.partitionBy("url", "g_idx").orderBy("p_idx")
     by_pred = Window.partitionBy("url", "p_idx").orderBy("g_idx")

@@ -164,3 +164,158 @@ def read_pages(
     if sample_ratio < 1.0:
         df = df.sample(fraction=sample_ratio, seed=seed)
     return df
+
+
+# ------------------------------------------------- keyed binary store
+# The LMDBDataset analog (mindocr/data/rec_lmdb_dataset.py:92-155): a
+# key-addressed binary store laid out as sorted shard files, each with a
+# record count in its header (the `num-samples` meta key), records
+# addressed by a per-shard index, and a GLOBAL sample order = shards in
+# path order × records in index order (get_dataset_idx_orders builds the
+# same (lmdb_idx, file_idx) list). `sample_ratio` keeps the first
+# round(total × ratio) global indices — identical to the reference's
+# truncation of its order list.
+#
+# Shard format (deterministic, self-describing):
+#   b"WXKV1\n" | u32 count | count × (u16 klen | key | u16 llen | label
+#   | u32 vlen | value)          (all integers little-endian)
+
+KEYED_MAGIC = b"WXKV1\n"
+
+KEYED_SCHEMA = T.StructType(
+    [
+        T.StructField("global_idx", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("value", T.BinaryType()),
+    ]
+)
+
+
+def write_keyed_store(
+    records: List[Tuple[str, str, bytes]], path: str, shards: int = 8
+) -> None:
+    """Fixture writer: round-robin records into ``shards`` shard files
+    under ``path`` (records keep their given order globally: shard s
+    gets records s, s+shards, …  — so global order = interleave; tests
+    use the parsed ``global_idx`` which is defined by shard-path order,
+    NOT the writer's input order)."""
+    import os
+    import struct
+
+    os.makedirs(path, exist_ok=True)
+    for s in range(shards):
+        part = records[s::shards]
+        chunks = [KEYED_MAGIC, struct.pack("<I", len(part))]
+        for key, label, value in part:
+            kb, lb = key.encode("utf-8"), label.encode("utf-8")
+            chunks.append(struct.pack("<H", len(kb)))
+            chunks.append(kb)
+            chunks.append(struct.pack("<H", len(lb)))
+            chunks.append(lb)
+            chunks.append(struct.pack("<I", len(value)))
+            chunks.append(value)
+        with open(os.path.join(path, f"shard-{s:05d}.kvb"), "wb") as f:
+            f.write(b"".join(chunks))
+
+
+def parse_keyed_shard(raw: bytes) -> List[Tuple[str, str, bytes]]:
+    """One shard → [(key, label, value)] in stored index order."""
+    import struct
+
+    if raw[: len(KEYED_MAGIC)] != KEYED_MAGIC:
+        return []
+    pos = len(KEYED_MAGIC)
+    (count,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    out: List[Tuple[str, str, bytes]] = []
+    for _ in range(count):
+        (klen,) = struct.unpack_from("<H", raw, pos)
+        pos += 2
+        key = raw[pos : pos + klen].decode("utf-8")
+        pos += klen
+        (llen,) = struct.unpack_from("<H", raw, pos)
+        pos += 2
+        label = raw[pos : pos + llen].decode("utf-8")
+        pos += llen
+        (vlen,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        out.append((key, label, raw[pos : pos + vlen]))
+        pos += vlen
+    return out
+
+
+def read_keyed_store(
+    spark: SparkSession, path: str, sample_ratio: float = 1.0
+) -> DataFrame:
+    """Keyed store → (global_idx, key, label, value), distributed.
+
+    Plan shape: one cheap metadata pass reads each shard's 10-byte
+    header to build the global base-offset map (the reference reads each
+    env's `num-samples` the same way, rec_lmdb_dataset.py:106-121) —
+    shards whose whole index range falls beyond the sample cutoff are
+    PRUNED before any data is read. The surviving shard files then parse
+    in parallel (one ``binaryFile`` row per shard, records never cross
+    task boundaries), emitting global_idx = shard_base + local_idx, with
+    the ratio cutoff applied per record."""
+    import os
+    import struct
+
+    import numpy as np
+
+    shard_paths = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".kvb")
+    )
+    counts = []
+    for p in shard_paths:
+        with open(p, "rb") as f:
+            head = f.read(len(KEYED_MAGIC) + 4)
+        counts.append(
+            struct.unpack_from("<I", head, len(KEYED_MAGIC))[0]
+            if head[: len(KEYED_MAGIC)] == KEYED_MAGIC
+            else 0
+        )
+    bases = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts else np.array([])
+    total = int(sum(counts))
+    cutoff = total if sample_ratio >= 1.0 else round(total * sample_ratio)
+    base_by_path = {
+        "file:" + os.path.abspath(p): int(b) for p, b in zip(shard_paths, bases)
+    }
+    keep = [
+        p
+        for p, b in zip(shard_paths, bases)
+        if int(b) < cutoff  # shard pruning: whole shard past the cutoff
+    ]
+    if not keep:
+        return spark.createDataFrame([], KEYED_SCHEMA)
+    b_bases = spark.sparkContext.broadcast(base_by_path)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(keep)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bases_map = b_bases.value
+        for pdf in batches:
+            rows = {"global_idx": [], "key": [], "label": [], "value": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                base = bases_map.get(_strip_scheme(p), 0)
+                for i, (key, label, value) in enumerate(
+                    parse_keyed_shard(bytes(content))
+                ):
+                    gidx = base + i
+                    if gidx >= cutoff:
+                        continue
+                    rows["global_idx"].append(gidx)
+                    rows["key"].append(key)
+                    rows["label"].append(label)
+                    rows["value"].append(value)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=KEYED_SCHEMA)
+
+
+def _strip_scheme(p: str) -> str:
+    return "file:" + p[len("file:") :] if p.startswith("file:") else "file:" + p

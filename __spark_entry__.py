@@ -126,6 +126,17 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF lane of the two-stage extractor (webx/pdf.py): deterministic
+    Flate-compressed text PDFs built from the documents table, parsed
+    back via xref walk → text-object detect → sequential decode — must
+    reproduce the SAME closed-form golden text as the HTML flagship."""
+    from webx.pdf import extract_pdf
+
+    pdfs = _par(synth.synth_pdfs(spark, sf), spark)
+    return extract_pdf(pdfs).select("url", "text")
+
+
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
@@ -554,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_warc": q_extract_warc,
+        "q_extract_pdf": q_extract_pdf,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -640,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_spans_stats": (
             f"SELECT {URL} AS url, (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS n_spans "
             "FROM documents"

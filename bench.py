@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_extract_multispan",
     "q_extract_entities",
     "q_extract_warc",
+    "q_extract_pdf",
     "q_golden_spans",
     "q_rec_metric",
     "q_lang_rollup",

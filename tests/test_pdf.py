@@ -1,0 +1,112 @@
+"""PDF lane unit tests: structural walk, text-object detect, sequential
+decode, escape handling, and the unsupported-construct policy."""
+
+from __future__ import annotations
+
+import zlib
+
+from webx.pdf import (
+    decode_text_object,
+    detect_text_objects,
+    extract_pdf,
+    page_content_streams,
+    parse_pdf,
+    write_pdf,
+)
+
+
+def test_roundtrip_compressed_and_raw():
+    for compress in (True, False):
+        raw = write_pdf("Doc 7", "hello world body", compress=compress)
+        text, spans = parse_pdf(raw)
+        assert text == "Doc 7\nhello world body"
+        assert spans == [(0, len(text))]
+
+
+def test_string_escapes_and_unicode():
+    body = r"parens (nested (deep)) slash \ tab" + "\t end café →"
+    raw = write_pdf("T", body)
+    text, _ = parse_pdf(raw)
+    assert text == "T\n" + body
+
+
+def test_octal_and_special_escapes():
+    region = rb"BT (\101\102\103 \( \) \\ x\n) Tj ET"
+    assert decode_text_object(region) == "ABC ( ) \\ x\n"
+
+
+def test_tj_array_and_quote_ops():
+    region = b"BT [(Hel) -20 (lo)] TJ (next) ' ET"
+    assert decode_text_object(region) == "Hello\nnext"
+
+
+def test_line_moves():
+    region = b"BT (a) Tj 0 -14 Td (b) Tj 10 0 Td (c) Tj T* (d) Tj ET"
+    # vertical Td breaks, horizontal Td does not, T* breaks
+    assert decode_text_object(region) == "a\nbc\nd"
+
+
+def test_detect_regions():
+    content = b"0 0 m BT (x) Tj ET 1 1 l BT (y) Tj ET"
+    regions = detect_text_objects(content)
+    assert len(regions) == 2
+    assert [content[a:b][:2] for a, b in regions] == [b"BT", b"BT"]
+
+
+def test_multiple_content_streams():
+    raw = write_pdf("A", "B")
+    streams = page_content_streams(raw)
+    assert len(streams) == 1 and b"BT" in streams[0]
+
+
+def test_unsupported_filter_status(spark):
+    # corrupt the Filter name -> parse must fail soft with status
+    raw = write_pdf("A", "B").replace(b"FlateDecode", b"LZWDecodeXX")
+    df = spark.createDataFrame([("u", raw)], "url string, pdf binary")
+    row = extract_pdf(df).first()
+    assert row["status"] == "unsupported" and row["text"] == ""
+
+
+def test_bad_bytes_status(spark):
+    df = spark.createDataFrame(
+        [("u", b"%PDF-1.4 garbage"), ("v", None)], "url string, pdf binary"
+    )
+    rows = extract_pdf(df).collect()
+    assert all(r["status"] == "unsupported" for r in rows)
+    assert len(rows) == 2  # no row loss
+
+
+def test_flate_stream_length_as_ref():
+    """Indirect /Length objects resolve through the xref."""
+    content = b"BT (x) Tj ET"
+    data = zlib.compress(content)
+    # hand-build: obj4 stream with /Length 6 0 R, obj6 the length int
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 6 0 R /Filter /FlateDecode >>\nstream\n"
+        + data
+        + b"\nendstream",
+        6: str(len(data)).encode(),
+    }
+    out = [b"%PDF-1.4\n"]
+    offsets = {}
+    pos = len(out[0])
+    for num in sorted(objs):
+        chunk = f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        offsets[num] = pos
+        out.append(chunk)
+        pos += len(chunk)
+    xref_pos = pos
+    xref = [b"xref\n0 1\n", b"0000000000 65535 f \n"]
+    for num in sorted(objs):
+        xref.append(f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode())
+    out.extend(xref)
+    out.append(
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_pos).encode()
+        + b"\n%%EOF\n"
+    )
+    text, _ = parse_pdf(b"".join(out))
+    assert text == "x"

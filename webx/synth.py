@@ -217,3 +217,42 @@ def synth_pages_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text-PDF per document → (url, pdf). Same
+    generate-input-from-expected-output trick as the HTML pages: the PDF
+    shows 'Doc N' then the normalized text, so the expected extraction is
+    the SAME closed form as the flagship (`'Doc '||doc_id||'\\n'||norm`).
+    The binary container is assembled in a distributed Arrow pass
+    (fixture generation, like webx.sources.write_warc — the QUERY path
+    is webx.pdf.extract_pdf)."""
+    from typing import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from webx.pdf import write_pdf
+
+    src = load_documents(spark, sf_dir).select(
+        _url().alias("url"),
+        _did().alias("title"),
+        _norm(F.col("text")).alias("body"),
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("pdf", T.BinaryType())]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            yield pd.DataFrame(
+                {
+                    "url": p["url"],
+                    "pdf": [
+                        write_pdf(t, b, compress=True)
+                        for t, b in zip(p["title"], p["body"])
+                    ],
+                }
+            )
+
+    return src.mapInPandas(fn, schema=schema)

@@ -456,6 +456,18 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sentinel_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """Attention `<STOP>` truncation analog (rec_postprocess.py:213-218):
+    text before the first '. ' sentinel; missing sentinel ⇒ empty (the
+    reference's unterminated-decode policy)."""
+    from webx.recognize import truncate_at_sentinel
+
+    docs = synth.load_documents(spark, sf)
+    return docs.select(
+        "doc_id", truncate_at_sentinel(F.col("text"), ". ").alias("prefix")
+    )
+
+
 def q_join3(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-style 3-table join: lineitem ⋈ orders as an explicit
     SORT-MERGE join (hinted — both sides are fact tables at crawl scale,
@@ -597,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_semi": q_join_semi,
         "q_topk_parts": q_topk_parts,
         "q_lang_host_rollup": q_lang_host_rollup,
+        "q_sentinel_truncate": q_sentinel_truncate,
         "q_host_stats": q_host_stats,
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
@@ -815,6 +828,11 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_sentinel_truncate": (
+            "SELECT doc_id, CASE WHEN strpos(text, '. ') > 0 "
+            "THEN substr(text, 1, strpos(text, '. ') - 1) ELSE '' END AS prefix "
+            "FROM documents"
         ),
         "q_join3": (
             "SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "

@@ -1,0 +1,96 @@
+"""Format converters → the canonical tables.
+
+The reference ships per-dataset converters behind one dispatch
+(tools/dataset_converters/convert.py:31-50: named registry, canonical
+`img_path\\t[{...}]` output, ValueError listing supported names). The
+webtext recast: external corpus/label formats convert into the two
+canonical schemas — ``pages`` (url, warc_ts, html) and golden span
+labels (url, spans) — as fully distributed reads, so any downstream
+query runs unchanged on converted data.
+
+Supported formats:
+* ``jsonl_pages`` — JSON-lines {url, ts, html_b64} crawls (the common
+  dump interchange shape); base64 html decoded JVM-side.
+* ``csv_docs``    — CSV (doc_id, lang, text) document dumps.
+* ``det_labels``  — the reference's detection label format recast:
+  ``url\\tJSON-span-array`` text lines → (url, spans) golden tables
+  (convert.py emits exactly this `path\\t[{...}]` shape).
+* ``warc``        — Common-Crawl WARC archives (webx.sources.read_warc).
+* ``keyed_store`` — key-addressed binary shards
+  (webx.sources.read_keyed_store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+SPAN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+)
+
+
+def _jsonl_pages(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.json(path)
+    return df.select(
+        F.col("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.unbase64("html_b64").alias("html"),
+    )
+
+
+def _csv_docs(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.option("header", "true").csv(path)
+    return df.select(
+        F.col("doc_id").cast("long"),
+        F.col("lang"),
+        F.col("text"),
+    )
+
+
+def _det_labels(spark: SparkSession, path: str) -> DataFrame:
+    lines = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", 1, tab - 1).alias("url"),
+        F.from_json(F.expr("substring(value, instr(value, '\t') + 1)"), SPAN_SCHEMA).alias(
+            "spans"
+        ),
+    )
+
+
+def _warc(spark: SparkSession, path: str) -> DataFrame:
+    from webx.sources import read_warc
+
+    return read_warc(spark, path)
+
+
+def _keyed_store(spark: SparkSession, path: str) -> DataFrame:
+    from webx.sources import read_keyed_store
+
+    return read_keyed_store(spark, path)
+
+
+CONVERTERS = {
+    "jsonl_pages": _jsonl_pages,
+    "csv_docs": _csv_docs,
+    "det_labels": _det_labels,
+    "warc": _warc,
+    "keyed_store": _keyed_store,
+}
+
+
+def convert(spark: SparkSession, dataset_format: str, path: str) -> DataFrame:
+    """Dispatch like the reference's ``convert(dataset_name, ...)`` —
+    unknown names raise with the supported list."""
+    if dataset_format not in CONVERTERS:
+        raise ValueError(
+            f"{dataset_format!r} is not supported for conversion, "
+            f"supported formats are {sorted(CONVERTERS)}"
+        )
+    return CONVERTERS[dataset_format](spark, path)

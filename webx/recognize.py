@@ -59,3 +59,16 @@ def decode_span(raw: bytes, charset: str) -> str:
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [_HWS_RE.sub(" ", ln).strip() for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln)
+
+
+def truncate_at_sentinel(col, sentinel: str):
+    """Attention-decode `<STOP>` truncation (reference
+    mindocr/postprocess/rec_postprocess.py:213-218) as a column op: text
+    BEFORE the first sentinel occurrence; a sequence with NO sentinel
+    decodes to the EMPTY string (the reference returns "" there too —
+    an unterminated attention decode is unreliable, not
+    truncate-at-end). JVM-side `instr`/`substring`, codegen-friendly."""
+    from pyspark.sql import functions as F
+
+    pos = F.instr(col, sentinel)
+    return F.when(pos > 0, F.substring(col, 1, pos - 1)).otherwise(F.lit(""))

@@ -95,8 +95,12 @@ def main() -> None:
 
     queries = E.queries()
 
-    # Warm up JVM + Arrow python workers so per-query numbers are compute.
-    _noop(queries["q_extract"](spark, "/root/testdata/sf0.001"))
+    # Warm up JVM + Arrow python workers so per-query numbers are compute,
+    # touching each UDF family once (html tokenizer, numpy hash kernels,
+    # embedding path) — codegen JIT and worker numpy imports are one-time
+    # costs a long-lived production session never re-pays.
+    for warm_q in ("q_extract", "q_dedup_minhash", "q_ann_ivf"):
+        _noop(queries[warm_q](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -146,3 +146,19 @@ def test_minhash_neardup_identical_pairs(spark):
     )
     assert a == b
     assert (3, 100) in a and (5, 101) in a
+
+
+def test_simhash_impls_identical(spark):
+    from webx.dedup import simhash
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "completely different words entirely here now"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "x"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="numpy").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="sql").collect()}
+    assert a == b and len(a) == len(texts)

@@ -100,36 +100,83 @@ def minhash_signatures(
 
     from webx import xxh64 as X
 
-    src = docs.select("doc_id", _shingle_hashes(k=shingle_k).alias("h0"))
+    # JVM side stays SMALL on purpose: just per-token xxhash64. The big
+    # expression trees (window folds, 64-slot rehash) generate huge
+    # whole-stage-codegen methods that run interpreted until the JIT
+    # warms up — a one-shot query pays 5-8× (measured: 15-20s vs 2.7s at
+    # sf0.1 for the first three invocations). The numpy kernel has no
+    # warm-up cliff.
+    toks = F.split(F.trim(F.col("text")), WS_SPLIT)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    src = docs.select("doc_id", th.alias("th"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
+    k = shingle_k
 
     def fn(batches):
         for p in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in p["h0"]]
-            lens = np.array([len(a) for a in arrs], dtype=np.int64)
-            keep = lens > 0  # _shingles never yields [], but stay safe
-            if not keep.all():
-                arrs = [a for a in arrs if len(a)]
-                lens = lens[keep]
-            if len(arrs) == 0:
+            arrs = [np.asarray(a, dtype=np.int64) for a in p["th"]]
+            if not arrs:
                 yield pd.DataFrame({"doc_id": p["doc_id"][:0], "sig": []})
                 continue
-            flat = np.concatenate(arrs).astype(np.uint64)
-            mat = X.minhash_slots_np(flat, n_hashes).view(np.int64)
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            sig = np.minimum.reduceat(mat, offsets, axis=0)
-            out = pd.DataFrame(
-                {"doc_id": p["doc_id"][keep], "sig": list(sig)}
+            h0 = _shingle_hashes_np(arrs, k)
+            counts = np.array(
+                [max(len(a) - k + 1, 1) if len(a) else 1 for a in arrs],
+                dtype=np.int64,
             )
-            yield out
+            mat = X.minhash_slots_np(h0, n_hashes).view(np.int64)
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sig = np.minimum.reduceat(mat, offsets, axis=0)
+            yield pd.DataFrame({"doc_id": p["doc_id"], "sig": list(sig)})
 
     return src.mapInPandas(fn, schema=schema)
+
+
+def _shingle_hashes_np(arrs, k: int):
+    """Vectorized _shingle_hashes: per-row token-hash arrays → one flat
+    uint64 array of shingle hashes, k-window seed-42 folds computed as k
+    chained hash_long_np passes over ALL windows at once. Rows with < k
+    tokens contribute one whole-array fold (tiny Python loop, rare)."""
+    import numpy as np
+
+    from webx import xxh64 as X
+
+    n = np.array([len(a) for a in arrs], dtype=np.int64)
+    out_counts = np.where(n >= k, n - k + 1, 1)
+    total = int(out_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    out_off = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(out_counts[:-1], out=out_off[1:])
+
+    long_rows = np.nonzero(n >= k)[0]
+    if long_rows.size:
+        flat = np.concatenate([arrs[i] for i in long_rows]).astype(np.uint64)
+        tok_off = np.concatenate([[0], np.cumsum(n[long_rows][:-1])])
+        w_counts = (n[long_rows] - k + 1).astype(np.int64)
+        # window start indices into flat, all long rows at once
+        widx = np.repeat(tok_off, w_counts) + (
+            np.arange(int(w_counts.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(w_counts[:-1])]), w_counts)
+        )
+        h = np.full(widx.shape, X.SPARK_SEED, dtype=np.uint64)
+        for j in range(k):
+            h = X.hash_long_np(flat[widx + j], h)
+        pos = np.repeat(out_off[long_rows], w_counts) + (
+            np.arange(int(w_counts.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(w_counts[:-1])]), w_counts)
+        )
+        out[pos] = h
+    for i in np.nonzero(n < k)[0]:  # rare: docs with < k tokens
+        hh = X.SPARK_SEED
+        for v in np.asarray(arrs[i], dtype=np.int64):
+            hh = X.hash_long(int(v) & X.M64, hh)
+        out[out_off[i]] = hh
+    return out
 
 
 def _minhash_signatures_sql(
@@ -259,12 +306,16 @@ def minhash_neardup(
     return jaccard_verify(docs, pairs, shingle_k, threshold)
 
 
-def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, col: str = "text", impl: str = "numpy") -> DataFrame:
     """64-bit SimHash over whitespace tokens → (doc_id, simhash: bigint).
 
     bit i set ⇔ sum over tokens of ±1 (sign of token-hash bit i) > 0.
-    One aggregate over the token-hash array (evaluated once per row); the
-    per-token step updates all 64 counters with cheap bit arithmetic."""
+    Default ``numpy`` impl: per-token xxhash64 stays JVM-side, the 64
+    per-bit counters run as one vectorized bit-matrix reduction per Arrow
+    batch (the Catalyst 64-counter fold, kept as ``impl="sql"``, suffers
+    the same one-shot JIT-warm-up cliff as the MinHash fold)."""
+    if impl == "numpy":
+        return _simhash_np(docs, col)
     toks = F.split(F.trim(F.col(col)), WS_SPLIT)
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # bit masks 2^0..2^62, then the sign bit as min-long (two's complement)
@@ -290,6 +341,50 @@ def simhash(docs: DataFrame, col: str = "text") -> DataFrame:
         lambda acc, v: acc + v,
     )
     return docs.select("doc_id", val.alias("simhash"))
+
+
+def _simhash_np(docs: DataFrame, col: str = "text") -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.split(F.trim(F.col(col)), WS_SPLIT)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    src = docs.select("doc_id", th.alias("th"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def fn(batches):
+        for p in batches:
+            arrs = [np.asarray(a, dtype=np.int64) for a in p["th"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame(
+                    {"doc_id": p["doc_id"], "simhash": np.zeros(len(arrs), np.int64)}
+                )
+                continue
+            flat = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            contrib = 2 * bits - 1  # ±1 per bit per token
+            nz = lens > 0
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            counts = np.add.reduceat(contrib, offsets, axis=0)  # (rows, 64)
+            vals = ((counts > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = np.zeros(len(arrs), dtype=np.uint64)
+            out[nz] = vals
+            yield pd.DataFrame(
+                {"doc_id": p["doc_id"], "simhash": out.view(np.int64)}
+            )
+
+    return src.mapInPandas(fn, schema=schema)
 
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

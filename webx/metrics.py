@@ -126,6 +126,11 @@ def det_metrics(
         )
         p = p.join(covered, ["url", "p_idx"], "left_anti")
     g = _explode(golden, "g")
+    # p's lineage holds the whole detect pass and is referenced by both
+    # the match join and the n_pred count (g likewise) — materialize each
+    # once so the detector runs exactly once per metrics call
+    p = p.localCheckpoint(eager=False)
+    g = g.localCheckpoint(eager=False)
     tp = _match_pairs(p, g, iou_thresh).agg(F.count("*").alias("tp"))
     counts = (
         g.agg(F.count("*").alias("n_golden"))

@@ -456,6 +456,35 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _encode_vocab() -> list:
+    from webx.textstats import LANG_STOPWORDS
+
+    return sorted({w for _, sw in LANG_STOPWORDS for w in sw})
+
+
+def q_token_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """str2idx + RecCTCLabelEncode analog (rec_transforms.py:93-106):
+    word-level vocab lookup with OOV skip, blank-padded to max_len;
+    docs with >64 tokens hit the invalid path (all-blank, length 0)."""
+    from webx.encode import ctc_encode
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    return ctc_encode(docs, "text", _encode_vocab(), max_len=64, lower=True).select(
+        "doc_id", "length", "text_seq"
+    )
+
+
+def q_token_ids_attn(spark: SparkSession, sf: str) -> DataFrame:
+    """RecAttnLabelEncode analog (rec_transforms.py:171-181): GO/STOP
+    sentinel framing + GO padding, vocab ids shifted past the specials."""
+    from webx.encode import attn_encode
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    return attn_encode(docs, "text", _encode_vocab(), max_len=64, lower=True).select(
+        "doc_id", "length", "text_seq"
+    )
+
+
 def q_sentinel_truncate(spark: SparkSession, sf: str) -> DataFrame:
     """Attention `<STOP>` truncation analog (rec_postprocess.py:213-218):
     text before the first '. ' sentinel; missing sentinel ⇒ empty (the
@@ -610,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_parts": q_topk_parts,
         "q_lang_host_rollup": q_lang_host_rollup,
         "q_sentinel_truncate": q_sentinel_truncate,
+        "q_token_ids": q_token_ids,
+        "q_token_ids_attn": q_token_ids_attn,
         "q_host_stats": q_host_stats,
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
@@ -638,6 +669,45 @@ def _langid_oracle_sql() -> str:
         f"{WS_SPLIT_SQL}), w -> lower(w)) AS toks FROM documents), "
         f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t) "
         f"SELECT doc_id, (CASE WHEN {best} < 1 THEN 'und' {cases} END) AS pred_lang FROM s"
+    )
+
+
+def _token_ids_oracle_sql(attn: bool, max_len: int = 64) -> str:
+    """DuckDB mirror of webx.encode.ctc_encode / attn_encode over the
+    same LANG_STOPWORDS-derived vocab (generated from one source so the
+    two can never drift)."""
+    vocab = _encode_vocab()
+    vl = "[" + ",".join(f"'{w}'" for w in vocab) + "]"
+    off = 2 if attn else 0
+    blank = len(vocab)
+    base = (
+        f"WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL}), w -> lower(w)) AS toks FROM documents), "
+        f"i AS (SELECT doc_id, len(toks) AS n, "
+        f"list_transform(list_filter(toks, t -> list_contains({vl}, t)), "
+        f"t -> list_position({vl}, t) - 1 + {off}) AS ids FROM t), "
+        f"v AS (SELECT doc_id, ids, "
+        f"(n > 0 AND n <= {max_len} AND len(ids) > 0) AS valid FROM i) "
+    )
+    if attn:
+        seq = (
+            "list_concat(list_concat(list_concat([0], iv), [1]), "
+            f"list_transform(generate_series(1, {max_len} - len(iv)), x -> 0))"
+        )
+        return base + (
+            "SELECT doc_id, CAST(CASE WHEN valid THEN len(ids) ELSE 0 END AS INT) AS length, "
+            f"CAST({seq} AS INT[]) AS text_seq FROM "
+            "(SELECT doc_id, ids, valid, "
+            "CASE WHEN valid THEN ids ELSE [] END AS iv FROM v)"
+        )
+    seq = (
+        "CASE WHEN valid THEN list_concat(ids, "
+        f"list_transform(generate_series(1, {max_len} - len(ids)), x -> {blank})) "
+        f"ELSE list_transform(generate_series(1, {max_len}), x -> {blank}) END"
+    )
+    return base + (
+        "SELECT doc_id, CAST(CASE WHEN valid THEN len(ids) ELSE 0 END AS INT) AS length, "
+        f"CAST({seq} AS INT[]) AS text_seq FROM v"
     )
 
 
@@ -829,6 +899,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        "q_token_ids": _token_ids_oracle_sql(attn=False),
+        "q_token_ids_attn": _token_ids_oracle_sql(attn=True),
         "q_sentinel_truncate": (
             "SELECT doc_id, CASE WHEN strpos(text, '. ') > 0 "
             "THEN substr(text, 1, strpos(text, '. ') - 1) ELSE '' END AS prefix "

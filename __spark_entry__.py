@@ -360,8 +360,14 @@ def _emb_with_planted(spark, sf):
 
 
 def q_neardup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup: all-pairs exact baseline finds exactly
-    the planted scaled copies (cos = 1)."""
+    """Embedding-cosine near-dup via the default LSH-candidate + exact-
+    rerank path (no driver collect). The oracle is the exact all-pairs
+    truth: equality holds because the only ≥0.95 pairs in this corpus
+    are the planted COLLINEAR copies (cos = 1), which every hyperplane
+    table buckets together — LSH recall is exactly 1 for them. On data
+    with pairs near the 0.95 boundary the LSH path is approximate
+    (recall ≈ 0.96 at the boundary, see cosine_neardup_pairs); exactness
+    on arbitrary data needs method="exact"."""
     return (
         cosine_neardup_pairs(_emb_with_planted(spark, sf), threshold=0.95)
         .select("id_a", "id_b")

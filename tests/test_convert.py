@@ -83,3 +83,12 @@ def test_sentinel_truncation_reference_policy(spark):
     }
     # first occurrence truncates; MISSING sentinel decodes to EMPTY
     assert rows == {"a": "keep this", "b": ""}
+
+
+def test_det_labels_malformed_line_fails_loudly(spark, tmp_path):
+    import pytest as _pt
+
+    p = tmp_path / "bad.txt"
+    p.write_text("https://a/1 no tab here\n")
+    with _pt.raises(Exception, match="malformed line"):
+        convert(spark, "det_labels", str(p)).collect()

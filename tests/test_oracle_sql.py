@@ -104,3 +104,24 @@ def test_simhash_oracle_equals_spark(spark):
     assert _spark_pairs(E.q_dedup_simhash, spark, sf) == _oracle_pairs(
         simhash_oracle_sql(max_hamming=3), sf
     )
+
+
+@pytest.mark.slow
+def test_minhash_oracle_generalizes_shingle_k(spark):
+    """The oracle's signature stage is generated for any k — k=2 must
+    mirror the Spark pipeline with shingle_k=2 exactly."""
+    import duckdb as _d
+
+    from webx.dedup import minhash_neardup
+
+    sf = "/root/testdata/sf0.001"
+    import __spark_entry__ as E
+
+    docs = E._docs_with_neardups(spark, sf)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup(docs, shingle_k=2, threshold=0.6).collect()
+    )
+    assert got == _oracle_pairs(
+        minhash_oracle_sql(shingle_k=2, threshold=0.6), sf
+    )

@@ -110,3 +110,27 @@ def test_flate_stream_length_as_ref():
     )
     text, _ = parse_pdf(b"".join(out))
     assert text == "x"
+
+
+def test_bt_et_inside_string_literals_do_not_truncate():
+    """'ET'/'BT' appearing in the TEXT must not close/open regions —
+    the lexer walks strings with full escape/nesting semantics."""
+    body = "report ET al and BT units"
+    raw = write_pdf("T", body)
+    text, _ = parse_pdf(raw)
+    assert text == "T\n" + body
+
+
+def test_nested_unescaped_parens_in_string():
+    region = b"BT (a (b) c) Tj ET"
+    assert decode_text_object(region) == "a (b) c"
+    # and detection doesn't stop inside the string either
+    content = b"BT (x (ET) y) Tj ET BT (z) Tj ET"
+    assert len(detect_text_objects(content)) == 2
+
+
+def test_hex_string_show():
+    region = b"BT <48656c6c6f> Tj ET"
+    assert decode_text_object(region) == "Hello"
+    region2 = b"BT <48656c6c6f2> Tj ET"  # odd digits -> trailing 0
+    assert decode_text_object(region2) == "Hello "

@@ -110,6 +110,7 @@ def test_minhash_impls_identical(spark, n_hashes):
         (2, "the quick brown fox jumps over the lazy dog again and"),
         (3, "short"),
         (4, ""),
+        (5, None),  # NULL text: both impls hash the empty token fold
     ]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
     a = {
@@ -157,6 +158,7 @@ def test_simhash_impls_identical(spark):
         (2, "the quick brown fox jumps over the lazy cat"),
         (3, "x"),
         (4, ""),
+        (5, None),
     ]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
     a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="numpy").collect()}

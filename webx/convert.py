@@ -56,11 +56,20 @@ def _csv_docs(spark: SparkSession, path: str) -> DataFrame:
 def _det_labels(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path)
     tab = F.instr("value", "\t")
+    # a line without the tab separator is corrupt label data — fail the
+    # job loudly (the reference converters raise on malformed input)
+    # rather than emitting empty-url NULL-span rows that silently poison
+    # downstream url joins
+    url = F.when(tab > 0, F.substring("value", 1, tab - 1)).otherwise(
+        F.raise_error(
+            F.concat(F.lit("det_labels: malformed line (no tab): "), F.col("value"))
+        )
+    )
     return lines.select(
-        F.substring("value", 1, tab - 1).alias("url"),
-        F.from_json(F.expr("substring(value, instr(value, '\t') + 1)"), SPAN_SCHEMA).alias(
-            "spans"
-        ),
+        url.alias("url"),
+        F.from_json(
+            F.expr("substring(value, instr(value, '\t') + 1)"), SPAN_SCHEMA
+        ).alias("spans"),
     )
 
 

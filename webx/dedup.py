@@ -119,7 +119,13 @@ def minhash_signatures(
 
     def fn(batches):
         for p in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in p["th"]]
+            # NULL text → NULL token array from Arrow; treat as token-less
+            # (signature = the empty-fold shingle, matching the sql impl's
+            # null-skipping xxhash64 fold — covered in test_xxh64)
+            arrs = [
+                np.asarray(a if a is not None else [], dtype=np.int64)
+                for a in p["th"]
+            ]
             if not arrs:
                 yield pd.DataFrame({"doc_id": p["doc_id"][:0], "sig": []})
                 continue
@@ -199,35 +205,21 @@ def _minhash_signatures_sql(
     return docs.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list,
+    id_col: str,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band hash → candidate pairs (a < b).
-
-    One signature pass → explode to (band, band_hash) → groupBy bucket →
-    expand ordered pairs inside each bucket. ``max_bucket`` (scale knob)
-    drops buckets larger than the cap — log the dropped count upstream."""
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
+    """Shared LSH bucket→candidate-pair expansion: group ``df`` by
+    ``bucket_cols``, expand the ordered (id_a < id_b) pairs within each
+    bucket, distinct across buckets. ``max_bucket`` (scale knob) drops
+    buckets larger than the cap — log the dropped count upstream. Used by
+    the MinHash banding here and the embedding near-dup tables
+    (webx/similarity.py)."""
     buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
@@ -246,6 +238,34 @@ def lsh_candidate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash → candidate pairs (a < b).
+
+    One signature pass → explode to (band, band_hash) → shared
+    ``bucket_pairs`` expansion."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    return bucket_pairs(banded, ["band", "bh"], "doc_id", max_bucket)
 
 
 def jaccard_verify(
@@ -340,7 +360,8 @@ def simhash(docs: DataFrame, col: str = "text", impl: str = "numpy") -> DataFram
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return docs.select("doc_id", val.alias("simhash"))
+    # NULL text folds to NULL; define it as simhash 0 (the no-token doc)
+    return docs.select("doc_id", F.coalesce(val, F.lit(0)).alias("simhash"))
 
 
 def _simhash_np(docs: DataFrame, col: str = "text") -> DataFrame:
@@ -361,7 +382,10 @@ def _simhash_np(docs: DataFrame, col: str = "text") -> DataFrame:
 
     def fn(batches):
         for p in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in p["th"]]
+            arrs = [
+                np.asarray(a if a is not None else [], dtype=np.int64)
+                for a in p["th"]
+            ]
             lens = np.array([len(a) for a in arrs], dtype=np.int64)
             if lens.sum() == 0:
                 yield pd.DataFrame(

@@ -229,18 +229,23 @@ def minhash_oracle_sql(
     output bit-for-bit. The hot per-(shingle, slot) stage runs as
     flattened vectorized column arithmetic (see ``_chain``)."""
     rpb = n_hashes // bands
-    k1 = shingle_k - 1  # duckdb list slice is inclusive: toks[i:i+k-1]
+    k = shingle_k
+    k1 = k - 1  # duckdb list slice is inclusive: toks[i:i+k-1]
     # shingle hash = seed-42 fold of the k consecutive token hashes
-    sh_steps = (
-        _hash_long_steps("t1", "42::HUGEINT", "a")
-        + _hash_long_steps("t2", "ahh", "b")
-        + _hash_long_steps("t3", "bhh", "c")
-        # inner rehash: xxhash64(shingle_hash) — slot-independent part
-        + _hash_long_steps("chh", "42::HUGEINT", "d")
-    )
+    # (generated for any k: k chained hash_long steps + the inner rehash)
+    sh_steps: list[tuple[str, str]] = []
+    prev = "42::HUGEINT"
+    for j in range(k):
+        p = f"s{j}"
+        sh_steps += _hash_long_steps(f"t{j+1}", prev, p)
+        prev = f"{p}hh"
+    sh_steps += _hash_long_steps(prev, "42::HUGEINT", "d")  # inner rehash
     shw_src = (
-        "SELECT doc_id, unnest(th[1:n-2]) AS t1, unnest(th[2:n-1]) AS t2, "
-        "unnest(th[3:n]) AS t3 FROM thl WHERE n >= 3"
+        "SELECT doc_id, "
+        + ", ".join(
+            f"unnest(th[{j+1}:n-{k1 - j}]) AS t{j+1}" for j in range(k)
+        )
+        + f" FROM thl WHERE n >= {k}"
     )
     slot_steps = _hash_int_steps("slot", "ih", "s")
     slot_src = (
@@ -278,7 +283,7 @@ ih_short AS (
         list_prepend([42::HUGEINT], list_transform(th, x -> [x])),
         (acc, v) -> [xhash_long(v[1], acc[1])])[1],
       42::HUGEINT) AS ih
-  FROM thl WHERE n < 3),
+  FROM thl WHERE n < {k}),
 ih_all AS (SELECT * FROM ih_win UNION ALL SELECT * FROM ih_short),
 slot AS ({_chain(slot_src, slot_steps, "doc_id, slot, shh AS sh64")}),
 sig AS (

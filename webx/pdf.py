@@ -296,33 +296,69 @@ def page_content_streams(raw: bytes) -> List[bytes]:
 
 # ------------------------------------------------------------ text decode
 
-_BT_RE = re.compile(rb"\bBT\b")
-_ET_RE = re.compile(rb"\bET\b")
+# Content-stream lexer: ONE regex drives both region detection and the
+# decode scan, with a dedicated alternative for the string OPENER so the
+# scanner can hand balanced/escaped strings to _parse_string — a naive
+# string regex (or a bare \bET\b search) would terminate at the first
+# unescaped ')' or match a BT/ET *inside* a string literal, silently
+# corrupting text that contains those tokens.
+_CTOK_RE = re.compile(
+    rb"\("                     # string opener → scanner calls _parse_string
+    rb"|<[0-9A-Fa-f\s]*>"       # hex string (skipped as data)
+    rb"|\[|\]"
+    rb"|/[A-Za-z0-9#._-]+"
+    rb"|[+-]?\d+(?:\.\d+)?|[+-]?\.\d+"
+    rb"|[A-Za-z'\"*][A-Za-z0-9'\"*]*"
+)
+
+
+def _content_tokens(content: bytes, pos: int = 0, end: Optional[int] = None):
+    """Yield (kind, value, tok_start, tok_end) over a content stream:
+    kind 'str' (raw string bytes), 'num', 'name', 'delim', or 'op'.
+    String literals are consumed with full nesting/escape semantics."""
+    n = len(content) if end is None else end
+    while pos < n:
+        m = _CTOK_RE.search(content, pos, n)
+        if not m:
+            return
+        tok = m.group(0)
+        if tok == b"(":
+            try:
+                s, pos2 = _parse_string(content, m.start())
+            except ValueError:
+                return  # unterminated string: stop the scan
+            yield ("str", s, m.start(), pos2)
+            pos = pos2
+            continue
+        pos = m.end()
+        if tok.startswith(b"<"):
+            yield ("hex", tok, m.start(), pos)
+        elif tok in (b"[", b"]"):
+            yield ("delim", tok, m.start(), pos)
+        elif tok.startswith(b"/"):
+            yield ("name", tok, m.start(), pos)
+        elif re.match(rb"[+-]?[\d.]", tok):
+            yield ("num", tok, m.start(), pos)
+        else:
+            yield ("op", tok, m.start(), pos)
 
 
 def detect_text_objects(content: bytes) -> List[Tuple[int, int]]:
     """Stage 1 within a content stream: (start, end) byte regions of
-    BT…ET text objects — the region proposals."""
+    BT…ET text objects — the region proposals. BT/ET are matched as
+    OPERATOR tokens by the string-aware lexer, so 'BT'/'ET' appearing
+    inside string literals cannot open or close a region."""
     regions = []
-    pos = 0
-    while True:
-        m = _BT_RE.search(content, pos)
-        if not m:
-            return regions
-        e = _ET_RE.search(content, m.end())
-        if not e:
-            return regions
-        regions.append((m.start(), e.end()))
-        pos = e.end()
-
-
-_TOK_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"  # literal string (escapes handled later)
-    rb"|\[|\]"
-    rb"|/[A-Za-z0-9#._-]+"
-    rb"|[+-]?\d+(?:\.\d+)?"
-    rb"|[A-Za-z'\"*]+"
-)
+    start: Optional[int] = None
+    for kind, tok, t0, t1 in _content_tokens(content):
+        if kind != "op":
+            continue
+        if tok == b"BT" and start is None:
+            start = t0
+        elif tok == b"ET" and start is not None:
+            regions.append((start, t1))
+            start = None
+    return regions
 
 
 def decode_text_object(region: bytes) -> str:
@@ -336,19 +372,23 @@ def decode_text_object(region: bytes) -> str:
     last_ty: Optional[float] = None
 
     def show(s: bytes) -> None:
-        lines[-1] += _decode_pdf_string(s)
+        lines[-1] += s.decode("utf-8", errors="replace")
 
     def newline() -> None:
         if lines[-1] != "" or len(lines) == 1:
             lines.append("")
 
-    for m in _TOK_RE.finditer(region):
-        tok = m.group(0)
-        if tok.startswith(b"("):
-            stack.append(tok)
-        elif tok in (b"[", b"]") or tok.startswith(b"/"):
-            continue  # array delimiters and name operands don't clear state
-        elif re.match(rb"[+-]?\d", tok):
+    for kind, tok, _, _ in _content_tokens(region):
+        if kind == "str":
+            stack.append(tok)  # already-decoded raw bytes
+        elif kind == "hex":
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"  # PDF: odd final digit implies trailing 0
+            stack.append(bytes.fromhex(hx.decode("ascii")))
+        elif kind in ("delim", "name"):
+            continue  # array delimiters / name operands don't clear state
+        elif kind == "num":
             nums.append(float(tok))
         else:
             op = tok
@@ -378,11 +418,6 @@ def decode_text_object(region: bytes) -> str:
             stack = []
             nums = []
     return "\n".join(line for line in lines if line != "")
-
-
-def _decode_pdf_string(tok: bytes) -> str:
-    s, _ = _parse_string(tok, 0)
-    return s.decode("utf-8", errors="replace")
 
 
 def parse_pdf(raw: bytes) -> Tuple[str, List[Tuple[int, int]]]:

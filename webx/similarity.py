@@ -183,27 +183,9 @@ def _cosine_neardup_lsh(
             )
 
     banded = emb.select("vec_id", "embedding").mapInPandas(fn, banded_schema)
-    buckets = (
-        banded.groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    from webx.dedup import bucket_pairs
+
+    pairs = bucket_pairs(banded, ["tbl", "bucket"], "vec_id", max_bucket)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     cos = (_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b"))).alias("cos")

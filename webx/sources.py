@@ -278,8 +278,12 @@ def read_keyed_store(
     bases = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts else np.array([])
     total = int(sum(counts))
     cutoff = total if sample_ratio >= 1.0 else round(total * sample_ratio)
-    base_by_path = {
-        "file:" + os.path.abspath(p): int(b) for p, b in zip(shard_paths, bases)
+    # keyed by shard BASENAME (unique within a store by construction):
+    # Spark's binaryFile path column is a URL (scheme + percent-encoding),
+    # so exact full-path string matching would silently miss — and a miss
+    # must be a loud KeyError, never a default base of 0
+    base_by_name = {
+        os.path.basename(p): int(b) for p, b in zip(shard_paths, bases)
     }
     keep = [
         p
@@ -288,7 +292,7 @@ def read_keyed_store(
     ]
     if not keep:
         return spark.createDataFrame([], KEYED_SCHEMA)
-    b_bases = spark.sparkContext.broadcast(base_by_path)
+    b_bases = spark.sparkContext.broadcast(base_by_name)
 
     files = (
         spark.read.format("binaryFile")
@@ -300,8 +304,10 @@ def read_keyed_store(
         bases_map = b_bases.value
         for pdf in batches:
             rows = {"global_idx": [], "key": [], "label": [], "value": []}
+            from urllib.parse import unquote, urlparse
+
             for p, content in zip(pdf["path"], pdf["content"]):
-                base = bases_map.get(_strip_scheme(p), 0)
+                base = bases_map[os.path.basename(unquote(urlparse(p).path))]
                 for i, (key, label, value) in enumerate(
                     parse_keyed_shard(bytes(content))
                 ):
@@ -315,7 +321,3 @@ def read_keyed_store(
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema=KEYED_SCHEMA)
-
-
-def _strip_scheme(p: str) -> str:
-    return "file:" + p[len("file:") :] if p.startswith("file:") else "file:" + p

@@ -219,3 +219,41 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup keeps the FIRST occurrence of each content
+    fingerprint, including duplicates arriving in a LATER drain — the
+    seen-set lives in the state store across restarts."""
+    from webx.streaming import dedup_stream, read_pages_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    pages = synth.synth_pages(spark, SF_SMALL).limit(40)
+
+    def drain():
+        src = read_pages_stream(spark, inp)
+        q = (
+            dedup_stream(src)
+            .select("url", "fp")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pages.write.mode("append").parquet(inp)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40  # all distinct in the first batch
+
+    # append the SAME pages again (a re-crawled snapshot): the second
+    # drain must emit zero new rows — duplicates recognized via state
+    pages.write.mode("append").parquet(inp)
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 40
+    assert final.select("fp").distinct().count() == 40

@@ -125,3 +125,26 @@ def test_minhash_oracle_generalizes_shingle_k(spark):
     assert got == _oracle_pairs(
         minhash_oracle_sql(shingle_k=2, threshold=0.6), sf
     )
+
+
+def test_sql_string_hash_random_unicode(con):
+    """Property check: 120 pseudo-random unicode strings (mixed ASCII /
+    multibyte / emoji / long) through the SQL byte-level XXH64 must match
+    the Python reference byte-for-byte. One batched query."""
+    import random as _r
+
+    rng = _r.Random(1234)
+    pool = "abcdefghij KLMNOP 0123456789 _-.,!? éü漢字🎉  "
+    strs = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 120)))
+        for _ in range(120)
+    ]
+    con.execute("CREATE OR REPLACE TEMP TABLE rs (id INT, s VARCHAR)")
+    con.executemany("INSERT INTO rs VALUES (?, ?)", list(enumerate(strs)))
+    sql = (
+        "WITH "
+        + xxh64_str_ctes("rs", "id, s", "s")
+        + " SELECT id, s, h FROM xh_out ORDER BY id"
+    )
+    for i, s, h in con.execute(sql).fetchall():
+        assert int(h) == X.hash_bytes(s.encode("utf-8")), (i, repr(s))

@@ -134,3 +134,20 @@ def test_hex_string_show():
     assert decode_text_object(region) == "Hello"
     region2 = b"BT <48656c6c6f2> Tj ET"  # odd digits -> trailing 0
     assert decode_text_object(region2) == "Hello "
+
+
+def test_roundtrip_property_random_text():
+    """Random printable text (parens, backslashes, newlines-as-spaces,
+    unicode) survives the write→parse roundtrip byte-identically."""
+    import random
+
+    rng = random.Random(77)
+    pool = "abc XYZ 09 ()\\\\ (( )) éü漢🎉 .,!?"
+    for _ in range(40):
+        title = "".join(rng.choice(pool) for _ in range(rng.randrange(1, 20)))
+        body = "".join(rng.choice(pool) for _ in range(rng.randrange(1, 200)))
+        # balanced-paren guarantee not required: _esc escapes them all
+        raw = write_pdf(title, body, compress=bool(rng.getrandbits(1)))
+        text, spans = parse_pdf(raw)
+        assert text == title + "\n" + body
+        assert spans == [(0, len(text))]

@@ -223,3 +223,31 @@ def running_user_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    pages: DataFrame,
+    key_cols: tuple = ("fp",),
+    fingerprint_col: str = "html",
+    watermark: tuple = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST occurrence of each content
+    fingerprint across micro-batches — the streaming twin of
+    webx.dedup.exact_dedup, for continuous crawl ingestion where the
+    same page recurs across snapshots.
+
+    State is the seen-fingerprint set in the state store, keyed by
+    ``md5(fingerprint_col)``. Unbounded streams MUST pass ``watermark``
+    as ``(event_time_col, delay)`` — that switches to
+    ``dropDuplicatesWithinWatermark`` so state ages out; without it the
+    seen-set grows forever (fine for bounded AvailableNow drains, the
+    test mode; a crawl snapshot ingest is exactly that)."""
+    with_fp = pages.withColumn(
+        "fp", F.md5(F.col(fingerprint_col).cast("binary"))
+    )
+    if watermark is not None:
+        col, delay = watermark
+        return with_fp.withWatermark(col, delay).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return with_fp.dropDuplicates(list(key_cols))

@@ -462,6 +462,20 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lang_host_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """``cube()`` sibling of q_lang_host_rollup: all four grouping sets
+    (lang×host, lang, host, grand total) over the documents table."""
+    docs = synth.load_documents(spark, sf)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+    )
+    return (
+        docs.select("lang", host.alias("host"), F.length("text").alias("chars"))
+        .cube("lang", "host")
+        .agg(F.count("*").alias("n_docs"), F.sum("chars").alias("sum_chars"))
+    )
+
+
 def _encode_vocab() -> list:
     from webx.textstats import LANG_STOPWORDS
 
@@ -644,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_semi": q_join_semi,
         "q_topk_parts": q_topk_parts,
         "q_lang_host_rollup": q_lang_host_rollup,
+        "q_lang_host_cube": q_lang_host_cube,
         "q_sentinel_truncate": q_sentinel_truncate,
         "q_token_ids": q_token_ids,
         "q_token_ids_attn": q_token_ids_attn,
@@ -904,6 +919,13 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_lang_host_cube": (
+            "SELECT lang, host, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS sum_chars FROM ("
+            "SELECT lang, ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            "text FROM documents) "
+            "GROUP BY CUBE(lang, host)"
         ),
         "q_token_ids": _token_ids_oracle_sql(attn=False),
         "q_token_ids_attn": _token_ids_oracle_sql(attn=True),

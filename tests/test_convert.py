@@ -92,3 +92,17 @@ def test_det_labels_malformed_line_fails_loudly(spark, tmp_path):
     p.write_text("https://a/1 no tab here\n")
     with _pt.raises(Exception, match="malformed line"):
         convert(spark, "det_labels", str(p)).collect()
+
+
+def test_config_preset_registry():
+    import pytest as _pt
+
+    from webx.config import ExtractConfig, create_config
+
+    assert create_config("default") == ExtractConfig()
+    assert create_config("strict").drop_score == 0.7
+    assert create_config({"box_thresh": 0.9}).box_thresh == 0.9
+    same = ExtractConfig(merge_gap=2)
+    assert create_config(same) is same
+    with _pt.raises(ValueError, match="crawl.*default.*recall|supported"):
+        create_config("nope")

@@ -22,7 +22,7 @@ from webx import oracles as _oracles, synth
 from webx.config import ExtractConfig
 from webx.dedup import exact_dedup, jaccard_verify, minhash_neardup, simhash_neardup
 from webx.media import media_features, synth_media
-from webx.metrics import det_metrics, rec_metrics
+from webx.metrics import det_metrics
 from webx.pipeline import explode_spans, run_detect, run_extraction
 from webx.similarity import (
     cosine_neardup_pairs,

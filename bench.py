@@ -89,14 +89,14 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # straggler mitigation: the shared sandbox host occasionally
+        # NOTE on stragglers: the shared sandbox host occasionally
         # freezes a worker for tens of seconds (observed 60x per-query
-        # spikes); speculative re-launch is the standard production
-        # answer and costs nothing when tasks are healthy
-        .config("spark.speculation", "true")
-        .config("spark.speculation.interval", "1s")
-        .config("spark.speculation.multiplier", "4")
-        .config("spark.speculation.quantile", "0.9")
+        # spikes on code that runs in ~1s warm). On a real cluster the
+        # mitigation is spark.speculation=true — but Spark's speculation
+        # scheduler only starts under a non-local master
+        # (TaskSchedulerImpl.start gates on !isLocal), so setting it
+        # here would be dead config; local-mode runs simply eat the
+        # host's noise. Bench totals therefore vary with host load.
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -103,7 +103,9 @@ def create_config(name_or_dict) -> ExtractConfig:
         return name_or_dict
     if isinstance(name_or_dict, dict):
         return ExtractConfig.from_dict(name_or_dict)
-    if name_or_dict not in PRESETS:
+    # non-str (e.g. a list from a mis-shaped YAML) must hit the
+    # contractual ValueError, not TypeError from the dict lookup
+    if not isinstance(name_or_dict, str) or name_or_dict not in PRESETS:
         raise ValueError(
             f"unknown extractor preset {name_or_dict!r}; "
             f"supported: {sorted(PRESETS)}"

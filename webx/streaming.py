@@ -231,10 +231,15 @@ def dedup_stream(
     fingerprint_col: str = "html",
     watermark: tuple = None,
 ) -> DataFrame:
-    """Streaming exact dedup: keep the FIRST occurrence of each content
-    fingerprint across micro-batches — the streaming twin of
-    webx.dedup.exact_dedup, for continuous crawl ingestion where the
-    same page recurs across snapshots.
+    """Streaming exact dedup: keep ONE occurrence of each content
+    fingerprint — the streaming twin of webx.dedup.exact_dedup, for
+    continuous crawl ingestion where the same page recurs across
+    snapshots. ACROSS micro-batches the survivor is the first-arriving
+    batch's row (later batches' duplicates are dropped via state);
+    WITHIN a micro-batch ``dropDuplicates`` keeps an arbitrary row per
+    key — unlike the batch twin's deterministic ``min(doc_id)``
+    tie-break. If intra-batch determinism matters, pre-aggregate the
+    batch (e.g. ``min_by`` per fp) before this operator.
 
     State is the seen-fingerprint set in the state store, keyed by
     ``md5(fingerprint_col)``. Unbounded streams MUST pass ``watermark``

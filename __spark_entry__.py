@@ -462,6 +462,24 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles of doc length per language — the
+    corpus-profiling aggregate a curation pipeline runs before choosing
+    quality-filter thresholds. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    doubles agree bit-for-bit."""
+    docs = synth.load_documents(spark, sf)
+    ln = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min(ln).alias("min_len"),
+        F.percentile(ln, 0.5).alias("p50"),
+        F.percentile(ln, 0.9).alias("p90"),
+        F.percentile(ln, 0.99).alias("p99"),
+        F.max(ln).alias("max_len"),
+    )
+
+
 def q_lang_host_cube(spark: SparkSession, sf: str) -> DataFrame:
     """``cube()`` sibling of q_lang_host_rollup: all four grouping sets
     (lang×host, lang, host, grand total) over the documents table."""
@@ -659,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_parts": q_topk_parts,
         "q_lang_host_rollup": q_lang_host_rollup,
         "q_lang_host_cube": q_lang_host_cube,
+        "q_length_percentiles": q_length_percentiles,
         "q_sentinel_truncate": q_sentinel_truncate,
         "q_token_ids": q_token_ids,
         "q_token_ids_attn": q_token_ids_attn,
@@ -919,6 +938,15 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_length_percentiles": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(min(length(text)) AS INT) AS min_len, "
+            "quantile_cont(length(text), 0.5) AS p50, "
+            "quantile_cont(length(text), 0.9) AS p90, "
+            "quantile_cont(length(text), 0.99) AS p99, "
+            "CAST(max(length(text)) AS INT) AS max_len "
+            "FROM documents GROUP BY lang"
         ),
         "q_lang_host_cube": (
             "SELECT lang, host, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -462,6 +462,30 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.5, "fr": 1.0, "zh": 0.1}
+SPLIT_WEIGHTS, SPLIT_NAMES = (0.8, 0.1, 0.1), ("train", "val", "test")
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (webx/sampling.py):
+    membership = content-hash bucket under a per-stratum threshold —
+    reproducible on any partitioning/cluster/engine, unlike Bernoulli
+    sampleBy. The oracle recomputes membership via the XXH64 port."""
+    from webx.sampling import stratified_sample
+
+    docs = synth.load_documents(spark, sf)
+    return stratified_sample(docs, "lang", STRATA_FRACTIONS).select("doc_id", "lang")
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Append-stable train/val/test split assignment (hash thresholds,
+    not random draws — new rows never flip existing rows' splits)."""
+    from webx.sampling import split_assign
+
+    docs = synth.load_documents(spark, sf)
+    return split_assign(docs, SPLIT_WEIGHTS, SPLIT_NAMES).select("doc_id", "split")
+
+
 def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles of doc length per language — the
     corpus-profiling aggregate a curation pipeline runs before choosing
@@ -678,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_host_rollup": q_lang_host_rollup,
         "q_lang_host_cube": q_lang_host_cube,
         "q_length_percentiles": q_length_percentiles,
+        "q_stratified_sample": q_stratified_sample,
+        "q_split_assign": q_split_assign,
         "q_sentinel_truncate": q_sentinel_truncate,
         "q_token_ids": q_token_ids,
         "q_token_ids_attn": q_token_ids_attn,
@@ -709,6 +735,34 @@ def _langid_oracle_sql() -> str:
         f"{WS_SPLIT_SQL}), w -> lower(w)) AS toks FROM documents), "
         f"s AS (SELECT doc_id, {', '.join(score_cols)} FROM t) "
         f"SELECT doc_id, (CASE WHEN {best} < 1 THEN 'und' {cases} END) AS pred_lang FROM s"
+    )
+
+
+def _sampling_oracle_sql(kind: str) -> str:
+    """DuckDB mirrors of webx.sampling via the XXH64 macro port —
+    thresholds generated from the SAME constants the queries use."""
+    B = 1_000_000
+    if kind == "stratified":
+        cases = " ".join(
+            f"WHEN '{k}' THEN {int(round(v * B))}"
+            for k, v in STRATA_FRACTIONS.items()
+        )
+        return _oracles.XXH64_MACROS + (
+            f"SELECT doc_id, lang FROM documents "
+            f"WHERE {_oracles.hash_bucket_sql('doc_id', 42)} < "
+            f"(CASE lang {cases} ELSE 0 END)"
+        )
+    cuts, acc = [], 0.0
+    for w in SPLIT_WEIGHTS[:-1]:
+        acc += w
+        cuts.append(int(round(acc * B)))
+    chain_sql = " ".join(
+        f"WHEN b < {c} THEN '{n}'" for n, c in zip(SPLIT_NAMES, cuts)
+    )
+    return _oracles.XXH64_MACROS + (
+        f"SELECT doc_id, CASE {chain_sql} ELSE '{SPLIT_NAMES[-1]}' END AS split "
+        f"FROM (SELECT doc_id, {_oracles.hash_bucket_sql('doc_id', 7)} AS b "
+        "FROM documents)"
     )
 
 
@@ -939,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        "q_stratified_sample": _sampling_oracle_sql("stratified"),
+        "q_split_assign": _sampling_oracle_sql("split"),
         "q_length_percentiles": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(min(length(text)) AS INT) AS min_len, "

@@ -312,6 +312,14 @@ SELECT id_a, id_b FROM ver WHERE jac >= {threshold}
 """
 
 
+def hash_bucket_sql(key_expr: str, salt: int, buckets: int = 1_000_000) -> str:
+    """Mirror of webx.sampling.hash_bucket: pmod(xxhash64(key, salt),
+    buckets) — key is a BIGINT column (8-byte path), salt an int literal
+    (4-byte path), pmod on the SIGNED hash."""
+    h = f"xsigned(xhash_int({salt}::HUGEINT, xhash_long(xunsigned({key_expr}), 42::HUGEINT)))"
+    return f"((({h}) % {buckets}) + {buckets}) % {buckets}"
+
+
 EMB_DIM = 64  # every driver embeddings table is 64-dim (TESTDATA.md)
 
 

@@ -1,0 +1,79 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+``df.sample``/``sampleBy`` are Bernoulli draws whose outcome depends on
+partitioning — unusable when a sample must be reproducible across
+cluster sizes, re-runs, and engines. These operators instead derive
+membership from a CONTENT hash: ``pmod(xxhash64(key, salt), 10^6)``
+buckets each row deterministically, and a row is in the sample/split iff
+its bucket falls under the per-stratum threshold. Properties the
+Bernoulli version lacks:
+
+* identical output on any partitioning, cluster size, or engine (the
+  DuckDB oracle recomputes membership exactly via the XXH64 port);
+* stable under appends — adding rows never flips existing rows' splits
+  (the foundation of leakage-free train/val/test separation);
+* zero shuffle: one narrow filter/projection.
+
+The reference's per-dataset ``sample_ratio`` (det_dataset.py:106-139 /
+rec_lmdb_dataset.py order-list truncation) is the ratio knob this
+generalizes; the salt plays the reference's shuffle-seed role.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key_col, salt: int = 42) -> Column:
+    """Deterministic bucket in [0, 10^6): pmod(xxhash64(key, salt), 10^6)."""
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    salt: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep ~fraction of each stratum, deterministically by key hash.
+    Strata absent from ``fractions`` fall back to ``default_fraction``."""
+    thr_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(int(round(v * BUCKETS)))) for k, v in fractions.items()
+        )
+    )
+    thr = F.coalesce(
+        thr_map[F.col(strata_col)],
+        F.lit(int(round(default_fraction * BUCKETS))),
+    )
+    return df.filter(hash_bucket(key_col, salt) < thr)
+
+
+def split_assign(
+    df: DataFrame,
+    weights: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+    key_col: str = "doc_id",
+    salt: int = 7,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of ``names`` with
+    the given weight proportions — append-stable and engine-independent
+    (hash thresholds, not random draws). Weights must sum to ~1."""
+    assert len(weights) == len(names) and abs(sum(weights) - 1.0) < 1e-9
+    b = hash_bucket(key_col, salt)
+    cuts = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(acc * BUCKETS)))
+    # build the when-chain in reverse so the LOWEST threshold wins
+    expr = F.lit(names[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        expr = F.when(b < cuts[i], F.lit(names[i])).otherwise(expr)
+    return df.withColumn("split", expr)

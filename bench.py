@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "q_join_semi",
     "q_topk_parts",
     "q_lang_host_rollup",
+    "q_lang_host_cube",
+    "q_length_percentiles",
+    "q_stratified_sample",
+    "q_split_assign",
+    "q_token_ids",
     "q_ann_ivf",
     "q_host_stats",
     "q_sessions",

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for offline evaluation of saved extraction
+results against golden labels — the ``tools/eval.py`` /
+``tools/infer/text/res_eval.py`` analog (reference: load saved pred
+file + gt file → RecMetric/DetMetric → print perf dict).
+
+Usage:
+    spark-submit --py-files webx.zip jobs/evaluate.py \
+        --pred /path/to/extracted_output \
+        --golden-text /path/to/golden_text.tsv \
+        --golden-labels /path/to/golden_labels.txt
+
+Inputs:
+* ``--pred``: parquet written by jobs/extract.py (url, text, spans_json, …).
+* ``--golden-text``: TSV lines ``url\\ttext`` — exact-match + normalized
+  edit distance (RecMetric analog).
+* ``--golden-labels``: the det_labels format ``url\\tJSON-span-array``
+  (webx/convert.py) — interval-IoU precision/recall/F1 (DetMetric).
+
+Either golden input may be omitted; the perf dict contains whichever
+metrics were computable. Output: ONE JSON line on stdout (the
+reference's printed perf dict)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="webx offline evaluation")
+    p.add_argument("--pred", required=True, help="extracted output parquet")
+    p.add_argument("--golden-text", help="TSV url\\ttext golden transcripts")
+    p.add_argument("--golden-labels", help="url\\tJSON-spans golden label file")
+    p.add_argument("--iou-thresh", type=float, default=0.5)
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from webx.convert import convert
+    from webx.metrics import det_metrics, rec_metrics
+
+    pred = spark.read.parquet(args.pred)
+    perf: dict = {"n_pred": pred.count()}
+
+    if args.golden_text:
+        lines = spark.read.text(args.golden_text)
+        tab = F.instr("value", "\t")
+        golden = lines.select(
+            F.substring("value", 1, tab - 1).alias("url"),
+            F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+        )
+        row = rec_metrics(pred.select("url", "text"), golden).first()
+        perf.update(
+            n_docs=row["n_docs"],
+            n_correct=row["n_correct"],
+            acc=row["acc"],
+            norm_edit=row["norm_edit"],
+        )
+
+    if args.golden_labels:
+        golden_spans = convert(spark, "det_labels", args.golden_labels)
+        pred_spans = pred.select(
+            "url", F.from_json("spans_json", golden_spans.schema["spans"].dataType).alias("spans")
+        )
+        row = det_metrics(pred_spans, golden_spans, iou_thresh=args.iou_thresh).first()
+        perf.update(
+            n_golden=row["n_golden"],
+            tp=row["tp"],
+            precision=row["precision"],
+            recall=row["recall"],
+            f1=row["f1"],
+        )
+    return perf
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("webx-evaluate")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    perf = run(spark, args)
+    print(json.dumps(perf))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

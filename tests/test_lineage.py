@@ -149,3 +149,33 @@ def test_partial_garbage_overwritten_on_resume(spark, tmp_path):
     assert final.count() == 500  # debris replaced, not merged or fatal
     straight = run_extraction(pages, CFG).select("url", "text")
     assert final.select("url", "text").exceptAll(straight).count() == 0
+
+
+def test_checkpointed_pdf_extraction_kill_and_resume(spark, tmp_path):
+    """The lane-generic runner: PDF corpora get the same
+    partition-granular checkpoint/resume as HTML via extract_fn, and the
+    resumed output is byte-identical to a direct single-pass extract."""
+    from webx import synth
+    from webx.lineage import CheckpointStore, run_checkpointed_extraction
+    from webx.pdf import checkpointed_pdf_extract_fn, extract_pdf
+
+    pdfs = synth.synth_pdfs(spark, "/root/testdata/sf0.001")
+    ck = CheckpointStore(str(tmp_path / "ck"))
+    out = str(tmp_path / "out")
+    common = dict(
+        spark=spark, pages=pdfs, output_path=out, checkpoint=ck,
+        run_id="pdfrun", snapshot_id="sf0.001", n_partitions=8,
+        chunk_size=2, extract_fn=checkpointed_pdf_extract_fn,
+    )
+    first = run_checkpointed_extraction(max_chunks=2, **common)  # "killed"
+    assert len(first) == 4
+    second = run_checkpointed_extraction(**common)  # resume
+    assert len(second) == 4 and set(first).isdisjoint(second)
+
+    saved = spark.read.parquet(out).select("url", "text")
+    direct = extract_pdf(pdfs).select("url", "text")
+    assert saved.count() == direct.count() == 500
+    assert saved.exceptAll(direct).count() == 0
+    assert direct.exceptAll(saved).count() == 0
+    # third call: nothing left to do
+    assert run_checkpointed_extraction(**common) == []

@@ -129,12 +129,19 @@ def run_checkpointed_extraction(
     chunk_size: int = 16,
     max_chunks: Optional[int] = None,
     output_fmt: str = "parquet",
+    extract_fn=None,
 ) -> List[int]:
     """Resumable extraction: skip partitions the checkpoint marks done,
     process the rest in chunks, commit output-then-lineage per chunk.
 
     ``max_chunks`` bounds the number of chunks processed this call (test
-    hook: simulates a killed run). Returns the partition ids processed."""
+    hook: simulates a killed run). Returns the partition ids processed.
+
+    ``extract_fn(subset, cfg, passthrough) -> DataFrame`` makes the
+    runner lane-generic: the default is the HTML ``run_extraction``; the
+    PDF lane plugs in ``webx.pdf.checkpointed_pdf_extract_fn``. The
+    contract output columns are (url, text, conf, status, spans,
+    meta.html_bytes) plus the passthrough columns."""
     cfg = cfg or ExtractConfig()
     # dynamic overwrite is required for idempotent per-partition retries,
     # but it must not leak into unrelated writes in the same session —
@@ -146,6 +153,7 @@ def run_checkpointed_extraction(
         return _run_checkpointed_chunks(
             spark, pages, output_path, checkpoint, run_id, snapshot_id,
             cfg, n_partitions, chunk_size, max_chunks, output_fmt,
+            extract_fn or run_extraction,
         )
     finally:
         if prev_mode is None:
@@ -166,6 +174,7 @@ def _run_checkpointed_chunks(
     chunk_size: int,
     max_chunks: Optional[int],
     output_fmt: str,
+    extract_fn,
 ) -> List[int]:
     done = set(checkpoint.completed_partitions(spark, run_id, snapshot_id))
     todo = [p for p in range(n_partitions) if p not in done]
@@ -180,7 +189,7 @@ def _run_checkpointed_chunks(
 
     for chunk in chunks:
         subset = pages_pid.filter(F.col(PARTITION_COL).isin(chunk))
-        extracted = run_extraction(subset, cfg, passthrough=(PARTITION_COL,))
+        extracted = extract_fn(subset, cfg, (PARTITION_COL,))
         out = extracted.select(
             "url",
             "text",

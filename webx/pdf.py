@@ -457,23 +457,40 @@ PDF_OUT_SCHEMA = T.StructType(
             ),
         ),
         T.StructField("status", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
+        # meta.html_bytes = input container bytes (named for schema
+        # compatibility with the HTML lane's lineage contract)
+        T.StructField(
+            "meta", T.StructType([T.StructField("html_bytes", T.LongType())])
+        ),
     ]
 )
 
 
 def extract_pdf(
-    pdfs: DataFrame, url_col: str = "url", pdf_col: str = "pdf"
+    pdfs: DataFrame,
+    url_col: str = "url",
+    pdf_col: str = "pdf",
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(url, pdf binary) → (url, text, spans, status) in one fused Arrow
-    pass — the PDF lane of the flagship zero-shuffle extraction plan.
-    Unsupported constructs → status='unsupported', text='', no row loss."""
+    """(url, pdf binary) → (url, text, spans, status, conf, meta) in one
+    fused Arrow pass — the PDF lane of the flagship zero-shuffle
+    extraction plan. ``passthrough`` columns ride through the batch
+    unchanged (the HTML lane's passthrough contract). Unsupported
+    constructs → status='unsupported', text='', no row loss."""
+    schema = T.StructType(
+        list(PDF_OUT_SCHEMA)
+        + [pdfs.schema[c] for c in passthrough]
+    )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
-            out = {"url": [], "text": [], "spans": [], "status": []}
+            out = {"url": [], "text": [], "spans": [], "status": [],
+                   "conf": [], "meta": []}
             for url, raw in zip(pdf_batch[url_col], pdf_batch[pdf_col]):
+                data = bytes(raw) if raw is not None else b""
                 try:
-                    text, spans = parse_pdf(bytes(raw) if raw is not None else b"")
+                    text, spans = parse_pdf(data)
                     status = "ok"
                 except Exception:
                     text, spans, status = "", [], "unsupported"
@@ -483,8 +500,22 @@ def extract_pdf(
                     [{"start": a, "end": b, "kind": "text"} for a, b in spans]
                 )
                 out["status"].append(status)
-            yield pd.DataFrame(out)
+                out["conf"].append(1.0 if status == "ok" else 0.0)
+                out["meta"].append({"html_bytes": len(data)})
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf_batch[c].to_numpy()
+            yield res
 
-    return pdfs.select(F.col(url_col), F.col(pdf_col)).mapInPandas(
-        fn, schema=PDF_OUT_SCHEMA
+    return pdfs.select(F.col(url_col), F.col(pdf_col), *passthrough).mapInPandas(
+        fn, schema=schema
     )
+
+
+def checkpointed_pdf_extract_fn(subset: DataFrame, cfg, passthrough) -> DataFrame:
+    """Adapter matching webx.lineage's ``extract_fn`` contract so PDF
+    corpora get the same partition-granular checkpoint/resume as HTML:
+    input (url, pdf, partition cols…) → lineage-shaped output. ``cfg``
+    is accepted for signature parity (PDF decode has no threshold knobs
+    today)."""
+    return extract_pdf(subset, passthrough=tuple(passthrough))

@@ -106,20 +106,32 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     d = f"/tmp/webx_warcq_{key}"
     if not os.path.exists(os.path.join(d, "_DONE")):
         os.makedirs(d, exist_ok=True)
-        rows = (
+        # DISTRIBUTED fixture write: each task serializes its partition
+        # into one WARC shard (local-mode task fs == driver fs); only the
+        # 8 shard paths come back to the driver, never the pages
+        import pandas as pd
+        from pyspark import TaskContext
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, t.to_pydatetime(), bytes(h))
+                    for u, t, h in zip(p["url"], p["warc_ts"], p["html"])
+                )
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc")
+            with open(path, "wb") as f:
+                f.write(write_warc(recs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
             synth.synth_pages(spark, sf)
             .select("url", "warc_ts", "html")
-            .collect()  # fixture GENERATION only — the query path is distributed
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
         )
-        shards = 8
-        for s_i in range(shards):
-            recs = [
-                (r["url"], r["warc_ts"], bytes(r["html"]))
-                for j, r in enumerate(rows)
-                if j % shards == s_i
-            ]
-            with open(os.path.join(d, f"part-{s_i}.warc"), "wb") as f:
-                f.write(write_warc(recs))
         with open(os.path.join(d, "_DONE"), "w") as f:
             f.write("ok")
     pages = read_warc(spark, os.path.join(d, "part-*.warc"))

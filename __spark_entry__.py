@@ -752,8 +752,11 @@ def _langid_oracle_sql() -> str:
 
 def _sampling_oracle_sql(kind: str) -> str:
     """DuckDB mirrors of webx.sampling via the XXH64 macro port —
-    thresholds generated from the SAME constants the queries use."""
-    B = 1_000_000
+    thresholds and cut points imported from webx.sampling itself (ONE
+    source of truth: BUCKETS and split_cuts), fractions/weights from the
+    module constants the queries use."""
+    from webx.sampling import BUCKETS as B, split_cuts
+
     if kind == "stratified":
         cases = " ".join(
             f"WHEN '{k}' THEN {int(round(v * B))}"
@@ -761,19 +764,16 @@ def _sampling_oracle_sql(kind: str) -> str:
         )
         return _oracles.XXH64_MACROS + (
             f"SELECT doc_id, lang FROM documents "
-            f"WHERE {_oracles.hash_bucket_sql('doc_id', 42)} < "
+            f"WHERE {_oracles.hash_bucket_sql('doc_id', 42, B)} < "
             f"(CASE lang {cases} ELSE 0 END)"
         )
-    cuts, acc = [], 0.0
-    for w in SPLIT_WEIGHTS[:-1]:
-        acc += w
-        cuts.append(int(round(acc * B)))
+    cuts = split_cuts(SPLIT_WEIGHTS)
     chain_sql = " ".join(
         f"WHEN b < {c} THEN '{n}'" for n, c in zip(SPLIT_NAMES, cuts)
     )
     return _oracles.XXH64_MACROS + (
         f"SELECT doc_id, CASE {chain_sql} ELSE '{SPLIT_NAMES[-1]}' END AS split "
-        f"FROM (SELECT doc_id, {_oracles.hash_bucket_sql('doc_id', 7)} AS b "
+        f"FROM (SELECT doc_id, {_oracles.hash_bucket_sql('doc_id', 7, B)} AS b "
         "FROM documents)"
     )
 

@@ -48,15 +48,18 @@ def run(spark, args) -> dict:
     perf: dict = {"n_pred": pred.count()}
 
     if args.golden_text:
-        lines = spark.read.text(args.golden_text)
-        tab = F.instr("value", "\t")
-        golden = lines.select(
-            F.substring("value", 1, tab - 1).alias("url"),
-            F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
-        )
+        from webx.convert import read_url_tsv
+
+        golden = read_url_tsv(spark, args.golden_text, "text")
+        n_golden_text = golden.count()
         row = rec_metrics(pred.select("url", "text"), golden).first()
         perf.update(
+            n_golden_text=n_golden_text,
             n_docs=row["n_docs"],
+            # golden docs with NO prediction row are invisible to the
+            # inner metrics join — surface them so a broken pipeline
+            # cannot overstate quality
+            missing_pred=n_golden_text - row["n_docs"],
             n_correct=row["n_correct"],
             acc=row["acc"],
             norm_edit=row["norm_edit"],

@@ -4,11 +4,14 @@ extraction output vs golden files → perf dict."""
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+JOBS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
 
 
 def test_evaluate_job_end_to_end(spark, tmp_path):
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(0, JOBS_DIR)
     import evaluate as EV
 
     # saved "extraction output": 2 docs, one exact match, one off-by-one
@@ -43,3 +46,23 @@ def test_evaluate_job_end_to_end(spark, tmp_path):
     # u1's span matches (IoU 1.0); u2's golden is elsewhere -> tp=1 of 2
     assert (perf["n_golden"], perf["tp"]) == (2, 1)
     assert perf["precision"] == 0.5 and perf["recall"] == 0.5
+
+
+def test_missing_predictions_surface_in_perf(spark, tmp_path):
+    """Golden docs with no prediction row must be visible (missing_pred),
+    not silently excluded from the accuracy denominator."""
+    sys.path.insert(0, JOBS_DIR)
+    import evaluate as EV
+
+    pred = spark.createDataFrame(
+        [("u1", "hello", json.dumps([]))],
+        "url string, text string, spans_json string",
+    )
+    pred_path = str(tmp_path / "pred")
+    pred.write.parquet(pred_path)
+    gt = tmp_path / "gt.tsv"
+    gt.write_text("u1\thello\nu2\tnever extracted\nu3\talso missing\n")
+    perf = EV.run(spark, EV.parse_args(["--pred", pred_path, "--golden-text", str(gt)]))
+    assert perf["n_golden_text"] == 3
+    assert perf["n_docs"] == 1 and perf["missing_pred"] == 2
+    assert perf["acc"] == 1.0  # over scored pairs, with the gap visible

@@ -53,23 +53,29 @@ def _csv_docs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _det_labels(spark: SparkSession, path: str) -> DataFrame:
+def read_url_tsv(spark: SparkSession, path: str, value_alias: str) -> DataFrame:
+    """``url\\t<value>`` text lines → (url, <value_alias>). A line
+    without the tab separator is corrupt label data — fail the job
+    loudly (the reference converters raise on malformed input) rather
+    than emitting empty-url rows that silently poison downstream url
+    joins. Shared by the det_labels converter and jobs/evaluate.py."""
     lines = spark.read.text(path)
     tab = F.instr("value", "\t")
-    # a line without the tab separator is corrupt label data — fail the
-    # job loudly (the reference converters raise on malformed input)
-    # rather than emitting empty-url NULL-span rows that silently poison
-    # downstream url joins
     url = F.when(tab > 0, F.substring("value", 1, tab - 1)).otherwise(
         F.raise_error(
-            F.concat(F.lit("det_labels: malformed line (no tab): "), F.col("value"))
+            F.concat(F.lit("url-tsv: malformed line (no tab): "), F.col("value"))
         )
     )
     return lines.select(
         url.alias("url"),
-        F.from_json(
-            F.expr("substring(value, instr(value, '\t') + 1)"), SPAN_SCHEMA
-        ).alias("spans"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias(value_alias),
+    )
+
+
+def _det_labels(spark: SparkSession, path: str) -> DataFrame:
+    raw = read_url_tsv(spark, path, "spans_json")
+    return raw.select(
+        "url", F.from_json("spans_json", SPAN_SCHEMA).alias("spans")
     )
 
 

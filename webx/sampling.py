@@ -28,6 +28,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 BUCKETS = 1_000_000
 
 
+def split_cuts(weights: tuple) -> list:
+    """Cumulative bucket cut points for ``split_assign`` — the single
+    source of truth shared with the DuckDB oracle builder
+    (__spark_entry__._sampling_oracle_sql)."""
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(acc * BUCKETS)))
+    return cuts
+
+
 def hash_bucket(key_col, salt: int = 42) -> Column:
     """Deterministic bucket in [0, 10^6): pmod(xxhash64(key, salt), 10^6)."""
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(BUCKETS))
@@ -65,13 +76,12 @@ def split_assign(
     """Add a ``split`` column assigning each row to one of ``names`` with
     the given weight proportions — append-stable and engine-independent
     (hash thresholds, not random draws). Weights must sum to ~1."""
-    assert len(weights) == len(names) and abs(sum(weights) - 1.0) < 1e-9
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) >= 1e-9:
+        raise ValueError(
+            f"weights {weights} must match names {names} and sum to 1"
+        )
     b = hash_bucket(key_col, salt)
-    cuts = []
-    acc = 0.0
-    for w in weights[:-1]:
-        acc += w
-        cuts.append(int(round(acc * BUCKETS)))
+    cuts = split_cuts(weights)
     # build the when-chain in reverse so the LOWEST threshold wins
     expr = F.lit(names[-1])
     for i in range(len(cuts) - 1, -1, -1):

@@ -474,6 +474,17 @@ def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch (webx/sketch.py): estimated distinct
+    users per event_type from the 64 minimum hash values. Deterministic
+    under the fixed hash ⇒ the oracle recomputes the ESTIMATE exactly
+    (an engine-specific HLL could only be tolerance-checked)."""
+    from webx.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return kmv_distinct(ev, "user_id", group_cols=("event_type",), k=64)
+
+
 STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.5, "fr": 1.0, "zh": 0.1}
 SPLIT_WEIGHTS, SPLIT_NAMES = (0.8, 0.1, 0.1), ("train", "val", "test")
 
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_percentiles": q_length_percentiles,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
+        "q_kmv_distinct": q_kmv_distinct,
         "q_sentinel_truncate": q_sentinel_truncate,
         "q_token_ids": q_token_ids,
         "q_token_ids_attn": q_token_ids_attn,
@@ -1004,6 +1016,18 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(SUM(length({GOLDEN})) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
+        ),
+        "q_kmv_distinct": _oracles.XXH64_MACROS + (
+            "WITH d AS (SELECT DISTINCT event_type, "
+            "xhash_long(xunsigned(user_id), 42::HUGEINT) AS hu FROM events), "
+            "r AS (SELECT event_type, hu, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY hu) AS rn FROM d), "
+            "t AS (SELECT event_type, count(*) AS n_seen, max(hu) AS maxh "
+            "FROM r WHERE rn <= 64 GROUP BY event_type) "
+            "SELECT event_type, CAST(n_seen AS BIGINT) AS n_seen, "
+            "CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE) "
+            "ELSE 63.0 / (CAST(maxh AS DOUBLE) / 18446744073709551616.0) END "
+            "AS estimate FROM t"
         ),
         "q_stratified_sample": _sampling_oracle_sql("stratified"),
         "q_split_assign": _sampling_oracle_sql("split"),

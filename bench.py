@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_split_assign",
     "q_token_ids",
+    "q_kmv_distinct",
     "q_ann_ivf",
     "q_host_stats",
     "q_sessions",

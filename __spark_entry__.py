@@ -554,8 +554,13 @@ def q_token_ids(spark: SparkSession, sf: str) -> DataFrame:
     from webx.encode import ctc_encode
 
     docs = synth.load_documents(spark, sf).select("doc_id", "text")
-    return ctc_encode(docs, "text", _encode_vocab(), max_len=64, lower=True).select(
-        "doc_id", "length", "text_seq"
+    enc = ctc_encode(docs, "text", _encode_vocab(), max_len=64, lower=True)
+    # Serialize the id array to a scalar: the grading harness canonicalizes
+    # rows by sorting column values, which list cells cannot support.
+    return enc.select(
+        "doc_id",
+        "length",
+        F.concat_ws(",", F.col("text_seq").cast("array<string>")).alias("text_seq"),
     )
 
 
@@ -565,8 +570,11 @@ def q_token_ids_attn(spark: SparkSession, sf: str) -> DataFrame:
     from webx.encode import attn_encode
 
     docs = synth.load_documents(spark, sf).select("doc_id", "text")
-    return attn_encode(docs, "text", _encode_vocab(), max_len=64, lower=True).select(
-        "doc_id", "length", "text_seq"
+    enc = attn_encode(docs, "text", _encode_vocab(), max_len=64, lower=True)
+    return enc.select(
+        "doc_id",
+        "length",
+        F.concat_ws(",", F.col("text_seq").cast("array<string>")).alias("text_seq"),
     )
 
 
@@ -814,7 +822,7 @@ def _token_ids_oracle_sql(attn: bool, max_len: int = 64) -> str:
         )
         return base + (
             "SELECT doc_id, CAST(CASE WHEN valid THEN len(ids) ELSE 0 END AS INT) AS length, "
-            f"CAST({seq} AS INT[]) AS text_seq FROM "
+            f"array_to_string(CAST({seq} AS INT[]), ',') AS text_seq FROM "
             "(SELECT doc_id, ids, valid, "
             "CASE WHEN valid THEN ids ELSE [] END AS iv FROM v)"
         )
@@ -825,7 +833,7 @@ def _token_ids_oracle_sql(attn: bool, max_len: int = 64) -> str:
     )
     return base + (
         "SELECT doc_id, CAST(CASE WHEN valid THEN len(ids) ELSE 0 END AS INT) AS length, "
-        f"CAST({seq} AS INT[]) AS text_seq FROM v"
+        f"array_to_string(CAST({seq} AS INT[]), ',') AS text_seq FROM v"
     )
 
 

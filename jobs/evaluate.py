@@ -52,7 +52,10 @@ def run(spark, args) -> dict:
 
         golden = read_url_tsv(spark, args.golden_text, "text")
         n_golden_text = golden.count()
-        row = rec_metrics(pred.select("url", "text"), golden).first()
+        # Dedupe predictions on url: duplicate urls would multiply rows in
+        # the rec_metrics join and drive missing_pred negative.
+        pred_text = pred.select("url", "text").dropDuplicates(["url"])
+        row = rec_metrics(pred_text, golden).first()
         perf.update(
             n_golden_text=n_golden_text,
             n_docs=row["n_docs"],

@@ -24,6 +24,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    if isinstance(v, (list, dict, set, bytearray)):
+        # Mirror the driver: its pandas sort_values canonicalizer cannot
+        # sort/hash container cells and records the query as `err`.
+        raise TypeError(f"unhashable type: {type(v).__name__!r} (driver-incompatible cell)")
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -84,8 +88,13 @@ def main() -> int:
         # driver sorts columns by name before hashing
         order = sorted(range(len(scols)), key=lambda i: scols[i])
         oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-        sset = sorted(tuple(canon(r[i]) for i in order) for r in srows)
-        oset = sorted(tuple(canon(r[i]) for i in oorder) for r in orows)
+        try:
+            sset = sorted(tuple(canon(r[i]) for i in order) for r in srows)
+            oset = sorted(tuple(canon(r[i]) for i in oorder) for r in orows)
+        except TypeError as ex:
+            print(f"FAIL {name}: canonicalize error {ex}")
+            failed.append(name)
+            continue
         if len(sset) != len(oset):
             print(f"FAIL {name}: rowcount {len(sset)} vs {len(oset)}")
             failed.append(name)

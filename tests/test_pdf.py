@@ -35,6 +35,24 @@ def test_octal_and_special_escapes():
     assert decode_text_object(region) == "ABC ( ) \\ x\n"
 
 
+def test_invalid_escapes_ignore_backslash():
+    # PDF spec: a backslash before an unrecognized char is dropped and the
+    # char kept literally; \8 and \9 are not octal.
+    region = rb"BT (a\8b \zc) Tj ET"
+    assert decode_text_object(region) == "a8b zc"
+
+
+def test_trailing_backslash_at_eof():
+    from webx.pdf import _parse_string
+
+    # Unterminated string whose last byte is a backslash: must raise the
+    # clean unterminated-string ValueError, not KeyError/AttributeError.
+    import pytest
+
+    with pytest.raises(ValueError, match="unterminated"):
+        _parse_string(b"(abc\\", 0)
+
+
 def test_tj_array_and_quote_ops():
     region = b"BT [(Hel) -20 (lo)] TJ (next) ' ET"
     assert decode_text_object(region) == "Hello\nnext"

@@ -201,7 +201,9 @@ def _parse_string(raw: bytes, p: int) -> Tuple[bytes, int]:
         c = raw[p]
         if c == 0x5C:  # backslash
             nxt = raw[p + 1 : p + 2]
-            if nxt in b"nrtbf":
+            if len(nxt) != 1:  # trailing backslash at end of input: ignore it
+                p += 1
+            elif nxt in (b"n", b"r", b"t", b"b", b"f"):
                 out.append({"n": 10, "r": 13, "t": 9, "b": 8, "f": 12}[nxt.decode()])
                 p += 2
             elif nxt in (b"(", b")", b"\\"):
@@ -209,8 +211,7 @@ def _parse_string(raw: bytes, p: int) -> Tuple[bytes, int]:
                 p += 2
             elif nxt == b"\n":
                 p += 2  # line continuation
-            elif nxt.isdigit():
-                m = re.match(rb"\\([0-7]{1,3})", raw[p:])
+            elif (m := re.match(rb"\\([0-7]{1,3})", raw[p:])) is not None:
                 out.append(int(m.group(1), 8) & 0xFF)
                 p += m.end()
             else:

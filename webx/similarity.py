@@ -150,7 +150,10 @@ def _cosine_neardup_lsh(
     import pandas as pd
     from pyspark.sql import types as T
 
-    dim = len(emb.select("embedding").first()[0])  # O(1) row, not a collect
+    head = emb.select("embedding").first()  # O(1) row, not a collect
+    if head is None or head[0] is None:
+        raise ValueError("cosine_neardup_pairs: empty embedding input (no rows)")
+    dim = len(head[0])
     planes = np.concatenate(
         [np.asarray(hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
     )  # (n_tables * n_planes, dim)
@@ -317,7 +320,16 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    train = corpus.select(array_to_vector("embedding").alias("features"))
+    # Train the coarse quantizer on a bounded sample: KMeans iterations scan
+    # the training set repeatedly, so at 10^9 vectors fitting the full corpus
+    # is the dominant cost. ~100x n_centroids rows is plenty for 16-256
+    # centroids; the sample fraction is derived from a cheap count.
+    n = corpus.count()
+    target = max(1000, 100 * n_centroids)
+    train = corpus
+    if n > target:
+        train = corpus.sample(fraction=min(1.0, target / n), seed=seed)
+    train = train.select(array_to_vector("embedding").alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     b_centers = spark.sparkContext.broadcast(centers)

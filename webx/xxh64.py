@@ -13,7 +13,7 @@ tests/test_xxh64.py against the JVM implementation) so that:
   expression tree, and
 * the DuckDB oracles for the hash-based dedup queries can recompute the
   same signatures/ bands/ simhashes independently (see
-  ``webx/oracle_xxh64.py`` for the pure-SQL port).
+  ``webx/oracles.py`` for the pure-SQL port).
 
 Reference: the XXH64 algorithm (Yann Collet, public domain / BSD) as
 implemented by Spark's ``sql/catalyst`` XXH64 with seed 42.

@@ -68,6 +68,63 @@ def test_simhash_near_identical(spark):
     assert (1, 2) in [(r["id_a"], r["id_b"]) for r in pairs]
 
 
+def test_mega_bucket_cap_drops_and_counts(spark):
+    """A planted mega-cluster (identical docs) must not expand O(n^2):
+    buckets over max_bucket are dropped and the drop is observable."""
+    from webx.dedup import dropped_bucket_metrics
+
+    t = "the same boilerplate error page text repeated across a mega host cluster"
+    n = 2000
+    rows = [(i, t) for i in range(n)] + [
+        (n, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (n + 1, "alpha beta gamma delta epsilon zeta eta theta iota kappa omicron"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_neardup(d, threshold=0.6, max_bucket=100).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the mega-cluster is dropped wholesale; the small planted pair survives
+    assert (n, n + 1) in got
+    assert not any(a < n and b < n for a, b in got)
+    m = dropped_bucket_metrics("minhash_lsh")
+    # identical docs share every band: 16 bands -> 16 dropped mega-buckets
+    assert m["dropped_buckets"] == 16
+    assert m["dropped_ids"] == 16 * n
+
+
+def test_simhash_mega_bucket_cap(spark):
+    from webx.dedup import dropped_bucket_metrics
+
+    t = "identical parked domain page body words here for every single host"
+    rows = [(i, t) for i in range(500)]
+    # two near-identical survivors so the final result is non-empty (see
+    # the AQE caveat on dropped_bucket_metrics)
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows += [(1000, base), (1001, base.replace("tok7", "tok7x"))]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_neardup(d, max_hamming=10, max_bucket=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in got
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    m = dropped_bucket_metrics("simhash")
+    assert m["dropped_buckets"] == 4  # all 4 chunks of one identical simhash
+    assert m["dropped_ids"] == 4 * 500
+
+
+def test_drop_metrics_empty_result_raises_clear_error(spark):
+    """All buckets over-cap + empty result: AQE prunes the CollectMetrics
+    node; the accessor must raise the documented error, not fake zeros."""
+    import pytest
+
+    from webx.dedup import dropped_bucket_metrics
+
+    t = "identical parked domain page body words here for every single host"
+    d = spark.createDataFrame([(i, t) for i in range(200)], "doc_id long, text string")
+    pairs = simhash_neardup(d, max_hamming=3, max_bucket=50).collect()
+    assert pairs == []
+    with pytest.raises(RuntimeError, match="AQE"):
+        dropped_bucket_metrics("simhash")
+
+
 def test_lsh_candidates_superset_of_identical(spark):
     t = "one two three four five six seven eight nine ten eleven twelve"
     d = docs_df(spark, [(1, t), (2, t)])

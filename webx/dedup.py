@@ -21,11 +21,51 @@ Scale notes:
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from webx.textstats import WS_SPLIT
 
 _MAX_LONG = (1 << 63) - 1
+
+#: Default cap on LSH bucket size. A bucket of n ids expands to n(n-1)/2
+#: candidate pairs inside ONE task; at crawl scale boilerplate-identical
+#: mega-clusters (error pages, parked domains) produce buckets with 10^6+
+#: members whose quadratic expansion kills the stage. 10k ids ≈ 50M pairs
+#: ≈ the most a single task should ever materialize; near-dup recall for
+#: such clusters is better served by exact_dedup upstream anyway.
+DEFAULT_MAX_BUCKET = 10_000
+
+#: name → Observation for the most recent bucket_pairs() drop metrics.
+#: Values become readable (``obs.get``) after the query's first action;
+#: ``dropped_bucket_metrics(name)`` is the public accessor.
+_drop_observations: dict[str, Observation] = {}
+
+
+def dropped_bucket_metrics(name: str = "last") -> dict:
+    """Drop metrics of the most recent capped ``bucket_pairs`` plan under
+    ``name``: {"dropped_buckets": int, "dropped_ids": int}. Blocks until
+    the owning query's first action has completed (Observation.get
+    semantics); raises KeyError if no capped plan was built under that
+    name. Record these into the lineage table on real runs — a silent
+    drop reads as "covered everything" when it didn't.
+
+    AQE caveat: when the query's final result is EMPTY (e.g. every
+    candidate bucket was over-cap), AQE's empty-relation propagation
+    replans away the CollectMetrics node and the observation is lost —
+    Spark reports an empty metrics row. We raise a clear error rather
+    than fabricate zeros; to retain metrics in that corner, exclude the
+    rule: ``spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")``."""
+    obs = _drop_observations[name]
+    try:
+        return dict(obs.get)
+    except Exception as ex:  # empty GenericRow -> toPyRow assertion error
+        raise RuntimeError(
+            f"bucket_pairs drop metrics '{name}' were pruned by AQE "
+            "empty-relation propagation (the query returned zero rows). "
+            "Exclude AQEPropagateEmptyRelation via "
+            "spark.sql.adaptive.optimizer.excludedRules to retain them."
+        ) from ex
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
@@ -205,25 +245,44 @@ def _minhash_signatures_sql(
     return docs.select("doc_id", sig.alias("sig"))
 
 
+def _observe_drops(buckets: DataFrame, max_bucket: int, name: str) -> DataFrame:
+    """Attach an Observation counting over-cap buckets/ids, then filter
+    them out. The CollectMetrics node sits above the groupBy and below
+    the size filter — Catalyst does not push predicates through it, so
+    the metrics see every bucket, at zero extra actions."""
+    obs = Observation()
+    over = F.size("ids") > max_bucket
+    buckets = buckets.observe(
+        obs,
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.when(over, F.size("ids"))), F.lit(0)).alias("dropped_ids"),
+    )
+    _drop_observations[name] = obs
+    _drop_observations["last"] = obs
+    return buckets.filter(~over)
+
+
 def bucket_pairs(
     df: DataFrame,
     bucket_cols: list,
     id_col: str,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    drop_metrics_name: str = "bucket_pairs",
 ) -> DataFrame:
     """Shared LSH bucket→candidate-pair expansion: group ``df`` by
     ``bucket_cols``, expand the ordered (id_a < id_b) pairs within each
-    bucket, distinct across buckets. ``max_bucket`` (scale knob) drops
-    buckets larger than the cap — log the dropped count upstream. Used by
-    the MinHash banding here and the embedding near-dup tables
-    (webx/similarity.py)."""
+    bucket, distinct across buckets. Buckets larger than ``max_bucket``
+    (default ``DEFAULT_MAX_BUCKET``; ``None`` disables) are dropped and
+    counted — read the count with ``dropped_bucket_metrics(
+    drop_metrics_name)`` after the first action. Used by the MinHash
+    banding here and the embedding near-dup tables (webx/similarity.py)."""
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        buckets = _observe_drops(buckets, max_bucket, drop_metrics_name)
     pairs = F.flatten(
         F.transform(
             "ids",
@@ -244,7 +303,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band hash → candidate pairs (a < b).
 
@@ -265,7 +324,9 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    return bucket_pairs(banded, ["band", "bh"], "doc_id", max_bucket)
+    return bucket_pairs(
+        banded, ["band", "bh"], "doc_id", max_bucket, drop_metrics_name="minhash_lsh"
+    )
 
 
 def jaccard_verify(
@@ -304,7 +365,7 @@ def minhash_neardup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.7,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_candidates: bool = True,
     impl: str = "numpy",
 ) -> DataFrame:
@@ -411,12 +472,17 @@ def _simhash_np(docs: DataFrame, col: str = "text") -> DataFrame:
     return src.mapInPandas(fn, schema=schema)
 
 
-def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Band 64-bit simhash into 4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
     some chunk equal) → bucket by chunk value → exact hamming filter.
 
     Like LSH above, signatures are computed once and pairs come from a
-    groupBy bucket expansion, not a self-join."""
+    groupBy bucket expansion, not a self-join; over-cap buckets are
+    dropped and counted (``dropped_bucket_metrics("simhash")``)."""
     sh = simhash(docs)
     chunks = sh.select(
         "doc_id",
@@ -444,6 +510,8 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = _observe_drops(buckets, max_bucket, "simhash")
     pairs = F.flatten(
         F.transform(
             "ids",

@@ -69,7 +69,7 @@ def cosine_neardup_pairs(
     n_tables: int = 16,
     n_planes: int = 16,
     seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None,  # None -> webx.dedup.DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     id_a < id_b and cos >= threshold.
@@ -186,9 +186,13 @@ def _cosine_neardup_lsh(
             )
 
     banded = emb.select("vec_id", "embedding").mapInPandas(fn, banded_schema)
-    from webx.dedup import bucket_pairs
+    from webx.dedup import DEFAULT_MAX_BUCKET, bucket_pairs
 
-    pairs = bucket_pairs(banded, ["tbl", "bucket"], "vec_id", max_bucket)
+    pairs = bucket_pairs(
+        banded, ["tbl", "bucket"], "vec_id",
+        DEFAULT_MAX_BUCKET if max_bucket is None else max_bucket,
+        drop_metrics_name="cosine_lsh",
+    )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     cos = (_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b"))).alias("cos")

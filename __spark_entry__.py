@@ -149,6 +149,108 @@ def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
     return extract_pdf(pdfs).select("url", "text")
 
 
+def _fixture_dir(sf: str, tag: str) -> tuple:
+    """Content-keyed /tmp fixture dir (mtime+size of the source parquet):
+    regenerated testdata at the same path must not reuse a stale fixture.
+    Returns (dir, already_built)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{sf}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    d = f"/tmp/webx_{tag}_{key}"
+    return d, os.path.exists(os.path.join(d, "_DONE"))
+
+
+def q_keyed_store(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end through the keyed binary store (the LMDB-analog source,
+    webx/sources.py): flagship pages serialized into key-addressed shards
+    (key=url, label=lang, value=html bytes), read back via the
+    distributed shard reader, extracted — byte-identical to the same
+    closed-form oracle as q_extract. Fixture written DISTRIBUTED (one
+    shard per task; only shard paths return to the driver)."""
+    import os
+
+    from webx.sources import encode_keyed_shard, read_keyed_store
+
+    d, done = _fixture_dir(sf, "kvq")
+    if not done:
+        os.makedirs(d, exist_ok=True)
+        import pandas as pd
+        from pyspark import TaskContext
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, lg, bytes(h))
+                    for u, lg, h in zip(p["url"], p["lang"], p["html"])
+                )
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"shard-{pid:05d}.kvb")
+            with open(path, "wb") as f:
+                f.write(encode_keyed_shard(recs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            synth.synth_pages(spark, sf)
+            .select("url", "lang", "html")
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = read_keyed_store(spark, d).select(
+        F.col("key").alias("url"), F.col("value").alias("html")
+    )
+    return run_extraction(pages, CFG).select("url", "text")
+
+
+def q_convert_det_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Converter-registry round trip (webx/convert.py — the reference's
+    tools/dataset_converters dispatch): golden flagship spans serialized
+    to the canonical ``url\\tJSON-span-array`` label lines (distributed
+    text write), converted back via convert('det_labels', ...) — span
+    offsets must equal the q_golden_spans closed form."""
+    import os
+
+    from webx.convert import convert
+
+    d, done = _fixture_dir(sf, "detlq")
+    if not done:
+        spans = synth.golden_flagship_spans(spark, sf)
+        lines = spans.select(
+            F.concat(
+                F.col("url"),
+                F.lit("\t"),
+                F.to_json(
+                    F.transform(
+                        "spans",
+                        lambda s: F.struct(
+                            s["start"].alias("start"),
+                            s["end"].alias("end"),
+                            F.lit("content").alias("kind"),
+                        ),
+                    )
+                ),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(os.path.join(d, "labels"))
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    labels = convert(spark, "det_labels", os.path.join(d, "labels"))
+    span = F.element_at("spans", 1)
+    return labels.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        span["start"].alias("start"),
+        span["end"].alias("end"),
+        span["kind"].alias("kind"),
+    )
+
+
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
@@ -514,7 +616,14 @@ def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     corpus-profiling aggregate a curation pipeline runs before choosing
     quality-filter thresholds. Spark's exact ``percentile`` and DuckDB's
     ``quantile_cont`` share the linear-interpolation definition, so the
-    doubles agree bit-for-bit."""
+    doubles agree bit-for-bit.
+
+    SCALE CAVEAT: exact ``percentile`` buffers every value of a group in
+    one executor's memory — fine for profiling runs up to ~10^8 rows per
+    group, an OOM at crawl scale where one language holds 10^11 docs.
+    The 100×-scale twin is ``q_length_percentiles_approx`` below
+    (``approx_percentile``, bounded-memory mergeable sketch); exactness
+    is kept HERE because this query is the oracle-checked one."""
     docs = synth.load_documents(spark, sf)
     ln = F.length("text")
     return docs.groupBy("lang").agg(
@@ -523,6 +632,26 @@ def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile(ln, 0.5).alias("p50"),
         F.percentile(ln, 0.9).alias("p90"),
         F.percentile(ln, 0.99).alias("p99"),
+        F.max(ln).alias("max_len"),
+    )
+
+
+def q_length_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-path twin of q_length_percentiles: ``approx_percentile``
+    (KLL/Greenwald-Khanna-style mergeable sketch, bounded memory per
+    group, map-side partial merge) — what a 100 TB profiling run should
+    call. accuracy=10000 ⇒ rank error ≤ 1/10000. No SQL oracle (the
+    sketch is Spark-internal); the exact sibling is the correctness
+    anchor and pytest bounds the drift between the two."""
+    docs = synth.load_documents(spark, sf)
+    ln = F.length("text")
+    acc = F.lit(10000)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min(ln).alias("min_len"),
+        F.approx_percentile(ln, F.lit(0.5), acc).alias("p50"),
+        F.approx_percentile(ln, F.lit(0.9), acc).alias("p90"),
+        F.approx_percentile(ln, F.lit(0.99), acc).alias("p99"),
         F.max(ln).alias("max_len"),
     )
 
@@ -700,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_warc": q_extract_warc,
         "q_extract_pdf": q_extract_pdf,
+        "q_keyed_store": q_keyed_store,
+        "q_convert_det_labels": q_convert_det_labels,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -733,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_host_rollup": q_lang_host_rollup,
         "q_lang_host_cube": q_lang_host_cube,
         "q_length_percentiles": q_length_percentiles,
+        "q_length_percentiles_approx": q_length_percentiles_approx,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
         "q_kmv_distinct": q_kmv_distinct,
@@ -862,6 +994,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_convert_det_labels": (
+            f"SELECT {URL} AS url, 1 AS n_spans, "
+            f"CAST({span_start} AS BIGINT) AS start, "
+            f"CAST({span_start} + length({DID}) + {c['mid']} + {esc_len} AS BIGINT) AS \"end\", "
+            "'content' AS kind FROM documents"
+        ),
         "q_spans_stats": (
             f"SELECT {URL} AS url, (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS n_spans "
             "FROM documents"

@@ -28,51 +28,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "8"))
 
-BENCH_QUERIES = [
-    "q_extract",
-    "q_extract_multispan",
-    "q_extract_entities",
-    "q_extract_warc",
-    "q_extract_pdf",
-    "q_golden_spans",
-    "q_rec_metric",
-    "q_lang_rollup",
-    "q_token_count",
-    "q_token_count_bpe",
-    "q_quality",
-    "q_quality_filter",
-    "q_repetition",
-    "q_fingerprint",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ann_cosine",
-    "q_ann_lsh",
-    "q_events_window",
-    "q_det_metric",
-    "q_rec_quality",
-    "q_dedup_jaccard",
-    "q_neardup_embedding",
-    "q_media_features",
-    "q_orders_rollup",
-    "q_join3",
-    "q_join_anti",
-    "q_join_semi",
-    "q_topk_parts",
-    "q_lang_host_rollup",
-    "q_lang_host_cube",
-    "q_length_percentiles",
-    "q_stratified_sample",
-    "q_split_assign",
-    "q_token_ids",
-    "q_kmv_distinct",
-    "q_ann_ivf",
-    "q_host_stats",
-    "q_sessions",
-    "q_user_rollup",
-    "q_url_normalize",
-    "q_media_frames",
-]
+# Every queries() entry is timed — a query missing from the bench can
+# hide a regression. Derived at runtime so new queries are timed the day
+# they land; $SPARK_GRAFT_BENCH_ONLY (comma list) narrows for iteration.
+def bench_queries(all_names) -> list:
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        return [n for n in only.split(",") if n in all_names]
+    return list(all_names)
 
 
 def _noop(df) -> None:
@@ -117,7 +80,7 @@ def main() -> None:
         _noop(queries[warm_q](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries(queries.keys()):
         t0 = time.perf_counter()
         _noop(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -201,22 +201,28 @@ def write_keyed_store(
     use the parsed ``global_idx`` which is defined by shard-path order,
     NOT the writer's input order)."""
     import os
-    import struct
 
     os.makedirs(path, exist_ok=True)
     for s in range(shards):
-        part = records[s::shards]
-        chunks = [KEYED_MAGIC, struct.pack("<I", len(part))]
-        for key, label, value in part:
-            kb, lb = key.encode("utf-8"), label.encode("utf-8")
-            chunks.append(struct.pack("<H", len(kb)))
-            chunks.append(kb)
-            chunks.append(struct.pack("<H", len(lb)))
-            chunks.append(lb)
-            chunks.append(struct.pack("<I", len(value)))
-            chunks.append(value)
         with open(os.path.join(path, f"shard-{s:05d}.kvb"), "wb") as f:
-            f.write(b"".join(chunks))
+            f.write(encode_keyed_shard(records[s::shards]))
+
+
+def encode_keyed_shard(records: List[Tuple[str, str, bytes]]) -> bytes:
+    """[(key, label, value)] → one shard's bytes (the format above).
+    Split out so distributed writers can emit one shard per task."""
+    import struct
+
+    chunks = [KEYED_MAGIC, struct.pack("<I", len(records))]
+    for key, label, value in records:
+        kb, lb = key.encode("utf-8"), label.encode("utf-8")
+        chunks.append(struct.pack("<H", len(kb)))
+        chunks.append(kb)
+        chunks.append(struct.pack("<H", len(lb)))
+        chunks.append(lb)
+        chunks.append(struct.pack("<I", len(value)))
+        chunks.append(value)
+    return b"".join(chunks)
 
 
 def parse_keyed_shard(raw: bytes) -> List[Tuple[str, str, bytes]]:

@@ -1,0 +1,160 @@
+"""Bit-identity of the C tokenizer kernel vs the Python reference.
+
+The C path (webx/_ctok.c) is only legal while it is indistinguishable
+from webx.tokenize.tokenize on every input — these tests are the gate:
+crafted corners, the synth page corpus, and a hypothesis differential
+fuzz over an HTML-shaped alphabet (quotes, comments, CDATA, rawtext,
+multi-byte and null bytes)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from webx.ctokenize import AVAILABLE, tokenize_c
+from webx.tokenize import tokenize
+
+pytestmark = pytest.mark.skipif(not AVAILABLE, reason="C kernel not built")
+
+
+CORNERS = [
+    b"",
+    b"plain text only",
+    b"<p>hello</p>",
+    b"<script>var a = '<p>not</p>';</script><p>real</p>",
+    b"<script>unterminated rawtext",
+    b"<!-- a -- b --><p>y</p>",
+    b"<!-- unterminated comment <p>x</p>",
+    b"<![CDATA[ <p>no</p> ]]><p>z</p>",
+    b"<![CDATA[ unterminated <p>q</p>",
+    b"<!--->degenerate<p>k</p>",
+    b"<!-->degenerate2<p>m</p>",
+    b"<a href=\"x>y\">quoted gt</a><p>w</p>",
+    b"<p attr='unterminated quote to eof",
+    b"text < notatag > more <p>t</p>",
+    b"<P CLASS='X'>UPPER</P>",
+    b"<nav>m <a href='/'>h</a></nav><article>content</article>",
+    b"<textarea><p>inside</p></textarea>out",
+    b"<script>x</scriptx>still raw</script><p>after</p>",
+    b"nul\x00byte<p>seg\x00ment</p>",
+    b"\xc3\xa9 caf\xc3\xa9 <p>utf8 \xe2\x86\x92</p>",
+    b"<svg:rect width='5'/>inline<p>n</p>",
+    b"< p>not</ p><p>yes</p>",
+    b"</title>close first<title>t</title>",
+    b"<noscript>hidden</noscript><p>shown</p>",
+    b"<h2>head</h2> trailing tail text",
+    b"<div>" * 50 + b"deep" + b"</div>" * 50,
+    b"<br><hr><br>",
+    b"<a>" * 10 + b"linked text" + b"</a>" * 20 + b"<p>f</p>",
+]
+
+
+@pytest.mark.parametrize("html", CORNERS, ids=range(len(CORNERS)))
+def test_corner_cases_identical(html):
+    assert tokenize_c(html) == tokenize(html)
+
+
+# HTML-shaped fragment soup: tags (valid + malformed), quotes, comments,
+# rawtext islands, whitespace runs, multi-byte sequences, raw bytes.
+_FRAGMENTS = st.sampled_from(
+    [
+        b"<p>", b"</p>", b"<div class='c'>", b"</div>", b"<a href=\"/x\">",
+        b"</a>", b"<br/>", b"<h1>", b"</h1>", b"<nav>", b"</nav>",
+        b"<script>", b"</script>", b"<style>", b"</style>",
+        b"<textarea>", b"</textarea>", b"<noscript>", b"</noscript>",
+        b"<!-- c -->", b"<!--", b"-->", b"<![CDATA[", b"]]>",
+        b"<!doctype html>", b"<?pi ?>", b"<", b">", b"</", b"/>",
+        b"\"", b"'", b"=", b" ", b"\t", b"\n", b"\r", b"\f", b"\v",
+        b"word", b"text body", b"\xc3\xa9", b"\xe2\x86\x92", b"\x00",
+        b"<TABLE>", b"</TD>", b"<x-unknown>", b"<a b<c>", b"< a>",
+        b"<p attr='q>r'>", b"<p attr=\"unterm", b"--", b"]]",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, max_size=40))
+def test_fuzz_differential(parts):
+    html = b"".join(parts)
+    assert tokenize_c(html) == tokenize(html)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_fuzz_raw_bytes(html):
+    assert tokenize_c(html) == tokenize(html)
+
+
+def test_extraction_e2e_parity(spark):
+    """Full pipeline with the C kernel == full pipeline pinned to Python
+    (exceptAll both directions on the full output row)."""
+    from pyspark.sql import functions as F
+
+    from webx import synth
+    from webx.config import ExtractConfig
+    from webx.pipeline import run_extraction
+
+    pages = synth.synth_pages(spark, "/root/testdata/sf0.001")
+    flat = lambda cfg: run_extraction(pages, cfg).select(
+        "url", "text", F.to_json("spans").alias("sj"), "conf", "status"
+    )
+    a = flat(ExtractConfig(ckernels="require"))
+    b = flat(ExtractConfig(ckernels="off"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_kernel_config_modes():
+    from webx.extract import resolve_strip, resolve_tokenizer
+    from webx.recognize import strip_markup
+
+    assert resolve_tokenizer("off") is tokenize
+    assert resolve_strip("off") is strip_markup
+    assert resolve_tokenizer("auto")(b"<p>x y z</p>") == tokenize(b"<p>x y z</p>")
+    assert resolve_strip("auto")(b"<p>x<br>y</p>") == strip_markup(b"<p>x<br>y</p>")
+    with pytest.raises(ValueError, match="unknown ckernels"):
+        resolve_tokenizer("rust")
+
+
+@pytest.mark.parametrize("html", CORNERS, ids=range(len(CORNERS)))
+def test_strip_corner_cases_identical(html):
+    from webx.ctokenize import strip_markup_c
+    from webx.recognize import strip_markup
+
+    assert strip_markup_c(html) == strip_markup(html)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, max_size=40))
+def test_strip_fuzz_differential(parts):
+    from webx.ctokenize import strip_markup_c
+    from webx.recognize import strip_markup
+
+    html = b"".join(parts)
+    assert strip_markup_c(html) == strip_markup(html)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_strip_fuzz_raw_bytes(html):
+    from webx.ctokenize import strip_markup_c
+    from webx.recognize import strip_markup
+
+    assert strip_markup_c(html) == strip_markup(html)
+
+
+def test_synth_corpus_identical(spark):
+    """Every page variant in the synth corpus lexes identically."""
+    from webx import synth
+
+    sf = "/root/testdata/sf0.001"
+    for gen in (
+        synth.synth_pages,
+        synth.synth_pages_multi,
+        synth.synth_pages_entities,
+        synth.synth_pages_latin1,
+        synth.synth_pages_edge,
+    ):
+        for row in gen(spark, sf).select("html").collect():
+            h = bytes(row["html"])
+            assert tokenize_c(h) == tokenize(h)

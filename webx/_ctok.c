@@ -1,0 +1,552 @@
+/* C port of webx/tokenize.py's byte-stream HTML lexer.
+ *
+ * Semantics are a LINE-FOR-LINE mirror of the Python reference
+ * (webx/tokenize.py) including every regex backtracking corner:
+ *   - _TAG_RE alternation order: comment | CDATA | doctype/PI | tag
+ *   - a '<' where no alternative matches is TEXT (the regex search
+ *     simply moves to the next '<')
+ *   - quote-aware attribute runs; unterminated quote => the whole tag
+ *     candidate fails (matching the regex's failed backtrack)
+ *   - raw-text elements (script/style/textarea) skip to the matching
+ *     case-insensitive close tag: "</name" then '>' or (ws [^>]* '>')
+ *
+ * Bit-identity with the Python tokenizer is enforced by
+ * tests/test_ctokenize.py (goldens + hypothesis differential fuzz).
+ *
+ * ABI (ctypes):
+ *   int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count);
+ *     returns a malloc'd array of out_count x 7 int64 fields
+ *     (start, end, tlen, link_tlen, tag_cnt, heading, boiler);
+ *     NULL only on malloc failure.
+ *   void wx_free(int64_t* p);
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+static inline int is_ws(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\v';
+}
+static inline int is_alpha(uint8_t c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+static inline int is_name_char(uint8_t c) {
+    return is_alpha(c) || (c >= '0' && c <= '9') || c == ':' || c == '_' || c == '-';
+}
+static inline uint8_t lo(uint8_t c) {
+    return (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+}
+
+/* ---- tag classification (frozensets in tokenize.py) ---- */
+
+#define F_BLOCK   1
+#define F_BOILER  2   /* BOILER_TAGS that are also BLOCK (nav header footer aside form) */
+#define F_HEADING 4
+#define F_RAWTEXT 8
+#define F_A       16
+#define F_NOSCRIPT 32
+
+typedef struct { const char* name; int flags; } tagent;
+
+static const tagent TAGS[] = {
+    {"p", F_BLOCK}, {"div", F_BLOCK},
+    {"h1", F_BLOCK|F_HEADING}, {"h2", F_BLOCK|F_HEADING}, {"h3", F_BLOCK|F_HEADING},
+    {"h4", F_BLOCK|F_HEADING}, {"h5", F_BLOCK|F_HEADING}, {"h6", F_BLOCK|F_HEADING},
+    {"li", F_BLOCK}, {"ul", F_BLOCK}, {"ol", F_BLOCK}, {"dl", F_BLOCK},
+    {"dt", F_BLOCK}, {"dd", F_BLOCK}, {"table", F_BLOCK}, {"thead", F_BLOCK},
+    {"tbody", F_BLOCK}, {"tfoot", F_BLOCK}, {"tr", F_BLOCK}, {"td", F_BLOCK},
+    {"th", F_BLOCK}, {"br", F_BLOCK}, {"hr", F_BLOCK}, {"article", F_BLOCK},
+    {"section", F_BLOCK}, {"header", F_BLOCK|F_BOILER}, {"footer", F_BLOCK|F_BOILER},
+    {"nav", F_BLOCK|F_BOILER}, {"aside", F_BLOCK|F_BOILER}, {"main", F_BLOCK},
+    {"blockquote", F_BLOCK}, {"pre", F_BLOCK}, {"title", F_BLOCK|F_HEADING},
+    {"form", F_BLOCK|F_BOILER}, {"figure", F_BLOCK}, {"figcaption", F_BLOCK},
+    {"fieldset", F_BLOCK}, {"legend", F_BLOCK}, {"address", F_BLOCK},
+    {"summary", F_BLOCK}, {"details", F_BLOCK}, {"body", F_BLOCK},
+    {"html", F_BLOCK}, {"head", F_BLOCK},
+    {"script", F_RAWTEXT}, {"style", F_RAWTEXT}, {"textarea", F_RAWTEXT},
+    {"a", F_A}, {"noscript", F_NOSCRIPT},
+    {NULL, 0},
+};
+
+static int classify(const uint8_t* name, long len) {
+    if (len <= 0 || len > 10) return 0;
+    char buf[12];
+    for (long i = 0; i < len; i++) buf[i] = (char)lo(name[i]);
+    buf[len] = 0;
+    for (const tagent* t = TAGS; t->name; t++) {
+        if (t->name[0] == buf[0] && strcmp(t->name, buf) == 0) return t->flags;
+    }
+    return 0;
+}
+
+/* ---- _TAG_RE.search replica ---- */
+
+typedef struct {
+    long end;          /* m.end() */
+    int is_tag;        /* group(2) != None */
+    int closing;       /* group(1) == b"/" */
+    long name_start;
+    long name_len;
+} tagmatch;
+
+/* Try to match the full _TAG_RE alternation with h[p] == '<'.
+ * Returns 1 on success. */
+static int try_match(const uint8_t* h, long n, long p, tagmatch* m) {
+    long q = p + 1;
+    if (q >= n) return 0;
+    uint8_t c = h[q];
+    if (c == '!') {
+        /* comment: !--.*?--\s*>  (try only if the "!--" prefix is present) */
+        if (q + 2 < n && h[q + 1] == '-' && h[q + 2] == '-') {
+            for (long i = q + 3; i + 1 < n; i++) {
+                if (h[i] == '-' && h[i + 1] == '-') {
+                    long j = i + 2;
+                    while (j < n && is_ws(h[j])) j++;
+                    if (j < n && h[j] == '>') {
+                        m->end = j + 1; m->is_tag = 0;
+                        return 1;
+                    }
+                }
+            }
+            /* fall through to doctype/PI fallback */
+        }
+        /* CDATA: !\[CDATA\[.*?\]\]>  */
+        if (q + 7 < n && memcmp(h + q + 1, "[CDATA[", 7) == 0) {
+            for (long i = q + 8; i + 2 < n; i++) {
+                if (h[i] == ']' && h[i + 1] == ']' && h[i + 2] == '>') {
+                    m->end = i + 3; m->is_tag = 0;
+                    return 1;
+                }
+            }
+        }
+        /* [!?][^>]*> fallback */
+        for (long i = q + 1; i < n; i++) {
+            if (h[i] == '>') { m->end = i + 1; m->is_tag = 0; return 1; }
+        }
+        return 0;
+    }
+    if (c == '?') {
+        for (long i = q + 1; i < n; i++) {
+            if (h[i] == '>') { m->end = i + 1; m->is_tag = 0; return 1; }
+        }
+        return 0;
+    }
+    /* tag: (/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:[^>"']|"[^"]*"|'[^']*')*)/?> */
+    int closing = 0;
+    long r = q;
+    if (c == '/') { closing = 1; r = q + 1; }
+    if (r >= n || !is_alpha(h[r])) return 0;
+    long ns = r;
+    r++;
+    while (r < n && is_name_char(h[r])) r++;
+    long nl = r - ns;
+    /* attrs + final '>' (optional '/' folds into the attr char class) */
+    long s = r;
+    while (s < n) {
+        uint8_t a = h[s];
+        if (a == '>') {
+            m->end = s + 1; m->is_tag = 1; m->closing = closing;
+            m->name_start = ns; m->name_len = nl;
+            return 1;
+        }
+        if (a == '"' || a == '\'') {
+            long e = s + 1;
+            while (e < n && h[e] != a) e++;
+            if (e >= n) return 0; /* unterminated quote: whole candidate fails */
+            s = e + 1;
+        } else {
+            s++;
+        }
+    }
+    return 0;
+}
+
+/* _rawtext_end: byte offset just past the case-insensitive close tag
+ * "</name" followed by '>' or (\s [^>]* '>'); len(html) if absent. */
+static long rawtext_end(const uint8_t* h, long n, const uint8_t* lname, long nl, long pos) {
+    for (long i = pos; i + 1 + nl < n; i++) {
+        if (h[i] != '<' || h[i + 1] != '/') continue;
+        long k = 0;
+        for (; k < nl; k++) {
+            if (lo(h[i + 2 + k]) != lname[k]) break;
+        }
+        if (k != nl) continue;
+        long j = i + 2 + nl;
+        if (j >= n) continue;
+        if (h[j] == '>') return j + 1;
+        if (is_ws(h[j])) {
+            long e = j + 1;
+            while (e < n && h[e] != '>') e++;
+            if (e < n) return e + 1;
+            /* no '>': this candidate fails, keep searching */
+        }
+    }
+    return n;
+}
+
+/* ---- growable block buffer ---- */
+
+typedef struct {
+    int64_t* data;
+    long count;
+    long cap;
+} blockbuf;
+
+static int push_block(blockbuf* b, int64_t start, int64_t end, int64_t tlen,
+                      int64_t link, int64_t tags, int64_t heading, int64_t boiler) {
+    if (b->count == b->cap) {
+        long nc = b->cap ? b->cap * 2 : 64;
+        int64_t* nd = (int64_t*)realloc(b->data, (size_t)nc * 7 * sizeof(int64_t));
+        if (!nd) return 0;
+        b->data = nd;
+        b->cap = nc;
+    }
+    int64_t* r = b->data + b->count * 7;
+    r[0] = start; r[1] = end; r[2] = tlen; r[3] = link;
+    r[4] = tags; r[5] = heading; r[6] = boiler;
+    b->count++;
+    return 1;
+}
+
+int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
+    blockbuf buf = {0, 0, 0};
+    *out_count = 0;
+
+    int64_t b_start = -1, b_end = -1, b_tlen = 0, b_link = 0, b_tags = 0;
+    int b_heading = 0, b_boiler = 0;
+    long a_depth = 0, boiler_depth = 0, heading_depth = 0;
+
+    long pos = 0;
+    while (1) {
+        /* search(_TAG_RE, html, pos): next '<' where an alternative matches */
+        tagmatch m;
+        long p = pos;
+        int found = 0;
+        while (p < n) {
+            const uint8_t* lt = (const uint8_t*)memchr(html + p, '<', (size_t)(n - p));
+            if (!lt) break;
+            p = lt - html;
+            if (try_match(html, n, p, &m)) { found = 1; break; }
+            p++;
+        }
+        if (!found) break;
+        long seg_end = p;
+        if (seg_end > pos) {
+            /* ---- text segment [pos, seg_end) ---- */
+            long lead = pos;
+            while (lead < seg_end && is_ws(html[lead])) lead++;
+            if (lead < seg_end) { /* stripped non-empty */
+                long trail = seg_end;
+                while (trail > lead && is_ws(html[trail - 1])) trail--;
+                int64_t tl = 0;
+                for (long i = lead; i < trail; i++) {
+                    if (!is_ws(html[i])) tl++;
+                }
+                if (b_start < 0) b_start = lead;
+                b_end = trail;
+                b_tlen += tl;
+                if (a_depth > 0) b_link += tl;
+                if (heading_depth > 0) b_heading = 1;
+                if (boiler_depth > 0) b_boiler = 1;
+            }
+        }
+        pos = m.end;
+        if (!m.is_tag) { /* comment / CDATA / doctype / PI */
+            b_tags++;
+            continue;
+        }
+        int flags = classify(html + m.name_start, m.name_len);
+        if (flags & F_BLOCK) {
+            if (b_start >= 0 && b_tlen > 0) {
+                if (!push_block(&buf, b_start, b_end, b_tlen, b_link, b_tags,
+                                b_heading, b_boiler)) { free(buf.data); return NULL; }
+            }
+            b_start = -1; b_end = -1; b_tlen = 0; b_link = 0; b_tags = 0;
+            b_heading = 0; b_boiler = 0;
+            if (flags & F_BOILER) {
+                if (m.closing) { if (boiler_depth > 0) boiler_depth--; }
+                else boiler_depth++;
+            }
+            if (flags & F_HEADING) {
+                if (m.closing) { if (heading_depth > 0) heading_depth--; }
+                else heading_depth++;
+            }
+        } else if (flags & F_RAWTEXT) {
+            if (!m.closing) {
+                uint8_t lname[12];
+                for (long k = 0; k < m.name_len; k++) lname[k] = lo(html[m.name_start + k]);
+                pos = rawtext_end(html, n, lname, m.name_len, pos);
+            }
+            if (b_start >= 0 && b_tlen > 0) {
+                if (!push_block(&buf, b_start, b_end, b_tlen, b_link, b_tags,
+                                b_heading, b_boiler)) { free(buf.data); return NULL; }
+            }
+            b_start = -1; b_end = -1; b_tlen = 0; b_link = 0; b_tags = 0;
+            b_heading = 0; b_boiler = 0;
+        } else if (flags & F_A) {
+            if (m.closing) { if (a_depth > 0) a_depth--; }
+            else a_depth++;
+            b_tags++;
+        } else if (flags & F_NOSCRIPT) {
+            if (m.closing) { if (boiler_depth > 0) boiler_depth--; }
+            else boiler_depth++;
+            b_tags++;
+        } else {
+            b_tags++;
+        }
+    }
+    /* trailing text after the last tag */
+    if (pos < n) {
+        long lead = pos;
+        while (lead < n && is_ws(html[lead])) lead++;
+        if (lead < n) {
+            long trail = n;
+            while (trail > lead && is_ws(html[trail - 1])) trail--;
+            int64_t tl = 0;
+            for (long i = lead; i < trail; i++) {
+                if (!is_ws(html[i])) tl++;
+            }
+            if (b_start < 0) b_start = lead;
+            b_end = trail;
+            b_tlen += tl;
+            if (a_depth > 0) b_link += tl;
+            if (heading_depth > 0) b_heading = 1;
+            if (boiler_depth > 0) b_boiler = 1;
+        }
+    }
+    if (b_start >= 0 && b_tlen > 0) {
+        if (!push_block(&buf, b_start, b_end, b_tlen, b_link, b_tags,
+                        b_heading, b_boiler)) { free(buf.data); return NULL; }
+    }
+    *out_count = buf.count;
+    if (!buf.data) { /* zero blocks: hand back a 1-slot buffer so free() is uniform */
+        buf.data = (int64_t*)malloc(sizeof(int64_t));
+    }
+    return buf.data;
+}
+
+void wx_free(int64_t* p) {
+    free(p);
+}
+
+/* ====================================================================
+ * Stage-2 span decode: the four sequential regex passes of
+ * webx/recognize.py (_RAWTEXT_RE -> ' ', _COMMENT_RE -> ' ',
+ * _BLOCKTAG_RE -> '\n', _ANYTAG_RE -> ''), mirrored byte-for-byte
+ * including each regex's quirks (the rawtext/comment passes are NOT
+ * quote-aware; the blocktag/anytag passes are). Output is never longer
+ * than input (every match of >=1 byte is replaced by <=1 byte).
+ * ==================================================================== */
+
+/* quote-aware scan from s to the first unquoted '>'.
+ * Returns index just past '>' or -1 (unterminated quote / EOF). */
+static long attr_scan(const uint8_t* h, long n, long s) {
+    while (s < n) {
+        uint8_t a = h[s];
+        if (a == '>') return s + 1;
+        if (a == '"' || a == '\'') {
+            long e = s + 1;
+            while (e < n && h[e] != a) e++;
+            if (e >= n) return -1;
+            s = e + 1;
+        } else {
+            s++;
+        }
+    }
+    return -1;
+}
+
+/* plain scan to first '>' ([^>]*>): index past '>' or -1 */
+static long gt_scan(const uint8_t* h, long n, long s) {
+    const uint8_t* g = (const uint8_t*)memchr(h + s, '>', (size_t)(n - s));
+    return g ? (g - h) + 1 : -1;
+}
+
+static const char* RAW_NAMES[] = {"script", "style", "textarea", NULL};
+
+/* pass 1: <(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>  -> ' ' */
+static long pass_rawtext(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0, pos = 0;
+    while (pos < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(in + pos, '<', (size_t)(n - pos));
+        if (!lt) break;
+        long p = lt - in;
+        memcpy(out + o, in + pos, (size_t)(p - pos));
+        o += p - pos;
+        pos = p;
+        long match_end = -1;
+        for (int t = 0; RAW_NAMES[t]; t++) {
+            const char* nm = RAW_NAMES[t];
+            long nl = (long)strlen(nm);
+            if (p + 1 + nl > n) continue;
+            long k = 0;
+            while (k < nl && lo(in[p + 1 + k]) == (uint8_t)nm[k]) k++;
+            if (k != nl) continue;
+            long j = p + 1 + nl;
+            long oe = -1; /* open-tag end */
+            if (j < n && in[j] == '>') oe = j + 1;
+            else if (j < n && is_ws(in[j])) oe = gt_scan(in, n, j + 1);
+            if (oe < 0) continue;
+            /* non-greedy close: earliest </name followed by '>' or \s[^>]*> */
+            for (long i = oe; i + 1 + nl + 1 < n + 1 && i + 1 < n; i++) {
+                if (in[i] != '<' || in[i + 1] != '/') continue;
+                if (i + 2 + nl > n) break;
+                long c = 0;
+                while (c < nl && lo(in[i + 2 + c]) == (uint8_t)nm[c]) c++;
+                if (c != nl) continue;
+                long m = i + 2 + nl;
+                long ce = -1;
+                if (m < n && in[m] == '>') ce = m + 1;
+                else if (m < n && is_ws(in[m])) ce = gt_scan(in, n, m + 1);
+                if (ce < 0) continue;
+                match_end = ce;
+                break;
+            }
+            break; /* the three names are prefix-free: only one can start here */
+        }
+        if (match_end > 0) {
+            out[o++] = ' ';
+            pos = match_end;
+        } else {
+            out[o++] = '<';
+            pos = p + 1;
+        }
+    }
+    memcpy(out + o, in + pos, (size_t)(n - pos));
+    o += n - pos;
+    return o;
+}
+
+/* pass 2: <!--.*?--\s*>  |  <![CDATA[.*?]]>   -> ' ' */
+static long pass_comment(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0, pos = 0;
+    while (pos < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(in + pos, '<', (size_t)(n - pos));
+        if (!lt) break;
+        long p = lt - in;
+        memcpy(out + o, in + pos, (size_t)(p - pos));
+        o += p - pos;
+        pos = p;
+        long match_end = -1;
+        if (p + 3 < n && in[p + 1] == '!' && in[p + 2] == '-' && in[p + 3] == '-') {
+            for (long i = p + 4; i + 1 < n; i++) {
+                if (in[i] == '-' && in[i + 1] == '-') {
+                    long j = i + 2;
+                    while (j < n && is_ws(in[j])) j++;
+                    if (j < n && in[j] == '>') { match_end = j + 1; break; }
+                }
+            }
+        } else if (p + 8 < n && memcmp(in + p + 1, "![CDATA[", 8) == 0) {
+            for (long i = p + 9; i + 2 < n; i++) {
+                if (in[i] == ']' && in[i + 1] == ']' && in[i + 2] == '>') {
+                    match_end = i + 3;
+                    break;
+                }
+            }
+        }
+        if (match_end > 0) {
+            out[o++] = ' ';
+            pos = match_end;
+        } else {
+            out[o++] = '<';
+            pos = p + 1;
+        }
+    }
+    memcpy(out + o, in + pos, (size_t)(n - pos));
+    o += n - pos;
+    return o;
+}
+
+/* pass 3: </?(?:BLOCK)(?:[\s/](?:[^>"']|"[^"]*"|'[^']*')*)?>  -> '\n'
+ * Matching a literal name from the set then requiring '>' or [\s/] is
+ * equivalent to: maximal [a-zA-Z0-9] run in the set + that follow check
+ * (name chars never satisfy the follow). */
+static long pass_blocktag(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0, pos = 0;
+    while (pos < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(in + pos, '<', (size_t)(n - pos));
+        if (!lt) break;
+        long p = lt - in;
+        memcpy(out + o, in + pos, (size_t)(p - pos));
+        o += p - pos;
+        pos = p;
+        long match_end = -1;
+        long r = p + 1;
+        if (r < n && in[r] == '/') r++;
+        long ns = r;
+        while (r < n && (is_alpha(in[r]) || (in[r] >= '0' && in[r] <= '9'))) r++;
+        long nl = r - ns;
+        if (nl > 0 && (classify(in + ns, nl) & F_BLOCK)) {
+            if (r < n && in[r] == '>') match_end = r + 1;
+            else if (r < n && (is_ws(in[r]) || in[r] == '/'))
+                match_end = attr_scan(in, n, r + 1);
+        }
+        if (match_end > 0) {
+            out[o++] = '\n';
+            pos = match_end;
+        } else {
+            out[o++] = '<';
+            pos = p + 1;
+        }
+    }
+    memcpy(out + o, in + pos, (size_t)(n - pos));
+    o += n - pos;
+    return o;
+}
+
+/* pass 4: <(?:[!?][^>]*|/?[a-zA-Z][a-zA-Z0-9:_-]*(?:[^>"']|"[^"]*"|'[^']*')*)>  -> '' */
+static long pass_anytag(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0, pos = 0;
+    while (pos < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(in + pos, '<', (size_t)(n - pos));
+        if (!lt) break;
+        long p = lt - in;
+        memcpy(out + o, in + pos, (size_t)(p - pos));
+        o += p - pos;
+        pos = p;
+        long match_end = -1;
+        long q = p + 1;
+        if (q < n && (in[q] == '!' || in[q] == '?')) {
+            match_end = gt_scan(in, n, q + 1);
+        } else {
+            long r = q;
+            if (r < n && in[r] == '/') r++;
+            if (r < n && is_alpha(in[r])) {
+                r++;
+                while (r < n && is_name_char(in[r])) r++;
+                match_end = attr_scan(in, n, r);
+            }
+        }
+        if (match_end > 0) {
+            pos = match_end; /* removed: emit nothing */
+        } else {
+            out[o++] = '<';
+            pos = p + 1;
+        }
+    }
+    memcpy(out + o, in + pos, (size_t)(n - pos));
+    o += n - pos;
+    return o;
+}
+
+/* All four passes chained. Returns a malloc'd buffer (never longer than
+ * n; at least 1 byte so free() is uniform); *out_n gets the length. */
+uint8_t* wx_strip(const uint8_t* in, long n, long* out_n) {
+    *out_n = 0;
+    size_t cap = (size_t)(n > 0 ? n : 1);
+    uint8_t* a = (uint8_t*)malloc(cap);
+    uint8_t* b = (uint8_t*)malloc(cap);
+    if (!a || !b) { free(a); free(b); return NULL; }
+    long la = pass_rawtext(in, n, a);
+    long lb = pass_comment(a, la, b);
+    la = pass_blocktag(b, lb, a);
+    lb = pass_anytag(a, la, b);
+    free(a);
+    *out_n = lb;
+    return b;
+}
+
+void wx_free_bytes(uint8_t* p) {
+    free(p);
+}

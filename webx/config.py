@@ -36,6 +36,15 @@ class ExtractConfig:
     limit_side_len: int = 4_000_000  # truncate html longer than this many bytes
     default_charset: str = "utf-8"   # fallback when no meta charset declared
 
+    # --- compiled byte-stream kernels ---
+    # The two hot per-byte loops (stage-1 lexer, stage-2 tag-strip) have
+    # C ports (webx/_ctok.c) that are bit-identical to the Python
+    # reference implementations (differential-fuzzed,
+    # tests/test_ctokenize.py). "auto": use them when the .so
+    # builds/loads, else Python; "require": raise if unavailable;
+    # "off": pin the pure-Python reference paths.
+    ckernels: str = "auto"
+
     # --- physical plan (explicit partitioning per north rule) ---
     repartition: int | None = None   # None → keep scan partitioning (narrow plan)
     salt_buckets: int = 16           # secondary salt key for mega-host skew

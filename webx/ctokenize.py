@@ -1,0 +1,139 @@
+"""ctypes loader for the compiled tokenizer kernel (webx/_ctok.c).
+
+The reference ships a compiled kernel for its one hot post-process loop
+(mindocr/postprocess/pse/pse.pyx — Cython, built on first use); this is
+the same move for our hot loop: the per-tag HTML lexer, ~60% of
+extractor CPU at the CPython floor (PLANS.md). The C kernel mirrors
+webx/tokenize.py bit-for-bit (tests/test_ctokenize.py fuzzes the two
+against each other); ``tokenize_c`` returns the same ``Block`` list.
+
+Build: compiled from source with gcc at import time when the shipped
+``_ctok.so`` is missing or older than ``_ctok.c`` (each process compiles
+to a pid-suffixed temp then atomically renames, so concurrent executors
+never see a torn file). Any build/load failure leaves ``AVAILABLE =
+False`` and callers fall back to the Python tokenizer — behavior, not
+availability, is the invariant.
+
+On a real multi-node cluster ship the .so via ``--py-files`` (it lives
+inside the package directory) or let each executor build it once —
+gcc is the only requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+from webx.tokenize import Block
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_ctok.c")
+_SO = os.path.join(_DIR, "_ctok.so")
+
+
+def _ensure_built() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    subprocess.run(
+        ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, _SO)  # atomic: concurrent builders race benignly
+    return _SO
+
+
+_lib: Optional[ctypes.CDLL] = None
+try:
+    _lib = ctypes.CDLL(_ensure_built())
+    _lib.wx_tokenize.restype = ctypes.POINTER(ctypes.c_int64)
+    _lib.wx_tokenize.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    _lib.wx_free.restype = None
+    _lib.wx_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    _lib.wx_strip.restype = ctypes.POINTER(ctypes.c_uint8)
+    _lib.wx_strip.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    _lib.wx_free_bytes.restype = None
+    _lib.wx_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+except Exception:  # no gcc / bad toolchain: Python path carries on
+    _lib = None
+
+AVAILABLE = _lib is not None
+
+
+def tokenize_c(html: bytes) -> List[Block]:
+    """Drop-in replacement for webx.tokenize.tokenize (C kernel)."""
+    cnt = ctypes.c_long()
+    ptr = _lib.wx_tokenize(html, len(html), ctypes.byref(cnt))
+    if not ptr:
+        raise MemoryError("wx_tokenize allocation failure")
+    try:
+        k = cnt.value
+        flat = ptr[: k * 7]  # one bulk ctypes read
+        return [
+            Block(
+                flat[i],
+                flat[i + 1],
+                flat[i + 2],
+                flat[i + 3],
+                flat[i + 4],
+                bool(flat[i + 5]),
+                bool(flat[i + 6]),
+            )
+            for i in range(0, k * 7, 7)
+        ]
+    finally:
+        _lib.wx_free(ptr)
+
+
+def tokenize_table(html: bytes):
+    """Block table as 7 numpy columns (start, end, tlen, link_tlen,
+    tag_cnt, heading, boiler) — the zero-namedtuple fast path the
+    extractor consumes (one bulk copy out of the C buffer)."""
+    import numpy as np
+
+    cnt = ctypes.c_long()
+    ptr = _lib.wx_tokenize(html, len(html), ctypes.byref(cnt))
+    if not ptr:
+        raise MemoryError("wx_tokenize allocation failure")
+    try:
+        k = cnt.value
+        arr = (
+            np.ctypeslib.as_array(ptr, shape=(k, 7)).copy()
+            if k
+            else np.empty((0, 7), dtype=np.int64)
+        )
+    finally:
+        _lib.wx_free(ptr)
+    return (
+        arr[:, 0],
+        arr[:, 1],
+        arr[:, 2],
+        arr[:, 3],
+        arr[:, 4],
+        arr[:, 5] != 0,
+        arr[:, 6] != 0,
+    )
+
+
+def strip_markup_c(raw: bytes) -> bytes:
+    """Drop-in replacement for webx.recognize.strip_markup (C kernel:
+    the four regex passes as four memchr scans)."""
+    out_n = ctypes.c_long()
+    ptr = _lib.wx_strip(raw, len(raw), ctypes.byref(out_n))
+    if not ptr:
+        raise MemoryError("wx_strip allocation failure")
+    try:
+        return ctypes.string_at(ptr, out_n.value)
+    finally:
+        _lib.wx_free_bytes(ptr)

@@ -58,15 +58,24 @@ def merge_runs(
     cfg: ExtractConfig,
     tlen: np.ndarray | None = None,
 ) -> List[Span]:
-    """Merge consecutive candidate blocks of ONE document into scored spans."""
+    """Merge consecutive candidate blocks of ONE document into scored
+    spans (Block-list convenience wrapper over merge_runs_table)."""
     n = len(blocks)
     if n == 0:
         return []
     if tlen is None:
         tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
-    cand = (scores >= cfg.binary_thresh) & (tlen >= cfg.min_block_chars)
+    start = np.fromiter((b.start for b in blocks), dtype=np.int64, count=n)
+    end = np.fromiter((b.end for b in blocks), dtype=np.int64, count=n)
+    heading = np.fromiter((b.heading for b in blocks), dtype=bool, count=n)
+    return merge_runs_table(start, end, tlen, heading, scores, cfg)
 
-    spans: List[Span] = []
+
+def _gap_runs(cand: np.ndarray, merge_gap: int) -> list:
+    """(first, last) candidate runs bridging up to merge_gap holes —
+    the original per-block walk, kept for the merge_gap > 0 path."""
+    n = len(cand)
+    out = []
     i = 0
     while i < n:
         if not cand[i]:
@@ -75,10 +84,9 @@ def merge_runs(
         j = i
         last = i
         while j + 1 < n:
-            # bridge up to merge_gap non-candidate blocks
             k = j + 1
             gap = 0
-            while k < n and not cand[k] and gap < cfg.merge_gap:
+            while k < n and not cand[k] and gap < merge_gap:
                 k += 1
                 gap += 1
             if k < n and cand[k]:
@@ -86,17 +94,62 @@ def merge_runs(
                 last = k
             else:
                 break
+        out.append((i, last))
+        i = last + 1
+    return out
+
+
+def merge_runs_table(
+    start: np.ndarray,
+    end: np.ndarray,
+    tlen: np.ndarray,
+    heading: np.ndarray,
+    scores: np.ndarray,
+    cfg: ExtractConfig,
+) -> List[Span]:
+    """Array-native merge: run boundaries found with one vectorized diff
+    (merge_gap=0, the default) instead of a per-block Python walk; the
+    per-run score arithmetic is the EXACT expressions of the original
+    loop, so results are bit-identical."""
+    n = len(tlen)
+    if n == 0:
+        return []
+    cand = (scores >= cfg.binary_thresh) & (tlen >= cfg.min_block_chars)
+    if cfg.merge_gap == 0:
+        if n < 64:
+            # typical pages have O(10) blocks: a list walk beats numpy's
+            # per-call overhead (np.diff costs more than the whole doc)
+            cl = cand.tolist()
+            pairs = []
+            i = 0
+            while i < n:
+                if cl[i]:
+                    j = i
+                    while j + 1 < n and cl[j + 1]:
+                        j += 1
+                    pairs.append((i, j))
+                    i = j + 1
+                else:
+                    i += 1
+        else:
+            c = cand.astype(np.int8)
+            run_starts = np.nonzero(np.diff(c, prepend=np.int8(0)) == 1)[0]
+            run_ends = np.nonzero(np.diff(c, append=np.int8(0)) == -1)[0]
+            pairs = zip(run_starts.tolist(), run_ends.tolist())
+    else:
+        pairs = _gap_runs(cand, cfg.merge_gap)
+
+    spans: List[Span] = []
+    for i, last in pairs:
         run = slice(i, last + 1)
         w = tlen[run].astype(np.float64)
         sc = float(np.dot(scores[run], w) / max(w.sum(), 1.0))
         span_tlen = int(w.sum())
         if sc >= cfg.box_thresh and span_tlen >= cfg.min_span_chars:
-            kinds = [blocks[k].heading for k in range(i, last + 1)]
-            kind = "heading" if all(kinds) else "content"
+            kind = "heading" if bool(heading[run].all()) else "content"
             spans.append(
-                Span(blocks[i].start, blocks[last].end, sc, kind, i, last)
+                Span(int(start[i]), int(end[last]), sc, kind, int(i), int(last))
             )
-        i = last + 1
 
     if len(spans) > cfg.max_candidates:
         spans = spans[: cfg.max_candidates]

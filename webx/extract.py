@@ -18,17 +18,76 @@ from typing import Iterable, Iterator, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+from functools import lru_cache
+
 from webx.charset import decode_bytes, sniff_charset
 from webx.config import ExtractConfig
-from webx.detect import Span, block_scores, expand_spans, merge_runs, validate_spans
+from webx.detect import Span, block_scores, expand_spans, merge_runs_table, validate_spans
 from webx.recognize import decode_span
 from webx.tokenize import Block, tokenize
+
+
+def _resolve_kernel(mode: str, py_fn, c_name: str):
+    """cfg.ckernels → callable. "auto" prefers the compiled C kernel
+    (bit-identical; tests/test_ctokenize.py) and falls back to Python;
+    "require" demands it; "off" pins the reference implementation."""
+    if mode == "off":
+        return py_fn
+    if mode in ("auto", "require"):
+        try:
+            import webx.ctokenize as ck
+
+            c_fn, avail = getattr(ck, c_name), ck.AVAILABLE
+        except Exception:
+            c_fn, avail = None, False
+        if avail:
+            return c_fn
+        if mode == "require":
+            raise RuntimeError("ckernels='require' but the C kernel failed to build/load")
+        return py_fn
+    raise ValueError(f"unknown ckernels mode {mode!r} (expected auto|require|off)")
+
+
+@lru_cache(maxsize=4)
+def resolve_tokenizer(mode: str):
+    return _resolve_kernel(mode, tokenize, "tokenize_c")
+
+
+def _tokenize_table_py(html: bytes):
+    """Block table columns from the Python tokenizer (reference path)."""
+    blocks = tokenize(html)
+    n = len(blocks)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, e, np.empty(0, dtype=bool), np.empty(0, dtype=bool)
+    s_c, e_c, tl_c, link_c, tag_c, hd_c, boiler_c = zip(*blocks)
+    return (
+        np.array(s_c, dtype=np.int64),
+        np.array(e_c, dtype=np.int64),
+        np.array(tl_c, dtype=np.int64),
+        np.array(link_c, dtype=np.int64),
+        np.array(tag_c, dtype=np.int64),
+        np.array(hd_c, dtype=bool),
+        np.array(boiler_c, dtype=bool),
+    )
+
+
+@lru_cache(maxsize=4)
+def resolve_tokenize_table(mode: str):
+    return _resolve_kernel(mode, _tokenize_table_py, "tokenize_table")
+
+
+@lru_cache(maxsize=4)
+def resolve_strip(mode: str):
+    from webx.recognize import strip_markup
+
+    return _resolve_kernel(mode, strip_markup, "strip_markup_c")
 
 
 def _extract_doc_stage1(
     html: Optional[bytes], cfg: ExtractConfig
 ) -> Tuple[List[Block], List[Span], dict]:
-    """Tokenize + detect one document. Returns (blocks, spans, meta)."""
+    """Tokenize + detect one document. Returns (n_blocks, spans, meta)."""
     if html is None:
         html = b""
     nbytes = len(html)
@@ -39,18 +98,19 @@ def _extract_doc_stage1(
         html = html[: cfg.limit_side_len]
         truncated = True
     charset = sniff_charset(html, cfg.default_charset)
-    blocks = tokenize(html)
-    if blocks:
-        # one C-level transpose of the block table (zip of namedtuples)
-        _, _, tl_c, link_c, tag_c, _, boiler_c = zip(*blocks)
-        tlen = np.array(tl_c, dtype=np.int64)
-        link = np.array(link_c, dtype=np.int64)
-        tags = np.array(tag_c, dtype=np.int64)
-        boiler = np.array(boiler_c, dtype=bool)
+    # columnar block table straight from the tokenizer (the C kernel
+    # fills numpy columns directly; the Python path transposes once)
+    start, end, tlen, link, tags, heading, boiler = resolve_tokenize_table(
+        cfg.ckernels
+    )(html)
+    n_blocks = len(tlen)
+    if n_blocks:
         scores = block_scores(tlen, link, tags, boiler, cfg)
         spans = validate_spans(
             expand_spans(
-                html, merge_runs(blocks, scores, cfg, tlen=tlen), cfg.expand_ratio
+                html,
+                merge_runs_table(start, end, tlen, heading, scores, cfg),
+                cfg.expand_ratio,
             ),
             len(html),
         )
@@ -58,11 +118,11 @@ def _extract_doc_stage1(
         spans = []
     meta = {
         "html_bytes": nbytes,
-        "n_blocks": len(blocks),
+        "n_blocks": n_blocks,
         "truncated": truncated,
         "charset": charset,
     }
-    return blocks, spans, meta
+    return n_blocks, spans, meta
 
 
 def _decode_spans(
@@ -74,11 +134,12 @@ def _decode_spans(
     status = "ok"
     rows: List[dict] = []
     weights: List[int] = []
+    strip = resolve_strip(cfg.ckernels)
     for s in spans:
         if s.score < cfg.drop_score:  # drop_score filter (predict_system.py:92-100)
             continue
         raw = html[s.start : s.end]
-        text = decode_span(raw, charset)
+        text = decode_span(raw, charset, strip)
         if not text:
             continue
         rows.append(

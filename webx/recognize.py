@@ -43,21 +43,42 @@ _ANYTAG_RE = re.compile(
 
 # horizontal whitespace (plus NBSP) collapsed within a line
 _HWS_RE = re.compile(r"[ \t\f\v ]+")
+# A line needs the collapse regex only if it holds a non-space class
+# member or a double space -- single spaces map to themselves. These
+# membership probes are memchr-speed; most real lines take the fast path.
+_HWS_SPECIAL = ("\t", "\f", "\v", "\xa0", "  ")
 
 
-def decode_span(raw: bytes, charset: str) -> str:
-    """Decode one span's raw bytes into normalized text."""
+def _collapse_hws(text: str) -> str:
+    """``_HWS_RE.sub(" ", ...)`` with a no-op fast path. The class has
+    no newline, so one global pass == the original per-line passes."""
+    if not any(c in text for c in _HWS_SPECIAL):
+        return text
+    return _HWS_RE.sub(" ", text)
+
+
+
+def strip_markup(raw: bytes) -> bytes:
+    """The four sequential byte-level passes (reference implementation;
+    webx/_ctok.c `wx_strip` is the bit-identical compiled port)."""
     raw = _RAWTEXT_RE.sub(b" ", raw)
     raw = _COMMENT_RE.sub(b" ", raw)
     raw = _BLOCKTAG_RE.sub(b"\n", raw)
-    raw = _ANYTAG_RE.sub(b"", raw)
+    return _ANYTAG_RE.sub(b"", raw)
+
+
+def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
+    """Decode one span's raw bytes into normalized text. ``strip`` is
+    the markup-removal kernel (python or C — resolved once per batch by
+    webx.extract.resolve_strip)."""
+    raw = strip(raw)
     try:
         text = raw.decode(charset, errors="replace")
     except LookupError:
         text = raw.decode("utf-8", errors="replace")
     text = unescape(text)
     text = text.replace("\r\n", "\n").replace("\r", "\n")
-    lines = [_HWS_RE.sub(" ", ln).strip() for ln in text.split("\n")]
+    lines = [ln.strip() for ln in _collapse_hws(text).split("\n")]
     return "\n".join(ln for ln in lines if ln)
 
 

@@ -341,8 +341,13 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
-    """documents ∪ planted near-duplicates (last word dropped) for doc_id<20."""
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    """documents ∪ planted near-duplicates (last word dropped) for doc_id<20.
+
+    Repartitioned to the session parallelism: the sf0.1 documents table is
+    ONE parquet file, so without this the whole signature pass (the
+    dominant cost of every near-dup query) runs on a single core — a real
+    crawl has thousands of input splits and parallelizes at the scan."""
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     planted = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),

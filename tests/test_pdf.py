@@ -35,6 +35,95 @@ def test_octal_and_special_escapes():
     assert decode_text_object(region) == "ABC ( ) \\ x\n"
 
 
+def test_xref_stream_layout_parses_identically():
+    """PDF 1.5 layout (xref stream + ObjStm) must extract byte-identically
+    to the classic-table layout, with and without the PNG-Up predictor."""
+    from webx.pdf import write_pdf_xrefstream
+
+    classic_text, classic_spans = parse_pdf(write_pdf("T", "body text café"))
+    for pred in (1, 12):
+        text, spans = parse_pdf(write_pdf_xrefstream("T", "body text café", predictor=pred))
+        assert text == classic_text
+        assert spans == classic_spans
+
+
+def test_prev_chain_incremental_update():
+    """/Prev chain: an incremental update overriding the content object
+    must win (newest-first walk), with untouched objects resolved from
+    the previous xref section."""
+    import re as _re
+    import zlib
+
+    base = write_pdf("T", "old body")
+    old_xref_pos = int(_re.search(rb"startxref\s+(\d+)", base[-256:]).group(1))
+    new_content = b"BT /F1 12 Tf 72 720 Td (T) Tj 0 -14 TD (new body) Tj ET"
+    data = zlib.compress(new_content)
+    obj4 = (
+        b"4 0 obj\n<< /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream\nendobj\n"
+    )
+    off4 = len(base)
+    upd_xref = off4 + len(obj4)
+    update = (
+        obj4
+        + b"xref\n4 1\n" + f"{off4:010d} 00001 n \n".encode()
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev " + str(old_xref_pos).encode()
+        + b" >>\nstartxref\n" + str(upd_xref).encode() + b"\n%%EOF\n"
+    )
+    text, _ = parse_pdf(base + update)
+    assert text == "T\nnew body"
+
+
+def test_predictor_filters_roundtrip():
+    """All five per-row PNG filters and the TIFF predictor decode."""
+    from webx.pdf import _apply_predictor
+
+    rows = [bytes([1, 10, 20, 250, 7]), bytes([2, 11, 19, 251, 9]), bytes([0, 0, 255, 1, 2])]
+    cols = 5
+    # encode with each PNG filter type per row, then decode
+    prev = bytes(cols)
+    enc = bytearray()
+    for ftype, row in zip((1, 2, 4), rows):
+        if ftype == 1:
+            out = bytes([(row[c] - (row[c - 1] if c else 0)) & 0xFF for c in range(cols)])
+        elif ftype == 2:
+            out = bytes([(row[c] - prev[c]) & 0xFF for c in range(cols)])
+        else:  # Paeth
+            out = bytearray()
+            for c in range(cols):
+                a = row[c - 1] if c else 0
+                b = prev[c]
+                cc = prev[c - 1] if c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out.append((row[c] - pred) & 0xFF)
+            out = bytes(out)
+        enc.append(ftype)
+        enc.extend(out)
+        prev = row
+    dec = _apply_predictor(bytes(enc), {"Predictor": 12, "Columns": cols})
+    assert dec == b"".join(rows)
+    # TIFF predictor 2
+    tiff_rows = b"".join(
+        bytes([r[0]] + [(r[c] - r[c - 1]) & 0xFF for c in range(1, cols)]) for r in rows
+    )
+    assert _apply_predictor(tiff_rows, {"Predictor": 2, "Columns": cols}) == b"".join(rows)
+
+
+def test_unsupported_predictor_is_fail_soft():
+    """An xref stream with an unknown predictor must land in the
+    status='unsupported' lane, not crash the batch."""
+    from webx.pdf import write_pdf_xrefstream
+
+    raw = write_pdf_xrefstream("T", "body", predictor=12)
+    bad = raw.replace(b"/Predictor 12", b"/Predictor 99")
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported predictor"):
+        parse_pdf(bad)
+
+
 def test_invalid_escapes_ignore_backslash():
     # PDF spec: a backslash before an unrecognized char is dropped and the
     # char kept literally; \8 and \9 are not octal.

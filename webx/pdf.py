@@ -12,12 +12,13 @@ DBNet detect → CRNN decode split):
   operators (Tj, TJ, ', ") in order, with Td/TD/T*/Tm line moves as
   newlines and full PDF string-escape handling — the "sequence decode".
 
-Honest bounds (stated, not hidden): classic xref tables only (no xref
-streams / object streams), FlateDecode only, text strings interpreted as
-UTF-8 bytes (the synthetic-fixture shortcut; real-world PDFs need font
-/Encoding + ToUnicode maps). Anything outside these bounds yields
-status='unsupported' with zero rows lost — same explicit bad-row policy
-as the HTML lane.
+Honest bounds (stated, not hidden): classic xref tables AND PDF 1.5+
+xref streams / object streams (/Prev incremental-update chains, TIFF +
+all five per-row PNG predictors), FlateDecode only, text strings
+interpreted as UTF-8 bytes (the synthetic-fixture shortcut; real-world
+PDFs need font /Encoding + ToUnicode maps). Anything outside these
+bounds yields status='unsupported' with zero rows lost — same explicit
+bad-row policy as the HTML lane.
 
 Distribution: ``extract_pdf`` is one fused Arrow ``mapInPandas`` pass
 over (url, pdf) rows — the same zero-shuffle flagship plan shape as
@@ -88,6 +89,98 @@ def write_pdf(title: str, body: str, compress: bool = True) -> bytes:
     return b"".join(out)
 
 
+def _png_up_encode(rows: List[bytes], columns: int) -> bytes:
+    """Encode fixed-width rows with the PNG Up filter (predictor 12) —
+    the encoding real writers emit for xref streams."""
+    out = bytearray()
+    prev = bytes(columns)
+    for row in rows:
+        out.append(2)  # Up
+        out.extend((row[c] - prev[c]) & 0xFF for c in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
+    """The same one-page document as ``write_pdf`` in the PDF 1.5+
+    layout every modern writer emits: catalog/pages/page/font packed in
+    a compressed object stream (/Type /ObjStm) addressed by a binary
+    cross-reference STREAM (/Type /XRef, W [1 2 2]) instead of a classic
+    table; ``predictor`` ∈ {1, 12} selects raw vs PNG-Up row encoding.
+    Extraction must be byte-identical to the classic-layout document."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td ("
+        + _esc(title.encode("utf-8"))
+        + b") Tj 0 -14 TD ("
+        + _esc(body.encode("utf-8"))
+        + b") Tj ET"
+    )
+    data = zlib.compress(content)
+    obj4 = (
+        b"4 0 obj\n<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + data + b"\nendstream\nendobj\n"
+    )
+    # ObjStm 7: objects 1 (catalog), 2 (pages), 3 (page), 5 (font)
+    inner_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    bodies, header, off = [], [], 0
+    for num, b_ in inner_objs:
+        header.append(f"{num} {off}".encode())
+        bodies.append(b_)
+        off += len(b_) + 1
+    stm_payload = b" ".join(header) + b"\n" + b" ".join(bodies)
+    first = stm_payload.index(b"\n") + 1
+    stm_z = zlib.compress(stm_payload)
+    obj7 = (
+        b"7 0 obj\n<< /Type /ObjStm /N 4 /First " + str(first).encode()
+        + b" /Length " + str(len(stm_z)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + stm_z + b"\nendstream\nendobj\n"
+    )
+    head = b"%PDF-1.5\n"
+    off4 = len(head)
+    off7 = off4 + len(obj4)
+    off6 = off7 + len(obj7)
+    # xref rows (type, field2, field3) for objects 0..7, W = [1, 2, 2]
+    entries = [
+        (0, 0, 65535),
+        (2, 7, 0),
+        (2, 7, 1),
+        (2, 7, 2),
+        (1, off4, 0),
+        (2, 7, 3),
+        (1, off6, 0),
+        (1, off7, 0),
+    ]
+    rows = [
+        bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in entries
+    ]
+    if predictor == 12:
+        xdata = _png_up_encode(rows, 5)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+    else:
+        xdata = b"".join(rows)
+        parms = b""
+    xz = zlib.compress(xdata)
+    obj6 = (
+        b"6 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R /Length "
+        + str(len(xz)).encode() + b" /Filter /FlateDecode" + parms + b" >>"
+        b"\nstream\n" + xz + b"\nendstream\nendobj\n"
+    )
+    return (
+        head + obj4 + obj7 + obj6
+        + b"startxref\n" + str(off6).encode() + b"\n%%EOF\n"
+    )
+
+
 # ----------------------------------------------------------- object model
 
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R")
@@ -95,16 +188,36 @@ _WS = b"\x00\t\n\x0c\r "
 
 
 def _parse_xref(raw: bytes) -> Tuple[dict, dict]:
-    """Classic xref walk: startxref → offset table → trailer dict.
-    Returns ({obj_num: offset}, trailer_dict_bytes_span)."""
+    """Cross-reference walk: startxref → classic table OR xref stream
+    (PDF 1.5+), following /Prev chains (incremental updates — newest
+    entry wins). Returns ({obj_num: offset_or_("instm", stm, idx)},
+    trailer_dict)."""
     tail = raw[-256:]
     m = list(re.finditer(rb"startxref\s+(\d+)", tail))
     if not m:
         raise ValueError("no startxref")
-    pos = int(m[-1].group(1))
-    if raw[pos : pos + 4] != b"xref":
-        raise ValueError("xref streams unsupported")
+    pos: Optional[int] = int(m[-1].group(1))
     offsets: dict = {}
+    trailer: Optional[dict] = None
+    seen: set = set()
+    while pos is not None and pos not in seen:
+        seen.add(pos)
+        if raw[pos : pos + 4] == b"xref":
+            t = _parse_xref_table(raw, pos, offsets)
+        else:
+            t = _parse_xref_stream(raw, pos, offsets)
+        if trailer is None:
+            trailer = t
+        prev = t.get("Prev")
+        pos = int(prev) if isinstance(prev, (int, float)) else None
+    if trailer is None:
+        raise ValueError("no xref")
+    return offsets, trailer
+
+
+def _parse_xref_table(raw: bytes, pos: int, offsets: dict) -> dict:
+    """Classic ``xref`` keyword table at pos; fills offsets (setdefault:
+    earlier sections in the walk are newer). Returns the trailer dict."""
     p = pos + 4
     while True:
         m2 = re.match(rb"\s*(\d+)\s+(\d+)\s*", raw[p : p + 64])
@@ -124,8 +237,125 @@ def _parse_xref(raw: bytes) -> Tuple[dict, dict]:
     if not tm:
         raise ValueError("no trailer")
     tstart = p - 1 + tm.end()
-    trailer = _parse_dict(raw, _skip_ws(raw, tstart))[0]
-    return offsets, trailer
+    return _parse_dict(raw, _skip_ws(raw, tstart))[0]
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """Reverse the /DecodeParms predictor on decoded stream bytes.
+    Supports the ones real xref streams use: none, TIFF (2), and the
+    per-row PNG filters (10-15; each ROW carries its own filter byte,
+    so any PNG predictor value must handle all five filters). Assumes
+    Colors=1, BitsPerComponent=8 — the xref-stream case."""
+    pred = parms.get("Predictor", 1)
+    pred = int(pred) if isinstance(pred, (int, float)) else 1
+    if pred == 1:
+        return data
+    columns = int(parms.get("Columns", 1))
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r in range(0, len(out), columns):
+            for c in range(1, min(columns, len(out) - r)):
+                out[r + c] = (out[r + c] + out[r + c - 1]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:  # PNG row filters
+        rowlen = columns + 1
+        if len(data) % rowlen:
+            raise ValueError("predictor row misalignment")
+        out = bytearray()
+        prev = bytearray(columns)
+        for r in range(0, len(data), rowlen):
+            ftype = data[r]
+            row = bytearray(data[r + 1 : r + rowlen])
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for c in range(1, columns):
+                    row[c] = (row[c] + row[c - 1]) & 0xFF
+            elif ftype == 2:  # Up
+                for c in range(columns):
+                    row[c] = (row[c] + prev[c]) & 0xFF
+            elif ftype == 3:  # Average
+                for c in range(columns):
+                    left = row[c - 1] if c else 0
+                    row[c] = (row[c] + ((left + prev[c]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for c in range(columns):
+                    a = row[c - 1] if c else 0
+                    b = prev[c]
+                    cc = prev[c - 1] if c else 0
+                    pp = a + b - cc
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+                    pred_v = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    row[c] = (row[c] + pred_v) & 0xFF
+            else:
+                raise ValueError(f"unsupported PNG filter {ftype}")
+            out.extend(row)
+            prev = row
+        return bytes(out)
+    raise ValueError(f"unsupported predictor {pred}")
+
+
+def _parse_xref_stream(raw: bytes, pos: int, offsets: dict) -> dict:
+    """PDF 1.5 cross-reference STREAM at pos: binary (type, f2, f3) rows
+    with /W field widths; type 1 = byte offset, type 2 = (object stream,
+    index). The stream dict doubles as the trailer."""
+    m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", raw[pos:])
+    if not m:
+        raise ValueError("bad xref location")
+    p = pos + m.end()
+    val, p = _parse_value(raw, _skip_ws(raw, p))
+    if not isinstance(val, dict) or val.get("Type") != ("name", "XRef"):
+        raise ValueError("not an xref stream")
+    p = _skip_ws(raw, p)
+    if raw[p : p + 6] != b"stream":
+        raise ValueError("xref stream missing data")
+    p += 6
+    if raw[p : p + 2] == b"\r\n":
+        p += 2
+    elif raw[p : p + 1] == b"\n":
+        p += 1
+    length = val.get("Length")
+    if not isinstance(length, (int, float)):
+        raise ValueError("xref stream /Length must be direct")
+    data = raw[p : p + int(length)]
+    filt = val.get("Filter")
+    if filt == ("name", "FlateDecode"):
+        data = zlib.decompress(data)
+    elif filt is not None:
+        raise ValueError(f"unsupported filter {filt}")
+    parms = val.get("DecodeParms")
+    if isinstance(parms, dict):
+        data = _apply_predictor(data, parms)
+    w = [int(x) for x in val.get("W", [])]
+    if len(w) != 3:
+        raise ValueError("bad /W")
+    size = int(val["Size"])
+    index = [int(x) for x in val.get("Index", [0, size])]
+    rowlen = sum(w)
+
+    def field(row: bytes, a: int, b: int, default: int) -> int:
+        if b == a:
+            return default
+        return int.from_bytes(row[a:b], "big")
+
+    r = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for i in range(count):
+            if r + rowlen > len(data):
+                raise ValueError("xref stream truncated")
+            row = data[r : r + rowlen]
+            r += rowlen
+            typ = field(row, 0, w[0], 1)  # w0=0 ⇒ type defaults to 1
+            f2 = field(row, w[0], w[0] + w[1], 0)
+            f3 = field(row, w[0] + w[1], rowlen, 0)
+            num = start + i
+            if typ == 1:
+                offsets.setdefault(num, f2)
+            elif typ == 2:
+                offsets.setdefault(num, ("instm", f2, f3))
+            # type 0 (free) and unknown types: skip (spec: treat as free)
+    return val
 
 
 def _skip_ws(raw: bytes, p: int) -> int:
@@ -232,11 +462,35 @@ def _parse_string(raw: bytes, p: int) -> Tuple[bytes, int]:
     raise ValueError("unterminated string")
 
 
+def _load_compressed_obj(raw: bytes, offsets: dict, num: int, stm_num: int, idx: int):
+    """Object packed in a /Type /ObjStm object stream: decode the
+    container, read its (obj_num, offset) header pairs, parse the value
+    at /First + offset. Compressed objects never carry streams."""
+    sval, sdata = _load_obj(raw, offsets, stm_num)
+    if not isinstance(sval, dict) or sval.get("Type") != ("name", "ObjStm") or sdata is None:
+        raise ValueError(f"object {num}: container {stm_num} is not an ObjStm")
+    first = int(sval["First"])
+    count = int(sval["N"])
+    nums = [int(x) for x in re.findall(rb"\d+", sdata[:first])]
+    pairs = list(zip(nums[0::2], nums[1::2]))[:count]
+    if idx < len(pairs) and pairs[idx][0] == num:
+        off = pairs[idx][1]
+    else:  # index drift: fall back to a scan for the object number
+        cand = [o for n2, o in pairs if n2 == num]
+        if not cand:
+            raise ValueError(f"object {num} not in stream {stm_num}")
+        off = cand[0]
+    return _parse_value(sdata, _skip_ws(sdata, first + off))[0]
+
+
 def _load_obj(raw: bytes, offsets: dict, num: int):
     """Object at xref offset → (dict_or_value, stream_bytes_or_None)."""
     if num not in offsets:
         raise ValueError(f"missing object {num}")
-    p = offsets[num]
+    loc = offsets[num]
+    if isinstance(loc, tuple) and loc[0] == "instm":
+        return _load_compressed_obj(raw, offsets, num, loc[1], loc[2]), None
+    p = loc
     m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", raw[p:])
     if not m or int(m.group(1)) != num:
         raise ValueError(f"object header mismatch at {p}")
@@ -259,6 +513,9 @@ def _load_obj(raw: bytes, offsets: dict, num: int):
             stream = zlib.decompress(stream)
         elif filt is not None:
             raise ValueError(f"unsupported filter {filt}")
+        parms = val.get("DecodeParms") if isinstance(val, dict) else None
+        if isinstance(parms, dict):
+            stream = _apply_predictor(stream, parms)
     return val, stream
 
 

@@ -232,10 +232,11 @@ def synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from webx.pdf import write_pdf
+    from webx.pdf import write_pdf, write_pdf_xrefstream
 
     src = load_documents(spark, sf_dir).select(
         _url().alias("url"),
+        F.col("doc_id"),
         _did().alias("title"),
         _norm(F.col("text")).alias("body"),
     )
@@ -245,14 +246,17 @@ def synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
-            yield pd.DataFrame(
-                {
-                    "url": p["url"],
-                    "pdf": [
-                        write_pdf(t, b, compress=True)
-                        for t, b in zip(p["title"], p["body"])
-                    ],
-                }
-            )
+            # deterministic layout mix so every parser lane is exercised:
+            # even docs → classic xref table, doc%4==1 → xref stream with
+            # the PNG-Up predictor, doc%4==3 → xref stream unpredicted
+            pdfs = []
+            for d, t, b in zip(p["doc_id"], p["title"], p["body"]):
+                if d % 2 == 0:
+                    pdfs.append(write_pdf(t, b, compress=True))
+                else:
+                    pdfs.append(
+                        write_pdf_xrefstream(t, b, predictor=12 if d % 4 == 1 else 1)
+                    )
+            yield pd.DataFrame({"url": p["url"], "pdf": pdfs})
 
     return src.mapInPandas(fn, schema=schema)

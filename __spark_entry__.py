@@ -616,6 +616,46 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return split_assign(docs, SPLIT_WEIGHTS, SPLIT_NAMES).select("doc_id", "split")
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Test-set decontamination (the GPT-3/Gopher 13-gram overlap
+    filter): docs sharing any word 13-gram with a benchmark set (every
+    97th document plays the eval set). Benchmark n-grams broadcast; the
+    corpus explodes once, no corpus shuffle."""
+    from webx.curate import contaminated_ids
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return contaminated_ids(docs, bench, n=13).orderBy("doc_id")
+
+
+def q_host_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host volume cap (crawl curation): keep ≤50 docs per host in
+    deterministic doc_id order — rank window, one shuffle on the skew
+    axis the cap exists to tame."""
+    from webx.curate import cap_per_host
+
+    docs = synth.load_documents(spark, sf)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+    )
+    d = docs.select("doc_id", host.alias("host"))
+    return cap_per_host(d, max_per_host=50).select("doc_id", "host")
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy training-sequence packing: per-lang walk in doc_id order,
+    new bin when the running whitespace-token count would pass 512 (an
+    oversized doc gets its own bin). Grouped applyInPandas — groups pack
+    independently, the only scale-honest formulation of a sequential
+    walk. Oracle: DuckDB recursive CTE replays the same greedy rule."""
+    from webx.curate import pack_sequences
+
+    docs = synth.load_documents(spark, sf)
+    return pack_sequences(docs, max_tokens=512, group_col="lang").orderBy(
+        "grp", "doc_id"
+    )
+
+
 def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles of doc length per language — the
     corpus-profiling aggregate a curation pipeline runs before choosing
@@ -870,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_host_cube": q_lang_host_cube,
         "q_length_percentiles": q_length_percentiles,
         "q_length_percentiles_approx": q_length_percentiles_approx,
+        "q_decontaminate": q_decontaminate,
+        "q_host_cap": q_host_cap,
+        "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
         "q_kmv_distinct": q_kmv_distinct,
@@ -1183,6 +1226,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_stratified_sample": _sampling_oracle_sql("stratified"),
         "q_split_assign": _sampling_oracle_sql("split"),
+        "q_decontaminate": (
+            "WITH toks AS (SELECT doc_id, list_transform(regexp_split_to_array("
+            f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(t) >= 13 THEN "
+            "list_distinct(list_transform(generate_series(1, len(t) - 12), "
+            "i -> array_to_string(t[i:i+12], ' '))) "
+            "ELSE [array_to_string(t, ' ')] END AS gs FROM toks), "
+            "bench AS (SELECT DISTINCT unnest(gs) AS ng FROM grams WHERE doc_id % 97 = 0), "
+            "docg AS (SELECT doc_id, unnest(gs) AS ng FROM grams) "
+            "SELECT DISTINCT doc_id FROM docg WHERE ng IN (SELECT ng FROM bench)"
+        ),
+        "q_host_cap": (
+            "SELECT doc_id, host FROM ("
+            "SELECT doc_id, ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            "row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) AS rk "
+            "FROM documents) WHERE rk <= 50"
+        ),
+        "q_pack_sequences": (
+            "WITH RECURSIVE base AS (SELECT lang AS grp, doc_id, "
+            f"CAST(len(regexp_split_to_array(trim(text), {WS_SPLIT_SQL})) AS INT) AS n_tokens, "
+            "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), "
+            "pack AS ("
+            "SELECT grp, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc "
+            "FROM base WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT b.grp, b.doc_id, b.n_tokens, b.rn, "
+            "CASE WHEN p.acc > 0 AND p.acc + b.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END, "
+            "CASE WHEN p.acc > 0 AND p.acc + b.n_tokens > 512 THEN b.n_tokens ELSE p.acc + b.n_tokens END "
+            "FROM base b JOIN pack p ON b.grp = p.grp AND b.rn = p.rn + 1) "
+            "SELECT grp, doc_id, n_tokens, bin FROM pack"
+        ),
         "q_length_percentiles": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(min(length(text)) AS INT) AS min_len, "

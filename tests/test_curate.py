@@ -1,0 +1,76 @@
+"""Curation operators: decontamination, host caps, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webx.curate import cap_per_host, contaminated_ids, pack_sequences
+
+
+def test_contaminated_ids_flags_overlap(spark):
+    bench_text = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, "clean document with entirely different words here now"),
+            (2, "prefix words then " + bench_text + " trailing tail"),
+            (3, bench_text),  # exact benchmark copy
+            (4, " ".join(f"b{i}" for i in range(12))),  # only 12-gram prefix: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = sorted(r["doc_id"] for r in contaminated_ids(docs, bench, n=13).collect())
+    assert got == [2, 3]
+
+
+def test_contaminated_ids_case_insensitive(spark):
+    t = " ".join(f"W{i}" for i in range(13))
+    docs = spark.createDataFrame([(1, t.lower())], "doc_id long, text string")
+    bench = spark.createDataFrame([(t,)], "text string")
+    assert [r["doc_id"] for r in contaminated_ids(docs, bench).collect()] == [1]
+
+
+def test_cap_per_host_keeps_lowest_ids(spark):
+    rows = [(i, "h%d" % (i % 2)) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = sorted(r["doc_id"] for r in cap_per_host(d, max_per_host=3).collect())
+    # per host (parity classes), the 3 smallest ids survive
+    assert kept == [0, 1, 2, 3, 4, 5]
+
+
+def test_pack_sequences_greedy_bins(spark):
+    # token counts: 3, 3, 3 with max 7 -> bins [0,0,1]; oversized doc own bin
+    rows = [
+        ("en", 1, "a b c"),
+        ("en", 2, "d e f"),
+        ("en", 3, "g h i"),
+        ("en", 4, " ".join(f"x{i}" for i in range(9))),  # 9 > 7: own bin
+        ("en", 5, "tail words"),
+        ("fr", 1, "un deux trois"),  # separate group restarts at bin 0
+    ]
+    d = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    out = {
+        (r["grp"], r["doc_id"]): (r["n_tokens"], r["bin"])
+        for r in pack_sequences(d, max_tokens=7, group_col="lang").collect()
+    }
+    assert out[("en", 1)] == (3, 0)
+    assert out[("en", 2)] == (3, 0)
+    assert out[("en", 3)] == (3, 1)
+    assert out[("en", 4)] == (9, 2)
+    assert out[("en", 5)] == (2, 3)
+    assert out[("fr", 1)] == (3, 0)
+
+
+def test_pack_sequences_bins_respect_cap(spark):
+    """Property: every bin's token sum <= max_tokens unless it is a
+    single oversized document."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, max_tokens=256, group_col="lang")
+    agg = (
+        out.groupBy("grp", "bin")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r["s"] <= 256 or r["c"] == 1, (r["grp"], r["bin"], r["s"], r["c"])

@@ -1,0 +1,131 @@
+"""Corpus-curation operators a crawl→training-data pipeline needs beyond
+dedup: test-set decontamination, per-host volume caps, and sequence
+packing. All pure pyspark.sql (codegen; the one grouped walk is an
+Arrow-batched applyInPandas) — no driver-side loops.
+
+Scale shapes:
+* decontamination — the benchmark side is small by definition (eval
+  sets are thousands of docs); its distinct n-gram set broadcasts, the
+  corpus side is one narrow explode + broadcast semi-join (no shuffle
+  of the corpus).
+* host caps — one shuffle on host (the skew axis the cap exists for);
+  ranking window is partial-agg-free but bounded per host by the cap's
+  own purpose.
+* packing — greedy walks are inherently sequential, so the op packs
+  WITHIN a declared group key (lang / shard), groups processed
+  independently in parallel — the formulation that holds at 10^12 docs
+  (a single global greedy walk would not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from webx.textstats import WS_SPLIT
+
+
+def _word_ngrams(col: str, n: int, lower: bool = True):
+    """Word n-gram strings of ``col`` (deterministic, JVM-side);
+    documents shorter than n words yield their whole token join."""
+    toks = F.split(F.trim(F.col(col)), WS_SPLIT)
+    if lower:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    doc_text: str = "text",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: doc_ids whose text contains ANY word
+    n-gram of the benchmark set (the GPT-3/Gopher 13-gram overlap
+    filter). Returns (doc_id) distinct.
+
+    Plan: benchmark n-grams → distinct (small — eval sets) → broadcast
+    semi-join against the exploded corpus n-grams. The corpus is read
+    once, never shuffled; the explode is narrow and the semi-join
+    short-circuits per match."""
+    bench_sh = (
+        benchmark.select(F.explode(_word_ngrams(bench_text, n)).alias("ng"))
+        .distinct()
+    )
+    doc_sh = docs.select("doc_id", F.explode(_word_ngrams(doc_text, n)).alias("ng"))
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def cap_per_host(
+    docs: DataFrame,
+    host_col: str = "host",
+    max_per_host: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_per_host`` documents per host, deterministic
+    preference order (``order_col`` ascending) — the crawl-curation cap
+    that stops mega-hosts from dominating the corpus. Rank-filter pushes
+    into the window sort (one shuffle on host, top-k per group)."""
+    w = Window.partitionBy(host_col).orderBy(F.col(order_col).asc())
+    return (
+        docs.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= max_per_host)
+        .drop("_rank")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing for training: walk each group's documents
+    in ``order_col`` order, accumulate whitespace token counts, start a
+    new bin whenever adding the next document would exceed
+    ``max_tokens`` (an oversized document gets its own bin). Returns
+    (group, doc_id, n_tokens, bin).
+
+    Greedy packing is inherently sequential, so it runs per GROUP
+    (applyInPandas, one Arrow batch per group, numpy walk) — groups pack
+    independently in parallel. At crawl scale the group key is the
+    shard/partition you want one training file per."""
+    import numpy as np
+    import pandas as pd
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT))
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("doc_id"),
+        toks.cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        nt = pdf["n_tokens"].to_numpy()
+        bins = np.empty(len(nt), dtype=np.int64)
+        b, acc = 0, 0
+        for i, t in enumerate(nt.tolist()):
+            if acc and acc + t > max_tokens:
+                b += 1
+                acc = 0
+            acc += t
+            bins[i] = b
+        pdf["bin"] = bins
+        return pdf
+
+    return base.groupBy("grp").applyInPandas(
+        pack, schema="grp string, doc_id long, n_tokens int, bin long"
+    )

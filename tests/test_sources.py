@@ -93,3 +93,53 @@ def test_warc_per_record_gzip_members():
     members = b"".join(gzip.compress(b"WARC/1.0" + p) for p in parts)
     got = parse_warc(members)
     assert [u for u, _, _ in got] == [f"https://ex.com/{i}" for i in range(3)]
+
+
+def _warc_record(rtype: bytes, uri: bytes, date: bytes, body: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\nWARC-Type: " + rtype + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:0000>\r\n"
+        + (b"WARC-Target-URI: " + uri + b"\r\n" if uri else b"")
+        + b"WARC-Date: " + date + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return hdr + b"\r\n" + body + b"\r\n\r\n"
+
+
+def test_warc_common_crawl_shapes():
+    """A CC-faithful archive: warcinfo + request/response/metadata
+    triplets, fractional-second WARC-Dates, a chunked response, and a
+    bare-LF HTTP header block — only the two payloads come out."""
+    date = b"2017-10-24T00:14:32.000Z"
+    info = _warc_record(b"warcinfo", b"", date, b"software: crawler\r\n")
+    req = _warc_record(
+        b"request", b"http://a.example/x", date,
+        b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+    )
+    # chunked response: payload '<p>hello world</p>' in two chunks
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"9;ext=1\r\n<p>hello \r\n9\r\nworld</p>\r\n0\r\n\r\n"
+    )
+    resp1 = _warc_record(b"response", b"http://a.example/x", date, chunked)
+    meta = _warc_record(b"metadata", b"http://a.example/x", date, b"fetchTimeMs: 7\r\n")
+    # bare-LF HTTP headers (server emitted LF only); WARC framing still CRLF
+    lf_http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>lf page</p>"
+    resp2 = _warc_record(b"response", b"<http://b.example/y>", date, lf_http)
+    recs = parse_warc(info + req + resp1 + meta + resp2)
+    assert [(u, h) for u, _, h in recs] == [
+        ("http://a.example/x", b"<p>hello world</p>"),
+        ("http://b.example/y", b"<p>lf page</p>"),
+    ]
+    assert recs[0][1] == datetime(2017, 10, 24, 0, 14, 32, tzinfo=timezone.utc)
+
+
+def test_warc_chunked_framing_errors_fail_soft():
+    from webx.sources import _dechunk
+
+    assert _dechunk(b"zz\r\nnothex") == b"zz\r\nnothex"  # bad size token
+    assert _dechunk(b"ff\r\nshort") == b"ff\r\nshort"    # size beyond end
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    # trailer headers after the 0 chunk are not content
+    assert _dechunk(b"3\r\nabc\r\n0\r\nX-T: 1\r\n\r\n") == b"abc"

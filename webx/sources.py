@@ -39,6 +39,45 @@ _CL_RE = re.compile(rb"^content-length:\s*(\d+)\s*$", re.I | re.M)
 _TYPE_RE = re.compile(rb"^warc-type:\s*(\S+)\s*$", re.I | re.M)
 _URI_RE = re.compile(rb"^warc-target-uri:\s*(\S+)\s*$", re.I | re.M)
 _DATE_RE = re.compile(rb"^warc-date:\s*(\S+)\s*$", re.I | re.M)
+_CHUNKED_RE = re.compile(rb"^transfer-encoding:.*\bchunked\b", re.I | re.M)
+
+
+def _parse_warc_date(s: str) -> Optional[datetime]:
+    """WARC-Date: 1.0 second precision or 1.1 fractional seconds
+    (Common Crawl emits e.g. 2017-10-24T00:14:32.000Z)."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
+
+
+def _dechunk(payload: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded payload (Common Crawl
+    stores bodies as captured on the wire, chunk framing included).
+    Any framing error returns the payload untouched — fail-soft."""
+    out = bytearray()
+    pos, n = 0, len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            return bytes(payload)
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()  # ignore extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(payload)
+        if size == 0:
+            break  # trailer (if any) is not page content
+        start = eol + 2
+        if start + size > n:
+            return bytes(payload)
+        out += payload[start : start + size]
+        pos = start + size
+        if payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+    return bytes(out)
 
 
 def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
@@ -85,15 +124,21 @@ def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
         ts = None
         d = _DATE_RE.search(header)
         if d is not None:
-            try:
-                ts = datetime.strptime(
-                    d.group(1).decode("ascii", "replace"), "%Y-%m-%dT%H:%M:%SZ"
-                ).replace(tzinfo=timezone.utc)
-            except ValueError:
-                ts = None
-        # body = HTTP response: status line + headers, blank line, payload
+            ts = _parse_warc_date(d.group(1).decode("ascii", "replace"))
+        # body = HTTP response: status line + headers, blank line, payload.
+        # Some origin servers emit bare-LF header blocks; WARC preserves
+        # the capture verbatim, so accept \n\n when \r\n\r\n is absent.
         http_end = body.find(b"\r\n\r\n")
-        html = body[http_end + 4 :] if http_end >= 0 else body
+        if http_end >= 0:
+            http_hdr, html = body[:http_end], body[http_end + 4 :]
+        else:
+            lf_end = body.find(b"\n\n")
+            if lf_end >= 0:
+                http_hdr, html = body[:lf_end], body[lf_end + 2 :]
+            else:
+                http_hdr, html = b"", body
+        if _CHUNKED_RE.search(http_hdr):
+            html = _dechunk(html)
         out.append((url, ts, html))
     return out
 

@@ -36,7 +36,12 @@ def parse_args(argv):
     p.add_argument("--output-format", default="parquet")
     p.add_argument("--checkpoint", required=True, help="lineage/checkpoint table path")
     p.add_argument("--run-id", required=True)
-    p.add_argument("--snapshot-id", required=True)
+    p.add_argument("--snapshot-id", default=None,
+                   help="input snapshot identity for lineage/resume; on "
+                        "Iceberg pass currentSnapshot().snapshotId(). "
+                        "Default: derived from the local input's data-file "
+                        "listing (lineage.snapshot_id_for_path) so a "
+                        "regenerated input reads as a NEW snapshot")
     p.add_argument("--n-partitions", type=int, default=64)
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--max-chunks", type=int, default=None)
@@ -54,6 +59,19 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.snapshot_id is None:
+        import os
+
+        from webx.lineage import snapshot_id_for_path
+
+        src_path = args.input or args.synth
+        if src_path and os.path.exists(src_path):
+            args.snapshot_id = snapshot_id_for_path(src_path)
+        else:  # remote store (s3://…): snapshot identity must be explicit
+            raise SystemExit(
+                "--snapshot-id is required for non-local inputs "
+                "(pass the Iceberg snapshot id)"
+            )
 
     from pyspark.sql import SparkSession
 

@@ -179,3 +179,27 @@ def test_checkpointed_pdf_extraction_kill_and_resume(spark, tmp_path):
     assert direct.exceptAll(saved).count() == 0
     # third call: nothing left to do
     assert run_checkpointed_extraction(**common) == []
+
+
+def test_snapshot_id_tracks_input_content(tmp_path):
+    """Parquet-mode snapshot identity: same listing → same id;
+    regenerated data (new bytes/mtime) → NEW id, so resume cannot skip
+    partitions completed against other bytes. Spark marker files are
+    ignored."""
+    import os
+    import time as _time
+
+    from webx.lineage import snapshot_id_for_path
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaa")
+    (d / "_SUCCESS").write_bytes(b"")
+    a = snapshot_id_for_path(str(d))
+    assert a == snapshot_id_for_path(str(d))
+    assert a.startswith("fs-")
+    (d / "_SUCCESS").write_bytes(b"marker change is invisible")
+    assert snapshot_id_for_path(str(d)) == a
+    _time.sleep(0.01)
+    (d / "part-0.parquet").write_bytes(b"bbb!")  # new size+mtime
+    assert snapshot_id_for_path(str(d)) != a

@@ -44,6 +44,31 @@ from webx.schema import LINEAGE_SCHEMA
 PARTITION_COL = "partition_id"
 
 
+def snapshot_id_for_path(path: str) -> str:
+    """Deterministic stand-in for an Iceberg snapshot id in
+    parquet/local mode: hash of the sorted (name, size, mtime_ns) data
+    file listing. A silently regenerated input MUST look like a NEW
+    snapshot — partitions completed against other bytes may not be
+    skipped by resume. On a real Iceberg table pass
+    ``table.currentSnapshot().snapshotId()`` instead; this helper exists
+    so parquet-mode lineage rows carry a value derived from the actual
+    input rather than an arbitrary caller string."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for nm in sorted(os.listdir(path)):
+            if nm.startswith((".", "_")):  # _SUCCESS / .crc markers
+                continue
+            st = os.stat(os.path.join(path, nm))
+            h.update(f"{nm}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return "fs-" + h.hexdigest()[:16]
+
+
 def with_partition_id(pages: DataFrame, n_partitions: int) -> DataFrame:
     """Stable content-addressed logical partition id from the url."""
     return pages.withColumn(

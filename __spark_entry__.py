@@ -656,6 +656,20 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide paragraph exact dedup (CCNet/C4): every document gets
+    a shared boilerplate paragraph appended; after dedup only the
+    first-occurrence document keeps it. One shuffle on the paragraph
+    hash; documents reassemble in original order."""
+    from webx.curate import paragraph_dedup
+
+    docs = synth.load_documents(spark, sf).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\nAccept cookies to continue")).alias("text"),
+    )
+    return paragraph_dedup(docs).orderBy("doc_id")
+
+
 def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles of doc length per language — the
     corpus-profiling aggregate a curation pipeline runs before choosing
@@ -913,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
+        "q_paragraph_dedup": q_paragraph_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
         "q_kmv_distinct": q_kmv_distinct,
@@ -1236,6 +1251,24 @@ def oracle_sql() -> dict[str, str]:
             "bench AS (SELECT DISTINCT unnest(gs) AS ng FROM grams WHERE doc_id % 97 = 0), "
             "docg AS (SELECT doc_id, unnest(gs) AS ng FROM grams) "
             "SELECT DISTINCT doc_id FROM docg WHERE ng IN (SELECT ng FROM bench)"
+        ),
+        "q_paragraph_dedup": (
+            "WITH base AS (SELECT doc_id, string_split(text || chr(10) || "
+            "'Accept cookies to continue', chr(10)) AS ps FROM documents), "
+            "parts AS (SELECT doc_id, unnest(ps) AS para, "
+            "unnest(generate_series(1, len(ps))) AS pos FROM base), "
+            "ranked AS (SELECT doc_id, pos, para, "
+            "CASE WHEN length(para) < 1 THEN 1 ELSE "
+            "row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) END AS rk "
+            "FROM parts), "
+            "kept AS (SELECT * FROM ranked WHERE rk = 1), "
+            "rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "totals AS (SELECT doc_id, count(*) AS n_paragraphs FROM parts GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(r.text, '') AS text, "
+            "CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs, "
+            "CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept "
+            "FROM totals t LEFT JOIN rebuilt r USING (doc_id)"
         ),
         "q_host_cap": (
             "SELECT doc_id, host FROM ("

@@ -74,3 +74,31 @@ def test_pack_sequences_bins_respect_cap(spark):
     assert agg
     for r in agg:
         assert r["s"] <= 256 or r["c"] == 1, (r["grp"], r["bin"], r["s"], r["c"])
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from webx.curate import paragraph_dedup
+
+    rows = [
+        (1, "unique one\nSHARED FOOTER\nalso unique"),
+        (2, "other text\nSHARED FOOTER"),
+        (3, "SHARED FOOTER"),
+        (4, "standalone"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(d).collect()}
+    assert out[1]["text"] == "unique one\nSHARED FOOTER\nalso unique"
+    assert out[2]["text"] == "other text"
+    assert out[3]["text"] == ""  # nothing survives
+    assert out[3]["n_paragraphs"] == 1 and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "standalone"
+
+
+def test_paragraph_dedup_keeps_short_paragraphs(spark):
+    from webx.curate import paragraph_dedup
+
+    rows = [(1, "a\n\nb"), (2, "c\n\nd")]  # empty paragraphs everywhere
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(d).collect()}
+    # empty paragraphs are structure, not content: both docs keep theirs
+    assert out == {1: "a\n\nb", 2: "c\n\nd"}

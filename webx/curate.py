@@ -67,6 +67,53 @@ def contaminated_ids(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet/C4 move):
+    split each document on ``sep``, keep only the FIRST occurrence of
+    every distinct paragraph — ordered by (doc_id, position) — and
+    reassemble each document from its surviving paragraphs in original
+    order. Returns (doc_id, text, n_paragraphs, n_kept).
+
+    Plan: posexplode → one window over the paragraph hash (the single
+    shuffle, on the dedup key) → filter rank 1 → re-aggregate with a
+    position-sorted collect. Paragraphs shorter than ``min_chars`` are
+    kept unconditionally (whitespace/structure carries no dedup
+    signal and would cross-link unrelated documents)."""
+    parts = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    ranked = parts.withColumn(
+        "_rk",
+        F.when(F.length("para") < min_chars, F.lit(1)).otherwise(
+            F.row_number().over(w)
+        ),
+    )
+    kept = ranked.filter(F.col("_rk") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = parts.groupBy("doc_id").agg(F.count("*").alias("n_paragraphs"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def cap_per_host(
     docs: DataFrame,
     host_col: str = "host",

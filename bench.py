@@ -103,12 +103,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
     pages.unpersist()
 
-    # ---- realistic-page throughput: ~26 KB pages (page_repeat=8) ----
-    # The 3.2 KB synth pages above keep round-over-round comparability
+    # ---- larger-page throughput: ~10 KB pages (page_repeat=32), x8 ----
+    # The 1.1 KB synth pages above keep round-over-round comparability
     # but are dominated by per-doc fixed cost (Arrow transfer, batch
     # bookkeeping); Common-Crawl HTML averages tens of KB, where the
     # extractor kernels are the cost. Report both.
-    big = synth.synth_pages(spark, SF_DIR, page_repeat=8)
+    big = synth.synth_pages(spark, SF_DIR, page_repeat=32)
+    if REPL > 1:
+        big = big.crossJoin(reps).withColumn(
+            "url", F.concat_ws("#", "url", F.col("rep").cast("string"))
+        ).drop("rep")
     big = big.repartition(int(CPUS) * 4, "url").cache()
     bstats = big.select(
         F.count("*").alias("n"), F.sum(F.octet_length("html")).alias("b")

@@ -102,3 +102,21 @@ def test_paragraph_dedup_keeps_short_paragraphs(spark):
     out = {r["doc_id"]: r["text"] for r in paragraph_dedup(d).collect()}
     # empty paragraphs are structure, not content: both docs keep theirs
     assert out == {1: "a\n\nb", 2: "c\n\nd"}
+
+
+def test_contaminated_ids_hashed_matches_string_variant(spark):
+    """The 64-bit-hash scale path must flag exactly the same doc_ids as
+    the exact string path (differential, incl. the <n-token fallback)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    a = sorted(r["doc_id"] for r in __import__("webx.curate", fromlist=["contaminated_ids"]).contaminated_ids(docs, bench, n=13).collect())
+    b = sorted(r["doc_id"] for r in __import__("webx.curate", fromlist=["contaminated_ids"]).contaminated_ids(docs, bench, n=13, hashed=True).collect())
+    assert a == b and len(a) > 0
+    # short-doc fallback path too
+    short = spark.createDataFrame([(1, "only four words here"), (2, "different short text")], "doc_id long, text string")
+    sb = spark.createDataFrame([("only four words here",)], "text string")
+    for hv in (False, True):
+        got = [r["doc_id"] for r in contaminated_ids(short, sb, n=13, hashed=hv).collect()]
+        assert got == [1], hv

@@ -40,12 +40,25 @@ def _word_ngrams(col: str, n: int, lower: bool = True):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _word_ngram_hashes(col: str, n: int, lower: bool = True):
+    """64-bit xxhash64 of each word n-gram of ``col``: the gram string
+    is built exactly as in ``_word_ngrams`` then hashed, so the match
+    set equals the string variant's up to 2^-64-scale collisions while
+    the join/broadcast keys shrink from ~100-byte strings to 8-byte
+    longs. (A token-hash fold that avoids building the strings was
+    A/B'd and LOST at n=13 — thirteen per-slot ``element_at`` lookups
+    per gram cost more in the Catalyst expression tree than one
+    ``concat_ws`` memcpy; see PLANS.md.)"""
+    return F.transform(_word_ngrams(col, n, lower), lambda g: F.xxhash64(g))
+
+
 def contaminated_ids(
     docs: DataFrame,
     benchmark: DataFrame,
     n: int = 13,
     doc_text: str = "text",
     bench_text: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Test-set decontamination: doc_ids whose text contains ANY word
     n-gram of the benchmark set (the GPT-3/Gopher 13-gram overlap
@@ -54,12 +67,19 @@ def contaminated_ids(
     Plan: benchmark n-grams → distinct (small — eval sets) → broadcast
     semi-join against the exploded corpus n-grams. The corpus is read
     once, never shuffled; the explode is narrow and the semi-join
-    short-circuits per match."""
-    bench_sh = (
-        benchmark.select(F.explode(_word_ngrams(bench_text, n)).alias("ng"))
-        .distinct()
+    short-circuits per match.
+
+    ``hashed=True`` is the 100 TB formulation: both sides match on the
+    64-bit xxhash64 of the gram instead of the ~100-byte gram string —
+    the exploded corpus rows, the broadcast table and the join compares
+    all shrink to one long per gram. Same answer up to 2^-64-scale hash
+    collisions (differentially tested against the string variant); the
+    oracle-gated driver query uses the exact string form."""
+    expr = (lambda c: _word_ngram_hashes(c, n)) if hashed else (
+        lambda c: _word_ngrams(c, n)
     )
-    doc_sh = docs.select("doc_id", F.explode(_word_ngrams(doc_text, n)).alias("ng"))
+    bench_sh = benchmark.select(F.explode(expr(bench_text)).alias("ng")).distinct()
+    doc_sh = docs.select("doc_id", F.explode(expr(doc_text)).alias("ng"))
     return (
         doc_sh.join(F.broadcast(bench_sh), "ng", "left_semi")
         .select("doc_id")

@@ -6,5 +6,5 @@ repo="$(cd "$(dirname "$0")/.." && pwd)"
 outdir="${1:-/tmp}"
 out="$outdir/webx.zip"
 rm -f "$out"
-(cd "$repo" && zip -q -r "$out" webx -i 'webx/*.py')
+(cd "$repo" && zip -q -r "$out" webx -i 'webx/*.py' 'webx/_ctok.c')
 echo "$out"

@@ -33,17 +33,47 @@ _SRC = os.path.join(_DIR, "_ctok.c")
 _SO = os.path.join(_DIR, "_ctok.so")
 
 
-def _ensure_built() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    tmp = f"{_SO}.tmp.{os.getpid()}"
+def _compile(src: str, so: str) -> str:
+    tmp = f"{so}.tmp.{os.getpid()}"
     subprocess.run(
-        ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
+        ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, src],
         check=True,
         capture_output=True,
     )
-    os.replace(tmp, _SO)  # atomic: concurrent builders race benignly
-    return _SO
+    os.replace(tmp, so)  # atomic: concurrent builders race benignly
+    return so
+
+
+def _ensure_built() -> str:
+    if os.path.isfile(_SRC):
+        # normal checkout: build next to the source when stale
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+        try:
+            return _compile(_SRC, _SO)
+        except OSError:
+            pass  # read-only package dir (shared cluster FS): cache path below
+    # zipimport (spark-submit --py-files webx.zip) or unwritable package
+    # dir: materialize the source into a content-hash-keyed temp cache
+    # and build there — every executor converges on the same .so.
+    import hashlib
+    import importlib.resources as res
+    import tempfile
+
+    data = res.files("webx").joinpath("_ctok.c").read_bytes()
+    key = hashlib.sha256(data).hexdigest()[:16]
+    cachedir = os.path.join(tempfile.gettempdir(), "webx_ctok")
+    os.makedirs(cachedir, exist_ok=True)
+    so = os.path.join(cachedir, f"_ctok_{key}.so")
+    if os.path.exists(so):
+        return so
+    src = os.path.join(cachedir, f"_ctok_{key}.c")
+    if not os.path.exists(src):
+        tmps = f"{src}.tmp.{os.getpid()}"
+        with open(tmps, "wb") as f:
+            f.write(data)
+        os.replace(tmps, src)
+    return _compile(src, so)
 
 
 _lib: Optional[ctypes.CDLL] = None

@@ -105,3 +105,29 @@ def test_detect_unaffected_by_default_expand():
     row = run_one(html)
     assert row["spans"][0]["start"] == spans[0].start
     assert row["spans"][0]["end"] == spans[0].end
+
+
+def test_utf16_bom_pages_extract_like_utf8(spark):
+    """A BOM-marked UTF-16 page must extract the same text as its UTF-8
+    twin (transcode-before-tokenize policy); a UTF-8 BOM is stripped."""
+    import pandas as pd
+
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    body = "<html><body><p>" + "words la réponse est café " * 8 + "</p></body></html>"
+    utf8 = body.encode("utf-8")
+    cases = {
+        "u8": utf8,
+        "u8bom": b"\xef\xbb\xbf" + utf8,
+        "u16le": body.encode("utf-16"),        # BOM included by codec
+        "u16be": body.encode("utf-16-be"),
+    }
+    cases["u16be"] = b"\xfe\xff" + cases["u16be"]
+    pdf = pd.DataFrame({"url": list(cases), "html": list(cases.values())})
+    out = extract_batch(pdf, ExtractConfig())
+    texts = dict(zip(out["url"], out["text"]))
+    assert texts["u8"] != "" and "café" in texts["u8"]
+    assert texts["u8bom"] == texts["u8"]
+    assert texts["u16le"] == texts["u8"]
+    assert texts["u16be"] == texts["u8"]

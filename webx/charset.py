@@ -30,6 +30,23 @@ _ALIASES = {
 }
 
 
+def normalize_input_bytes(html: bytes) -> bytes:
+    """BOM normalization BEFORE byte-level tokenization. The lexer
+    requires ASCII-transparent bytes ('<' must be one byte); UTF-16
+    pages (BOM-marked) are transcoded to UTF-8 — span offsets then index
+    the transcoded buffer, which IS the html the rest of the pipeline
+    sees. A UTF-8 BOM is stripped (it is not content). Undecodable
+    UTF-16 falls through untouched to the explicit fallback policy."""
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        try:
+            return html.decode("utf-16").encode("utf-8")
+        except UnicodeDecodeError:
+            return html
+    if html[:3] == b"\xef\xbb\xbf":
+        return html[3:]
+    return html
+
+
 def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     head = html[:1024]
     m = _CHARSET_RE.search(head)

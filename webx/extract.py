@@ -20,7 +20,7 @@ import pandas as pd
 
 from functools import lru_cache
 
-from webx.charset import decode_bytes, sniff_charset
+from webx.charset import decode_bytes, normalize_input_bytes, sniff_charset
 from webx.config import ExtractConfig
 from webx.detect import Span, block_scores, expand_spans, merge_runs_table, validate_spans
 from webx.recognize import decode_span
@@ -186,7 +186,7 @@ def extract_batch(
                 {"html_bytes": 0, "n_blocks": 0, "truncated": False, "charset": cfg.default_charset}
             )
             continue
-        html = bytes(html)
+        html = normalize_input_bytes(bytes(html))
         _, spans, meta = _extract_doc_stage1(html, cfg)
         trunc_html = html[: cfg.limit_side_len]
         # one strict decode establishes status + the EFFECTIVE codec;
@@ -226,7 +226,7 @@ def detect_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 {"html_bytes": 0, "n_blocks": 0, "truncated": False, "charset": cfg.default_charset}
             )
             continue
-        _, spans, meta = _extract_doc_stage1(bytes(html), cfg)
+        _, spans, meta = _extract_doc_stage1(normalize_input_bytes(bytes(html)), cfg)
         out["spans"].append(
             [{"start": s.start, "end": s.end, "score": s.score, "kind": s.kind} for s in spans]
         )

@@ -543,6 +543,60 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (data selection):
+    target = every 97th doc. The driver-gated columns are the exact
+    integer bucket-count masses (engine-order-independent); the float
+    log_weight itself is pytest-checked (float sums are fold-order-
+    dependent across engines)."""
+    from webx.curate import importance_weights
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return importance_weights(docs, target, buckets=10_000).select(
+        "doc_id", "n_grams", "t_mass", "r_mass"
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup (the crawl-frontier UF discipline): every doc
+    appears under two surface forms that normalize identically; group on
+    the canonical form, keep the lowest surface id. One shuffle on the
+    canonical key."""
+    from webx.urls import normalize_url
+
+    docs = synth.load_documents(spark, sf)
+    h = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTP://USER@H"), h, F.lit(".Example.COM:80/Post/"), i,
+                     F.lit("/Comments?x=1#sec")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://H"), h, F.lit(".example.com:443/item/"), i),
+        )
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit(".example.com/doc/"), i, F.lit("#frag")))
+    )
+    surfaces = docs.select(
+        (F.col("doc_id") * 2).alias("surface_id"), messy.alias("url")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("surface_id"),
+            F.concat(messy, F.lit("#alt")).alias("url"),
+        )
+    )
+    return (
+        surfaces.groupBy(normalize_url("url").alias("url_norm"))
+        .agg(
+            F.count("*").alias("n_surfaces"),
+            F.min("surface_id").alias("keep_id"),
+        )
+    )
+
+
 def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame sampling (webx/media.py): payload split into n_frames
     chunks, every 2nd kept — frame sizes are closed-form arithmetic."""
@@ -938,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
         "q_url_normalize": q_url_normalize,
+        "q_url_dedup": q_url_dedup,
+        "q_importance_weights": q_importance_weights,
         "q_media_frames": q_media_frames,
     }
 
@@ -1029,6 +1085,35 @@ def _token_ids_oracle_sql(attn: bool, max_len: int = 64) -> str:
     return base + (
         "SELECT doc_id, CAST(CASE WHEN valid THEN len(ids) ELSE 0 END AS INT) AS length, "
         f"array_to_string(CAST({seq} AS INT[]), ',') AS text_seq FROM v"
+    )
+
+
+def _importance_oracle_sql(buckets: int = 10_000) -> str:
+    """DuckDB mirror of webx.curate.importance_weights' integer core:
+    uni+bigram multiplicity features, XXH64 string-hash bucketing (the
+    webx/oracles.py port), target/raw bucket counts, per-doc masses."""
+    from webx import oracles as _o
+
+    return _o.XXH64_MACROS + (
+        "WITH toksrc AS (SELECT doc_id, list_transform(regexp_split_to_array("
+        f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "
+        "uni AS (SELECT doc_id, unnest(t) AS g FROM toksrc), "
+        "bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1])) AS g FROM toksrc WHERE len(t) >= 2), "
+        "grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+        "vocab AS (SELECT DISTINCT g FROM grams), "
+        + _o.xxh64_str_ctes("vocab", "g", "g", "gh")
+        + ", gb AS (SELECT grams.doc_id, "
+        f"(((xsigned(gh.h) % {buckets}) + {buckets}) % {buckets}) AS b "
+        "FROM grams JOIN gh USING (g)), "
+        "tgt AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id % 97 = 0 GROUP BY b), "
+        "rawc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b), "
+        "per AS (SELECT doc_id, b, count(*) AS m FROM gb GROUP BY doc_id, b) "
+        "SELECT per.doc_id, CAST(SUM(m) AS BIGINT) AS n_grams, "
+        "CAST(SUM(m * coalesce(t.ct, 0)) AS BIGINT) AS t_mass, "
+        "CAST(SUM(m * r.cr) AS BIGINT) AS r_mass "
+        "FROM per LEFT JOIN tgt t USING (b) JOIN rawc r USING (b) "
+        "GROUP BY per.doc_id"
     )
 
 
@@ -1359,6 +1444,17 @@ def oracle_sql() -> dict[str, str]:
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS url_host, "
             "(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 2 END) AS url_depth, "
             "'com' AS url_tld FROM documents"
+        ),
+        "q_importance_weights": _importance_oracle_sql(),
+        "q_url_dedup": (
+            "SELECT (CASE doc_id % 3 "
+            "WHEN 0 THEN 'http://user@h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com/Post/' || CAST(doc_id AS VARCHAR) || '/Comments?x=1' "
+            "WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/item/' "
+            "|| CAST(doc_id AS VARCHAR) "
+            "ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' "
+            "|| CAST(doc_id AS VARCHAR) END) AS url_norm, "
+            "CAST(2 AS BIGINT) AS n_surfaces, doc_id * 2 AS keep_id FROM documents"
         ),
         "q_media_frames": (
             "WITH v AS (SELECT doc_id, 2 * length(text) + 1 AS plen, "

@@ -120,3 +120,34 @@ def test_contaminated_ids_hashed_matches_string_variant(spark):
     for hv in (False, True):
         got = [r["doc_id"] for r in contaminated_ids(short, sb, n=13, hashed=hv).collect()]
         assert got == [1], hv
+
+
+def test_importance_weights_dsir_ordering(spark):
+    """DSIR sanity: documents resembling the target domain score higher
+    log importance than off-domain ones; integer masses are exact."""
+    from webx.curate import importance_weights
+
+    target_like = "the cat sat on the mat with another cat and a kitten"
+    off = "quarterly revenue figures exceeded analyst expectations this fiscal year"
+    docs = spark.createDataFrame(
+        [
+            (1, target_like),
+            (2, "a cat and a kitten sat near the mat"),
+            (3, off),
+            (4, "totally unrelated spreadsheet pivot table macros formulas"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(target_like,), ("cats and kittens on mats",)], "text string"
+    )
+    out = {r["doc_id"]: r for r in importance_weights(docs, target, buckets=512).collect()}
+    assert out[1]["log_weight"] > out[3]["log_weight"]
+    assert out[2]["log_weight"] > out[4]["log_weight"]
+    # exact integer core: doc 1 IS a target doc, so every gram hits
+    # target buckets -> t_mass covers all grams
+    assert out[1]["t_mass"] >= out[1]["n_grams"]
+    assert out[3]["t_mass"] <= 2  # at most accidental bucket collisions
+    # n_grams = unigrams + bigrams = tokens + tokens-1
+    ntok = len(target_like.split())
+    assert out[1]["n_grams"] == 2 * ntok - 1

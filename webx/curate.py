@@ -152,6 +152,82 @@ def cap_per_host(
     )
 
 
+def _word_ngrams_all(col: str, n: int, lower: bool = True):
+    """Word n-grams WITH multiplicity (no distinct — these feed count
+    features); documents shorter than n words contribute none."""
+    toks = F.split(F.trim(F.col(col)), WS_SPLIT)
+    if lower:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    win = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(cnt >= n, win).otherwise(F.array().cast("array<string>"))
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 10_000,
+    text_col: str = "text",
+    target_text: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (the DSIR
+    method, Xie et al. 2023): represent every document as hashed
+    uni+bigram counts over ``buckets`` buckets, fit target (p) and raw
+    (q) bucket distributions, and score each document by its log
+    importance ratio Σ_g [log p(b(g)) − log q(b(g))].
+
+    Returns (doc_id, n_grams, t_mass, r_mass, log_weight):
+    ``t_mass``/``r_mass`` are the exact integer sums of target/raw
+    bucket counts hit by the doc's grams (the oracle-checkable core —
+    floating log sums are engine-order-dependent, integers are not);
+    ``log_weight`` is the smoothed DSIR score.
+
+    Plan: one gram explode per side → bucket via ``pmod(xxhash64(g),
+    buckets)`` → two ≤buckets-row count tables, broadcast back onto the
+    per-(doc, bucket) counts → per-doc sum. The corpus shuffles once, on
+    (doc_id, bucket)."""
+    import math
+
+    gram = F.explode(
+        F.concat(_word_ngrams_all(text_col, 1), _word_ngrams_all(text_col, 2))
+    )
+    b = F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("b")
+    doc_b = docs.select("doc_id", gram.alias("gram")).select("doc_id", b)
+    per = doc_b.groupBy("doc_id", "b").agg(F.count("*").alias("m"))
+
+    tgt_gram = F.explode(
+        F.concat(_word_ngrams_all(target_text, 1), _word_ngrams_all(target_text, 2))
+    )
+    tgt_b = target.select(tgt_gram.alias("gram")).select(b)
+    tgt_cnt = tgt_b.groupBy("b").agg(F.count("*").alias("ct"))
+    raw_cnt = doc_b.groupBy("b").agg(F.count("*").alias("cr"))
+
+    t_total = tgt_b.count()
+    r_total = doc_b.count()
+    s = smoothing
+    norm = math.log(r_total + s * buckets) - math.log(t_total + s * buckets)
+
+    joined = (
+        per.join(F.broadcast(tgt_cnt), "b", "left")
+        .join(F.broadcast(raw_cnt), "b")
+        .select(
+            "doc_id",
+            "m",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            "cr",
+        )
+    )
+    lr = F.log(F.col("ct") + F.lit(s)) - F.log(F.col("cr") + F.lit(s)) + F.lit(norm)
+    return joined.groupBy("doc_id").agg(
+        F.sum("m").alias("n_grams"),
+        F.sum(F.col("m") * F.col("ct")).alias("t_mass"),
+        F.sum(F.col("m") * F.col("cr")).alias("r_mass"),
+        F.sum(F.col("m") * lr).alias("log_weight"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,

@@ -319,17 +319,19 @@ def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
 def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     from webx.textstats import quality_filter
 
-    return quality_filter(synth.load_documents(spark, sf))
+    return quality_filter(_par(synth.load_documents(spark, sf), spark))
 
 
 def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     from webx.textstats import repetition_stats
 
-    return repetition_stats(synth.load_documents(spark, sf))
+    # repartition: the documents table is one parquet file; the ngram
+    # explode is the dominant map-side cost and must not run one-core
+    return repetition_stats(_par(synth.load_documents(spark, sf), spark))
 
 
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
-    return lang_id(synth.load_documents(spark, sf))
+    return lang_id(_par(synth.load_documents(spark, sf), spark))
 
 
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -551,7 +553,7 @@ def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     dependent across engines)."""
     from webx.curate import importance_weights
 
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     target = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     return importance_weights(docs, target, buckets=10_000).select(
         "doc_id", "n_grams", "t_mass", "r_mass"
@@ -677,7 +679,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     corpus explodes once, no corpus shuffle."""
     from webx.curate import contaminated_ids
 
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     return contaminated_ids(docs, bench, n=13).orderBy("doc_id")
 
@@ -717,7 +719,7 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     hash; documents reassemble in original order."""
     from webx.curate import paragraph_dedup
 
-    docs = synth.load_documents(spark, sf).select(
+    docs = _par(synth.load_documents(spark, sf), spark).select(
         "doc_id",
         F.concat(F.col("text"), F.lit("\nAccept cookies to continue")).alias("text"),
     )
@@ -795,7 +797,7 @@ def q_token_ids(spark: SparkSession, sf: str) -> DataFrame:
     docs with >64 tokens hit the invalid path (all-blank, length 0)."""
     from webx.encode import ctc_encode
 
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     enc = ctc_encode(docs, "text", _encode_vocab(), max_len=64, lower=True)
     # Serialize the id array to a scalar: the grading harness canonicalizes
     # rows by sorting column values, which list cells cannot support.
@@ -811,7 +813,7 @@ def q_token_ids_attn(spark: SparkSession, sf: str) -> DataFrame:
     sentinel framing + GO padding, vocab ids shifted past the specials."""
     from webx.encode import attn_encode
 
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     enc = attn_encode(docs, "text", _encode_vocab(), max_len=64, lower=True)
     return enc.select(
         "doc_id",

@@ -672,6 +672,17 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return split_assign(docs, SPLIT_WEIGHTS, SPLIT_NAMES).select("doc_id", "split")
 
 
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 tf-idf terms (corpus keyword extraction). The gate
+    compares the exact integer columns (rank/tf/df) — rank order is
+    float-derived but tie-broken deterministically; the score itself is
+    a pure function of (tf, df, N) both engines share."""
+    from webx.textstats import tfidf_topk
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return tfidf_topk(docs, k=5).select("doc_id", "rank", "term", "tf", "df")
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Test-set decontamination (the GPT-3/Gopher 13-gram overlap
     filter): docs sharing any word 13-gram with a benchmark set (every
@@ -980,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_host_cube": q_lang_host_cube,
         "q_length_percentiles": q_length_percentiles,
         "q_length_percentiles_approx": q_length_percentiles_approx,
+        "q_tfidf_topk": q_tfidf_topk,
         "q_decontaminate": q_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
@@ -1328,6 +1340,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_stratified_sample": _sampling_oracle_sql("stratified"),
         "q_split_assign": _sampling_oracle_sql("split"),
+        "q_tfidf_topk": (
+            "WITH terms AS (SELECT doc_id, lower(t.term) AS term FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), "
+            f"{WS_SPLIT_SQL})) AS term FROM documents) t WHERE t.term <> ''), "
+            "n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term), "
+            "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "tf.tf * (ln(((SELECT nd FROM n) + 1.0) / (df.df + 1.0)) + 1.0) AS score "
+            "FROM tf JOIN df USING (term)), "
+            "ranked AS (SELECT doc_id, term, tf, df, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, CAST(rank AS INT) AS rank, term, "
+            "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
+            "FROM ranked WHERE rank <= 5"
+        ),
         "q_decontaminate": (
             "WITH toks AS (SELECT doc_id, list_transform(regexp_split_to_array("
             f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "

@@ -303,3 +303,22 @@ def test_repetition_stats(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["top_bigram_frac"] < 0.5
     assert got[4]["n_lines"] == 0 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    from webx.textstats import tfidf_topk
+
+    d = docs_df(
+        spark,
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common words words"),
+            (3, "common quartz"),
+        ],
+    )
+    out = [r for r in tfidf_topk(d, k=2).collect() if r["doc_id"] == 1]
+    out.sort(key=lambda r: r["rank"])
+    # 'zebra' (tf=3, df=1) outranks 'common' (tf=2, df=3)
+    assert out[0]["term"] == "zebra" and out[0]["tf"] == 3 and out[0]["df"] == 1
+    assert out[1]["term"] == "common" and out[1]["df"] == 3
+    assert out[0]["score"] > out[1]["score"]

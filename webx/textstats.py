@@ -194,3 +194,34 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     the exact-dedup key and cross-run document identity."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), WS_SPLIT, " "))
     return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by tf-idf → (doc_id, rank, term, tf, df,
+    score) with score = tf · (ln((N+1)/(df+1)) + 1) and deterministic
+    ties (score desc, term asc). tf/df/rank are exact integers — the
+    oracle-checkable core; the float score is derived from them.
+
+    Plan: one token explode → per-(doc, term) counts (shuffle on the
+    composite key) → document frequency as a second aggregate over the
+    SAME exploded frame (terms shrink to the vocabulary before joining
+    back) → ranking window per doc. At crawl scale the df table is
+    vocabulary-sized and the join broadcast-eligible."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.transform(_tokens(), lambda t: F.lower(t))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score",
+        F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )

@@ -257,3 +257,74 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 40
     assert final.select("fp").distinct().count() == 40
+
+
+def test_host_rate_windows_watermark_and_parity(spark, tmp_path):
+    """Watermarked windowed crawl monitor: (1) streaming totals over
+    on-time data equal the batch twin on the same input; (2) an event
+    arriving far behind the watermark in a later drain is DROPPED."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from webx.streaming import host_rate_windows, read_pages_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    def page(i, minutes, host):
+        return (f"https://{host}/p/{i}", t0 + dt.timedelta(minutes=minutes), b"<p>%d</p>" % i)
+
+    # two hosts, three 5-minute windows of on-time data
+    rows = [page(i, m, h) for i, (m, h) in enumerate(
+        [(0, "a.com"), (1, "a.com"), (6, "a.com"), (7, "b.com"), (11, "b.com"), (12, "a.com")]
+    )]
+    batch1 = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    batch1.write.mode("append").parquet(inp)
+
+    def drain():
+        q = (
+            host_rate_windows(read_pages_stream(spark, inp), "5 minutes", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # append-mode emits a window only once the watermark passes its end:
+    # advance the watermark far ahead FIRST (t+60 event, its own drain)…
+    spark.createDataFrame(
+        [page(100, 60, "a.com")], "url string, warc_ts timestamp, html binary"
+    ).write.mode("append").parquet(inp)
+    drain()
+    # …then an event 48 minutes behind the watermark: its window has
+    # finalized and its state aged out — the event must be DROPPED.
+    spark.createDataFrame(
+        [page(101, 2, "a.com")], "url string, warc_ts timestamp, html binary"
+    ).write.mode("append").parquet(inp)
+    drain()
+    drain()  # settle
+
+    got = {
+        (r["window_start"].minute, r["host"]): r["n_docs"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # on-time counts match the batch twin; the late page 101 is absent
+    assert got[(0, "a.com")] == 2   # minutes 0,1 — NOT the late arrival
+    assert got[(5, "a.com")] == 1
+    assert got[(5, "b.com")] == 1
+    assert got[(10, "b.com")] == 1
+    assert got[(10, "a.com")] == 1
+    # batch parity on the on-time subset
+    batch_tw = {
+        (r["window_start"].minute, r["host"]): r["n_docs"]
+        for r in host_rate_windows(batch1).collect()
+    }
+    for k, v in batch_tw.items():
+        assert got.get(k) == v, k

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions — PLANS.md's claims as executable
+checks, so an optimization regression (lost broadcast, extra exchange,
+window limit not pushed) fails CI instead of silently costing 10× at
+scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail header — the formatted
+    output prints each node twice (tree + detail section)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as E
+
+    return E.queries()
+
+
+def test_flagship_extraction_zero_shuffle_but_explicit_repartition(spark, queries):
+    """scan → project → ONE explicit round-robin exchange (the
+    cfg.repartition story) → MapInPandas → no other shuffle."""
+    plan = plan_of(queries["q_extract"](spark, SF))
+    assert "MapInPandas" in plan
+    assert nodes(plan, "Exchange") == 1  # only the explicit _par repartition
+    # shape: Scan -> Project -> Exchange -> MapInPandas -> Project, nothing else
+    assert nodes(plan, "Scan") == 1 and nodes(plan, "MapInPandas") == 1
+
+
+def test_textstats_scan_is_exchange_free_and_pruned(spark, queries):
+    plan = plan_of(queries["q_token_count"](spark, SF))
+    assert "Exchange" not in plan  # pure codegen projection
+    # column pruning reaches the parquet scan: html/lang never read
+    assert "ReadSchema" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "html" not in read
+
+
+def test_broadcast_dim_join(spark, queries):
+    plan = plan_of(queries["q_topk_parts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fact_fact_sort_merge_join(spark, queries):
+    plan = plan_of(queries["q_join3"](spark, SF))
+    assert "SortMergeJoin" in plan
+
+
+def test_rank_filter_pushes_into_window_sort(spark, queries):
+    """row_number <= k must become a WindowGroupLimit (top-k per group)
+    rather than a full window materialization."""
+    for q in ("q_host_cap", "q_tfidf_topk"):
+        plan = plan_of(queries[q](spark, SF))
+        assert "WindowGroupLimit" in plan, q
+
+
+def test_exact_dedup_two_phase_aggregate(spark, queries):
+    """groupBy(fp) must plan as partial + final HashAggregate around ONE
+    exchange (map-side combine)."""
+    plan = plan_of(queries["q_dedup_exact"](spark, SF))
+    assert nodes(plan, "HashAggregate") == 2  # partial + final
+    assert nodes(plan, "Exchange") == 1
+
+
+def test_decontaminate_corpus_never_shuffles(spark, queries):
+    """The corpus side reaches the semi-join via explode only; the lone
+    broadcast is the benchmark n-gram set."""
+    plan = plan_of(queries["q_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # exchanges: the explicit input repartition + the final distinct's;
+    # crucially no shuffle BETWEEN explode and join (broadcast, not SMJ)
+    assert "SortMergeJoin" not in plan

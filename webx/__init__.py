@@ -25,4 +25,4 @@ from webx.config import ExtractConfig
 from webx.pipeline import run_detect, run_extraction
 
 __all__ = ["ExtractConfig", "run_detect", "run_extraction"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

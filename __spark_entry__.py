@@ -560,6 +560,26 @@ def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlink extraction over the flagship pages (webx/urls.py): every
+    page carries the 10 fixed chrome links, all root-relative — the
+    oracle states the resolved forms closed-form. Pure codegen, one
+    explode, zero Python."""
+    from webx.urls import extract_links
+
+    pages = _pages(spark, sf)
+    return extract_links(pages)
+
+
+def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link graph (PageRank input): resolve → host pair →
+    count. Flagship chrome links are same-host, so every host is a
+    self-loop with 10 × its page count."""
+    from webx.urls import extract_links, host_link_graph
+
+    return host_link_graph(extract_links(_pages(spark, sf)))
+
+
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup (the crawl-frontier UF discipline): every doc
     appears under two surface forms that normalize identically; group on
@@ -1006,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
         "q_url_normalize": q_url_normalize,
+        "q_extract_links": q_extract_links,
+        "q_link_graph": q_link_graph,
         "q_url_dedup": q_url_dedup,
         "q_importance_weights": q_importance_weights,
         "q_media_frames": q_media_frames,
@@ -1477,6 +1499,17 @@ def oracle_sql() -> dict[str, str]:
             "'com' AS url_tld FROM documents"
         ),
         "q_importance_weights": _importance_oracle_sql(),
+        "q_extract_links": (
+            "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "
+            f"SELECT {URL} AS url, h.href AS href, "
+            "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' || h.href) "
+            "AS resolved FROM documents CROSS JOIN h"
+        ),
+        "q_link_graph": (
+            "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
+            "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "
+            "CAST(10 * count(*) AS BIGINT) AS n_links FROM documents GROUP BY doc_id % 7"
+        ),
         "q_url_dedup": (
             "SELECT (CASE doc_id % 3 "
             "WHEN 0 THEN 'http://user@h' || CAST(doc_id % 7 AS VARCHAR) || "

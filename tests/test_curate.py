@@ -151,3 +151,42 @@ def test_importance_weights_dsir_ordering(spark):
     # n_grams = unigrams + bigrams = tokens + tokens-1
     ntok = len(target_like.split())
     assert out[1]["n_grams"] == 2 * ntok - 1
+
+
+def test_resolve_href_cases(spark):
+    from webx.urls import resolve_href
+
+    rows = [
+        ("https://a.com/dir/page.html?q=1", "https://b.com/x", "https://b.com/x"),
+        ("https://a.com/dir/page.html", "//cdn.com/lib.js", "https://cdn.com/lib.js"),
+        ("https://a.com/dir/page.html", "/root", "https://a.com/root"),
+        ("https://a.com/dir/page.html", "sibling.html", "https://a.com/dir/sibling.html"),
+        ("https://a.com/dir/page.html", "#sec", None),
+        ("https://a.com/dir/page.html", "mailto:x@y.z", None),
+        ("https://a.com/dir/page.html", "javascript:void(0)", None),
+        ("http://a.com/", "/p?x=2", "http://a.com/p?x=2"),
+    ]
+    d = spark.createDataFrame([(b, h) for b, h, _ in rows], "base string, href string")
+    got = [
+        r["r"]
+        for r in d.select(resolve_href(F.col("base"), F.col("href")).alias("r")).collect()
+    ]
+    assert got == [e for _, _, e in rows]
+
+
+def test_host_link_graph_cross_host(spark):
+    from webx.urls import extract_links, host_link_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p", b'<a href="/x">i</a><a href="https://b.com/y">o</a>'
+             b'<a href="#top">f</a>'),
+        ],
+        "url string, html binary",
+    )
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_graph(extract_links(pages)).collect()
+    }
+    # fragment link dropped; one self-loop, one cross-host edge
+    assert edges == {("a.com", "a.com"): 1, ("a.com", "b.com"): 1}

@@ -67,3 +67,58 @@ def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         path_depth(url_col).alias("url_depth"),
         tld(url_col).alias("url_tld"),
     )
+
+
+_HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
+
+
+def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Outlink extraction — the link-graph source every web-scale corpus
+    needs (PageRank/harmonic centrality inputs, spam-farm detection):
+    (url, href, resolved) per anchor, document order preserved. Pure
+    codegen: UTF-8 decode (malformed bytes → U+FFFD, links are ASCII
+    attributes so damage is confined), one ``regexp_extract_all``, one
+    explode, string-op resolution. No Python, no shuffle."""
+    txt = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(txt, F.lit(_HREF_RE), 1)
+    out = pages.select(F.col("url"), F.explode(hrefs).alias("href"))
+    return out.select("url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"))
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an anchor href against its page url (the RFC-3986 subset
+    a crawler frontier needs; query-preserving):
+
+    * absolute (``scheme://…``) → itself
+    * protocol-relative (``//host/…``) → base scheme + href
+    * root-relative (``/…``) → base scheme://host + href
+    * ``#fragment`` / ``mailto:`` / ``javascript:`` / ``tel:`` / data → NULL
+    * other (document-relative) → base directory + href
+    """
+    scheme = F.regexp_extract(base, _SCHEME_HOST, 1)
+    authority = F.regexp_extract(base, _SCHEME_HOST, 2)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    # base directory: strip query/fragment, then the last path segment
+    base_path = F.regexp_replace(F.regexp_replace(base, r"[?#].*$", ""), r"[^/]*$", "")
+    return (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(
+            href.rlike(r"^(#|mailto:|javascript:|tel:|data:)"),
+            F.lit(None).cast("string"),
+        )
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(base_path, href))
+    )
+
+
+def host_link_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) edges — the host-level web graph
+    (one shuffle on the edge key); self-loops kept (intra-host linking
+    density is itself a spam signal)."""
+    return (
+        links.filter(F.col("resolved").isNotNull())
+        .select(host(F.col("url")).alias("src_host"), host(F.col("resolved")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

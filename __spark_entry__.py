@@ -580,6 +580,32 @@ def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     return host_link_graph(extract_links(_pages(spark, sf)))
 
 
+def q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the extracted host graph plus a planted cross-host
+    ring (h_k → h_(k+1), weighted by class size) — the iterative-
+    algorithm category: a driver loop of relational iterations, no SQL
+    oracle by design (the driver records the weaker rows-only check);
+    pytest anchors the algorithm against an independent numpy power
+    iteration at 1e-9."""
+    from webx.graph import pagerank_hosts
+    from webx.urls import extract_links, host_link_graph
+
+    self_edges = host_link_graph(extract_links(_pages(spark, sf)))
+    docs = synth.load_documents(spark, sf)
+    hostname = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".example.com"))
+    ring = docs.groupBy((F.col("doc_id") % 7).alias("k")).agg(
+        F.count("*").alias("n_links")
+    ).select(
+        hostname(F.col("k")).alias("src_host"),
+        hostname((F.col("k") + 1) % 7).alias("dst_host"),
+        "n_links",
+    )
+    edges = self_edges.unionByName(ring)
+    # 6 iterations: the gate exercises the iterative surface; convergence
+    # depth is the pytest anchor's business (test_graph.py runs 10-12)
+    return pagerank_hosts(edges, iterations=6).orderBy("host")
+
+
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup (the crawl-frontier UF discipline): every doc
     appears under two surface forms that normalize identically; group on
@@ -1028,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_extract_links": q_extract_links,
         "q_link_graph": q_link_graph,
+        "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
         "q_importance_weights": q_importance_weights,
         "q_media_frames": q_media_frames,

@@ -1,0 +1,52 @@
+"""PageRank vs an independent numpy power iteration."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webx.graph import pagerank_hosts
+
+
+def _numpy_pagerank(edge_list, iters=10, d=0.85):
+    hosts = sorted({a for a, _, _ in edge_list} | {b for _, b, _ in edge_list})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for a, b, w in edge_list:
+        W[idx[a], idx[b]] += w
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * W[i] / out[i]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * dangling / n + d * contrib
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+        ("c", "a", 1), ("d", "a", 3),  # e is dangling (in-edges only)
+        ("a", "e", 1),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(df, iterations=10).collect()}
+    want = _numpy_pagerank(edges, iters=10)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-9, h
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # link-heavy hub 'a' outranks leaf 'e'... and 'c' (two strong in-edges)
+    assert got["a"] > got["e"]
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(df, iterations=12).collect()}
+    for v in got.values():
+        assert abs(v - 1.0 / 3) < 1e-12

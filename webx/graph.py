@@ -1,0 +1,83 @@
+"""Host-graph algorithms over the link-graph edge table
+(webx.urls.host_link_graph) — the iterative-DataFrame category: a
+driver loop of joins/aggregations whose per-iteration plan is fully
+relational (each iteration = one shuffle on the edge key), with
+periodic ``localCheckpoint`` to keep the lineage from growing
+quadratically. PageRank here is the standard damped power iteration
+with proper dangling-mass redistribution (Page et al. 1999 — public).
+
+Scale shape: the HOST graph is ~10^7-10^8 nodes for a full crawl
+(documents collapse onto hosts first), so ranks and out-degree tables
+are small relative to the corpus; at 10 iterations the job is 10
+edge-shuffles — embarrassingly standard Spark. Exactness note: float
+summation order varies with partitioning, so ranks are reproducible to
+~1e-12 relative, not bit-for-bit — the tests compare against a numpy
+power iteration at 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over (src_host, dst_host, n_links) edges →
+    (host, rank), Σ rank = 1. Self-loops participate like any edge;
+    dangling hosts (no out-edges) redistribute their mass uniformly."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+
+    # the dangling SET (hosts without out-edges) is a static property of
+    # the graph — compute it once; only its rank MASS changes per
+    # iteration, and when the set is empty (common for host graphs:
+    # chrome links give every host a self-edge) the per-iteration
+    # aggregation action is skipped entirely.
+    dangling_nodes = nodes.join(
+        out_w.withColumnRenamed("src_host", "host"), "host", "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.head(1))
+
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            edges.join(out_w, "src_host")
+            .join(ranks.withColumnRenamed("host", "src_host"), "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("rank") * F.col("n_links") / F.col("out_total")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        if has_dangling:  # dangling mass redistributes uniformly
+            dangling = (
+                ranks.join(dangling_nodes, "host", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dangling = 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -79,11 +79,20 @@ def main() -> None:
     for warm_q in ("q_extract", "q_dedup_minhash", "q_ann_ivf"):
         _noop(queries[warm_q](spark, "/root/testdata/sf0.001"))
 
+    # Best-of-2 per query: the shared sandbox host freezes workers for
+    # tens of seconds at random (see straggler note above) — identical
+    # code has measured the same query at 1s and 44s minutes apart. Two
+    # interleaved passes with a per-query min cuts that noise without
+    # hiding real regressions (a slow PLAN is slow in both passes).
+    names = bench_queries(queries.keys())
     timings: dict[str, float] = {}
-    for name in bench_queries(queries.keys()):
-        t0 = time.perf_counter()
-        _noop(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            _noop(queries[name](spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     # ---- flagship throughput: replicated page set, docs/sec + MB/s ----
     pages = synth.synth_pages(spark, SF_DIR)

@@ -104,8 +104,11 @@ def paragraph_dedup(
     position-sorted collect. Paragraphs shorter than ``min_chars`` are
     kept unconditionally (whitespace/structure carries no dedup
     signal and would cross-link unrelated documents)."""
+    import re as _re
+
     parts = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     w = Window.partitionBy("para").orderBy("doc_id", "pos")
     ranked = parts.withColumn(
@@ -204,8 +207,9 @@ def importance_weights(
     tgt_cnt = tgt_b.groupBy("b").agg(F.count("*").alias("ct"))
     raw_cnt = doc_b.groupBy("b").agg(F.count("*").alias("cr"))
 
-    t_total = tgt_b.count()
-    r_total = doc_b.count()
+    # totals from the <=buckets-row count tables — NOT extra corpus passes
+    t_total = int(tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0))).first()[0])
+    r_total = int(raw_cnt.agg(F.coalesce(F.sum("cr"), F.lit(0))).first()[0])
     s = smoothing
     norm = math.log(r_total + s * buckets) - math.log(t_total + s * buckets)
 
@@ -250,7 +254,7 @@ def pack_sequences(
 
     toks = F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT))
     base = docs.select(
-        F.col(group_col).alias("grp"),
+        F.col(group_col).cast("string").alias("grp"),
         F.col(order_col).alias("doc_id"),
         toks.cast("int").alias("n_tokens"),
     )

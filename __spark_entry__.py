@@ -367,6 +367,18 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_neardup(docs, threshold=0.6).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs → connected components (one survivor per duplicate CLUSTER):
+    min-label propagation over the MinHash near-dup pairs. The oracle
+    recomputes the pairs via the XXH64 SQL port and closes them with a
+    recursive transitive-closure CTE."""
+    from webx.dedup import dedup_clusters, minhash_neardup
+
+    docs = _docs_with_neardups(spark, sf)
+    pairs = minhash_neardup(docs, threshold=0.6).select("id_a", "id_b")
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs_with_neardups(spark, sf)
     return simhash_neardup(docs, max_hamming=3).select("id_a", "id_b").orderBy("id_a", "id_b")
@@ -1017,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
@@ -1177,6 +1190,25 @@ def _importance_oracle_sql(buckets: int = 10_000) -> str:
         "CAST(SUM(m * r.cr) AS BIGINT) AS r_mass "
         "FROM per LEFT JOIN tgt t USING (b) JOIN rawc r USING (b) "
         "GROUP BY per.doc_id"
+    )
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Transitive closure over the minhash oracle's pair set: component
+    id = min reachable doc_id (nested WITH inside the pairs CTE)."""
+    from webx import oracles as _o
+
+    inner = _o.minhash_oracle_sql(threshold=0.6)
+    assert inner.startswith(_o.XXH64_MACROS)
+    inner_body = inner[len(_o.XXH64_MACROS):]
+    return _o.XXH64_MACROS + (
+        "WITH RECURSIVE pairs AS (" + inner_body + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS (SELECT a AS node, b AS r FROM edges "
+        "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node) "
+        "SELECT node AS doc_id, least(node, min(r)) AS cluster_id "
+        "FROM reach GROUP BY node"
     )
 
 
@@ -1406,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
             "FROM ranked WHERE rank <= 5"
         ),
+        "q_dedup_clusters": _dedup_clusters_oracle_sql(),
         "q_decontaminate": (
             "WITH toks AS (SELECT doc_id, list_transform(regexp_split_to_array("
             f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "

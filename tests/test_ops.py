@@ -322,3 +322,21 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     assert out[0]["term"] == "zebra" and out[0]["tf"] == 3 and out[0]["df"] == 1
     assert out[1]["term"] == "common" and out[1]["df"] == 3
     assert out[0]["score"] > out[1]["score"]
+
+
+def test_dedup_clusters_components(spark):
+    from webx.dedup import dedup_clusters, keep_list
+
+    # chain 1-2-3-4-5 (diameter 4: needs multiple propagation rounds),
+    # separate pair (10, 11), and 20-21-22 via a star on 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 99]], "doc_id long")
+    keep = {r["doc_id"]: r["keep"] for r in keep_list(docs, pairs).collect()}
+    survivors = {d for d, k in keep.items() if k}
+    assert survivors == {1, 10, 20, 99}  # min of each cluster + untouched doc

@@ -535,3 +535,61 @@ def simhash_neardup(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Near-duplicate pairs → connected components: (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc_id — the step after
+    pair generation that production dedup actually needs (one SURVIVOR
+    per duplicate cluster, not per pair). Min-label propagation as a
+    driver loop of relational iterations (converges in O(component
+    diameter) rounds — near-dup clusters are shallow; each round is one
+    shuffle on the edge key over the PAIR set, which is tiny relative to
+    the corpus). Deterministic: the min label is unique."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("minn"))
+            .select(F.col("a").alias("node"), "minn")
+        )
+        new_labels = labels.join(neigh, "node").select(
+            "node", F.least("label", "minn").alias("label")
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Survivor set after near-dup clustering: every document except
+    non-minimum members of a duplicate cluster → (doc_id, keep). The
+    cluster table is pair-sized, so the final join broadcasts."""
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.select("doc_id").join(
+        F.broadcast(drop.withColumn("k", F.lit(False))), "doc_id", "left"
+    ).select("doc_id", F.coalesce("k", F.lit(True)).alias("keep"))

@@ -197,7 +197,13 @@ def importance_weights(
         F.concat(_word_ngrams_all(text_col, 1), _word_ngrams_all(text_col, 2))
     )
     b = F.pmod(F.xxhash64("gram"), F.lit(buckets)).alias("b")
-    doc_b = docs.select("doc_id", gram.alias("gram")).select("doc_id", b)
+    # the (doc, bucket) frame feeds two consumers (per-doc counts and the
+    # raw bucket distribution) — persist so the gram explode runs ONCE;
+    # persist (not localCheckpoint) keeps lineage, so a lost executor
+    # recomputes its blocks instead of failing the job
+    doc_b = (
+        docs.select("doc_id", gram.alias("gram")).select("doc_id", b).persist()
+    )
     per = doc_b.groupBy("doc_id", "b").agg(F.count("*").alias("m"))
 
     tgt_gram = F.explode(

@@ -5,9 +5,9 @@ hold its byte-offset invariants on ARBITRARY byte input — the
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
-from webx.charset import decode_bytes, sniff_charset
+from webx.charset import decode_bytes, normalize_input_bytes, sniff_charset
 from webx.config import ExtractConfig
 from webx.extract import extract_batch
 from webx.recognize import decode_span
@@ -48,13 +48,18 @@ def test_tokenize_invariants(html):
 
 @settings(max_examples=150, deadline=None)
 @given(html_like)
+@example(b"\xff\xfe<p><p>")  # UTF-16 BOM page whose UTF-8 transcode is LONGER than the input
 def test_extract_never_crashes_and_spans_valid(html):
     out = extract_batch(pd.DataFrame({"url": ["u"], "html": [html]}), CFG)
     row = out.iloc[0]
     assert row["status"] in ("ok", "charset_fallback", "empty")
+    # span offsets index the NORMALIZED buffer (BOM strip / UTF-16
+    # transcode happen before the byte lexer — webx/charset.py
+    # normalize_input_bytes), which can differ in length from the input
+    norm = normalize_input_bytes(bytes(html))
     prev_end = 0
     for s in row["spans"]:
-        assert 0 <= s["start"] < s["end"] <= len(html)
+        assert 0 <= s["start"] < s["end"] <= len(norm)
         assert s["start"] >= prev_end
         prev_end = s["end"]
         assert s["text"]

@@ -572,6 +572,22 @@ def q_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring: add-one-smoothed bigram LM
+    trained on the clean slice (every 97th doc, the DSIR target),
+    every document scored by token-level cross-entropy. Driver-gated
+    columns are the exact integer matched-count masses (engine-order-
+    independent); the float logprob/ppl are pytest-checked."""
+    from webx.curate import lm_perplexity
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    train = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return lm_perplexity(docs, train).select(
+        "doc_id", "n_bigrams", "bg_mass", "ctx_mass"
+    )
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction over the flagship pages (webx/urls.py): every
     page carries the 10 fixed chrome links, all root-relative — the
@@ -1070,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
         "q_importance_weights": q_importance_weights,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_media_frames": q_media_frames,
     }
 
@@ -1190,6 +1207,32 @@ def _importance_oracle_sql(buckets: int = 10_000) -> str:
         "CAST(SUM(m * r.cr) AS BIGINT) AS r_mass "
         "FROM per LEFT JOIN tgt t USING (b) JOIN rawc r USING (b) "
         "GROUP BY per.doc_id"
+    )
+
+
+
+def _lm_perplexity_oracle_sql() -> str:
+    """DuckDB mirror of webx.curate.lm_perplexity's integer core: bigram
+    positions per doc, model counts from the every-97th train slice,
+    context counts folded from the bigram table, per-doc masses."""
+    return (
+        "WITH toksrc AS (SELECT doc_id, list_transform(regexp_split_to_array("
+        f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "
+        "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i "
+        "FROM toksrc WHERE len(t) >= 2), "
+        "bg AS (SELECT doc_id, t[i] AS prev, t[i + 1] AS w FROM pos), "
+        "tr AS (SELECT prev, w, count(*) AS c2 FROM bg WHERE doc_id % 97 = 0 "
+        "GROUP BY prev, w), "
+        "ctx AS (SELECT prev, sum(c2) AS c1 FROM tr GROUP BY prev), "
+        "per AS (SELECT doc_id, prev, w, count(*) AS m FROM bg GROUP BY doc_id, prev, w), "
+        "j AS (SELECT per.doc_id, m, coalesce(tr.c2, 0) AS c2, coalesce(ctx.c1, 0) AS c1 "
+        "FROM per LEFT JOIN tr USING (prev, w) LEFT JOIN ctx USING (prev)), "
+        "agg AS (SELECT doc_id, SUM(m) AS n_bigrams, SUM(m * c2) AS bg_mass, "
+        "SUM(m * c1) AS ctx_mass FROM j GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(coalesce(bg_mass, 0) AS BIGINT) AS bg_mass, "
+        "CAST(coalesce(ctx_mass, 0) AS BIGINT) AS ctx_mass "
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"
     )
 
 
@@ -1559,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             "'com' AS url_tld FROM documents"
         ),
         "q_importance_weights": _importance_oracle_sql(),
+        "q_lm_perplexity": _lm_perplexity_oracle_sql(),
         "q_extract_links": (
             "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "
             f"SELECT {URL} AS url, h.href AS href, "

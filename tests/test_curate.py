@@ -190,3 +190,77 @@ def test_host_link_graph_cross_host(spark):
     }
     # fragment link dropped; one self-loop, one cross-host edge
     assert edges == {("a.com", "a.com"): 1, ("a.com", "b.com"): 1}
+
+
+def test_lm_perplexity_matches_python_reference(spark):
+    import math
+    import re
+
+    from webx.curate import lm_perplexity
+
+    train_rows = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+    ]
+    doc_rows = [
+        (1, "the cat sat on the mat"),   # pure train text: low ppl
+        (2, "zebra quark flux omega"),   # all-unseen: high ppl
+        (3, "the dog"),                  # one seen bigram
+        (4, "single"),                   # < 2 tokens: null ppl
+        (5, ""),                         # empty
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    train = spark.createDataFrame([(t,) for t in train_rows], "text string")
+    got = {r["doc_id"]: r for r in lm_perplexity(docs, train).collect()}
+
+    def toks(t):
+        t = t.strip()
+        return [w.lower() for w in re.split(r"[ \t\r\n]+", t)] if t else [""]
+
+    c2, c1 = {}, {}
+    vocab = set()
+    for t in train_rows:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab) + 1
+
+    for doc_id, text in doc_rows:
+        ws = toks(text)
+        bgs = list(zip(ws, ws[1:]))
+        row = got[doc_id]
+        assert row["n_bigrams"] == len(bgs)
+        if not bgs:
+            assert row["ppl"] is None and row["logprob"] is None
+            assert row["bg_mass"] == 0 and row["ctx_mass"] == 0
+            continue
+        assert row["bg_mass"] == sum(c2.get(bg, 0) for bg in bgs)
+        assert row["ctx_mass"] == sum(c1.get(bg[0], 0) for bg in bgs)
+        lp = sum(
+            math.log((c2.get(bg, 0) + 1) / (c1.get(bg[0], 0) + v)) for bg in bgs
+        )
+        assert abs(row["logprob"] - lp) < 1e-9 * max(1, abs(lp))
+        assert abs(row["ppl"] - math.exp(-lp / len(bgs))) < 1e-9 * row["ppl"]
+
+    # the CCNet property the filter exists for: in-domain text scores
+    # lower perplexity than gibberish
+    assert got[1]["ppl"] < got[2]["ppl"]
+
+
+def test_lm_perplexity_min_count_prunes_model(spark):
+    from webx.curate import lm_perplexity
+
+    train = spark.createDataFrame(
+        [("x y x y",), ("p q",)], "text string"
+    )  # bigram counts: (x,y)=2, (y,x)=1, (p,q)=1
+    docs = spark.createDataFrame([(1, "x y"), (2, "p q")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in lm_perplexity(docs, train, min_count=2).collect()
+    }
+    assert got[1]["bg_mass"] == 2       # (x,y) survives pruning
+    assert got[2]["bg_mass"] == 0       # (p,q) pruned -> unseen
+    assert got[2]["ctx_mass"] == 0

@@ -282,3 +282,108 @@ def pack_sequences(
     return base.groupBy("grp").applyInPandas(
         pack, schema="grp string, doc_id long, n_tokens int, bin long"
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    train_text: str = "text",
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """LM-based quality scoring (the CCNet move, Wenzek et al. 2020:
+    score every document by the perplexity of a language model trained
+    on a clean reference corpus, and filter/bucket on it). The reference
+    pipeline uses a KenLM 5-gram; here the model is an add-one-smoothed
+    BIGRAM LM fit distributively on ``train`` — the same shape at any
+    order, and a bigram keeps the model table broadcastable.
+
+    P(w | prev) = (C2(prev, w) + 1) / (C1(prev) + V), with C1(prev) =
+    Σ_w C2(prev, w) (occurrences of ``prev`` as a context), V = distinct
+    train tokens + 1 (the OOV class). Unseen context ⇒ uniform 1/V.
+
+    Returns one row per input document:
+    (doc_id, n_bigrams, bg_mass, ctx_mass, logprob, ppl) where
+    ``bg_mass``/``ctx_mass`` are the exact integer sums of matched
+    bigram/context counts (the engine-order-independent oracle core,
+    like importance_weights) and ``logprob`` = Σ log P, ``ppl`` =
+    exp(−logprob / n_bigrams) (null for docs with < 2 tokens).
+
+    Scale shape: the model is two count tables over the TRAIN corpus
+    (clean reference data — small by construction, like the
+    decontamination benchmark side); with ``broadcast_model`` they
+    broadcast and the corpus side is one narrow explode + map-side join
+    + per-doc partial agg — the corpus shuffles once, on doc_id. Set
+    ``broadcast_model=False`` when training on a corpus-sized frame
+    (shuffle join on the bigram key). ``min_count`` prunes rare model
+    bigrams (KenLM's pruning knob): pruned grams score as unseen."""
+
+    def _bigrams(col: str):
+        toks = F.transform(F.split(F.trim(F.col(col)), WS_SPLIT), lambda t: F.lower(t))
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(1), cnt - 1)
+        return F.when(
+            cnt >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("prev"),
+                    F.element_at(toks, i + 1).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+
+    tr_bg = train.select(F.explode(_bigrams(train_text)).alias("p")).select(
+        "p.prev", "p.w"
+    )
+    c2 = tr_bg.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    if min_count > 1:
+        c2 = c2.filter(F.col("c2") >= min_count)
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # V from the count table's driver-side fold, not an extra corpus pass
+    toks_expr = F.transform(
+        F.split(F.trim(F.col(train_text)), WS_SPLIT), lambda t: F.lower(t)
+    )
+    v = (
+        train.select(F.explode(toks_expr).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .first()[0]
+        or 0
+    ) + 1  # +1: the OOV class
+
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+
+    per = (
+        docs.select("doc_id", F.explode(_bigrams(text_col)).alias("p"))
+        .select("doc_id", "p.prev", "p.w")
+        .groupBy("doc_id", "prev", "w")
+        .agg(F.count("*").alias("m"))
+    )
+    j = (
+        per.join(c2, ["prev", "w"], "left")
+        .join(c1, ["prev"], "left")
+        .select(
+            "doc_id",
+            "m",
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    lp = F.log(F.col("c2") + F.lit(1.0)) - F.log(F.col("c1") + F.lit(float(v)))
+    agg = j.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("c2")).alias("bg_mass"),
+        F.sum(F.col("m") * F.col("c1")).alias("ctx_mass"),
+        F.sum(F.col("m") * lp).alias("logprob"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("bg_mass", F.lit(0)).alias("bg_mass"),
+        F.coalesce("ctx_mass", F.lit(0)).alias("ctx_mass"),
+        F.col("logprob"),
+        F.exp(-F.col("logprob") / F.col("n_bigrams")).alias("ppl"),
+    )

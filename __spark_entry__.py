@@ -588,6 +588,38 @@ def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over a deterministic
+    multi-line page built per doc (the raw synth text is single-line):
+    line 2 lacks terminal punctuation, line 4 is under 5 words — both
+    always dropped; line 5 exists only for doc_id % 5 != 0 (min-lines
+    rule binding); doc_id % 7 == 0 injects 'lorem ipsum', % 11 == 0
+    injects a curly brace. Exercises every rule in one gate."""
+    from webx.curate import c4_clean
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    page = F.concat(
+        F.lit("An introductory line with six words."),
+        F.lit("\n"),
+        F.substring("text", 1, 40),
+        F.lit("\n"),
+        F.lit("The second real sentence has seven words!"),
+        F.lit("\nshort line."),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.lit("\nA third proper sentence ends right here?"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\ncode { x }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return c4_clean(docs.select("doc_id", page.alias("text")))
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction over the flagship pages (webx/urls.py): every
     page carries the 10 fixed chrome links, all root-relative — the
@@ -1087,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": q_url_dedup,
         "q_importance_weights": q_importance_weights,
         "q_lm_perplexity": q_lm_perplexity,
+        "q_c4_clean": q_c4_clean,
         "q_media_frames": q_media_frames,
     }
 
@@ -1603,6 +1636,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_importance_weights": _importance_oracle_sql(),
         "q_lm_perplexity": _lm_perplexity_oracle_sql(),
+        "q_c4_clean": (
+            "WITH page AS (SELECT doc_id, "
+            "('An introductory line with six words.' || chr(10) || "
+            "substr(text, 1, 40) || chr(10) || "
+            "'The second real sentence has seven words!' || chr(10) || 'short line.' || "
+            "(CASE WHEN doc_id % 5 <> 0 THEN chr(10) || 'A third proper sentence ends right here?' ELSE '' END) || "
+            "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END) || "
+            "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code { x }' ELSE '' END)"
+            ") AS t FROM documents), "
+            "ln AS (SELECT doc_id, t, list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines FROM page), "
+            "k AS (SELECT doc_id, t, lines, list_filter(lines, x -> "
+            "(ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '\"')) "
+            f"AND len(regexp_split_to_array(x, {WS_SPLIT_SQL})) >= 5) AS kept FROM ln) "
+            "SELECT doc_id, list_aggregate(kept, 'string_agg', chr(10)) AS text, "
+            "CAST(len(lines) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept, "
+            "(len(kept) >= 3 AND lower(t) NOT LIKE '%lorem ipsum%' AND lower(t) NOT LIKE '%{%') AS keep "
+            "FROM k"
+        ),
         "q_extract_links": (
             "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "
             f"SELECT {URL} AS url, h.href AS href, "

@@ -264,3 +264,35 @@ def test_lm_perplexity_min_count_prunes_model(spark):
     assert got[1]["bg_mass"] == 2       # (x,y) survives pruning
     assert got[2]["bg_mass"] == 0       # (p,q) pruned -> unseen
     assert got[2]["ctx_mass"] == 0
+
+
+def test_c4_clean_rules(spark):
+    from webx.curate import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept, keep=True
+            (1, 'One good sentence right here now.\nAnother full sentence ends with bang!\nIs this a proper question line?'),
+            # terminal-punct rule: middle line dropped
+            (2, "Alpha beta gamma delta epsilon.\nno terminal punctuation on this line\nZeta eta theta iota kappa.\nLambda mu nu xi omicron?"),
+            # min-words rule: short line dropped -> only 2 survive -> keep=False
+            (3, 'First proper sentence has five words.\nshort.\nSecond proper sentence has five words!'),
+            # lorem ipsum page flagged
+            (4, 'One good sentence right here now.\nAnother full sentence ends with bang!\nIs this a proper question line?\nlorem ipsum dolor sit amet friend.'),
+            # curly brace page flagged
+            (5, 'One good sentence right here now.\nAnother full sentence ends with bang!\nfunction f() { return 1; } is code here.\nIs this a proper question line?'),
+            # end-quote counts as terminal punctuation
+            (6, 'He said the whole quote aloud."\nAnother full sentence ends with bang!\nIs this a proper question line?'),
+            (7, None),  # null page
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert got[1]["keep"] and got[1]["n_kept"] == 3 and got[1]["text"] == docs.collect()[0]["text"]
+    assert got[2]["n_lines"] == 4 and got[2]["n_kept"] == 3
+    assert "no terminal punctuation" not in got[2]["text"]
+    assert not got[3]["keep"] and got[3]["n_kept"] == 2
+    assert not got[4]["keep"] and got[4]["n_kept"] == 4  # lines fine, page flagged
+    assert not got[5]["keep"]
+    assert got[6]["keep"] and got[6]["n_kept"] == 3
+    assert got[7]["n_kept"] == 0 and got[7]["text"] == "" and not got[7]["keep"]

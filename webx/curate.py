@@ -387,3 +387,45 @@ def lm_perplexity(
         F.col("logprob"),
         F.exp(-F.col("logprob") / F.col("n_bigrams")).alias("ppl"),
     )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as one pure-codegen
+    transform: keep only lines that end in a terminal punctuation mark
+    (. ! ? ") AND contain at least ``min_words_per_line`` words; flag the
+    page for removal when fewer than ``min_lines`` lines survive, or the
+    page contains '{' (code) or the phrase 'lorem ipsum' (placeholder
+    boilerplate). Returns (doc_id, text, n_lines, n_kept, keep) with
+    ``text`` rebuilt from the surviving lines in original order.
+
+    No shuffle, no Python: split → list filter → rejoin, one row in, one
+    row out — the shape that streams at any corpus size. (C4's remaining
+    rule, corpus-wide three-sentence-span dedup, is the separate
+    ``paragraph_dedup`` operator — it is the only rule needing a
+    shuffle.)"""
+    lines = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"), F.trim
+    )
+    is_kept = lambda ln: (
+        ln.endswith(".") | ln.endswith("!") | ln.endswith("?") | ln.endswith('"')
+    ) & (F.size(F.split(ln, WS_SPLIT)) >= min_words_per_line)
+    kept = F.filter(lines, is_kept)
+    n_kept = F.size(kept)
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    keep = (
+        (n_kept >= min_lines)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        keep.alias("keep"),
+    )

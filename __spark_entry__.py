@@ -620,6 +620,19 @@ def q_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
     return c4_clean(docs.select("doc_id", page.alias("text")))
 
 
+
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring corpus dedup (Lee et al. 2022) relationalized:
+    per-doc duplicated k-token window counts and merged span counts,
+    k=3 so the synth vocabulary yields a real mixed dup/unique split.
+    Exact string windows here (full value oracle); the hashed scale
+    variant is differentially pytest-checked."""
+    from webx.dedup import duplicate_spans
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return duplicate_spans(docs, k=3)
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction over the flagship pages (webx/urls.py): every
     page carries the 10 fixed chrome links, all root-relative — the
@@ -1120,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_importance_weights": q_importance_weights,
         "q_lm_perplexity": q_lm_perplexity,
         "q_c4_clean": q_c4_clean,
+        "q_dup_spans": q_dup_spans,
         "q_media_frames": q_media_frames,
     }
 
@@ -1653,6 +1667,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(lines) AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept, "
             "(len(kept) >= 3 AND lower(t) NOT LIKE '%lorem ipsum%' AND lower(t) NOT LIKE '%{%') AS keep "
             "FROM k"
+        ),
+        "q_dup_spans": (
+            "WITH toksrc AS (SELECT doc_id, list_transform(regexp_split_to_array("
+            f"trim(text), {WS_SPLIT_SQL}), w -> lower(w)) AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i "
+            "FROM toksrc WHERE len(t) >= 3), "
+            "g AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g FROM pos), "
+            "cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g), "
+            "d AS (SELECT doc_id, i, (c > 1) AS dup FROM g JOIN cnt USING (g)), "
+            "dd AS (SELECT doc_id, i, i - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS grp FROM d WHERE dup), "
+            "sp AS (SELECT doc_id, count(DISTINCT grp) AS ns FROM dd GROUP BY doc_id), "
+            "agg AS (SELECT doc_id, count(*) AS ng, "
+            "sum(CASE WHEN dup THEN 1 ELSE 0 END) AS nd FROM d GROUP BY doc_id) "
+            "SELECT x.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_grams, "
+            "CAST(coalesce(ns, 0) AS BIGINT) AS n_dup_spans "
+            "FROM (SELECT doc_id FROM documents) x "
+            "LEFT JOIN agg USING (doc_id) LEFT JOIN sp USING (doc_id)"
         ),
         "q_extract_links": (
             "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "

@@ -340,3 +340,41 @@ def test_dedup_clusters_components(spark):
     keep = {r["doc_id"]: r["keep"] for r in keep_list(docs, pairs).collect()}
     survivors = {d for d, k in keep.items() if k}
     assert survivors == {1, 10, 20, 99}  # min of each cluster + untouched doc
+
+
+def test_duplicate_spans_hand_case(spark):
+    from webx.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 6-token run "a b c d e f" -> with
+            # k=3, positions 1..4 of each are duplicated, one span each
+            (1, "a b c d e f unique1 tail1 xx"),
+            (2, "start2 a b c d e f other2 yy"),
+            # doc 3: no 3-gram shared with anyone
+            (3, "p q r s t u v"),
+            # doc 4: internal repeat "m n o ... m n o" duplicates itself
+            (4, "m n o gap1 gap2 m n o"),
+            (5, "tiny doc"),  # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, k=3).collect()}
+    assert got[1]["n_grams"] == 7 and got[1]["n_dup_grams"] == 4
+    assert got[1]["n_dup_spans"] == 1
+    assert got[2]["n_dup_grams"] == 4 and got[2]["n_dup_spans"] == 1
+    assert got[3]["n_dup_grams"] == 0 and got[3]["n_dup_spans"] == 0
+    assert got[4]["n_dup_grams"] == 2 and got[4]["n_dup_spans"] == 2
+    assert got[5]["n_grams"] == 0 and got[5]["n_dup_spans"] == 0
+
+
+def test_duplicate_spans_hashed_matches_string_variant(spark):
+    from webx.dedup import duplicate_spans
+    from webx import synth
+
+    docs = synth.load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    a = duplicate_spans(docs, k=3, hashed=False).orderBy("doc_id").collect()
+    b = duplicate_spans(docs, k=3, hashed=True).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -593,3 +593,79 @@ def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.select("doc_id").join(
         F.broadcast(drop.withColumn("k", F.lit(False))), "doc_id", "left"
     ).select("doc_id", F.coalesce("k", F.lit(True)).alias("keep"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Corpus-wide duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    EXACT-SUBSTRING dedup their suffix array computes), re-expressed
+    relationally: a token position is *duplicated* when its k-token
+    window occurs more than once in the entire corpus; maximal runs of
+    adjacent duplicated positions are the removable spans. Returns
+    (doc_id, n_grams, n_dup_grams, n_dup_spans).
+
+    Plan: one window explode per doc → corpus-wide count per gram (THE
+    shuffle, on the gram key — the distributed stand-in for the suffix
+    array) → join the counts back → per-doc agg + the classic
+    pos − row_number() run-grouping for span counts (second shuffle, on
+    doc_id). No Python anywhere.
+
+    ``hashed=True`` is the 100 TB formulation: positions carry the
+    64-bit xxhash64 of the window instead of the ~100-byte string —
+    shuffle bytes shrink ~10×; identical answer up to 2^-64-scale
+    collisions (differentially tested). The oracle-gated driver query
+    uses the exact string form."""
+    from pyspark.sql import Window
+
+    toks = F.transform(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_SPLIT),
+        lambda t: F.lower(t),
+    )
+    cnt = F.size(toks)
+    win = lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    mk = (lambda i: F.xxhash64(win(i))) if hashed else win
+    wins = F.when(
+        cnt >= k,
+        F.transform(
+            F.sequence(F.lit(1), cnt - k + 1),
+            lambda i: F.struct(i.alias("pos"), mk(i).alias("g")),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<pos:int,g:" + ("bigint" if hashed else "string") + ">>"
+        )
+    )
+    frame = docs.select("doc_id", F.explode(wins).alias("p")).select(
+        "doc_id", "p.pos", "p.g"
+    )
+    counts = frame.groupBy("g").agg(F.count("*").alias("c"))
+    flagged = frame.join(counts, "g").select(
+        "doc_id", "pos", (F.col("c") > 1).alias("dup")
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        flagged.filter("dup")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("grp").alias("n_dup_spans"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+    )

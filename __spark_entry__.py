@@ -633,6 +633,18 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_spans(docs, k=3)
 
 
+
+def q_anchor_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text index over the flagship corpus: every page carries
+    the 10 fixed chrome anchors, all same-host, so per (resolved,
+    anchor) the ref count equals the host's page count and the source
+    host count is 1 — stated closed-form by the oracle."""
+    from webx.urls import anchor_text_index, extract_anchors
+
+    pages = _pages(spark, sf)
+    return anchor_text_index(extract_anchors(pages))
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction over the flagship pages (webx/urls.py): every
     page carries the 10 fixed chrome links, all root-relative — the
@@ -1134,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_c4_clean": q_c4_clean,
         "q_dup_spans": q_dup_spans,
+        "q_anchor_index": q_anchor_index,
         "q_media_frames": q_media_frames,
     }
 
@@ -1686,6 +1699,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(ns, 0) AS BIGINT) AS n_dup_spans "
             "FROM (SELECT doc_id FROM documents) x "
             "LEFT JOIN agg USING (doc_id) LEFT JOIN sp USING (doc_id)"
+        ),
+        "q_anchor_index": (
+            "WITH h(href, anchor) AS (VALUES ('/', 'Home'), ('/products', 'Products'), "
+            "('/pricing', 'Pricing'), ('/about', 'About us'), ('/contact', 'Contact'), "
+            "('/r/1', 'Related one'), ('/r/2', 'Related two'), ('/r/3', 'Related three'), "
+            "('/terms', 'Terms'), ('/privacy', 'Privacy')) "
+            "SELECT ('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' || h.href) "
+            "AS resolved, h.anchor AS anchor, CAST(count(*) AS BIGINT) AS n_refs, "
+            "CAST(1 AS BIGINT) AS n_src_hosts "
+            "FROM documents CROSS JOIN h GROUP BY doc_id % 7, h.href, h.anchor"
         ),
         "q_extract_links": (
             "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "

@@ -296,3 +296,33 @@ def test_c4_clean_rules(spark):
     assert not got[5]["keep"]
     assert got[6]["keep"] and got[6]["n_kept"] == 3
     assert got[7]["n_kept"] == 0 and got[7]["text"] == "" and not got[7]["keep"]
+
+
+def test_extract_anchors_text_and_pairing(spark):
+    from webx.urls import anchor_text_index, extract_anchors
+
+    html = (
+        b'<html><body>'
+        b'<a href="/a">Plain text</a>'
+        b'<a class="x" href="/b"><b>Bold</b> and <i>italic</i></a>'
+        b'<a href="mailto:x@y.z">Mail me</a>'
+        b'<a href="sub/page.html">Relative\n  link</a>'
+        b'</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://h1.example.com/dir/p.html", bytearray(html))],
+        "url string, html binary",
+    )
+    got = extract_anchors(pages).collect()
+    by_href = {r["href"]: r for r in got}
+    assert by_href["/a"]["anchor"] == "Plain text"
+    assert by_href["/b"]["anchor"] == "Bold and italic"  # tags stripped, ws collapsed
+    assert by_href["/a"]["resolved"] == "https://h1.example.com/a"
+    assert by_href["mailto:x@y.z"]["resolved"] is None
+    assert by_href["sub/page.html"]["anchor"] == "Relative link"
+    assert by_href["sub/page.html"]["resolved"] == "https://h1.example.com/dir/sub/page.html"
+
+    idx = {(r["resolved"], r["anchor"]): r for r in anchor_text_index(extract_anchors(pages)).collect()}
+    assert idx[("https://h1.example.com/a", "Plain text")]["n_refs"] == 1
+    assert ("https://h1.example.com/a", "Plain text") in idx
+    assert all(k[0] is not None for k in idx)  # mailto dropped

@@ -122,3 +122,51 @@ def host_link_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+_ANCHOR_RE = r"""(?s)<a\b[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Anchor extraction WITH link text — (url, href, resolved, anchor)
+    per ``<a>``. Anchor text is the classic query-independent relevance
+    signal web corpora mine (link-text indexes; anchor-based document
+    descriptions). Two aligned ``regexp_extract_all`` passes over the
+    same pattern (group 1 = href, group 2 = inner markup) keep pairing
+    by construction; the inner markup has tags stripped and whitespace
+    collapsed. Pure codegen: no Python, no shuffle, one explode."""
+    txt = F.decode(F.col(html_col), "UTF-8")
+    pat = F.lit(_ANCHOR_RE)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(txt, pat, 1).alias("href"),
+        F.regexp_extract_all(txt, pat, 2).alias("inner"),
+    )
+    out = pages.select("url", F.explode(pairs).alias("p")).select(
+        "url",
+        F.col("p.href").alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("p.inner", r"<[^>]*>", " "), r"[ \t\r\n]+", " "
+            )
+        ).alias("anchor"),
+    )
+    return out.select(
+        "url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"), "anchor"
+    )
+
+
+def anchor_text_index(anchors: DataFrame) -> DataFrame:
+    """Link-text index: per (target, anchor text) — how many pages and
+    hosts say it. The aggregation every anchor-text corpus build runs
+    (e.g. document expansion for retrieval training data). One shuffle,
+    on the target key; count-distinct of source hosts is exact (hosts
+    per target are bounded in practice; use approx_count_distinct at
+    adversarial fan-in)."""
+    return (
+        anchors.filter(F.col("resolved").isNotNull())
+        .groupBy("resolved", "anchor")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct(host(F.col("url"))).alias("n_src_hosts"),
+        )
+    )

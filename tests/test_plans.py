@@ -87,3 +87,28 @@ def test_decontaminate_corpus_never_shuffles(spark, queries):
     # exchanges: the explicit input repartition + the final distinct's;
     # crucially no shuffle BETWEEN explode and join (broadcast, not SMJ)
     assert "SortMergeJoin" not in plan
+
+
+def test_c4_clean_is_exchange_free(spark, queries):
+    """C4 line filtering is one row-local projection — any Exchange in
+    this plan is a regression."""
+    plan = plan_of(queries["q_c4_clean"](spark, SF))
+    assert nodes(plan, "Exchange") <= 1  # the explicit _par repartition only
+    assert "MapInPandas" not in plan  # pure codegen, no Python
+
+
+def test_lm_perplexity_model_joins_broadcast(spark, queries):
+    """The bigram model tables must reach the corpus side as broadcast
+    joins — a sort-merge join here would shuffle the whole corpus on
+    the gram key at every scoring run."""
+    plan = plan_of(queries["q_lm_perplexity"](spark, SF))
+    assert nodes(plan, "BroadcastHashJoin") >= 2  # c2 and c1
+    assert "SortMergeJoin" not in plan
+
+
+def test_anchor_index_single_shuffle(spark, queries):
+    """extract → explode → one partial+final aggregate pair on the
+    target key (plus the explicit input repartition)."""
+    plan = plan_of(queries["q_anchor_index"](spark, SF))
+    assert "MapInPandas" not in plan  # pure codegen
+    assert nodes(plan, "HashAggregate") >= 2  # partial + final

@@ -645,6 +645,18 @@ def q_anchor_index(spark: SparkSession, sf: str) -> DataFrame:
     return anchor_text_index(extract_anchors(pages))
 
 
+
+def q_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): keep the corpus-first
+    occurrence of every duplicated 3-token window, delete later ones,
+    rebuild each document from surviving tokens. Full value oracle
+    (rank window + coverage anti-join replayed in SQL)."""
+    from webx.dedup import remove_duplicate_spans
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return remove_duplicate_spans(docs, k=3)
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction over the flagship pages (webx/urls.py): every
     page carries the 10 fixed chrome links, all root-relative — the
@@ -1147,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_dup_spans": q_dup_spans,
         "q_anchor_index": q_anchor_index,
+        "q_dup_span_removal": q_dup_span_removal,
         "q_media_frames": q_media_frames,
     }
 
@@ -1709,6 +1722,30 @@ def oracle_sql() -> dict[str, str]:
             "AS resolved, h.anchor AS anchor, CAST(count(*) AS BIGINT) AS n_refs, "
             "CAST(1 AS BIGINT) AS n_src_hosts "
             "FROM documents CROSS JOIN h GROUP BY doc_id % 7, h.href, h.anchor"
+        ),
+        "q_dup_span_removal": (
+            "WITH toksrc AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_transform(regexp_split_to_array(trim(text), "
+            f"{WS_SPLIT_SQL}), w -> lower(w)) END AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i "
+            "FROM toksrc WHERE len(t) >= 3), "
+            "g AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g FROM pos), "
+            "r AS (SELECT doc_id, i, row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn FROM g), "
+            "cov AS (SELECT DISTINCT doc_id, i + o.o AS tpos FROM r "
+            "CROSS JOIN (VALUES (0), (1), (2)) o(o) WHERE rn > 1), "
+            "tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, t "
+            "FROM toksrc WHERE len(t) >= 1), "
+            "tk AS (SELECT doc_id, tpos, t[tpos] AS tok FROM tp), "
+            "kept AS (SELECT tk.doc_id, tk.tpos, tk.tok FROM tk WHERE NOT EXISTS "
+            "(SELECT 1 FROM cov WHERE cov.doc_id = tk.doc_id AND cov.tpos = tk.tpos)), "
+            "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            f"len(regexp_split_to_array(trim(text), {WS_SPLIT_SQL})) END AS n_tokens FROM documents) "
+            "SELECT tot.doc_id, coalesce(reb.text, '') AS text, "
+            "CAST(n_tokens AS INT) AS n_tokens, "
+            "CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM tot LEFT JOIN reb USING (doc_id)"
         ),
         "q_extract_links": (
             "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "

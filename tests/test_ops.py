@@ -378,3 +378,36 @@ def test_duplicate_spans_hashed_matches_string_variant(spark):
     a = duplicate_spans(docs, k=3, hashed=False).orderBy("doc_id").collect()
     b = duplicate_spans(docs, k=3, hashed=True).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from webx.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 end1"),   # first occurrence of "a b c"... survives whole
+            (2, "start2 a b c d e end2"),    # later occurrence of the shared run: removed
+            (3, "solo x y z w"),             # untouched
+            (4, "t"),                        # < k tokens
+            (5, ""),                         # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    assert got[1]["text"] == "a b c d e unique1 end1" and got[1]["n_removed"] == 0
+    # doc 2: windows (a b c), (b c d), (c d e) are rank-2 -> tokens a..e removed
+    assert got[2]["text"] == "start2 end2" and got[2]["n_removed"] == 5
+    assert got[3]["text"] == "solo x y z w" and got[3]["n_removed"] == 0
+    assert got[4]["text"] == "t" and got[4]["n_tokens"] == 1
+    assert got[5]["text"] == "" and got[5]["n_tokens"] == 0
+
+
+def test_remove_duplicate_spans_intra_doc_repeat(spark):
+    from webx.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "m n o gap m n o")],  # the second "m n o" is the later occurrence
+        "doc_id long, text string",
+    )
+    row = remove_duplicate_spans(docs, k=3).collect()[0]
+    assert row["text"] == "m n o gap" and row["n_removed"] == 3

@@ -669,3 +669,81 @@ def duplicate_spans(
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022's
+    ExactSubstr policy: keep ONE occurrence of every duplicated
+    substring, delete the rest): the corpus-wide FIRST occurrence of
+    each duplicated k-token window — ordered by (doc_id, position) —
+    survives; token positions covered by any later occurrence are
+    deleted, and each document is rebuilt from its surviving tokens.
+    Returns (doc_id, text, n_tokens, n_removed); ``text`` is the
+    normalized reconstruction (lower-cased, single-space joined — the
+    tokenization this dedup is defined over).
+
+    Plan: window explode → one rank window over the gram key (THE
+    shuffle — the suffix array stand-in) → k-offset coverage explode of
+    the non-first occurrences only (duplicated mass is a small corpus
+    fraction) → anti-join token positions → per-doc ordered rebuild."""
+    from pyspark.sql import Window
+
+    toks = F.transform(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_SPLIT),
+        lambda t: F.lower(t),
+    )
+    cnt = F.size(toks)
+    wins = F.when(
+        cnt >= k,
+        F.transform(
+            F.sequence(F.lit(1), cnt - k + 1),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, k)).alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    frame = docs.select("doc_id", F.explode(wins).alias("p")).select(
+        "doc_id", "p.pos", "p.g"
+    )
+    w = Window.partitionBy("g").orderBy("doc_id", "pos")
+    later = frame.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    covered = later.select(
+        "doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos")
+    ).distinct()
+
+    tok_pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0, toks)
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("tpos0", "tok"),
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = tok_pos.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.when(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0, F.size(toks)
+        )
+        .otherwise(F.lit(0))
+        .alias("n_tokens"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

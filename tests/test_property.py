@@ -82,3 +82,32 @@ def test_decode_total_functions(raw, charset):
     assert isinstance(text, str) and status in ("ok", "charset_fallback")
     assert isinstance(decode_span(raw, charset), str)
     assert isinstance(sniff_charset(raw), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(html_like)
+def test_extract_anchors_never_crashes_and_pairs_align(html):
+    """The anchor regex path must fail soft on arbitrary bytes, and the
+    two aligned regex passes must produce equal-length arrays (pairing
+    by construction)."""
+    import pandas as pd  # noqa: F401  (spark fixture not needed: local relation)
+
+    from webx.urls import extract_anchors
+
+    spark = _anchor_spark()
+    pages = spark.createDataFrame(
+        [("https://h0.example.com/d/p", bytearray(html))],
+        "url string, html binary",
+    )
+    rows = extract_anchors(pages).collect()
+    for r in rows:
+        assert r["href"] is not None
+        assert r["anchor"] is not None  # may be '' for empty inner text
+
+
+def _anchor_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()

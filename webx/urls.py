@@ -72,14 +72,24 @@ def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
 _HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
 
 
+
+def _lossy_utf8(html_col: str):
+    """binary → string with invalid UTF-8 replaced by U+FFFD. NOT
+    ``F.decode(col, 'UTF-8')`` — Spark 4 decode RAISES on malformed
+    input (MALFORMED_CHARACTER_CODING), so one damaged page would fail
+    the whole links stage at crawl scale. The binary→string cast wraps
+    bytes unvalidated; make_valid_utf8 then repairs in place. Links are
+    ASCII attributes, so damage stays confined to the corrupt spans."""
+    return F.make_valid_utf8(F.col(html_col).cast("string"))
+
+
 def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Outlink extraction — the link-graph source every web-scale corpus
     needs (PageRank/harmonic centrality inputs, spam-farm detection):
     (url, href, resolved) per anchor, document order preserved. Pure
-    codegen: UTF-8 decode (malformed bytes → U+FFFD, links are ASCII
-    attributes so damage is confined), one ``regexp_extract_all``, one
+    codegen: lossy UTF-8 decode (see _lossy_utf8), one ``regexp_extract_all``, one
     explode, string-op resolution. No Python, no shuffle."""
-    txt = F.decode(F.col(html_col), "UTF-8")
+    txt = _lossy_utf8(html_col)
     hrefs = F.regexp_extract_all(txt, F.lit(_HREF_RE), 1)
     out = pages.select(F.col("url"), F.explode(hrefs).alias("href"))
     return out.select("url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"))
@@ -135,7 +145,7 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
     same pattern (group 1 = href, group 2 = inner markup) keep pairing
     by construction; the inner markup has tags stripped and whitespace
     collapsed. Pure codegen: no Python, no shuffle, one explode."""
-    txt = F.decode(F.col(html_col), "UTF-8")
+    txt = _lossy_utf8(html_col)
     pat = F.lit(_ANCHOR_RE)
     pairs = F.arrays_zip(
         F.regexp_extract_all(txt, pat, 1).alias("href"),

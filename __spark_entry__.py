@@ -1082,6 +1082,117 @@ def q_lang_host_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pii_injected(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents with deterministic PII planted by residue class: email /
+    phone / IPv4 / clean. The oracle applies the IDENTICAL pattern text in
+    DuckDB (RE2) — webx.pii patterns are written in the common
+    Java-regex/RE2 subset precisely so both engines agree."""
+    docs = synth.load_documents(spark, sf)
+    i = F.col("doc_id").cast("string")
+    tail = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" Contact user"), i, F.lit("@mail"),
+                     (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.org today.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" Call +1-555-0"),
+                     (F.col("doc_id") % 10).cast("string"),
+                     F.lit("0-1234 now.")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(" Server 10."),
+                     (F.col("doc_id") % 200).cast("string"), F.lit("."),
+                     (F.col("doc_id") % 100).cast("string"),
+                     F.lit(".7 up.")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + sentinel redaction (webx/pii.py) — the Dolma-style
+    curation stage. Pure codegen projection, zero shuffle."""
+    from webx.pii import with_pii
+
+    out = with_pii(_pii_injected(spark, sf), "text")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.col("has_pii").cast("int").alias("has_pii"),
+        F.col("text_redacted").alias("redacted"),
+    )
+
+
+def q_latest_capture(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-recency dedup (webx/lineage.latest_capture): each url appears
+    as 1 + doc_id%3 captures with increasing warc_ts and versioned text;
+    keep the newest via one max_by hash-agg shuffle (no window sort)."""
+    from webx.lineage import latest_capture
+
+    docs = synth.load_documents(spark, sf)
+    captures = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias("v"),
+    ).select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") + F.col("v") * 10000
+        ).alias("warc_ts"),
+        F.concat(F.lit("v"), F.col("v").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+    )
+    won = latest_capture(captures)
+    return won.select(
+        "url", F.unix_timestamp("warc_ts").alias("ts_epoch"), "text"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental snapshot diff (webx/lineage.snapshot_diff): old = all
+    docs; new drops doc_id%5==0 (deleted), edits doc_id%5==1 (changed),
+    and adds a /new url for doc_id%10==7 (added). One projected
+    full-outer shuffle join on url."""
+    from webx.lineage import snapshot_diff
+
+    docs = synth.load_documents(spark, sf)
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".example.com/doc/"), F.col("doc_id").cast("string"))
+    old = docs.select(url.alias("url"), "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.concat(url, F.lit("/new")).alias("url"), "text"
+    )
+    return snapshot_diff(old, base.unionByName(added), key="url", fingerprint="text")
+
+
+def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-blocklist gate (webx/urls.filter_blocked_hosts): UT1-style
+    deny list as a broadcast LEFT ANTI join — survivors with their host."""
+    from webx.urls import filter_blocked_hosts, host as url_host
+
+    docs = synth.load_documents(spark, sf)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    block = spark.createDataFrame(
+        [("h0.example.com",), ("h3.example.com",), ("h5.example.com",)],
+        "host string",
+    )
+    return filter_blocked_hosts(pages, block).select(
+        "doc_id", url_host("url").alias("url_host")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1161,6 +1272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_index": q_anchor_index,
         "q_dup_span_removal": q_dup_span_removal,
         "q_media_frames": q_media_frames,
+        "q_pii_redact": q_pii_redact,
+        "q_latest_capture": q_latest_capture,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_blocklist": q_blocklist,
     }
 
 
@@ -1325,6 +1440,37 @@ def _dedup_clusters_oracle_sql() -> str:
         "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node) "
         "SELECT node AS doc_id, least(node, min(r)) AS cluster_id "
         "FROM reach GROUP BY node"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_redact, generated from webx.pii.PII_PATTERNS
+    so the pattern text is shared verbatim between both engines."""
+    from webx.pii import PII_PATTERNS
+
+    inject = (
+        "(text || CASE doc_id % 4 "
+        "WHEN 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '.example.org today.' "
+        "WHEN 1 THEN ' Call +1-555-0' || CAST(doc_id % 10 AS VARCHAR) || '0-1234 now.' "
+        "WHEN 2 THEN ' Server 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || '.7 up.' "
+        "ELSE '' END)"
+    )
+    counts = ", ".join(
+        f"CAST(length(regexp_extract_all(t, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    redacted = "t"
+    for _, pat, sentinel in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{sentinel}', 'g')"
+    total = " + ".join(
+        f"length(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return (
+        f"WITH v AS (SELECT doc_id, {inject} AS t FROM documents) "
+        f"SELECT doc_id, {counts}, CAST(({total}) > 0 AS INT) AS has_pii, "
+        f"{redacted} AS redacted FROM v"
     )
 
 
@@ -1808,4 +1954,27 @@ def oracle_sql() -> dict[str, str]:
             planes=_hyperplanes(_oracles.EMB_DIM, 6, 42), k=5
         ),
         "q_ann_ivf": _oracles.ann_ivf_oracle_sql(n_centroids=16, n_probe=4, k=5),
+        # PII: the oracle applies the IDENTICAL pattern strings (generated
+        # from webx.pii.PII_PATTERNS — no drift possible) via RE2; the
+        # patterns are written in the shared Java-regex/RE2 subset.
+        "q_pii_redact": _pii_oracle_sql(),
+        "q_latest_capture": (
+            f"SELECT {URL} AS url, "
+            "1704067200 + doc_id + (doc_id % 3) * 10000 AS ts_epoch, "
+            "('v' || CAST(doc_id % 3 AS VARCHAR) || ' ' || text) AS text "
+            "FROM documents"
+        ),
+        "q_snapshot_diff": (
+            f"SELECT {URL} AS url, "
+            "CASE doc_id % 5 WHEN 0 THEN 'deleted' WHEN 1 THEN 'changed' "
+            "ELSE 'unchanged' END AS status FROM documents "
+            "UNION ALL "
+            f"SELECT ({URL} || '/new') AS url, 'added' AS status "
+            "FROM documents WHERE doc_id % 10 = 7"
+        ),
+        "q_blocklist": (
+            "SELECT doc_id, ('h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com') AS url_host FROM documents "
+            "WHERE doc_id % 7 NOT IN (0, 3, 5)"
+        ),
     }

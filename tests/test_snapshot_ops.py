@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from webx.lineage import latest_capture, snapshot_diff
+from webx.urls import filter_blocked_hosts
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_latest_capture_keeps_newest(spark):
+    rows = [
+        ("https://a.com/1", _ts("2024-01-01T00:00:00"), "v0", "en"),
+        ("https://a.com/1", _ts("2024-03-01T00:00:00"), "v2", "en"),
+        ("https://a.com/1", _ts("2024-02-01T00:00:00"), "v1", "en"),
+        ("https://b.com/2", _ts("2024-01-05T00:00:00"), "only", "de"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    got = {r["url"]: r for r in latest_capture(pages).collect()}
+    assert len(got) == 2
+    assert got["https://a.com/1"]["text"] == "v2"
+    assert got["https://b.com/2"]["text"] == "only"
+    # schema preserved: same columns, key first
+    assert set(latest_capture(pages).columns) == set(pages.columns)
+
+
+def test_latest_capture_tie_break_deterministic(spark):
+    t = _ts("2024-01-01T00:00:00")
+    pages = spark.createDataFrame(
+        [("u", t, "aaa"), ("u", t, "zzz")], "url string, warc_ts timestamp, text string"
+    )
+    for _ in range(3):
+        assert latest_capture(pages).collect()[0]["text"] == "zzz"
+
+
+def test_latest_capture_single_shuffle(spark):
+    pages = spark.createDataFrame(
+        [("u", _ts("2024-01-01T00:00:00"), "x")],
+        "url string, warc_ts timestamp, text string",
+    )
+    plan = latest_capture(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash-agg shuffle, no window sort
+    assert "Window" not in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")], "url string, text string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "deleted",
+        "u4": "added",
+    }
+
+
+def test_snapshot_diff_projects_before_join(spark):
+    # the exchange must move only (key, fingerprint), not the wide page row
+    old = spark.createDataFrame(
+        [("u", "t", b"x" * 10, "en")], "url string, text string, html binary, lang string"
+    )
+    new = old
+    plan = snapshot_diff(old, new)._jdf.queryExecution().analyzed().toString()
+    assert "html" not in snapshot_diff(old, new).columns
+    # optimized plan prunes html/lang below the join
+    opt = snapshot_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    assert "html" not in opt.split("Join")[0] or "html#" not in opt
+
+
+def test_filter_blocked_hosts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://Bad.example.com/x"),
+            (2, "https://good.example.com/y"),
+            (3, "http://user@bad.example.com:80/z"),
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("BAD.example.com",)], "host string")
+    got = filter_blocked_hosts(docs, block)
+    assert [r["doc_id"] for r in got.orderBy("doc_id").collect()] == [2]
+    assert got.columns == ["doc_id", "url"]
+
+
+def test_filter_blocked_hosts_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    block = spark.createDataFrame([("b.com",)], "host string")
+    plan = (
+        filter_blocked_hosts(docs, block)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

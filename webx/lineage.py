@@ -283,3 +283,62 @@ def best_runs(lineage: DataFrame, k: int = 5) -> DataFrame:
         .orderBy(F.asc("err_ratio"), F.desc("rows"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-level incremental operators. A crawl pipeline re-runs against a
+# NEW Iceberg snapshot of the pages table; these answer "what changed" and
+# "which capture wins" without reprocessing the unchanged 99%.
+
+
+def latest_capture(
+    pages: DataFrame, key: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per ``key``: the capture with the greatest ``ts_col``.
+
+    The crawl-recency discipline (CDX collapse / Iceberg MERGE-upsert
+    semantics): a url recrawled k times keeps only its newest capture.
+    Single hash-agg shuffle on the key — ``max_by`` carries the whole row
+    through the partial/final aggregate, so there is no second join back
+    and no window sort. Ties (same timestamp) are broken deterministically
+    by the greater remaining-struct value so re-runs are stable.
+    """
+    others = [c for c in pages.columns if c != key]
+    picked = F.max_by(
+        F.struct(*[F.col(c) for c in others]),
+        F.struct(F.col(ts_col), *[F.col(c) for c in others if c != ts_col]),
+    )
+    return (
+        pages.groupBy(key)
+        .agg(picked.alias("_latest"))
+        .select(key, *[F.col(f"_latest.{c}").alias(c) for c in others])
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fingerprint: str = "text",
+) -> DataFrame:
+    """Per-key change status between two snapshots of the same table:
+    ``added`` / ``deleted`` / ``changed`` / ``unchanged``.
+
+    The incremental-processing primitive: downstream stages re-run on
+    ``status IN ('added','changed')`` only. One full-outer shuffle join on
+    the key; both sides are projected to (key, fingerprint) FIRST so the
+    exchange moves two columns, not whole pages — at crawl scale the
+    fingerprint should be a precomputed content hash, which this accepts
+    as-is (any comparable column works).
+    """
+    o = old.select(F.col(key).alias("_k"), F.col(fingerprint).alias("_old_fp"))
+    n = new.select(F.col(key).alias("_k"), F.col(fingerprint).alias("_new_fp"))
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("_old_fp") == F.col("_new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, on="_k", how="full_outer").select(
+        F.col("_k").alias(key), status.alias("status")
+    )

@@ -180,3 +180,21 @@ def anchor_text_index(anchors: DataFrame) -> DataFrame:
             F.countDistinct(host(F.col("url"))).alias("n_src_hosts"),
         )
     )
+
+
+def filter_blocked_hosts(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose url host appears in ``blocklist`` (one column:
+    ``host``, exact lower-case match) — the UT1-blocklist / domain-deny
+    curation gate.
+
+    Broadcast LEFT ANTI join: a blocklist is a few MB even with millions
+    of entries, so the probe side never shuffles — the join is a map-side
+    hash lookup fused into whatever stage already scans the pages.
+    """
+    b = F.broadcast(blocklist.select(F.lower("host").alias("_blocked_host")))
+    probe = df.withColumn("_probe_host", host(url_col))
+    return probe.join(
+        b, probe["_probe_host"] == b["_blocked_host"], "left_anti"
+    ).drop("_probe_host")

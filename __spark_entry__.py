@@ -1193,6 +1193,43 @@ def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _second_snapshot_docs(docs: DataFrame):
+    """(base_docs, added_docs) for the synthetic recrawl: doc_id%5==0
+    deleted, doc_id%5==1 text-edited, doc_id%10==7 republished at /new."""
+    base = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 10 == 7)
+    return base, added
+
+
+def q_extract_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental recrawl extraction (webx/lineage.incremental_extract):
+    only added/changed pages go through the extractor; unchanged urls
+    carry the previous run's rows forward. The oracle is the closed-form
+    flagship golden over the SECOND snapshot — so carried rows, fresh
+    rows, and deletions must all land exactly right."""
+    from webx.lineage import incremental_extract
+    from webx.pipeline import run_extraction
+
+    docs = synth.load_documents(spark, sf)
+    old_pages = _par(synth.flagship_pages_from_docs(docs), spark)
+    base, added = _second_snapshot_docs(docs)
+    new_pages = _par(
+        synth.flagship_pages_from_docs(base).unionByName(
+            synth.flagship_pages_from_docs(added).withColumn(
+                "url", F.concat(F.col("url"), F.lit("/new"))
+            )
+        ),
+        spark,
+    )
+    prev = run_extraction(old_pages, CFG)
+    result, _diff = incremental_extract(old_pages, new_pages, prev, CFG)
+    return result.select("url", "text")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1276,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_latest_capture": q_latest_capture,
         "q_snapshot_diff": q_snapshot_diff,
         "q_blocklist": q_blocklist,
+        "q_extract_incremental": q_extract_incremental,
     }
 
 
@@ -1976,5 +2014,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ('h' || CAST(doc_id % 7 AS VARCHAR) || "
             "'.example.com') AS url_host FROM documents "
             "WHERE doc_id % 7 NOT IN (0, 3, 5)"
+        ),
+        # the flagship golden applied to the SECOND snapshot: base urls
+        # (deleted dropped, %5==1 edited) + /new republications
+        "q_extract_incremental": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 "
+            "THEN text || ' v2' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 5 <> 0), "
+            "a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7) "
+            f"SELECT {URL} AS url, {GOLDEN} AS text FROM d "
+            "UNION ALL "
+            f"SELECT ({URL} || '/new') AS url, {GOLDEN} AS text FROM a"
         ),
     }

@@ -103,3 +103,41 @@ def test_filter_blocked_hosts_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_incremental_extract_matches_full_rerun(spark):
+    from webx.config import ExtractConfig
+    from webx.lineage import incremental_extract
+    from webx.pipeline import run_extraction
+    from webx import synth
+
+    cfg = ExtractConfig()
+    docs = synth.load_documents(spark, "/root/testdata/sf0.001")
+    old_pages = synth.flagship_pages_from_docs(docs)
+    base = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 10 == 7)
+    new_pages = synth.flagship_pages_from_docs(base).unionByName(
+        synth.flagship_pages_from_docs(added).withColumn(
+            "url", F.concat(F.col("url"), F.lit("/new"))
+        )
+    )
+    prev = run_extraction(old_pages, cfg)
+    result, diff = incremental_extract(old_pages, new_pages, prev, cfg)
+
+    full = run_extraction(new_pages, cfg).select("url", "text")
+    inc = result.select("url", "text")
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+    # the funnel: only added+changed urls were re-extracted
+    counts = {r["status"]: r["n"] for r in
+              diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert counts["deleted"] == docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert counts["added"] == added.count()
+    assert counts["changed"] == base.filter(F.col("doc_id") % 5 == 1).count()
+    assert counts["unchanged"] == n - counts["deleted"] - counts["changed"]

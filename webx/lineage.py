@@ -342,3 +342,43 @@ def snapshot_diff(
     return o.join(n, on="_k", how="full_outer").select(
         F.col("_k").alias(key), status.alias("status")
     )
+
+
+def incremental_extract(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    prev_extracted: DataFrame,
+    cfg=None,
+    extract_fn=None,
+):
+    """Extract a NEW snapshot by reprocessing only what changed.
+
+    ``snapshot_diff`` on an ``xxhash64(html)`` content fingerprint splits
+    the new snapshot into added/changed (re-extract) vs unchanged (carry
+    the previous run's rows forward untouched — byte-identical by
+    construction, since extraction is a pure function of html). Deleted
+    urls drop out on both paths.
+
+    Returns ``(result, diff)``: the full extracted frame for the new
+    snapshot, plus the per-url status frame (the funnel report /
+    lineage record). Cost at crawl scale: one narrow fingerprint diff
+    (url + 8-byte hash through the exchange), one url-key semi join per
+    side, and extraction proportional to the CHANGED fraction — on a
+    typical recrawl that is a few percent of a full run. With real
+    Iceberg changelog scans the diff stage is read for free; this is the
+    storage-agnostic formulation.
+    """
+    from webx.pipeline import run_extraction
+
+    def _fp(df):
+        return df.select(F.col("url"), F.xxhash64("html").alias("_fp"))
+
+    diff = snapshot_diff(_fp(old_pages), _fp(new_pages), key="url", fingerprint="_fp")
+    redo_urls = diff.filter(F.col("status").isin("added", "changed")).select("url")
+    keep_urls = diff.filter(F.col("status") == "unchanged").select("url")
+
+    fresh = (extract_fn or run_extraction)(
+        new_pages.join(redo_urls, "url", "semi"), cfg
+    )
+    carried = prev_extracted.join(keep_urls, "url", "semi")
+    return fresh.unionByName(carried.select(*fresh.columns)), diff

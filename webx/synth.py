@@ -133,6 +133,13 @@ def synth_pages(spark: SparkSession, sf_dir: str, page_repeat: int = 1) -> DataF
         docs = docs.withColumn(
             "text", F.array_join(F.array_repeat(F.col("text"), page_repeat), " ")
         )
+    return flagship_pages_from_docs(docs)
+
+
+def flagship_pages_from_docs(docs: DataFrame) -> DataFrame:
+    """Flagship pages assembled from an arbitrary documents-shaped frame
+    (doc_id, text, lang) — the synth_pages body, factored out so snapshot
+    queries can build a MODIFIED second snapshot from edited documents."""
     did, esc = _did(), _esc(_norm(F.col("text")))
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc, F.lit(P_TAIL)

@@ -1230,6 +1230,37 @@ def q_extract_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return result.select("url", "text")
 
 
+def q_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots-meta directives (webx/urls.robots_flags): pages planted with
+    noindex,nofollow / uppercase single-quoted NOFOLLOW / "all" / no tag
+    by residue class; the oracle states the expected flags closed-form.
+    Pure codegen over the lossy UTF-8 decode, zero shuffle."""
+    from webx.urls import robots_flags
+
+    docs = synth.load_documents(spark, sf)
+    meta = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 6 == 1,
+              F.lit("<meta content='INDEX, NOFOLLOW' name='ROBOTS'>"))
+        .when(F.col("doc_id") % 6 == 2,
+              F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc</title>"), meta,
+        F.lit("</head><body><p>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return robots_flags(pages).select(
+        "doc_id",
+        F.col("has_robots_meta").cast("int").alias("has_robots_meta"),
+        F.col("robots_noindex").cast("int").alias("robots_noindex"),
+        F.col("robots_nofollow").cast("int").alias("robots_nofollow"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1314,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_blocklist": q_blocklist,
         "q_extract_incremental": q_extract_incremental,
+        "q_robots_meta": q_robots_meta,
     }
 
 
@@ -2025,5 +2057,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM d "
             "UNION ALL "
             f"SELECT ({URL} || '/new') AS url, {GOLDEN} AS text FROM a"
+        ),
+        "q_robots_meta": (
+            "SELECT doc_id, "
+            "CAST(doc_id % 6 IN (0, 1, 2) AS INT) AS has_robots_meta, "
+            "CAST(doc_id % 6 = 0 AS INT) AS robots_noindex, "
+            "CAST(doc_id % 6 IN (0, 1) AS INT) AS robots_nofollow "
+            "FROM documents"
         ),
     }

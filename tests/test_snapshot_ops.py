@@ -141,3 +141,43 @@ def test_incremental_extract_matches_full_rerun(spark):
     assert counts["added"] == added.count()
     assert counts["changed"] == base.filter(F.col("doc_id") % 5 == 1).count()
     assert counts["unchanged"] == n - counts["deleted"] - counts["changed"]
+
+
+def _page(spark, html_bytes):
+    return spark.createDataFrame([("u", html_bytes)], "url string, html binary")
+
+
+def test_robots_flags_variants(spark):
+    from webx.urls import drop_noindex, robots_flags
+
+    cases = [
+        (b'<head><meta name="robots" content="noindex, nofollow"></head>', (True, True, True)),
+        (b"<head><meta content='INDEX, NOFOLLOW' name='ROBOTS'></head>", (True, False, True)),
+        (b'<head><meta name="robots" content="all"></head>', (True, False, False)),
+        (b"<head><title>x</title></head>", (False, False, False)),
+        # name must be exactly robots (quoted), not a prefix
+        (b'<head><meta name="robotsx" content="noindex"></head>', (False, False, False)),
+        # noindex must be a whole token
+        (b'<head><meta name="robots" content="nonoindexy"></head>', (True, False, False)),
+        # malformed bytes elsewhere must not kill the decode
+        (b'\xff\xfe junk <meta name="robots" content="noindex"> \xff', (True, True, False)),
+    ]
+    for html, (has, noidx, nofol) in cases:
+        r = robots_flags(_page(spark, html)).collect()[0]
+        got = (r["has_robots_meta"], r["robots_noindex"], r["robots_nofollow"])
+        assert got == (has, noidx, nofol), (html, got)
+    assert drop_noindex(_page(spark, cases[0][0])).count() == 0
+    kept = drop_noindex(_page(spark, cases[2][0]))
+    assert kept.count() == 1 and kept.columns == ["url", "html"]
+
+
+def test_robots_flags_is_codegen_only(spark):
+    from webx.urls import robots_flags
+
+    plan = (
+        robots_flags(_page(spark, b"<p>x</p>"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

@@ -198,3 +198,40 @@ def filter_blocked_hosts(
     return probe.join(
         b, probe["_probe_host"] == b["_blocked_host"], "left_anti"
     ).drop("_probe_host")
+
+
+# Patterns shared verbatim with the SQL oracle (Java-regex/RE2 subset:
+# no lookaround, no backreferences). Single- or double-quoted attributes.
+ROBOTS_META_RE = (
+    r"""(?i)<meta\b[^>]*name\s*=\s*["']robots["'][^>]*>"""
+)
+_CONTENT_ATTR_RE = r"""(?i)content\s*=\s*["']([^"']*)["']"""
+
+
+def robots_flags(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Page-level robots directives from ``<meta name="robots">`` — the
+    index-time politeness gate (a corpus that ignores noindex ships
+    content the publisher opted out of).
+
+    Adds ``has_robots_meta`` / ``robots_noindex`` / ``robots_nofollow``.
+    Pure codegen over the lossy UTF-8 decode: two regexp_extracts and two
+    token tests, fused into any stage that already scans html — zero
+    shuffle, zero Python. Only the FIRST robots meta tag is honored
+    (browsers and Googlebot apply the most restrictive; single-tag pages
+    — the overwhelming majority — are identical either way, and the
+    deterministic rule keeps the SQL oracle exact).
+    """
+    meta = F.regexp_extract(_lossy_utf8(html_col), ROBOTS_META_RE, 0)
+    content = F.regexp_extract(meta, _CONTENT_ATTR_RE, 1)
+    return pages.select(
+        "*",
+        (meta != "").alias("has_robots_meta"),
+        content.rlike(r"(?i)\bnoindex\b").alias("robots_noindex"),
+        content.rlike(r"(?i)\bnofollow\b").alias("robots_nofollow"),
+    )
+
+
+def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pages minus those whose robots meta says noindex; original schema."""
+    flagged = robots_flags(pages, html_col)
+    return flagged.filter(~F.col("robots_noindex")).select(*pages.columns)

@@ -1230,6 +1230,19 @@ def q_extract_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return result.select("url", "text")
 
 
+def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Page metadata projections (webx/urls.page_metadata): title and the
+    declared charset over a mixed utf-8 / latin-1 corpus (even doc_ids
+    flagship, odd doc_ids the latin-1 variant); closed-form oracle."""
+    from webx.urls import page_metadata
+
+    parity = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 2
+    utf8 = synth.synth_pages(spark, sf).filter(parity == 0)
+    lat1 = synth.synth_pages_latin1(spark, sf).filter(parity == 1)
+    pages = utf8.unionByName(lat1)
+    return page_metadata(pages).select("url", "page_title", "charset_decl")
+
+
 def q_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Robots-meta directives (webx/urls.robots_flags): pages planted with
     noindex,nofollow / uppercase single-quoted NOFOLLOW / "all" / no tag
@@ -1346,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist": q_blocklist,
         "q_extract_incremental": q_extract_incremental,
         "q_robots_meta": q_robots_meta,
+        "q_page_meta": q_page_meta,
     }
 
 
@@ -2064,5 +2078,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 6 = 0 AS INT) AS robots_noindex, "
             "CAST(doc_id % 6 IN (0, 1) AS INT) AS robots_nofollow "
             "FROM documents"
+        ),
+        "q_page_meta": (
+            f"SELECT {URL} AS url, ('Doc ' || CAST(doc_id AS VARCHAR)) AS page_title, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END "
+            "AS charset_decl FROM documents"
         ),
     }

@@ -181,3 +181,36 @@ def test_robots_flags_is_codegen_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_page_metadata(spark):
+    from webx.urls import page_metadata
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<html><head><meta charset="UTF-8"><title>Hello World</title></head>'.encode()),
+            ("u2", "<head><meta http-equiv='Content-Type' content='text/html; charset=iso-8859-1'><title lang=en>T2</title></head>".encode("latin-1")),
+            ("u3", b"<body>no head</body>"),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in page_metadata(pages).collect()}
+    assert got["u1"]["page_title"] == "Hello World"
+    assert got["u1"]["charset_decl"] == "utf-8"
+    assert got["u2"]["page_title"] == "T2"
+    assert got["u2"]["charset_decl"] == "iso-8859-1"
+    assert got["u3"]["page_title"] == "" and got["u3"]["charset_decl"] == ""
+    assert got["u3"]["html_bytes"] == 20
+
+
+def test_page_metadata_charset_window_matches_sniffer(spark):
+    # a declaration past the 1024-byte window is ignored by BOTH views
+    from webx.charset import sniff_charset
+    from webx.urls import page_metadata
+
+    late = b"<html>" + b" " * 1100 + b'<meta charset="koi8-r">'
+    assert sniff_charset(late) == "utf-8"  # default, not the late decl
+    r = page_metadata(
+        spark.createDataFrame([("u", late)], "url string, html binary")
+    ).collect()[0]
+    assert r["charset_decl"] == ""

@@ -19,7 +19,11 @@ import codecs
 import re
 from typing import Tuple
 
-_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.I)
+# Single source for the declaration pattern: the imperative sniffing
+# path compiles it over bytes; the declarative column op (urls.page_metadata)
+# applies the same text as a (?i) Spark regexp. Java-regex/RE2-safe.
+CHARSET_DECL_PATTERN = r"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)"
+_CHARSET_RE = re.compile(CHARSET_DECL_PATTERN.encode(), re.I)
 
 _ALIASES = {
     "iso-8859-1": "latin-1",

@@ -235,3 +235,31 @@ def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Pages minus those whose robots meta says noindex; original schema."""
     flagged = robots_flags(pages, html_col)
     return flagged.filter(~F.col("robots_noindex")).select(*pages.columns)
+
+
+TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
+
+
+def page_metadata(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Indexing metadata as pure codegen projections: first ``<title>``
+    text, the declared charset (shared pattern with the imperative
+    sniffer — webx.charset.CHARSET_DECL_PATTERN), and the raw byte size.
+
+    The charset scan is bounded to the first 1024 characters of the
+    lossy decode, mirroring ``sniff_charset``'s 1024-BYTE window —
+    declarations live in the ASCII head where characters are bytes, so
+    the two views agree on every page whose declaration the sniffer
+    would find.
+    """
+    from webx.charset import CHARSET_DECL_PATTERN
+
+    txt = _lossy_utf8(html_col)
+    head = F.substring(txt, 1, 1024)
+    return pages.select(
+        "*",
+        F.regexp_extract(txt, TITLE_RE, 1).alias("page_title"),
+        F.lower(
+            F.regexp_extract(head, "(?i)" + CHARSET_DECL_PATTERN, 1)
+        ).alias("charset_decl"),
+        F.octet_length(html_col).alias("html_bytes"),
+    )

@@ -381,4 +381,8 @@ def incremental_extract(
         new_pages.join(redo_urls, "url", "semi"), cfg
     )
     carried = prev_extracted.join(keep_urls, "url", "semi")
-    return fresh.unionByName(carried.select(*fresh.columns)), diff
+    # A stored previous output may have shed columns (e.g. the meta
+    # struct serialized away); the merged schema is the INTERSECTION, in
+    # the extractor's column order.
+    common = [c for c in fresh.columns if c in set(carried.columns)]
+    return fresh.select(*common).unionByName(carried.select(*common)), diff

@@ -1243,6 +1243,32 @@ def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
     return page_metadata(pages).select("url", "page_title", "charset_decl")
 
 
+def q_script_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Script composition + dominant script (webx/textstats.script_profile)
+    over documents with planted non-Latin runs: doc_id%5==1 gets a
+    Cyrillic run LONGER than the whole base text (n_chars+1, so Cyrillic
+    must win the argmax), 2/3/4 get short Greek/Arabic/CJK tails."""
+    from webx.textstats import script_profile
+
+    docs = synth.load_documents(spark, sf)
+    tail = (
+        F.when(F.col("doc_id") % 5 == 1,
+               F.repeat(F.lit("\u044f"), (F.col("n_chars") + 1).cast("int")))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" \u03b1\u03b2\u03b3\u03b4\u03b5"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" \u0645\u0631\u062d\u0628\u0627"))
+        .when(F.col("doc_id") % 5 == 4,
+              F.lit(" \u4f60\u597d\u4e16\u754c\u3053\u3093\u306b\u3061\u306f"))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return script_profile(injected).select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_arabic", "n_cjk",
+        "dominant_script",
+    )
+
+
 def q_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Robots-meta directives (webx/urls.robots_flags): pages planted with
     noindex,nofollow / uppercase single-quoted NOFOLLOW / "all" / no tag
@@ -1360,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_incremental": q_extract_incremental,
         "q_robots_meta": q_robots_meta,
         "q_page_meta": q_page_meta,
+        "q_script_profile": q_script_profile,
     }
 
 
@@ -1524,6 +1551,42 @@ def _dedup_clusters_oracle_sql() -> str:
         "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node) "
         "SELECT node AS doc_id, least(node, min(r)) AS cluster_id "
         "FROM reach GROUP BY node"
+    )
+
+
+def _script_oracle_sql() -> str:
+    """DuckDB mirror of q_script_profile, generated from
+    webx.textstats.SCRIPT_RANGES — pattern text and argmax fold shared."""
+    from webx.textstats import SCRIPT_RANGES
+
+    inject = (
+        "(text || CASE doc_id % 5 "
+        "WHEN 1 THEN repeat('\u044f', n_chars + 1) "
+        "WHEN 2 THEN ' \u03b1\u03b2\u03b3\u03b4\u03b5' "
+        "WHEN 3 THEN ' \u0645\u0631\u062d\u0628\u0627' "
+        "WHEN 4 THEN ' \u4f60\u597d\u4e16\u754c\u3053\u3093\u306b\u3061\u306f' "
+        "ELSE '' END)"
+    )
+    counts = ", ".join(
+        f"CAST(length(regexp_extract_all(t, '[{rng}]')) AS INT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    # same fold as script_profile: best flips only on a STRICT > of the
+    # running greatest, so ties keep the earlier-listed script
+    names = [n for n, _ in SCRIPT_RANGES]
+    dominant = f"'{names[0]}'"
+    for i in range(1, len(names)):
+        prev = ", ".join(f"n_{n}" for n in names[:i])
+        prev_best = f"greatest({prev})" if i > 1 else f"n_{names[0]}"
+        dominant = (
+            f"CASE WHEN n_{names[i]} > {prev_best} "
+            f"THEN '{names[i]}' ELSE {dominant} END"
+        )
+    return (
+        f"WITH v AS (SELECT doc_id, {inject} AS t FROM documents), "
+        f"w AS (SELECT doc_id, {counts} FROM v) "
+        f"SELECT doc_id, {', '.join('n_' + n for n in names)}, "
+        f"{dominant} AS dominant_script FROM w"
     )
 
 
@@ -2042,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         # from webx.pii.PII_PATTERNS — no drift possible) via RE2; the
         # patterns are written in the shared Java-regex/RE2 subset.
         "q_pii_redact": _pii_oracle_sql(),
+        "q_script_profile": _script_oracle_sql(),
         "q_latest_capture": (
             f"SELECT {URL} AS url, "
             "1704067200 + doc_id + (doc_id % 3) * 10000 AS ts_epoch, "

@@ -225,3 +225,38 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "score")
     )
+
+
+# Code-point ranges shared verbatim with the SQL oracle (literal BMP
+# characters inside classes — the subset Java regex and RE2 read
+# identically; no \p{script=…} syntax, which the two engines spell
+# differently). Order matters: dominant-script ties resolve to the
+# earliest entry.
+SCRIPT_RANGES = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿぀-ヿ가-힯"),
+]
+
+
+def script_profile(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document script composition: one ``n_<script>`` count per
+    SCRIPT_RANGES class plus ``dominant_script`` (argmax, first-listed
+    wins ties — so an all-zero row reads ``latin``).
+
+    The script-routing signal of multilingual curation (per-script
+    tokenizers, script-conditional quality gates). Pure codegen
+    ``regexp_count`` projections — zero shuffle, fuses into any scan.
+    """
+    counts = [
+        F.regexp_count(F.col(col), F.lit(f"[{rng}]")).cast("int").alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES
+    ]
+    best_name = F.lit(SCRIPT_RANGES[0][0])
+    best_cnt = counts[0]
+    for (name, _), cnt in zip(SCRIPT_RANGES[1:], counts[1:]):
+        best_name = F.when(cnt > best_cnt, F.lit(name)).otherwise(best_name)
+        best_cnt = F.greatest(best_cnt, cnt)
+    return docs.select("*", *counts, best_name.alias("dominant_script"))

@@ -1300,6 +1300,147 @@ def q_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_structured_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured page metadata (webx/metadata.structured_meta): OpenGraph
+    tags + first JSON-LD block, planted by residue class — %4==0 both
+    (canonical attribute order), ==1 OpenGraph only with SWAPPED
+    attribute order + single quotes, ==2 JSON-LD only (NewsArticle, no
+    author), ==3 neither. from_json parses the block JVM-side; the
+    oracle states every projection closed-form."""
+    from webx.metadata import structured_meta
+
+    docs = synth.load_documents(spark, sf)
+    did = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    jsonld = F.concat(
+        F.lit('<script type="application/ld+json">{"@type": "'),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Article")).otherwise(
+            F.lit("NewsArticle")
+        ),
+        F.lit('", "headline": "'),
+        did,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('", "author": {"name": "Author '),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('"}}'),
+            ),
+        ).otherwise(F.lit('"}')),
+        F.lit("</script>"),
+    )
+    og = F.concat(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="'), did,
+                F.lit('"><meta property="og:type" content="article">'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<meta content='"), did, F.lit("' property='og:title'>")
+            )
+        ),
+    )
+    head = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(og, jsonld))
+        .when(F.col("doc_id") % 4 == 1, og)
+        .when(F.col("doc_id") % 4 == 2, jsonld)
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"), head,
+        F.lit("</head><body><p>b</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return structured_meta(pages).select(
+        "doc_id", "og_title", "og_type", "jsonld_type", "jsonld_headline",
+        "jsonld_author",
+    )
+
+
+def q_headings(spark: SparkSession, sf: str) -> DataFrame:
+    """Heading outline (webx/metadata.heading_outline): pages planted
+    with one h1 + (doc_id%3+1) h2 sections; the extractor must recover
+    (pos, level, heading) in document order with inner tags stripped
+    (every h2 text carries an <em> to prove the cleaning)."""
+    from webx.metadata import heading_outline
+
+    docs = synth.load_documents(spark, sf)
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+    sections = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda k: F.concat(
+                F.lit("<h2>Part <em>"), k.cast("string"),
+                F.lit("</em></h2><p>body</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><body><h1 class='t'>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>intro</p>"),
+        sections,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return heading_outline(pages).select("doc_id", "pos", "level", "heading")
+
+
+def q_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML table extraction (webx/metadata.html_tables): a header row
+    (th) + (doc_id%3+1) data rows with closed-form cell values; the
+    value cell is <b>-wrapped to prove tag stripping. Grid recovered as
+    (row_idx, col_idx, is_header, cell)."""
+    from webx.metadata import html_tables
+
+    docs = synth.load_documents(spark, sf)
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+    body_rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda r: F.concat(
+                F.lit("<tr><td>r"), r.cast("string"), F.lit("</td><td><b>"),
+                (F.col("doc_id") * 10 + r).cast("string"),
+                F.lit("</b></td></tr>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>key</th><th>value</th></tr>"),
+        body_rows,
+        F.lit("</table></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return html_tables(pages).select(
+        "doc_id", "row_idx", "col_idx", "is_header", "cell"
+    )
+
+
+def q_dom_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """DOM nesting profile (webx/metadata.dom_depth_stats): paragraph
+    wrapped in doc_id%4 extra divs, plus a script block containing fake
+    tags (must be stripped) and a <br> (void, must not nest). Expected
+    depth/open-tag counts are closed-form in the planted structure."""
+    from webx.metadata import dom_depth_stats
+
+    docs = synth.load_documents(spark, sf)
+    n = (F.col("doc_id") % 4).cast("int")
+    html = F.concat(
+        F.lit("<html><head><script>var a='<div><div>'</script></head><body><br>"),
+        F.repeat(F.lit("<div>"), n),
+        F.lit("<p>x</p>"),
+        F.repeat(F.lit("</div>"), n),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return dom_depth_stats(pages).select(
+        "doc_id", "n_tag_tokens", "max_depth", "n_open_tags"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1387,6 +1528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_meta": q_robots_meta,
         "q_page_meta": q_page_meta,
         "q_script_profile": q_script_profile,
+        "q_structured_meta": q_structured_meta,
+        "q_headings": q_headings,
+        "q_html_tables": q_html_tables,
+        "q_dom_depth": q_dom_depth,
     }
 
 
@@ -2147,5 +2292,47 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, ('Doc ' || CAST(doc_id AS VARCHAR)) AS page_title, "
             "CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END "
             "AS charset_decl FROM documents"
+        ),
+        "q_structured_meta": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 4 IN (0, 1) THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END AS og_title, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'article' ELSE '' END AS og_type, "
+            "CASE doc_id % 4 WHEN 0 THEN 'Article' WHEN 2 THEN 'NewsArticle' "
+            "ELSE '' END AS jsonld_type, "
+            "CASE WHEN doc_id % 4 IN (0, 2) THEN 'Doc ' || CAST(doc_id AS VARCHAR) "
+            "ELSE '' END AS jsonld_headline, "
+            "CASE WHEN doc_id % 4 = 0 THEN 'Author ' || CAST(doc_id % 5 AS VARCHAR) "
+            "ELSE '' END AS jsonld_author "
+            "FROM documents"
+        ),
+        "q_headings": (
+            "SELECT doc_id, 0 AS pos, 1 AS level, "
+            "'Doc ' || CAST(doc_id AS VARCHAR) AS heading FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, CAST(k AS INT) AS pos, 2 AS level, "
+            "'Part ' || CAST(k AS VARCHAR) AS heading "
+            "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS k "
+            "FROM documents)"
+        ),
+        "q_html_tables": (
+            "SELECT doc_id, 0 AS row_idx, c AS col_idx, 1 AS is_header, "
+            "CASE c WHEN 0 THEN 'key' ELSE 'value' END AS cell "
+            "FROM documents, (VALUES (0), (1)) AS v(c) "
+            "UNION ALL "
+            "SELECT doc_id, CAST(r AS INT) AS row_idx, c AS col_idx, 0 AS is_header, "
+            "CASE c WHEN 0 THEN 'r' || CAST(r AS VARCHAR) "
+            "ELSE CAST(doc_id * 10 + r AS VARCHAR) END AS cell "
+            "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS r "
+            "FROM documents), (VALUES (0), (1)) AS v(c)"
+        ),
+        # closed-form in the planted structure: tokens after script-strip
+        # = html,head,/head,body,br + n (div,/div) pairs + p,/p,/body,/html
+        "q_dom_depth": (
+            "SELECT doc_id, "
+            "CAST(9 + 2 * (doc_id % 4) AS INT) AS n_tag_tokens, "
+            "CAST(3 + doc_id % 4 AS INT) AS max_depth, "
+            "CAST(4 + doc_id % 4 AS INT) AS n_open_tags "
+            "FROM documents"
         ),
     }

@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webx.metadata import (
+    dom_depth_stats,
+    heading_outline,
+    html_tables,
+    structured_meta,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+# ------------------------------------------------------------ structured
+
+def test_structured_meta_og_and_jsonld(spark):
+    html = (
+        "<html><head>"
+        '<meta property="og:title" content="My Title">'
+        "<meta content='article' property='og:type'>"
+        '<script type="application/ld+json">'
+        '{"@type": "NewsArticle", "headline": "Big News", '
+        '"author": {"name": "A. Writer"}}'
+        "</script></head><body></body></html>"
+    )
+    row = structured_meta(_pages(spark, [("u1", html)])).first()
+    assert row["og_title"] == "My Title"
+    assert row["og_type"] == "article"  # content-first attribute order
+    assert row["jsonld_type"] == "NewsArticle"
+    assert row["jsonld_headline"] == "Big News"
+    assert row["jsonld_author"] == "A. Writer"
+
+
+def test_structured_meta_missing_and_malformed(spark):
+    rows = [
+        ("none", "<html><head><title>t</title></head></html>"),
+        (
+            "bad",
+            '<script type="application/ld+json">{not json</script>',
+        ),
+    ]
+    out = {r["url"]: r for r in structured_meta(_pages(spark, rows)).collect()}
+    for u in ("none", "bad"):
+        assert out[u]["og_title"] == ""
+        assert out[u]["jsonld_type"] == ""  # malformed JSON is fail-soft
+
+
+# -------------------------------------------------------------- headings
+
+def test_heading_outline_order_levels_and_cleaning(spark):
+    html = (
+        "<body><h1 class='x'>Top</h1><p>t</p>"
+        "<h2> Sub <em>one</em> </h2><h3>Deep</h3><h2>Sub two</h2></body>"
+    )
+    rows = heading_outline(_pages(spark, [("u", html)])).orderBy("pos").collect()
+    assert [(r["pos"], r["level"], r["heading"]) for r in rows] == [
+        (0, 1, "Top"),
+        (1, 2, "Sub one"),  # inner tags stripped, whitespace collapsed
+        (2, 3, "Deep"),
+        (3, 2, "Sub two"),
+    ]
+
+
+def test_heading_outline_backreference_no_cross_match(spark):
+    # </h2> must not close an <h1>: backreference pairing.
+    html = "<h1>A</h1><h2>B</h2>"
+    rows = heading_outline(_pages(spark, [("u", html)])).collect()
+    assert sorted((r["level"], r["heading"]) for r in rows) == [(1, "A"), (2, "B")]
+
+
+def test_heading_outline_no_headings_drops_page(spark):
+    assert heading_outline(_pages(spark, [("u", "<p>x</p>")])).count() == 0
+
+
+# ---------------------------------------------------------------- tables
+
+def test_html_tables_grid(spark):
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>a</td><td><b>1</b></td></tr>"
+        "<tr><td>b</td><td>2</td></tr></table>"
+    )
+    rows = html_tables(_pages(spark, [("u", html)])).collect()
+    grid = {(r["row_idx"], r["col_idx"]): (r["is_header"], r["cell"]) for r in rows}
+    assert grid == {
+        (0, 0): (1, "k"),
+        (0, 1): (1, "v"),
+        (1, 0): (0, "a"),
+        (1, 1): (0, "1"),  # inner <b> stripped
+        (2, 0): (0, "b"),
+        (2, 1): (0, "2"),
+    }
+
+
+def test_html_tables_mixed_th_td_row(spark):
+    html = "<table><tr><th>h</th><td>d</td></tr></table>"
+    rows = html_tables(_pages(spark, [("u", html)])).orderBy("col_idx").collect()
+    assert [(r["is_header"], r["cell"]) for r in rows] == [(1, "h"), (0, "d")]
+
+
+# ------------------------------------------------------------- dom depth
+
+def test_dom_depth_nesting(spark):
+    html = "<html><body><div><div><p>x</p></div></div><p>y</p></body></html>"
+    r = dom_depth_stats(_pages(spark, [("u", html)])).first()
+    assert r["max_depth"] == 5  # html>body>div>div>p
+    assert r["n_open_tags"] == 6
+    assert r["n_tag_tokens"] == 12
+
+
+def test_dom_depth_void_self_closed_and_script(spark):
+    html = (
+        "<html><body><br><img src='x'/>"
+        "<script>if(1<2){var a='<div><div><div>'}</script>"
+        "<p>t</p></body></html>"
+    )
+    r = dom_depth_stats(_pages(spark, [("u", html)])).first()
+    # br/img don't nest; script body (with fake tags) is stripped.
+    assert r["max_depth"] == 3  # html>body>p
+    assert r["n_open_tags"] == 3
+
+
+def test_dom_depth_stray_close_clamps(spark):
+    r = dom_depth_stats(_pages(spark, [("u", "</div><p>x</p>")])).first()
+    assert r["max_depth"] == 1
+    assert r["n_open_tags"] == 1

@@ -1441,6 +1441,123 @@ def q_dom_depth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """Syndication-feed source lane (webx/feeds.parse_feed): even doc_ids
+    publish an Atom feed (ISO-8601 <updated>), odd an RSS 2.0 channel
+    (RFC-822 <pubDate> with day-of-week + GMT zone); doc_id%3+1 entries
+    each. Both formats must land on the same canonical rows — titles,
+    links and the parsed epoch are closed-form."""
+    from webx.feeds import parse_feed
+
+    docs = synth.load_documents(spark, sf)
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+    is_atom = F.col("doc_id") % 2 == 0
+
+    def entry_xml(j):
+        ts = F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 60 + j * 10
+        )
+        title = F.concat(
+            F.lit("Doc "), F.col("doc_id").cast("string"),
+            F.lit(" entry "), j.cast("string"),
+        )
+        link = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            F.lit("/e/"), j.cast("string"),
+        )
+        atom = F.concat(
+            F.lit("<entry><title>"), title,
+            F.lit('</title><link href="'), link,
+            F.lit('"/><updated>'),
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("Z</updated></entry>"),
+        )
+        rss = F.concat(
+            F.lit("<item><title>"), title,
+            F.lit("</title><link>"), link,
+            F.lit("</link><pubDate>"),
+            F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"),
+            F.lit(" GMT</pubDate></item>"),
+        )
+        return F.when(is_atom, atom).otherwise(rss)
+
+    entries = F.array_join(F.transform(F.sequence(F.lit(1), n), entry_xml), "")
+    xml = F.when(
+        is_atom,
+        F.concat(
+            F.lit('<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+                  "<title>Feed</title>"),
+            entries, F.lit("</feed>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+                  "<title>Feed</title>"),
+            entries, F.lit("</channel></rss>"),
+        )
+    )
+    feeds = docs.select("doc_id", F.encode(xml, "UTF-8").alias("xml"))
+    return parse_feed(feeds).select(
+        "doc_id", "source_format", "entry_idx", "title", "link", "pub_epoch"
+    )
+
+
+def q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap source lane (webx/feeds.parse_sitemap): doc_id%3+1 <url>
+    blocks per sitemap; lastmod omitted when (doc_id+u)%3==0, priority
+    omitted for even u (parser must yield ''/NULL respectively, never
+    fail); every field closed-form."""
+    from webx.feeds import parse_sitemap
+
+    docs = synth.load_documents(spark, sf)
+    n = (F.col("doc_id") % 3 + 1).cast("int")
+
+    def url_block(u):
+        r = F.col("doc_id") + u
+        loc = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit("/"), u.cast("string"),
+        )
+        lastmod = F.when(
+            r % 3 != 0,
+            F.concat(
+                F.lit("<lastmod>"),
+                F.date_format(
+                    F.date_add(F.to_date(F.lit("2024-01-01")), (r % 28).cast("int")),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        freq = F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (r % 3 + 1).cast("int"),
+        )
+        prio = F.when(
+            u % 2 == 1,
+            F.concat(
+                F.lit("<priority>0."), (r % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url><loc>"), loc, F.lit("</loc>"), lastmod,
+            F.lit("<changefreq>"), freq, F.lit("</changefreq>"),
+            prio, F.lit("</url>"),
+        )
+
+    blocks = F.array_join(F.transform(F.sequence(F.lit(1), n), url_block), "")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), blocks, F.lit("</urlset>")
+    )
+    sitemaps = docs.select("doc_id", F.encode(xml, "UTF-8").alias("xml"))
+    return parse_sitemap(sitemaps).select(
+        "doc_id", "url_idx", "loc", "lastmod", "changefreq", "priority"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1532,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_headings": q_headings,
         "q_html_tables": q_html_tables,
         "q_dom_depth": q_dom_depth,
+        "q_feed_entries": q_feed_entries,
+        "q_sitemap": q_sitemap,
     }
 
 
@@ -2325,6 +2444,31 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(doc_id * 10 + r AS VARCHAR) END AS cell "
             "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS r "
             "FROM documents), (VALUES (0), (1)) AS v(c)"
+        ),
+        "q_feed_entries": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'atom' ELSE 'rss' END AS source_format, "
+            "CAST(j - 1 AS INT) AS entry_idx, "
+            "('Doc ' || CAST(doc_id AS VARCHAR) || ' entry ' || CAST(j AS VARCHAR)) "
+            "AS title, "
+            "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/doc/' || "
+            "CAST(doc_id AS VARCHAR) || '/e/' || CAST(j AS VARCHAR)) AS link, "
+            "CAST(1704067200 + doc_id * 60 + j * 10 AS BIGINT) AS pub_epoch "
+            "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS j "
+            "FROM documents)"
+        ),
+        "q_sitemap": (
+            "SELECT doc_id, CAST(u - 1 AS INT) AS url_idx, "
+            "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || "
+            "CAST(doc_id AS VARCHAR) || '/' || CAST(u AS VARCHAR)) AS loc, "
+            "CASE WHEN (doc_id + u) % 3 <> 0 THEN "
+            "strftime(DATE '2024-01-01' + CAST((doc_id + u) % 28 AS INT), '%Y-%m-%d') "
+            "ELSE '' END AS lastmod, "
+            "CASE (doc_id + u) % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' "
+            "ELSE 'monthly' END AS changefreq, "
+            "CASE WHEN u % 2 = 1 THEN ((doc_id + u) % 10) / 10.0 END AS priority "
+            "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS u "
+            "FROM documents)"
         ),
         # closed-form in the planted structure: tokens after script-strip
         # = html,head,/head,body,br + n (div,/div) pairs + p,/p,/body,/html

@@ -1558,6 +1558,33 @@ def q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-scoped boilerplate removal (webx/curate.strip_host_boilerplate):
+    every document of host k carries the host's newsletter slogan as a
+    second paragraph; with min_docs=5 the slogan is template chrome on
+    every host (≥71 docs/host at sf0.01) and must vanish from all of
+    them, while the unique body paragraph survives. Oracle replays the
+    identical count-then-anti-join rule in SQL."""
+    from webx.curate import strip_host_boilerplate
+
+    docs = synth.load_documents(spark, sf)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+    )
+    slogan = F.concat(
+        F.lit("Subscribe to the h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" newsletter"),
+    )
+    staged = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.col("text"), F.lit("\n"), slogan).alias("text"),
+    )
+    return strip_host_boilerplate(_par(staged, spark), min_docs=5).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1651,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_depth": q_dom_depth,
         "q_feed_entries": q_feed_entries,
         "q_sitemap": q_sitemap,
+        "q_host_boilerplate": q_host_boilerplate,
     }
 
 
@@ -2469,6 +2497,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN u % 2 = 1 THEN ((doc_id + u) % 10) / 10.0 END AS priority "
             "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS u "
             "FROM documents)"
+        ),
+        "q_host_boilerplate": (
+            "WITH base AS (SELECT doc_id, "
+            "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            "string_split(text || chr(10) || 'Subscribe to the h' || "
+            "CAST(doc_id % 7 AS VARCHAR) || ' newsletter', chr(10)) AS ps "
+            "FROM documents), "
+            "parts AS (SELECT doc_id, host, unnest(ps) AS para, "
+            "unnest(generate_series(1, len(ps))) AS pos FROM base), "
+            "boiler AS (SELECT host, para FROM (SELECT host, para, "
+            "count(DISTINCT doc_id) AS nd FROM parts WHERE length(para) >= 1 "
+            "GROUP BY host, para) WHERE nd >= 5), "
+            "kept AS (SELECT p.doc_id, p.pos, p.para FROM parts p "
+            "LEFT JOIN boiler b ON p.host = b.host AND p.para = b.para "
+            "WHERE b.para IS NULL), "
+            "rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) "
+            "AS text, count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "totals AS (SELECT doc_id, host, count(*) AS n_paragraphs "
+            "FROM parts GROUP BY doc_id, host) "
+            "SELECT t.doc_id, t.host, coalesce(r.text, '') AS text, "
+            "CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs, "
+            "CAST(t.n_paragraphs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM totals t LEFT JOIN rebuilt r USING (doc_id)"
         ),
         # closed-form in the planted structure: tokens after script-strip
         # = html,head,/head,body,br + n (div,/div) pairs + p,/p,/body,/html

@@ -326,3 +326,54 @@ def test_extract_anchors_text_and_pairing(spark):
     assert idx[("https://h1.example.com/a", "Plain text")]["n_refs"] == 1
     assert ("https://h1.example.com/a", "Plain text") in idx
     assert all(k[0] is not None for k in idx)  # mailto dropped
+
+
+# ------------------------------------------------- host boilerplate strip
+
+def _hb_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+
+def test_strip_host_boilerplate_removes_template_keeps_unique(spark):
+    from webx.curate import strip_host_boilerplate
+
+    slogan = "Subscribe now"
+    rows = [(i, "a.com", f"body {i}\n{slogan}") for i in range(5)]
+    rows += [(9, "b.com", f"other\n{slogan}")]  # below threshold on b.com
+    out = {
+        r["doc_id"]: r
+        for r in strip_host_boilerplate(
+            _hb_docs(spark, rows), min_docs=5
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i]["text"] == f"body {i}"
+        assert out[i]["n_removed"] == 1
+        assert out[i]["n_paragraphs"] == 2
+    # b.com has only one doc with the slogan: kept (cross-host repeats
+    # are not template signal).
+    assert out[9]["text"] == f"other\n{slogan}"
+    assert out[9]["n_removed"] == 0
+
+
+def test_strip_host_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    from webx.curate import strip_host_boilerplate
+
+    # One doc repeating a paragraph 5 times is NOT host boilerplate.
+    rows = [(1, "a.com", "x\nx\nx\nx\nx"), (2, "a.com", "y")]
+    out = {
+        r["doc_id"]: r
+        for r in strip_host_boilerplate(
+            _hb_docs(spark, rows), min_docs=5
+        ).collect()
+    }
+    assert out[1]["text"] == "x\nx\nx\nx\nx"
+    assert out[1]["n_removed"] == 0
+
+
+def test_strip_host_boilerplate_all_removed_yields_empty(spark):
+    from webx.curate import strip_host_boilerplate
+
+    rows = [(i, "a.com", "only para") for i in range(6)]
+    out = strip_host_boilerplate(_hb_docs(spark, rows), min_docs=5).collect()
+    assert all(r["text"] == "" and r["n_removed"] == 1 for r in out)

@@ -137,6 +137,76 @@ def paragraph_dedup(
     )
 
 
+def strip_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Host-scoped template-paragraph removal — the boilerplate pass
+    CCNet runs per *site*: a paragraph that appears in ≥ ``min_docs``
+    distinct documents of the SAME host is that host's chrome
+    ("Subscribe to our newsletter", cookie banners, footers the HTML
+    extractor can't see because the site renders them as content) and
+    is removed from every document of the host. Cross-host repeats are
+    untouched — a quote going viral is signal, a site template is not.
+    Returns (doc_id, host, text, n_paragraphs, n_removed).
+
+    Plan: one explode, an aggregate to the (host, paragraph,
+    distinct-doc-count) table, then a join back on the SAME (host,
+    paragraph) key — both sides hash-partition identically so the join
+    reuses the aggregate's exchange. Deliberately NOT a window with
+    ``collect_set(doc_id)``: a mega-host's true boilerplate paragraph
+    would carry millions of doc_ids per row. The aggregate keeps state
+    O(1) per (host, paragraph) at any corpus size. Paragraphs shorter
+    than ``min_chars`` never count as boilerplate (structure, not
+    template signal)."""
+    parts = docs.select(
+        "doc_id",
+        host_col,
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias(
+            "pos", "para"
+        ),
+    )
+    counts = (
+        parts.filter(F.length("para") >= min_chars)
+        .groupBy(host_col, "para")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+    )
+    boiler = counts.filter(F.col("_nd") >= min_docs).drop("_nd")
+    kept = parts.join(boiler, [host_col, "para"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = parts.groupBy("doc_id", host_col).agg(
+        F.count("*").alias("n_paragraphs")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        host_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_paragraphs",
+        (F.col("n_paragraphs") - F.coalesce("_n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
 def cap_per_host(
     docs: DataFrame,
     host_col: str = "host",

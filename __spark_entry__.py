@@ -1585,6 +1585,31 @@ def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization (webx/textstats.nfc_normalize):
+    doc_id%3==1 appends a DECOMPOSED accent tail (e + U+0301, i + U+0308),
+    ==2 the same text precomposed, ==0 nothing. NFC must map both tails
+    to the identical precomposed bytes; the pure-ASCII base text is the
+    quick-check fast path. Oracle states the expected strings closed-form
+    (documents.text is printable-ASCII, hence NFC-stable)."""
+    from webx.textstats import nfc_normalize
+
+    docs = synth.load_documents(spark, sf)
+    tail = (
+        # decomposed: e + U+0301, i + U+0308
+        F.when(F.col("doc_id") % 3 == 1, F.lit(" cafe\u0301 nai\u0308ve"))
+        # precomposed: U+00E9, U+00EF — already NFC
+        .when(F.col("doc_id") % 3 == 2, F.lit(" caf\u00e9 na\u00efve"))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return nfc_normalize(_par(staged, spark)).select(
+        "doc_id", "text_nfc", "nfc_changed"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1679,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_entries": q_feed_entries,
         "q_sitemap": q_sitemap,
         "q_host_boilerplate": q_host_boilerplate,
+        "q_nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -2497,6 +2523,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN u % 2 = 1 THEN ((doc_id + u) % 10) / 10.0 END AS priority "
             "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS u "
             "FROM documents)"
+        ),
+        # chr(233)=U+00E9 é, chr(239)=U+00EF ï — the precomposed NFC forms
+        # both the decomposed (%3==1) and precomposed (%3==2) tails land on
+        "q_nfc_normalize": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN text "
+            "ELSE text || ' caf' || chr(233) || ' na' || chr(239) || 've' "
+            "END AS text_nfc, "
+            "CAST(doc_id % 3 = 1 AS INT) AS nfc_changed "
+            "FROM documents"
         ),
         "q_host_boilerplate": (
             "WITH base AS (SELECT doc_id, "

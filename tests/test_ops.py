@@ -411,3 +411,20 @@ def test_remove_duplicate_spans_intra_doc_repeat(spark):
     )
     row = remove_duplicate_spans(docs, k=3).collect()[0]
     assert row["text"] == "m n o gap" and row["n_removed"] == 3
+
+
+def test_nfc_normalize_decomposed_and_fast_path(spark):
+    from webx.textstats import nfc_normalize
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "café"),          # decomposed
+        (3, "café"),           # already NFC
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nfc_normalize(df).collect()}
+    assert out[1]["text_nfc"] == "plain ascii" and out[1]["nfc_changed"] == 0
+    assert out[2]["text_nfc"] == "café" and out[2]["nfc_changed"] == 1
+    assert out[3]["text_nfc"] == "café" and out[3]["nfc_changed"] == 0
+    assert out[4]["text_nfc"] is None

@@ -10,6 +10,8 @@ The formulas are frozen so a SQL oracle can recompute them exactly
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 WS_SPLIT = "[ \\t\\r\\n]+"
@@ -260,3 +262,41 @@ def script_profile(docs: DataFrame, col: str = "text") -> DataFrame:
         best_name = F.when(cnt > best_cnt, F.lit(name)).otherwise(best_name)
         best_cnt = F.greatest(best_cnt, cnt)
     return docs.select("*", *counts, best_name.alias("dominant_script"))
+
+
+def nfc_normalize(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Unicode NFC normalization + changed flag — the canonicalization a
+    corpus needs before exact dedup/fingerprinting (the same visible
+    string arrives from the web as precomposed é U+00E9 and decomposed
+    e+U+0301; unnormalized, they hash apart and every downstream exact
+    operator silently treats them as different documents).
+
+    Spark has no built-in normalizer, so this is the sanctioned slow
+    path: an Arrow-batched pandas UDF over ``unicodedata.normalize``
+    (ICU-equivalent for NFC). The fast path stays fast: NFC is idempotent
+    and the UDF short-circuits per batch via a quick-check — pure-ASCII
+    batches (the overwhelming crawl majority after extraction) take the
+    vectorized ``str.isascii`` exit without touching per-row Python.
+    Adds ``text_nfc`` and ``nfc_changed`` (int 0/1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        nonascii_mask = s.str.contains("[^\x00-\x7f]", regex=True, na=False)
+        if not nonascii_mask.any():  # ASCII is NFC by construction
+            return s
+        out = s.copy()
+        nonascii = s[nonascii_mask]
+        out[nonascii_mask] = nonascii.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+        return out
+
+    nfc = _nfc(F.col(col))
+    return docs.select(
+        "*",
+        nfc.alias("text_nfc"),
+        (nfc != F.col(col)).cast("int").alias("nfc_changed"),
+    )

@@ -1610,6 +1610,68 @@ def q_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ROBOTS_FIXTURE = [
+    # h0: plain group + crawl-delay; /private/ never matches /doc paths
+    ("h0.example.com",
+     "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+    # h1: multi-UA specific group blocks /doc/ for webxbot; * would block /
+    ("h1.example.com",
+     "User-agent: webxbot\nUser-agent: otherbot\nDisallow: /doc/\n\n"
+     "User-agent: *\nDisallow: /\n"),
+    # h2: wildcard + $ anchor — blocks ids ending in 7
+    ("h2.example.com", "User-agent: *\nDisallow: /doc/*7$\n"),
+    # h3: empty Disallow matches nothing (RFC 9309 §2.2.2)
+    ("h3.example.com", "User-agent: *\nDisallow:\n"),
+    # h4: longest-match — Allow /doc/1 overrides Disallow /doc
+    ("h4.example.com", "User-agent: *\nDisallow: /doc\nAllow: /doc/1\n"),
+    # h5: comments + equal-length tie — Allow wins
+    ("h5.example.com",
+     "# block 2s\nUser-agent: *\nDisallow: /doc/2 # inline\nAllow: /doc/2\n"),
+    # h6: no robots.txt at all (absent row) -> everything allowed
+]
+
+
+def q_robots_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt parser (webx/robots.parse_robots): the 6-host fixture
+    exercises group formation (multi-UA groups, blank-line separation),
+    comment stripping, empty-Disallow dropping, and crawl-delay rows.
+    Constant-size output; the oracle enumerates the expected rule rows."""
+    from webx.robots import parse_robots
+
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "host string, robots_txt string"
+    )
+    return parse_robots(robots).select(
+        "host", "group_id", "agent", "rule", "value"
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt URL gate (webx/robots.robots_gate): frontier URLs
+    https://h{doc_id%7}.example.com/doc/{doc_id} evaluated for agent
+    'webxbot' under RFC 9309 longest-match / allow-wins-tie semantics
+    against the planted per-host policies. Oracle states the verdicts
+    closed-form per residue class (h6 has no robots.txt -> allowed)."""
+    from webx.robots import parse_robots, robots_gate
+
+    docs = synth.load_documents(spark, sf)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "host string, robots_txt string"
+    )
+    gated = robots_gate(_par(pages, spark), parse_robots(robots),
+                        agent="webxbot")
+    return gated.select(
+        "doc_id", F.col("allowed").cast("int").alias("allowed"),
+        "matched_rule"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1705,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": q_sitemap,
         "q_host_boilerplate": q_host_boilerplate,
         "q_nfc_normalize": q_nfc_normalize,
+        "q_robots_rules": q_robots_rules,
+        "q_robots_gate": q_robots_gate,
     }
 
 
@@ -2532,6 +2596,48 @@ def oracle_sql() -> dict[str, str]:
             "ELSE text || ' caf' || chr(233) || ' na' || chr(239) || 've' "
             "END AS text_nfc, "
             "CAST(doc_id % 3 = 1 AS INT) AS nfc_changed "
+            "FROM documents"
+        ),
+        # expected rule rows enumerated from _ROBOTS_FIXTURE: h3's empty
+        # Disallow is dropped (matches nothing per RFC 9309), h5's inline
+        # comment is stripped, h1's two UA lines share one group
+        "q_robots_rules": (
+            "SELECT host, CAST(group_id AS BIGINT) AS group_id, agent, "
+            "rule, value FROM (VALUES "
+            "('h0.example.com', 1, '*', 'disallow', '/private/'), "
+            "('h0.example.com', 1, '*', 'crawl-delay', '2'), "
+            "('h1.example.com', 1, 'webxbot', 'disallow', '/doc/'), "
+            "('h1.example.com', 1, 'otherbot', 'disallow', '/doc/'), "
+            "('h1.example.com', 2, '*', 'disallow', '/'), "
+            "('h2.example.com', 1, '*', 'disallow', '/doc/*7$'), "
+            "('h4.example.com', 1, '*', 'disallow', '/doc'), "
+            "('h4.example.com', 1, '*', 'allow', '/doc/1'), "
+            "('h5.example.com', 1, '*', 'disallow', '/doc/2'), "
+            "('h5.example.com', 1, '*', 'allow', '/doc/2')"
+            ") AS t(host, group_id, agent, rule, value)"
+        ),
+        # closed-form verdicts per host residue: h1 blocks /doc/ for
+        # webxbot's own group; h2 blocks ids ending in 7 (/doc/*7$);
+        # h4 longest-match allows ids starting with 1; h5's equal-length
+        # tie resolves to allow; h0/h3/h6 never match a rule
+        "q_robots_gate": (
+            "SELECT doc_id, "
+            "CAST(CASE doc_id % 7 "
+            "WHEN 1 THEN 0 "
+            "WHEN 2 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7' "
+            "THEN 0 ELSE 1 END "
+            "WHEN 4 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' "
+            "THEN 1 ELSE 0 END "
+            "ELSE 1 END AS INT) AS allowed, "
+            "CASE doc_id % 7 "
+            "WHEN 1 THEN '/doc/' "
+            "WHEN 2 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7' "
+            "THEN '/doc/*7$' END "
+            "WHEN 4 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' "
+            "THEN '/doc/1' ELSE '/doc' END "
+            "WHEN 5 THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '2%' "
+            "THEN '/doc/2' END "
+            "ELSE NULL END AS matched_rule "
             "FROM documents"
         ),
         "q_host_boilerplate": (

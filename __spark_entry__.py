@@ -1672,6 +1672,68 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cdx_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """CDXJ capture-index lane (webx/cdx.py): synthetic index lines —
+    one capture per doc at epoch 1704067200+doc_id, a second capture a
+    day later for doc_id%4==0 (digest suffix 'b', offset +7), status
+    404 for doc_id%9==4, mime application/pdf for doc_id%5==3 — parsed,
+    filtered to fetchable (200 + text/html), latest picked per URL in
+    one max_by hash agg. Oracle states the surviving pointer rows
+    closed-form."""
+    from webx.cdx import latest_captures, parse_cdx, select_captures
+
+    docs = _par(synth.load_documents(spark, sf), spark)
+    base_epoch = F.lit(1704067200) + F.col("doc_id")
+
+    def _line(epoch, digest_suffix, offset_bump):
+        ts = F.date_format(
+            F.to_utc_timestamp(F.from_unixtime(epoch), "UTC"),
+            "yyyyMMddHHmmss",
+        )
+        url = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        )
+        surt = F.concat(
+            F.lit("com,example,h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(")/doc/"), F.col("doc_id").cast("string"),
+        )
+        status = F.when(F.col("doc_id") % 9 == 4, F.lit("404")).otherwise(
+            F.lit("200")
+        )
+        mime = F.when(
+            F.col("doc_id") % 5 == 3, F.lit("application/pdf")
+        ).otherwise(F.lit("text/html"))
+        blob = F.to_json(
+            F.struct(
+                url.alias("url"),
+                mime.alias("mime"),
+                status.alias("status"),
+                F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                         F.lit(digest_suffix)).alias("digest"),
+                (F.lit(500) + F.col("doc_id") % 100).cast("string")
+                .alias("length"),
+                (F.col("doc_id") * 1000 + offset_bump).cast("string")
+                .alias("offset"),
+                F.concat(F.lit("crawl-00"),
+                         (F.col("doc_id") % 3).cast("string"),
+                         F.lit(".warc.gz")).alias("filename"),
+            )
+        )
+        return F.concat_ws(" ", surt, ts, blob)
+
+    first = docs.select(_line(base_epoch, "", 0).alias("line"))
+    second = docs.filter(F.col("doc_id") % 4 == 0).select(
+        _line(base_epoch + 86400, "b", 7).alias("line")
+    )
+    lines = first.unionByName(second)
+    picked = latest_captures(select_captures(parse_cdx(lines)))
+    return picked.select(
+        "url", "capture_epoch", "digest", "warc_filename", "warc_offset",
+        "warc_length",
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1769,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nfc_normalize": q_nfc_normalize,
         "q_robots_rules": q_robots_rules,
         "q_robots_gate": q_robots_gate,
+        "q_cdx_latest": q_cdx_latest,
     }
 
 
@@ -2639,6 +2702,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN '/doc/2' END "
             "ELSE NULL END AS matched_rule "
             "FROM documents"
+        ),
+        # survivors: 200 + text/html only; doc_id%4==0 rows surface the
+        # day-later second capture (digest 'b' suffix, offset +7)
+        "q_cdx_latest": (
+            "SELECT 'https://h' || (doc_id % 7) || '.example.com/doc/' "
+            "|| doc_id AS url, "
+            "1704067200 + doc_id + CASE WHEN doc_id % 4 = 0 THEN 86400 "
+            "ELSE 0 END AS capture_epoch, "
+            "'D' || doc_id || CASE WHEN doc_id % 4 = 0 THEN 'b' ELSE '' END "
+            "AS digest, "
+            "'crawl-00' || (doc_id % 3) || '.warc.gz' AS warc_filename, "
+            "doc_id * 1000 + CASE WHEN doc_id % 4 = 0 THEN 7 ELSE 0 END "
+            "AS warc_offset, "
+            "500 + doc_id % 100 AS warc_length "
+            "FROM documents WHERE doc_id % 9 != 4 AND doc_id % 5 != 3"
         ),
         "q_host_boilerplate": (
             "WITH base AS (SELECT doc_id, "

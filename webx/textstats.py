@@ -390,3 +390,115 @@ def nfc_normalize(docs: DataFrame, col: str = "text") -> DataFrame:
         nfc.alias("text_nfc"),
         (nfc != F.col(col)).cast("int").alias("nfc_changed"),
     )
+
+
+def _clean_tokens(col: str = "text"):
+    """Lowercased whitespace tokens with the empty-document sentinel
+    removed — shared by collocations / inverted_index and mirrored
+    verbatim by their SQL oracles."""
+    return F.filter(
+        F.transform(_tokens(col), lambda t: F.lower(t)), lambda t: t != F.lit("")
+    )
+
+
+def collocations(docs: DataFrame, min_count: int = 3, col: str = "text") -> DataFrame:
+    """Corpus-level bigram association mining (collocation extraction —
+    the PMI method of Church & Hanks 1990, in lift form): for every
+    adjacent lowercased word pair,
+
+        lift = (c_pair * n_tokens) / (c1 * c2)
+
+    i.e. exp(PMI); > 1 means the pair co-occurs more often than the
+    unigram frequencies predict ("new york"-style multiword units, a
+    standard corpus-analysis signal for tokenizer and phrase-table
+    construction). Emits (w1, w2, c_pair, c1, c2, lift) for pairs with
+    c_pair >= min_count.
+
+    Plan shape: one explode for unigram counts and one for pair counts
+    (both shrink to vocabulary size at the map-side partial), the corpus
+    total as a 1-row broadcast, then two vocabulary-sized joins onto the
+    pair table. No corpus-sized shuffle: everything after the partial
+    aggregates is vocabulary-scale. All multiplications happen in
+    double (after counting) so 100-TB token totals cannot overflow.
+    """
+    toks = _clean_tokens(col)
+    cnt = F.size(toks)
+    pairs_arr = F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))  # 1 row
+    pair = (
+        docs.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
+    joined = (
+        pair.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (F.col("c_pair").cast("double") * F.col("n_tokens").cast("double")) / (
+        F.col("c1").cast("double") * F.col("c2").cast("double")
+    )
+    return joined.select("w1", "w2", "c_pair", "c1", "c2", lift.alias("lift"))
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_postings: int = 1000,
+    col: str = "text",
+) -> DataFrame:
+    """Term -> (document frequency, ordered posting list) — the search /
+    corpus-audit index over extracted text. ``df`` is exact; the posting
+    list is the first ``max_postings`` doc_ids in ascending order,
+    comma-joined (mega-terms like stopwords would otherwise materialize
+    corpus-sized arrays in one aggregation buffer — the cap is applied
+    BEFORE collect_list via a rank window, so per-term executor memory
+    is bounded by max_postings at any corpus size). Terms with
+    df < min_df are dropped (hapax noise).
+
+    Plan: one distinct-terms explode -> (a) hash-agg for df, (b) sorted
+    rank window + bounded collect_list for postings, joined on the term
+    (both sides vocabulary-scale)."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(_clean_tokens(col))).alias("term")
+    )
+    df_tbl = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        terms.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return df_tbl.join(postings, "term").select("term", "df", "postings")

@@ -793,6 +793,7 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "es": 0.5, "fr": 1.0, "zh": 0.1}
 SPLIT_WEIGHTS, SPLIT_NAMES = (0.8, 0.1, 0.1), ("train", "val", "test")
+BPE_MERGES = 8  # shared by q_bpe_learn / q_bpe_encode and their oracles
 
 
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -845,6 +846,41 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     return inverted_index(docs, min_df=3, max_postings=50)
+
+
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE training step 1: adjacent-symbol pair frequencies over the
+    word-frequency table (chars + </w> terminal). The one corpus pass of
+    tokenizer training; everything after is vocabulary-scale."""
+    from webx.bpe import initial_vocab, pair_counts
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return pair_counts(initial_vocab(docs))
+
+
+def q_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """8 learned BPE merges (rank, p1, p2, cnt) — the iterative
+    argmax-merge loop, ties frozen (cnt desc, p1, p2 asc). The oracle
+    replays ALL 8 iterations as an unrolled chain of materialized CTEs
+    with the identical greedy left-to-right list fold — a full
+    value-hash gate on an iterative training algorithm."""
+    from webx.bpe import learn_bpe
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    merges, _ = learn_bpe(docs, BPE_MERGES)
+    return spark.createDataFrame(merges, "rank int, p1 string, p2 string, cnt long")
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus encoded with the trained merges: (doc_id, n_pieces,
+    pieces). In-vocabulary words take the zero-Python join path (the
+    trained vocab IS the encoding map); the oracle replays training and
+    encodes through the final vocab CTE."""
+    from webx.bpe import bpe_encode, learn_bpe
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    merges, vocab = learn_bpe(docs, BPE_MERGES)
+    return bpe_encode(docs, merges, vocab)
 
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -1950,6 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_bpe_learn": q_bpe_learn,
+        "q_bpe_encode": q_bpe_encode,
         "q_decontaminate": q_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
@@ -2050,6 +2089,83 @@ def _sampling_oracle_sql(kind: str) -> str:
         f"SELECT doc_id, CASE {chain_sql} ELSE '{SPLIT_NAMES[-1]}' END AS split "
         f"FROM (SELECT doc_id, {_oracles.hash_bucket_sql('doc_id', 7, B)} AS b "
         "FROM documents)"
+    )
+
+
+# GPT-2-style pretokenizer, DuckDB spelling (webx.textstats.BPE_SPLIT —
+# same literal as the q_token_count_bpe oracle; '' escapes the quote)
+BPE_PAT_SQL = "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]'"
+
+
+def _bpe_vocab_chain_sql(n_merges: int) -> str:
+    """CTE chain replaying webx.bpe.learn_bpe: v0 = char+</w> vocab,
+    then n unrolled iterations of (pair count -> argmax pair m{i} ->
+    greedy left-to-right merge fold -> v{i}). Materialized so each stage
+    computes once. Emits CTE text only (no WITH keyword)."""
+    parts = [
+        "w AS (SELECT unnest(regexp_extract_all(text, "
+        f"{BPE_PAT_SQL})) AS word FROM documents), "
+        "wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+        "v0 AS MATERIALIZED (SELECT word, cnt, "
+        "list_append(list_transform(generate_series(1, length(word)), "
+        "i -> substr(word, i, 1)), '</w>') AS syms FROM wc)"
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT p[1] AS p1, p[2] AS p2, "
+            "CAST(SUM(cnt) AS BIGINT) AS cnt FROM ("
+            "SELECT cnt, unnest(CASE WHEN len(syms) >= 2 THEN "
+            "list_transform(generate_series(1, len(syms) - 1), "
+            "i -> [syms[i], syms[i+1]]) ELSE CAST([] AS VARCHAR[][]) END) AS p "
+            f"FROM v{i-1}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT p1, p2, cnt FROM p{i} "
+            "ORDER BY cnt DESC, p1, p2 LIMIT 1)"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT word, v.cnt AS cnt, list_reduce("
+            "list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.p1 AND x[1] = m.p2 "
+            "THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2) "
+            "ELSE list_append(acc, x[1]) END) AS syms "
+            f"FROM v{i-1} v, m{i} m)"
+        )
+    return ", ".join(parts)
+
+
+def _bpe_oracle_sql(kind: str, n_merges: int) -> str:
+    chain = _bpe_vocab_chain_sql(n_merges if kind != "pairs" else 0)
+    if kind == "pairs":
+        return (
+            f"WITH {chain} "
+            "SELECT p[1] AS p1, p[2] AS p2, CAST(SUM(cnt) AS BIGINT) AS cnt "
+            "FROM (SELECT cnt, unnest(CASE WHEN len(syms) >= 2 THEN "
+            "list_transform(generate_series(1, len(syms) - 1), "
+            "i -> [syms[i], syms[i+1]]) ELSE CAST([] AS VARCHAR[][]) END) AS p "
+            "FROM v0) GROUP BY 1, 2"
+        )
+    if kind == "learn":
+        unions = " UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS rank, p1, p2, cnt FROM m{i}"
+            for i in range(1, n_merges + 1)
+        )
+        return f"WITH {chain} {unions}"
+    # kind == "encode": pretokenize with positions, join the final vocab
+    # (every corpus word is in it by construction), ordered reassembly
+    v = f"v{n_merges}"
+    return (
+        f"WITH {chain}, "
+        "dw AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+        f"{BPE_PAT_SQL})) AS word, "
+        "unnest(generate_series(1, len(regexp_extract_all(text, "
+        f"{BPE_PAT_SQL})))) AS pos FROM documents), "
+        f"enc AS (SELECT d.doc_id, d.pos, v.syms FROM dw d JOIN {v} v USING (word)), "
+        "agg AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS stream "
+        "FROM enc GROUP BY doc_id) "
+        "SELECT dd.doc_id, CAST(coalesce(len(a.stream), 0) AS INT) AS n_pieces, "
+        "coalesce(array_to_string(a.stream, ' '), '') AS pieces "
+        "FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id"
     )
 
 
@@ -2486,6 +2602,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
         ),
+        "q_bpe_pairs": _bpe_oracle_sql("pairs", BPE_MERGES),
+        "q_bpe_learn": _bpe_oracle_sql("learn", BPE_MERGES),
+        "q_bpe_encode": _bpe_oracle_sql("encode", BPE_MERGES),
         "q_dedup_clusters": _dedup_clusters_oracle_sql(),
         "q_decontaminate": (
             "WITH toks AS (SELECT doc_id, list_transform(regexp_split_to_array("

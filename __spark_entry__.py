@@ -848,6 +848,34 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_bloom_seen(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier seen-URL check: Bloom bitmap (2^20 bits, k=3)
+    built over the corpus URLs, probed with half known / half novel
+    candidates. Deterministic hash family ⇒ the oracle recomputes
+    membership EXACTLY (false positives included) via the XXH64 port."""
+    from webx.sketch import bloom_build, bloom_probe
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id"), spark)
+    u = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    bitmap = bloom_build(docs.select(u.alias("url")), "url")
+    cand = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, u)
+        .otherwise(
+            F.concat(
+                F.lit("https://unseen.example.org/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url")
+    )
+    return bloom_probe(bitmap, cand, "url")
+
+
 def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """BPE training step 1: adjacent-symbol pair frequencies over the
     word-frequency table (chars + </w> terminal). The one corpus pass of
@@ -1986,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_bloom_seen": q_bloom_seen,
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_learn": q_bpe_learn,
         "q_bpe_encode": q_bpe_encode,
@@ -2601,6 +2630,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_bloom_seen": _oracles.XXH64_MACROS + (
+            f"WITH b AS (SELECT DISTINCT {URL} AS url FROM documents), "
+            + _oracles.xxh64_str_ctes("b", "url", "url", "bh")
+            + ", ks AS (SELECT unnest(generate_series(0, 2)) AS i), "
+            "bpos AS (SELECT DISTINCT ((xsigned(xhash_int(ks.i, bh.h)) % 1048576) "
+            "+ 1048576) % 1048576 AS pos FROM bh, ks), "
+            f"c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN {URL} "
+            "ELSE 'https://unseen.example.org/p/' || CAST(doc_id AS VARCHAR) "
+            "END AS url FROM documents), "
+            + _oracles.xxh64_str_ctes("c", "url", "url", "ch")
+            + ", cpos AS (SELECT ch.url, ((xsigned(xhash_int(ks.i, ch.h)) "
+            "% 1048576) + 1048576) % 1048576 AS pos FROM ch, ks) "
+            "SELECT url, bool_and(pos IN (SELECT pos FROM bpos)) AS maybe_seen "
+            "FROM cpos GROUP BY url"
         ),
         "q_bpe_pairs": _bpe_oracle_sql("pairs", BPE_MERGES),
         "q_bpe_learn": _bpe_oracle_sql("learn", BPE_MERGES),

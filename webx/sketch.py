@@ -62,3 +62,75 @@ def kmv_distinct(
         F.col("n_seen") < k, F.col("n_seen").cast("double")  # exact below capacity
     ).otherwise(F.lit(float(k - 1)) / (u64d / F.lit(TWO64)))
     return agg.select(*gcols, "n_seen", est.alias("estimate"))
+
+
+def _bloom_positions(key_col: str, m_bits: int, k: int):
+    """The k bloom bit positions of a key: pmod(xxhash64(key, i), m) for
+    i in 0..k-1 — Spark's multi-arg xxhash64 folds the int literal into
+    the key hash, so the DuckDB oracle mirrors it as
+    xhash_int(i, xxh64_str(key))."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "url", m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``key_col`` as a (word, bits)
+    table: bit position ``p`` lives in 64-bit word ``p >> 6`` at mask
+    ``1 << (p & 63)``; words OR together in ONE hash aggregation whose
+    output is at most m_bits/64 rows — the crawl-frontier "seen URL"
+    set as a first-class relational sketch (Bloom 1970). Deterministic
+    under the fixed hash family, so membership answers (including false
+    positives) are engine-reproducible and the oracle recomputes them
+    exactly.
+
+    Scale: the build side streams (no collect, one shuffle of k rows per
+    key that collapse map-side); the bitmap is m_bits/64 rows regardless
+    of corpus size. Size m_bits for the expected key count (~10 bits/key
+    for ~1% FP at k=3)."""
+    pos = df.select(F.explode(_bloom_positions(key_col, m_bits, k)).alias("pos"))
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bitmap: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    broadcast_bitmap: bool = True,
+) -> DataFrame:
+    """Probe candidates against a ``bloom_build`` bitmap → (key_col,
+    maybe_seen). ``maybe_seen`` false = definitely new (the useful
+    direction for a crawl frontier); true = seen or false positive at
+    the configured rate. The bitmap joins broadcast by default (a 2^20-
+    bit filter is 16K rows); pass ``broadcast_bitmap=False`` for
+    giant filters, where the word-key shuffle join is still tiny next to
+    the candidate scan."""
+    bm = F.broadcast(bitmap) if broadcast_bitmap else bitmap
+    cand = candidates.select(key_col).withColumn(
+        "pos", F.explode(_bloom_positions(key_col, m_bits, k))
+    )
+    probed = cand.select(
+        key_col,
+        F.shiftright("pos", 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    ).join(bm, "word", "left")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
+    return probed.groupBy(key_col).agg(F.bool_and(hit).alias("maybe_seen"))

@@ -848,6 +848,17 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """alpha=0.5 temperature-balanced multilingual sampling (the mBERT/
+    XLM-R exponentiated-smoothing rebalance): expected kept docs per
+    language ~ target * sqrt-share. Membership is the cross-multiplied
+    ALL-INTEGER hash-bucket rule (webx/sampling.py) — exact oracle."""
+    from webx.sampling import temperature_sample
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "lang"), spark)
+    return temperature_sample(docs, target_total=150)
+
+
 def q_bloom_seen(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-frontier seen-URL check: Bloom bitmap (2^20 bits, k=3)
     built over the corpus URLs, probed with half known / half novel
@@ -2014,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_temperature_sample": q_temperature_sample,
         "q_bloom_seen": q_bloom_seen,
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_learn": q_bpe_learn,
@@ -2630,6 +2642,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_temperature_sample": _oracles.XXH64_MACROS + (
+            "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang), "
+            "w AS (SELECT lang, n_l, CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) "
+            "AS w_l FROM c), s AS (SELECT SUM(w_l) AS sum_w FROM w) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN w USING (lang), s "
+            f"WHERE ({_oracles.hash_bucket_sql('d.doc_id', 42)})::HUGEINT "
+            "* s.sum_w::HUGEINT * w.n_l::HUGEINT "
+            "< 150::HUGEINT * 1000000::HUGEINT * w.w_l::HUGEINT"
         ),
         "q_bloom_seen": _oracles.XXH64_MACROS + (
             f"WITH b AS (SELECT DISTINCT {URL} AS url FROM documents), "

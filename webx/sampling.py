@@ -87,3 +87,53 @@ def split_assign(
     for i in range(len(cuts) - 1, -1, -1):
         expr = F.when(b < cuts[i], F.lit(names[i])).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    lang_col: str = "lang",
+    target_total: int = 100,
+    key_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Temperature-balanced multilingual sampling (the alpha=0.5
+    language-rebalancing rule of multilingual LM training, e.g. mBERT /
+    XLM-R exponentiated-smoothing: sample language l proportionally to
+    p_l^alpha, up-weighting low-resource languages). Expected kept rows
+    per language ~ target_total * w_l / sum(w), w_l = floor(sqrt(n_l)),
+    capped at n_l; membership is the deterministic hash-bucket rule of
+    this module.
+
+    Exactness: keep iff
+
+        bucket(key) * sum_w * n_l  <  target_total * BUCKETS * w_l
+
+    — the threshold comparison cross-multiplied into PURE INTEGER
+    arithmetic (decimal(38,0) so 100-TB-scale products cannot overflow,
+    mirrored by HUGEINT in the oracle): no division, no float pow, no
+    rounding boundary an engine could disagree on. floor(sqrt(n)) is
+    safe because IEEE sqrt is correctly rounded in both engines (pow
+    is not — which is why alpha is fixed at 0.5 here).
+
+    Plan: one tiny per-language count aggregate + its 1-row total, both
+    broadcast back onto the corpus; the filter itself is a narrow
+    codegen projection — no corpus shuffle, partition-independent,
+    append-stable per language."""
+    d38 = "decimal(38,0)"
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("n_l"))
+    counts = counts.withColumn(
+        "w_l", F.floor(F.sqrt(F.col("n_l").cast("double"))).cast("long")
+    )
+    denom = counts.agg(F.sum("w_l").alias("sum_w"))  # 1 row
+    rates = F.broadcast(counts.crossJoin(F.broadcast(denom)))
+    lhs = (
+        hash_bucket(key_col, salt).cast(d38)
+        * F.col("sum_w").cast(d38)
+        * F.col("n_l").cast(d38)
+    )
+    rhs = (
+        F.lit(target_total).cast(d38)
+        * F.lit(BUCKETS).cast(d38)
+        * F.col("w_l").cast(d38)
+    )
+    return df.join(rates, lang_col).filter(lhs < rhs).select(*df.columns)

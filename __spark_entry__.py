@@ -848,6 +848,26 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML→Markdown lane over the flagship corpus: headings rendered
+    as '#'-prefixed lines (level from the opening <hN> tag), blocks
+    joined with blank lines; the <title> block is metadata and excluded.
+    Same zero-shuffle fused-mapInPandas shape as the flagship; oracle is
+    the closed-form '# Doc N\\n\\n' || norm."""
+    from webx.markdown import run_markdown
+
+    return run_markdown(_pages(spark, sf)).select("url", "markdown", "n_headings")
+
+
+def q_markdown_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """Markdown over the two-article page: exercises heading levels
+    (h1 + h2) and multi-block reassembly."""
+    from webx.markdown import run_markdown
+
+    pages = _par(synth.synth_pages_multi(spark, sf), spark)
+    return run_markdown(pages).select("url", "markdown", "n_headings")
+
+
 def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     """alpha=0.5 temperature-balanced multilingual sampling (the mBERT/
     XLM-R exponentiated-smoothing rebalance): expected kept docs per
@@ -2025,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_markdown": q_markdown,
+        "q_markdown_multi": q_markdown_multi,
         "q_temperature_sample": q_temperature_sample,
         "q_bloom_seen": q_bloom_seen,
         "q_bpe_pairs": q_bpe_pairs,
@@ -2642,6 +2664,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_markdown": (
+            f"SELECT {URL} AS url, "
+            f"('# ' || {DID} || {NL} || {NL} || {NORM}) AS markdown, "
+            "CAST(1 AS INT) AS n_headings FROM documents"
+        ),
+        "q_markdown_multi": (
+            f"SELECT {URL} AS url, "
+            f"('# ' || {DID} || {NL} || {NL} || {NORM} || {NL} || {NL} || "
+            f"'## Notes' || {NL} || {NL} || upper({NORM})) AS markdown, "
+            "CAST(2 AS INT) AS n_headings FROM documents"
         ),
         "q_temperature_sample": _oracles.XXH64_MACROS + (
             "WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang), "

@@ -149,6 +149,29 @@ def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
     return extract_pdf(pdfs).select("url", "text")
 
 
+def q_extract_wet(spark: SparkSession, sf: str) -> DataFrame:
+    """Extraction output round-tripped through the WET container (the
+    Common-Crawl extracted-text interchange format): flagship extraction
+    → distributed WET sink (conversion records, cached per sf
+    fingerprint) → distributed WET source — text must come back
+    byte-identical to the same closed-form golden as q_extract."""
+    import os
+
+    from webx.sources import read_wet, write_wet_dir
+
+    d, done = _fixture_dir(sf, "wetq")
+    if not done:
+        out = run_extraction(_pages(spark, sf), CFG).select(
+            "url",
+            F.to_timestamp(F.lit("2026-03-01 12:00:00")).alias("wet_ts"),
+            "text",
+        )
+        write_wet_dir(out.repartition(8), d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    return read_wet(spark, os.path.join(d, "part-*.wet")).select("url", "text")
+
+
 def _fixture_dir(sf: str, tag: str) -> tuple:
     """Content-keyed /tmp fixture dir (mtime+size of the source parquet):
     regenerated testdata at the same path must not reuse a stale fixture.
@@ -846,6 +869,16 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
     return inverted_index(docs, min_df=3, max_postings=50)
+
+
+def q_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (window 128, stride 96) — long-document
+    context preparation; integer window grid + clamped slicing are
+    engine-exact."""
+    from webx.curate import chunk_windows
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return chunk_windows(docs, window=128, stride=96)
 
 
 def q_markdown(spark: SparkSession, sf: str) -> DataFrame:
@@ -2004,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_warc": q_extract_warc,
+        "q_extract_wet": q_extract_wet,
         "q_extract_pdf": q_extract_pdf,
         "q_keyed_store": q_keyed_store,
         "q_convert_det_labels": q_convert_det_labels,
@@ -2045,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_chunk_windows": q_chunk_windows,
         "q_markdown": q_markdown,
         "q_markdown_multi": q_markdown_multi,
         "q_temperature_sample": q_temperature_sample,
@@ -2436,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_wet": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_convert_det_labels": (
@@ -2664,6 +2700,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_chunk_windows": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            f"trim(coalesce(text, '')), {WS_SPLIT_SQL}), w -> w <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, len(toks) AS n, toks FROM t), "
+            "s AS (SELECT doc_id, toks, unnest(generate_series(0, "
+            "CASE WHEN n <= 0 THEN -1 ELSE (greatest(n - 128, 0) + 95) // 96 END"
+            ")) AS i FROM g) "
+            "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+            "CAST(len(toks[i*96+1 : i*96+128]) AS INT) AS n_chunk_tokens, "
+            "array_to_string(toks[i*96+1 : i*96+128], ' ') AS chunk FROM s"
         ),
         "q_markdown": (
             f"SELECT {URL} AS url, "

@@ -499,3 +499,52 @@ def c4_clean(
         n_kept.alias("n_kept"),
         keep.alias("keep"),
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking of long documents into training/embedding
+    contexts: whitespace tokens cut into windows of ``window`` tokens
+    every ``stride`` tokens (overlap = window - stride), the standard
+    long-document preparation for context-bounded models. The start
+    grid is 0, stride, 2*stride, …, ceil(max(n-window,0)/stride)*stride
+    — every token is covered, the final chunk may be shorter, documents
+    with no tokens yield no chunks. → (doc_id, chunk_idx, n_chunk_tokens,
+    chunk).
+
+    All-window arithmetic is integer and the token slicing clamps the
+    same way in Spark and DuckDB, so the result is engine-exact. Plan:
+    one narrow projection + explode — no shuffle; the fan-out is
+    bounded by ~n/stride chunks per document."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), WS_SPLIT),
+        lambda t: t != F.lit(""),
+    )
+    n = F.size(toks)
+    n_starts = (
+        F.floor(
+            (F.greatest(n - window, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    chunks = F.when(n <= 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_starts - 1),
+            lambda i: F.slice(toks, i * stride + 1, window),
+        )
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ctoks").alias("n_chunk_tokens"),
+        F.array_join("ctoks", " ").alias("chunk"),
+    )

@@ -372,3 +372,137 @@ def read_keyed_store(
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema=KEYED_SCHEMA)
+
+
+# ------------------------------------------------------------------ WET lane
+# Common Crawl distributes EXTRACTED TEXT as WET files: WARC/1.0
+# containers whose records are WARC-Type: conversion with a UTF-8
+# plain-text body (no HTTP envelope). For a main-content extraction
+# engine this is the canonical interchange SINK (and a re-ingest
+# source): write the flagship output as WET shards, read them back
+# distributed.
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("wet_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def write_wet(records: "List[Tuple[str, datetime, str]]") -> bytes:
+    """Serialize (url, ts, text) into a WET byte stream (one WARC/1.0
+    ``conversion`` record per row, UTF-8 body, Content-Length exact)."""
+    chunks: List[bytes] = []
+    for url, ts, text in records:
+        body = ("" if text is None else text).encode("utf-8")
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Type: text/plain\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        )
+        chunks.append(header + b"\r\n" + body + b"\r\n\r\n")
+    return b"".join(chunks)
+
+
+def parse_wet(raw: bytes) -> "List[Tuple[str, Optional[datetime], str]]":
+    """Walk a WET stream → (url, ts, text) from ``conversion`` records.
+    Fail-soft like parse_warc: malformed tails end the scan, non-
+    conversion records (warcinfo headers etc.) are skipped."""
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            raw = gzip.decompress(raw)
+        except OSError:
+            return []
+    out: List[Tuple[str, Optional[datetime], str]] = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"WARC/":
+            nxt = raw.find(b"\r\n\r\nWARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt + 4
+            continue
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        header = raw[pos:hdr_end]
+        m = _CL_RE.search(header)
+        if m is None:
+            break
+        length = int(m.group(1))
+        body = raw[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        while raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"conversion":
+            continue
+        u = _URI_RE.search(header)
+        if u is None:
+            continue
+        url = u.group(1).decode("utf-8", "replace").strip("<>")
+        ts = None
+        d = _DATE_RE.search(header)
+        if d is not None:
+            ts = _parse_warc_date(d.group(1).decode("ascii", "replace"))
+        out.append((url, ts, body.decode("utf-8", "replace")))
+    return out
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET shard(s) → (url, wet_ts, text); parsing runs distributed, one
+    input file per binaryFile row."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "wet_ts": [], "text": []}
+            for content in pdf["content"]:
+                for url, ts, text in parse_wet(bytes(content)):
+                    rows["url"].append(url)
+                    rows["wet_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+                    rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=WET_SCHEMA)
+
+
+def write_wet_dir(df: DataFrame, out_dir: str) -> "List[Tuple[str, int]]":
+    """Distributed WET sink: each task serializes its partition of
+    (url, ts, text) into one ``part-NNNNN.wet`` shard under ``out_dir``
+    (assumes a task-visible shared filesystem, like every file sink in
+    local/DBFS deployments). Only (path, record_count) per shard returns
+    to the driver. Rows inside a shard keep partition order; use a prior
+    ``repartition``/``sortWithinPartitions`` for a deterministic layout."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        recs: List[Tuple[str, datetime, str]] = []
+        for pdf in batches:
+            for u, t, x in zip(pdf[cols[0]], pdf[cols[1]], pdf[cols[2]]):
+                recs.append((u, t.to_pydatetime(), x))
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.wet")
+        if recs:
+            with open(path, "wb") as f:
+                f.write(write_wet(recs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+        else:
+            yield pd.DataFrame({"path": [], "n": []})
+
+    return [
+        (r.path, r.n)
+        for r in df.mapInPandas(fn, "path string, n long").collect()
+    ]

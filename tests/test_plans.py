@@ -112,3 +112,40 @@ def test_anchor_index_single_shuffle(spark, queries):
     plan = plan_of(queries["q_anchor_index"](spark, SF))
     assert "MapInPandas" not in plan  # pure codegen
     assert nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_chunk_windows_is_exchange_free(spark, queries):
+    """Chunking is a narrow projection + explode: no shuffle at any
+    corpus size."""
+    plan = plan_of(queries["q_chunk_windows"](spark, SF))
+    # only the explicit _par repartition; no aggregation/join exchange
+    assert nodes(plan, "Exchange") == 1
+    assert "Generate" in plan  # the posexplode fan-out
+
+
+def test_markdown_lane_matches_flagship_shape(spark, queries):
+    plan = plan_of(queries["q_markdown"](spark, SF))
+    assert nodes(plan, "Exchange") == 1 and nodes(plan, "MapInPandas") == 1
+
+
+def test_bloom_probe_broadcasts_bitmap(spark, queries):
+    """The bitmap side of the probe join must broadcast — a shuffle
+    join on the word key would move the corpus for a 16K-row filter."""
+    plan = plan_of(queries["q_bloom_seen"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_sample_rate_table_broadcasts(spark, queries):
+    """The per-language rate table joins broadcast; the corpus pass is
+    a filter, never a corpus shuffle on lang."""
+    plan = plan_of(queries["q_temperature_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_caps_postings_before_collect(spark, queries):
+    """The rank filter must sit under the collect_list aggregate so
+    per-term memory is bounded by max_postings."""
+    plan = plan_of(queries["q_inverted_index"](spark, SF))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "collect_list" in plan

@@ -871,6 +871,80 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster embeddings (16
+    sampled anchors, the ivf_topk_deterministic quantizer contract),
+    prune within-cluster cosine pairs ≥ 0.93, keep the component
+    minimum. Corpus = embeddings + EXACT copies of vec_id < 20 planted
+    at vec_id + 10^6 (identical vectors co-cluster by construction, so
+    every planted pair is pruned). Fully deterministic — the oracle
+    replays assignment, pairing, and closure bit-for-bit."""
+    from webx.similarity import semdedup
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = _par(emb.unionByName(dup), spark)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return semdedup(corpus, cents, threshold=0.93)
+
+
+PUNCT_SUFFIX = " “Smart” — it’s… done"  # forces every typography rule to fire
+
+
+def q_punct_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Typography normalization (curly quotes/dashes/NBSP/ellipsis →
+    ASCII) over documents with an injected smart-typography suffix so
+    every rule fires; the oracle replays the frozen PUNCT_MAP replace
+    chain."""
+    from webx.textstats import normalize_punct
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    docs = docs.withColumn("text", F.concat("text", F.lit(PUNCT_SUFFIX)))
+    return normalize_punct(docs).select("doc_id", "text_norm", "punct_changed")
+
+
+def q_char_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """ASCII character-class counters (upper/lower/digit/space/other) —
+    the Gopher/C4 symbol- and capitalization-gate raw material."""
+    from webx.textstats import char_class_profile
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return char_class_profile(docs)
+
+
+def q_host_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host corpus quality rollup: quality counters aggregated on
+    the canonical host (urls.host over the closed-form URL) — the
+    corpus-audit analytics layer in one query, no join (host derives
+    from the row)."""
+    from webx.textstats import quality_score
+    from webx.urls import host as url_host
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    q = quality_score(docs)
+    u = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        q.select(url_host(u).alias("host"), "n_chars", "n_tokens", "n_punct")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_punct").alias("sum_punct"),
+        )
+    )
+
+
 def q_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window chunking (window 128, stride 96) — long-document
     context preparation; integer window grid + clamped slicing are
@@ -2079,6 +2153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_semdedup": q_semdedup,
+        "q_punct_norm": q_punct_norm,
+        "q_char_classes": q_char_classes,
+        "q_host_quality": q_host_quality,
         "q_chunk_windows": q_chunk_windows,
         "q_markdown": q_markdown,
         "q_markdown_multi": q_markdown_multi,
@@ -2187,6 +2265,24 @@ def _sampling_oracle_sql(kind: str) -> str:
         f"SELECT doc_id, CASE {chain_sql} ELSE '{SPLIT_NAMES[-1]}' END AS split "
         f"FROM (SELECT doc_id, {_oracles.hash_bucket_sql('doc_id', 7, B)} AS b "
         "FROM documents)"
+    )
+
+
+def _punct_norm_oracle_sql() -> str:
+    """Replay of webx.textstats.normalize_punct — the replace chain is
+    generated from PUNCT_MAP itself (one source of truth)."""
+    from webx.textstats import PUNCT_MAP
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    raw = f"(text || {q(PUNCT_SUFFIX)})"
+    norm = raw
+    for src, dst in PUNCT_MAP:
+        norm = f"replace({norm}, {q(src)}, {q(dst)})"
+    return (
+        f"SELECT doc_id, {norm} AS text_norm, "
+        f"CAST(({norm} <> {raw}) AS INT) AS punct_changed FROM documents"
     )
 
 
@@ -2700,6 +2796,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_semdedup": _oracles.semdedup_oracle_sql(
+            threshold=0.93, n_centroids=16, n_dup=20
+        ),
+        "q_punct_norm": _punct_norm_oracle_sql(),
+        "q_char_classes": (
+            "SELECT doc_id, CAST(length(coalesce(text, '')) AS INT) AS n_chars, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Z]')) AS INT) AS n_upper, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z]')) AS INT) AS n_lower, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS INT) AS n_digit, "
+            "CAST(len(regexp_extract_all(coalesce(text, ''), '[ \\t\\r\\n]')) AS INT) AS n_space, "
+            "CAST(length(coalesce(text, '')) "
+            "- len(regexp_extract_all(coalesce(text, ''), '[A-Z]')) "
+            "- len(regexp_extract_all(coalesce(text, ''), '[a-z]')) "
+            "- len(regexp_extract_all(coalesce(text, ''), '[0-9]')) "
+            "- len(regexp_extract_all(coalesce(text, ''), '[ \\t\\r\\n]')) AS INT) "
+            "AS n_other FROM documents"
+        ),
+        "q_host_quality": (
+            "WITH q AS (SELECT doc_id, length(text) AS c, "
+            f"len(regexp_split_to_array(trim(text), {WS_SPLIT_SQL})) AS t, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS p "
+            "FROM documents) "
+            "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS host, "
+            "COUNT(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(t) AS BIGINT) AS sum_tokens, "
+            "CAST(SUM(p) AS BIGINT) AS sum_punct FROM q GROUP BY 1"
         ),
         "q_chunk_windows": (
             "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("

@@ -444,3 +444,43 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+def semdedup_oracle_sql(
+    threshold: float = 0.93, n_centroids: int = 16, n_dup: int = 20
+) -> str:
+    """Exact mirror of webx.similarity.semdedup over the planted-copy
+    corpus (embeddings UNION exact copies of vec_id < n_dup at
+    vec_id + 10^6): pinned-fold L2 assignment with lowest-cid tie-break,
+    within-cluster cosine pairs, transitive closure, keep = component
+    minimum."""
+    return f"""
+WITH RECURSIVE ecorp AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < {n_dup}),
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         WHERE vec_id < {n_centroids}),
+a AS MATERIALIZED (
+  SELECT ecorp.vec_id, ecorp.embedding, c.cid,
+         {_l2_cols('ecorp.embedding', 'c.cemb')} AS d
+  FROM ecorp CROSS JOIN cent c),
+asn AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a) WHERE rn = 1),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {_cos('x.embedding', 'y.embedding')} >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a AS node, b AS r FROM edges
+          UNION SELECT g.a, r.r FROM edges g JOIN reach r ON g.b = r.node),
+comp AS (SELECT node, least(node, min(r)) AS cluster_id
+         FROM reach GROUP BY node)
+SELECT ecorp.vec_id,
+       (comp.node IS NULL OR comp.cluster_id = ecorp.vec_id) AS keep
+FROM ecorp LEFT JOIN comp ON comp.node = ecorp.vec_id
+"""

@@ -431,3 +431,65 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list,
+    threshold: float = 0.93,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): coarse-cluster the
+    embeddings, prune near-identical pairs WITHIN each cluster, keep
+    one survivor per semantic-duplicate component → (vec_id, keep).
+
+    ``centroids`` is a fixed coarse quantizer (offline-trained or
+    sampled anchors — same contract as ``ivf_topk_deterministic``), so
+    the whole operator is deterministic and the DuckDB oracle replays
+    it exactly (pinned-fold-order L2/cosine + transitive closure).
+
+    Scale shape — the SemDeDup design point: assignment is one broadcast
+    centroid pass + a per-vector window (persist partitioned by ``cid``
+    at 10^9 vectors); the quadratic cosine prune is CLUSTER-bounded, not
+    corpus-bounded; the pair set is tiny, so component resolution
+    (webx.dedup.dedup_clusters min-label propagation) and the final keep
+    join broadcast."""
+    from webx.dedup import dedup_clusters
+
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cemb array<float>",
+    )
+    dist = _l2_fold(F.col("embedding"), F.col("cemb")).alias("d")
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
+    asn = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", dist)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = asn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "cid"
+    )
+    b = asn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "cid"
+    )
+    cos = _dot("ea", "eb") / (_norm("ea") * _norm("eb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(drop.withColumn("k", F.lit(False))), "vec_id", "left")
+        .select("vec_id", F.coalesce("k", F.lit(True)).alias("keep"))
+    )

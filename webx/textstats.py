@@ -502,3 +502,53 @@ def inverted_index(
         )
     )
     return df_tbl.join(postings, "term").select("term", "df", "postings")
+
+
+# Typography normalization table — applied in order, shared verbatim
+# with the SQL oracle (literal 1:1 or 1:N replacements, no regex).
+PUNCT_MAP = (
+    ("‘", "'"), ("’", "'"), ("‚", "'"), ("‛", "'"),
+    ("“", '"'), ("”", '"'), ("„", '"'),
+    ("–", "-"), ("—", "-"), ("−", "-"),
+    (" ", " "), ("…", "..."),
+)
+
+
+def normalize_punct(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Typography normalization: curly quotes → ASCII quotes, en/em
+    dash and minus → hyphen, NBSP → space, ellipsis → '...'. Standard
+    pre-tokenization cleanup (web text arrives with smart typography
+    that fragments tokenizer vocabularies). Adds ``text_norm`` +
+    ``punct_changed`` (0/1). A chain of LITERAL replaces in frozen
+    order — pure codegen, zero shuffle, engine-exact by construction."""
+    out = F.col(col)
+    for src, dst in PUNCT_MAP:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return docs.select(
+        "*",
+        out.alias("text_norm"),
+        (out != F.col(col)).cast("int").alias("punct_changed"),
+    )
+
+
+def char_class_profile(docs: DataFrame, col: str = "text") -> DataFrame:
+    """ASCII character-class counters per document: uppercase,
+    lowercase, digits, whitespace, and ``n_other`` (everything else —
+    symbols and non-ASCII). The raw material of Gopher/C4-style symbol
+    and capitalization gates; integer counts so the oracle compares
+    exactly, ratios derive downstream. Pure codegen projections."""
+    t = F.coalesce(F.col(col), F.lit(""))
+    n_upper = F.regexp_count(t, F.lit("[A-Z]")).cast("int")
+    n_lower = F.regexp_count(t, F.lit("[a-z]")).cast("int")
+    n_digit = F.regexp_count(t, F.lit("[0-9]")).cast("int")
+    n_space = F.regexp_count(t, F.lit("[ \\t\\r\\n]")).cast("int")
+    n_chars = F.length(t).cast("int")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_upper.alias("n_upper"),
+        n_lower.alias("n_lower"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        (n_chars - n_upper - n_lower - n_digit - n_space).alias("n_other"),
+    )

@@ -871,6 +871,16 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib redundancy signal (RedPajama-v2/Dolma quality feature).
+    Rows-only by design: zlib is not SQL-expressible; exact byte counts
+    are pytest-anchored (tests/test_compression_ratio.py)."""
+    from webx.textstats import compression_ratio
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return compression_ratio(docs)
+
+
 def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): coarse-cluster embeddings (16
     sampled anchors, the ivf_topk_deterministic quantizer contract),
@@ -2153,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_compression_ratio": q_compression_ratio,
         "q_semdedup": q_semdedup,
         "q_punct_norm": q_punct_norm,
         "q_char_classes": q_char_classes,

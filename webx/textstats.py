@@ -552,3 +552,41 @@ def char_class_profile(docs: DataFrame, col: str = "text") -> DataFrame:
         n_space.alias("n_space"),
         (n_chars - n_upper - n_lower - n_digit - n_space).alias("n_other"),
     )
+
+
+def compression_ratio(docs: DataFrame, col: str = "text", level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the classic
+    redundancy/templatedness proxy of web-corpus curation (RedPajama-v2
+    and Dolma both ship it as a quality signal: boilerplate and spam
+    compress far better than prose). → (doc_id, n_bytes, n_compressed,
+    ratio) with ratio = n_compressed / n_bytes (lower = more
+    redundant), 0-byte docs → ratio 1.0.
+
+    zlib is not expressible in SQL, so this is the sanctioned Arrow
+    path: a pandas UDF batching zlib.compress over UTF-8 bytes —
+    deterministic for a fixed level (pytest anchors exact byte counts;
+    the driver gate is rows-only by design). Zero shuffle; fuses into
+    any scan of ``text``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda v: len(zlib.compress(v.encode("utf-8"), level))
+            if v is not None
+            else 0
+        )
+
+    n_bytes = F.octet_length(F.coalesce(F.col(col), F.lit("")))
+    n_comp = _clen(F.col(col))
+    ratio = F.when(n_bytes == 0, F.lit(1.0)).otherwise(
+        n_comp.cast("double") / n_bytes.cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        n_bytes.cast("long").alias("n_bytes"),
+        n_comp.alias("n_compressed"),
+        ratio.alias("ratio"),
+    )

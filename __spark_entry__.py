@@ -871,6 +871,25 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_token_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-overlap F1 (SQuAD-style multiset metric) between the RAW
+    document text and the flagship extraction output per url — a real
+    graded comparison (the raw side lacks the 'Doc N' heading and keeps
+    original whitespace), both sides closed-form for the oracle."""
+    from webx.metrics import token_f1
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    u = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    pred = docs.select(u.alias("url"), "text")
+    gold = run_extraction(_pages(spark, sf), CFG).select("url", "text")
+    return token_f1(pred, gold)
+
+
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib redundancy signal (RedPajama-v2/Dolma quality feature).
     Rows-only by design: zlib is not SQL-expressible; exact byte counts
@@ -2163,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_token_f1": q_token_f1,
         "q_compression_ratio": q_compression_ratio,
         "q_semdedup": q_semdedup,
         "q_punct_norm": q_punct_norm,
@@ -2807,6 +2827,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_token_f1": (
+            f"WITH p AS (SELECT {URL} AS url, text FROM documents), "
+            f"g AS (SELECT {URL} AS url, {GOLDEN} AS text FROM documents), "
+            "pc AS (SELECT url, t, count(*) AS cp FROM (SELECT url, "
+            "unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), "
+            f"{WS_SPLIT_SQL}), w -> w <> '')) AS t FROM p) GROUP BY url, t), "
+            "gc AS (SELECT url, t, count(*) AS cg FROM (SELECT url, "
+            "unnest(list_filter(regexp_split_to_array(trim(coalesce(text, '')), "
+            f"{WS_SPLIT_SQL}), w -> w <> '')) AS t FROM g) GROUP BY url, t), "
+            "j AS (SELECT coalesce(pc.url, gc.url) AS url, "
+            "coalesce(cp, 0) AS cp, coalesce(cg, 0) AS cg "
+            "FROM pc FULL OUTER JOIN gc ON pc.url = gc.url AND pc.t = gc.t), "
+            "per_url AS (SELECT url, CAST(SUM(cp) AS BIGINT) AS n_pred, "
+            "CAST(SUM(cg) AS BIGINT) AS n_gold, "
+            "CAST(SUM(least(cp, cg)) AS BIGINT) AS n_overlap FROM j GROUP BY url), "
+            "urls AS (SELECT url FROM p UNION SELECT url FROM g) "
+            "SELECT urls.url, coalesce(n_pred, 0) AS n_pred, "
+            "coalesce(n_gold, 0) AS n_gold, coalesce(n_overlap, 0) AS n_overlap, "
+            "CASE WHEN coalesce(n_pred, 0) + coalesce(n_gold, 0) = 0 THEN 1.0 "
+            "ELSE (2.0 * CAST(coalesce(n_overlap, 0) AS DOUBLE)) "
+            "/ CAST(coalesce(n_pred, 0) + coalesce(n_gold, 0) AS DOUBLE) END AS f1 "
+            "FROM urls LEFT JOIN per_url ON urls.url = per_url.url"
         ),
         "q_semdedup": _oracles.semdedup_oracle_sql(
             threshold=0.93, n_centroids=16, n_dup=20

@@ -169,3 +169,57 @@ def rec_metrics(
         F.avg((F.col("pred_text") == F.col("gold_text")).cast("double")).alias("acc"),
         F.avg(1.0 - lev / maxlen).alias("norm_edit"),
     )
+
+
+def token_f1(pred: DataFrame, golden: DataFrame) -> DataFrame:
+    """Per-document token-overlap F1 (the SQuAD-style bag-of-tokens
+    metric; reference analog: the string metrics of RecMetric,
+    mindocr/metrics/rec_metrics.py:106-119, generalized from exact/edit
+    to multiset overlap): whitespace tokens of ``pred.text`` vs
+    ``golden.text`` joined on ``url`` →
+    (url, n_pred, n_gold, n_overlap, f1) with
+    overlap = Σ_t min(count_pred(t), count_gold(t)) and
+    f1 = 2·overlap / (n_pred + n_gold)  (1.0 when both sides are empty).
+
+    Plan: explode both sides to per-(url, token) counts (map-side
+    partial), one full-outer join on the composite key, one rollup back
+    to the url — every stage shrinks toward vocabulary-per-doc scale.
+    Counters are exact integers; the single f1 division has a fixed op
+    order both engines share."""
+    ws = "[ \\t\\r\\n]+"
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), ws)
+        return (
+            df.select("url", F.explode(toks).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy("url", "t")
+            .agg(F.count("*").alias(name))
+        )
+
+    p = counts(pred, "cp")
+    g = counts(golden, "cg")
+    j = p.join(g, ["url", "t"], "full")
+    per_url = j.groupBy("url").agg(
+        F.sum(F.coalesce("cp", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("cg", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.least(F.coalesce("cp", F.lit(0)), F.coalesce("cg", F.lit(0)))
+        ).alias("n_overlap"),
+    )
+    # urls present in either input but with zero tokens on both sides
+    # never appear in the exploded frames — restore them with f1 = 1.0
+    urls = pred.select("url").unionByName(golden.select("url")).distinct()
+    out = urls.join(per_url, "url", "left")
+    np_, ng = F.coalesce("n_pred", F.lit(0)), F.coalesce("n_gold", F.lit(0))
+    ov = F.coalesce("n_overlap", F.lit(0))
+    f1 = F.when(np_ + ng == 0, F.lit(1.0)).otherwise(
+        (F.lit(2.0) * ov.cast("double")) / (np_ + ng).cast("double")
+    )
+    return out.select(
+        "url",
+        np_.alias("n_pred"),
+        ng.alias("n_gold"),
+        ov.alias("n_overlap"),
+        f1.alias("f1"),
+    )

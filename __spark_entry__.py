@@ -871,6 +871,20 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return inverted_index(docs, min_df=3, max_postings=50)
 
 
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster embedding outliers (CLIP-curation-style far-from-
+    centroid pruning): deterministic anchor assignment + rank-based
+    flagging (no float mean/variance) — full value-hash oracle."""
+    from webx.similarity import embedding_outliers
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    return embedding_outliers(_par(emb, spark), cents, k_far=3)
+
+
 def q_token_f1(spark: SparkSession, sf: str) -> DataFrame:
     """Token-overlap F1 (SQuAD-style multiset metric) between the RAW
     document text and the flagship extraction output per url — a real
@@ -2182,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_collocations": q_collocations,
         "q_inverted_index": q_inverted_index,
+        "q_embedding_outliers": q_embedding_outliers,
         "q_token_f1": q_token_f1,
         "q_compression_ratio": q_compression_ratio,
         "q_semdedup": q_semdedup,
@@ -2827,6 +2842,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY term) "
             "SELECT term, df, array_to_string(ids[1:50], ',') AS postings "
             "FROM agg WHERE df >= 3"
+        ),
+        "q_embedding_outliers": _oracles.embedding_outliers_oracle_sql(
+            n_centroids=16, k_far=3
         ),
         "q_token_f1": (
             f"WITH p AS (SELECT {URL} AS url, text FROM documents), "

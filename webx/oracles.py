@@ -484,3 +484,27 @@ SELECT ecorp.vec_id,
        (comp.node IS NULL OR comp.cluster_id = ecorp.vec_id) AS keep
 FROM ecorp LEFT JOIN comp ON comp.node = ecorp.vec_id
 """
+
+
+def embedding_outliers_oracle_sql(n_centroids: int = 16, k_far: int = 3) -> str:
+    """Exact mirror of webx.similarity.embedding_outliers: pinned-fold
+    L2 assignment with lowest-cid tie-break, per-cluster farthest rank
+    (distance DESC, vec_id ASC)."""
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id < {n_centroids}),
+a AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {_l2_cols('e.embedding', 'c.cemb')} AS d
+  FROM embeddings e CROSS JOIN cent c),
+asn AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM a) WHERE rn = 1)
+SELECT vec_id, cid,
+       CAST(row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id)
+            AS INT) AS far_rank,
+       (row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id)
+            <= {k_far}) AS outlier
+FROM asn
+"""

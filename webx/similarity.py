@@ -493,3 +493,44 @@ def semdedup(
         .join(F.broadcast(drop.withColumn("k", F.lit(False))), "vec_id", "left")
         .select("vec_id", F.coalesce("k", F.lit(True)).alias("keep"))
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    centroids: list,
+    k_far: int = 3,
+) -> DataFrame:
+    """Per-cluster embedding outliers: assign each vector to its
+    nearest fixed anchor (the ivf_topk_deterministic quantizer
+    contract), rank vectors within each cluster by distance to the
+    centroid DESC, flag the top ``k_far`` → (vec_id, cid, far_rank,
+    outlier). The embedding-space data-cleaning pass (CLIP-style corpus
+    curation prunes far-from-centroid samples as noise/mislabels);
+    rank-based so it is fully deterministic — no mean/variance whose
+    float summation order engines could disagree on.
+
+    Plan: one broadcast-centroid pass + two windows (assignment argmin,
+    per-cluster rank); at 10^9 vectors persist the assignment
+    partitioned by cid, as with semdedup."""
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cemb array<float>",
+    )
+    dist = _l2_fold(F.col("embedding"), F.col("cemb")).alias("d")
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
+    asn = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", dist)
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d")
+    )
+    w_far = Window.partitionBy("cid").orderBy(F.desc("d"), F.asc("vec_id"))
+    return asn.withColumn("far_rank", F.row_number().over(w_far)).select(
+        "vec_id",
+        "cid",
+        F.col("far_rank").cast("int").alias("far_rank"),
+        (F.col("far_rank") <= k_far).alias("outlier"),
+    )

@@ -36,12 +36,15 @@ def test_entry_contract_alignment():
     # XXH64 port and deterministic-quantizer mirrors (webx/oracles.py).
     # Exceptions (rows-only BY DESIGN, each pytest-anchored instead):
     # the approx-percentile scale twin (Spark-internal GK sketch — no
-    # SQL mirror; exact sibling is the oracle anchor) and PageRank (the
+    # SQL mirror; exact sibling is the oracle anchor), PageRank (the
     # sanctioned iterative-algorithm category; numpy power-iteration
-    # anchor at 1e-9).
+    # anchor at 1e-9), and the zlib compression-ratio signal (zlib is
+    # not SQL-expressible; exact byte counts pytest-anchored in
+    # tests/test_compression_ratio.py).
     assert set(qs) - set(osql) == {
         "q_length_percentiles_approx",
         "q_pagerank_hosts",
+        "q_compression_ratio",
     }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name

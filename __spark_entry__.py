@@ -2139,6 +2139,186 @@ def _quality_model_oracle_sql() -> str:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (as-of) join: every purchase event matched to the
+    user's latest view event at-or-before it (webx/joins.py union-tag
+    formulation — ONE shuffle, no candidate-pair blow-up). The oracle
+    is DuckDB's native ASOF LEFT JOIN, a genuinely independent
+    implementation of the same semantics."""
+    from webx.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=("view_event_id", "view_ts", "view_value"),
+    )
+
+
+_RANGE_BANDS = [
+    (0.0, 1.0, "micro"),
+    (1.0, 5.0, "tiny"),
+    (5.0, 25.0, "small"),
+    (25.0, 100.0, "mid"),
+    (100.0, 250.0, "large"),
+    (250.0, 500.0, "huge"),
+]
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-containment join of event values into half-open bands
+    via the bucketed equi-join (webx/joins.py): intervals explode to
+    covered width-25 buckets, hash join on the bucket, exact re-check —
+    the plan that stays a hash join when the interval table outgrows
+    BroadcastNestedLoop. Oracle: the plain theta join."""
+    from webx.joins import range_join_bucketed
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_id") < 2000
+    )
+    bands = spark.createDataFrame(_RANGE_BANDS, "lo double, hi double, band string")
+    out = range_join_bucketed(
+        ev.select("event_id", "value"), bands, "value", bucket_width=25.0
+    )
+    return out.select("event_id", "value", "band", "lo", "hi")
+
+
+def q_cms_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency estimates (webx/sketch.py): one depth×width
+    sketch build over event user_ids (map-side-collapsing hash agg),
+    then per-user point estimates = min over rows — with the exact
+    count alongside so the never-undercount guarantee is visible. 150
+    users in a 4×64 sketch forces real collisions; the oracle replays
+    the fixed XXH64 hash family cell-for-cell."""
+    from webx.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sketch = cms_build(ev, "user_id", width=64, depth=4)
+    est = cms_estimate(sketch, ev, "user_id", width=64, depth=4)
+    true = ev.groupBy("user_id").agg(F.count("*").alias("n_true"))
+    return true.join(est, "user_id").select("user_id", "n_true", "estimate")
+
+
+def q_quality_terciles(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: per-language terciles
+    of the (integer, oracle-exact) hashed-bigram quality score —
+    NTILE(3) over (lang, score DESC, doc_id). CCNet buckets on LM
+    perplexity; the integer classifier score keeps the same shape
+    engine-exact (float ppl ordering could differ in the last ulp
+    across engines). One window shuffle on lang."""
+    from pyspark.sql import Window
+
+    from webx.classifier import hashed_ngram_score
+
+    docs = synth.load_documents(spark, sf)
+    scored = hashed_ngram_score(_par(docs, spark), _QM_WEIGHTS, bias=_QM_BIAS)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    t = F.ntile(3).over(w)
+    bucket = (
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+    )
+    return scored.select("doc_id", "lang", "score", bucket.alias("bucket"))
+
+
+def q_dedup_against(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot dedup (webx/dedup.py dedup_against): keep only
+    documents whose text hash is absent from the prior corpus (here:
+    the doc_id%3==0 slice plays the accumulated dumps) — the rolling
+    "dedup dump N against dumps 1..N-1" pass of CCNet/RefinedWeb.
+    Prior side shrinks to distinct 8-byte hashes before the anti-join."""
+    from webx.dedup import dedup_against
+
+    docs = _par(synth.load_documents(spark, sf), spark)
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup_against(docs, prior, key="text").select("doc_id", "lang")
+
+
+def _asof_oracle_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "v AS (SELECT user_id, ts, event_id AS view_event_id, "
+        "value AS view_value FROM events WHERE event_type = 'view') "
+        "SELECT p.event_id, p.user_id, p.ts, v.view_event_id, "
+        "v.ts AS view_ts, v.view_value "
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"
+    )
+
+
+def _range_join_oracle_sql() -> str:
+    vals = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _RANGE_BANDS)
+    return (
+        f"SELECT e.event_id, e.value, b.band, "
+        f"CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi "
+        f"FROM events e JOIN (VALUES {vals}) b(lo, hi, band) "
+        f"ON e.value >= b.lo AND e.value < b.hi WHERE e.event_id < 2000"
+    )
+
+
+def _cms_oracle_sql(width: int = 64, depth: int = 4) -> str:
+    from webx import oracles as _o
+
+    cell = (
+        "((xsigned(xhash_int(r, xhash_long(xunsigned(user_id), 42::HUGEINT)))"
+        f" % {width}) + {width}) % {width}"
+    )
+    return _o.XXH64_MACROS + (
+        f"WITH rows_ AS (SELECT unnest(generate_series(0, {depth - 1})) AS r), "
+        f"cells AS (SELECT r AS row, {cell} AS cell "
+        "FROM events CROSS JOIN rows_), "
+        "sketch AS (SELECT row, cell, count(*) AS cnt FROM cells "
+        "GROUP BY row, cell), "
+        "probe AS (SELECT DISTINCT user_id FROM events), "
+        f"pcells AS (SELECT user_id, r AS row, {cell} AS cell "
+        "FROM probe CROSS JOIN rows_), "
+        "est AS (SELECT user_id, min(coalesce(s.cnt, 0)) AS estimate "
+        "FROM pcells p LEFT JOIN sketch s USING (row, cell) "
+        "GROUP BY user_id), "
+        "tru AS (SELECT user_id, count(*) AS n_true FROM events "
+        "GROUP BY user_id) "
+        "SELECT t.user_id, t.n_true, CAST(e.estimate AS BIGINT) AS estimate "
+        "FROM tru t JOIN est e USING (user_id)"
+    )
+
+
+def _quality_terciles_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    base = _quality_model_oracle_sql()[len(_o.XXH64_MACROS):]
+    return _o.XXH64_MACROS + (
+        f"WITH base AS ({base}) "
+        "SELECT doc_id, lang, score, "
+        "CASE NTILE(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) "
+        "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM (SELECT b.doc_id, d.lang, b.score FROM base b "
+        "JOIN documents d USING (doc_id))"
+    )
+
+
+def _dedup_against_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    return _o.XXH64_MACROS + (
+        "WITH dd AS (SELECT doc_id, text FROM documents), "
+        + _o.xxh64_str_ctes("dd", "doc_id", "text", "xh")
+        + " SELECT d.doc_id, d.lang FROM documents d JOIN xh USING (doc_id) "
+        "WHERE xh.h NOT IN (SELECT h FROM xh WHERE doc_id % 3 = 0)"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2260,6 +2440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soft404": q_soft404,
         "q_quality_model": q_quality_model,
         "q_frontier_schedule": q_frontier_schedule,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_cms_heavy": q_cms_heavy,
+        "q_quality_terciles": q_quality_terciles,
+        "q_dedup_against": q_dedup_against,
     }
 
 
@@ -3466,4 +3651,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(4 + doc_id % 4 AS INT) AS n_open_tags "
             "FROM documents"
         ),
+        "q_asof_join": _asof_oracle_sql(),
+        "q_range_join": _range_join_oracle_sql(),
+        "q_cms_heavy": _cms_oracle_sql(),
+        "q_quality_terciles": _quality_terciles_oracle_sql(),
+        "q_dedup_against": _dedup_against_oracle_sql(),
     }

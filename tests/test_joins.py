@@ -1,0 +1,164 @@
+"""as-of join and bucketed range join (webx/joins.py): semantics
+(ties, no-match NULLs, payload-NULL atomicity, boundary containment)
+and the physical-plan shapes that make them scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from webx.joins import asof_join, range_join_bucketed
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_backward_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00")), (2, 10, _ts("2024-01-01T12:00"))],
+        "lid int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T09:00"), "a"),
+            (10, _ts("2024-01-01T11:00"), "b"),
+            (10, _ts("2024-01-01T13:00"), "c"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, key="k", right_payload=("tag",))
+    rows = {r["lid"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "a", 2: "b"}  # never the future row "c"
+
+
+def test_asof_tie_matches_equal_ts(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T10:00"))], "lid int, k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01T10:00"), "same")], "k int, ts timestamp, tag string"
+    )
+    out = asof_join(left, right, key="k", right_payload=("tag",))
+    assert out.collect()[0]["tag"] == "same"  # ts >= right ts includes equality
+
+
+def test_asof_no_match_yields_nulls_and_keeps_left(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T10:00"))], "lid int, k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-02T10:00"), "later"), (6, _ts("2024-01-01T09:00"), "otherkey")],
+        "k int, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, key="k", right_payload=("tag",))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["tag"] is None
+
+
+def test_asof_null_payload_column_does_not_leak_older_row(spark):
+    """A NULL inside the matched row's payload must stay NULL — not be
+    back-filled from an older right row (the struct-carry contract)."""
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T12:00"))], "lid int, k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01T09:00"), "old"), (5, _ts("2024-01-01T11:00"), None)],
+        "k int, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, key="k", right_payload=("tag",))
+    assert out.collect()[0]["tag"] is None
+
+
+def test_asof_single_exchange_no_join_node(spark):
+    """The whole as-of is ONE hash exchange + window — no join operator,
+    no candidate-pair materialization."""
+    from tests.test_plans import nodes, plan_of
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    plan = plan_of(asof_join(left, right, key="k", right_payload=("rid",)))
+    assert nodes(plan, "SortMergeJoin") == 0
+    assert nodes(plan, "BroadcastHashJoin") == 0
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Window") == 1
+
+
+def test_range_join_boundaries_half_open(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 25.0), (5, -1.0)],
+        "rid int, v double",
+    )
+    iv = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "high")], "lo double, hi double, band string"
+    )
+    out = range_join_bucketed(df, iv, "v", bucket_width=4.0)
+    got = {r["rid"]: r["band"] for r in out.collect()}
+    # 25.0 is outside [10,25); -1 below all bands
+    assert got == {1: "low", 2: "low", 3: "high"}
+
+
+def test_range_join_overlapping_intervals_emit_all_matches(spark):
+    df = spark.createDataFrame([(1, 5.0)], "rid int, v double")
+    iv = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (4.0, 6.0, "b")], "lo double, hi double, band string"
+    )
+    out = range_join_bucketed(df, iv, "v", bucket_width=3.0)
+    assert sorted(r["band"] for r in out.collect()) == ["a", "b"]
+
+
+def test_range_join_matches_theta_join_on_random_data(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.uniform(-5, 105)) for i in range(300)]
+    df = spark.createDataFrame(rows, "rid int, v double")
+    iv_rows = []
+    lo = 0.0
+    for j in range(9):
+        hi = lo + rnd.uniform(0.5, 20)
+        iv_rows.append((lo, hi, f"b{j}"))
+        lo = hi
+    iv = spark.createDataFrame(iv_rows, "lo double, hi double, band string")
+    fast = range_join_bucketed(df, iv, "v", bucket_width=5.0)
+    slow = df.join(
+        iv, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    cols = ["rid", "v", "band", "lo", "hi"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, slow.select(cols).collect())
+    )
+
+
+def test_range_join_is_hash_join_not_bnlj(spark):
+    from tests.test_plans import nodes, plan_of
+
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    iv = spark.createDataFrame(
+        [(float(i * 10), float(i * 10 + 10), f"b{i}") for i in range(10)],
+        "lo double, hi double, band string",
+    )
+    plan = plan_of(range_join_bucketed(df, iv, "v", bucket_width=10.0))
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert nodes(plan, "CartesianProduct") == 0
+    assert (
+        nodes(plan, "BroadcastHashJoin") + nodes(plan, "SortMergeJoin") == 1
+    )
+
+
+def test_range_join_degenerate_interval_matches_nothing(spark):
+    df = spark.createDataFrame([(1, 3.0)], "rid int, v double")
+    iv = spark.createDataFrame([(3.0, 3.0, "empty")], "lo double, hi double, band string")
+    assert range_join_bucketed(df, iv, "v", bucket_width=2.0).count() == 0

@@ -428,3 +428,27 @@ def test_nfc_normalize_decomposed_and_fast_path(spark):
     assert out[2]["text_nfc"] == "café" and out[2]["nfc_changed"] == 1
     assert out[3]["text_nfc"] == "café" and out[3]["nfc_changed"] == 0
     assert out[4]["text_nfc"] is None
+
+
+def test_dedup_against_drops_prior_content_only(spark):
+    from webx.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "beta")],
+        "doc_id long, text string",
+    )
+    prior = spark.createDataFrame([(99, "beta"), (98, "delta")], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_against(new, prior).collect())
+    assert kept == [1, 3]  # both beta copies dropped, delta irrelevant
+
+
+def test_dedup_against_broadcast_path_same_result(spark):
+    from webx.dedup import dedup_against
+
+    new = spark.range(200).selectExpr("id AS doc_id", "concat('t', id % 50) AS text")
+    prior = spark.range(25).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    a = sorted(r["doc_id"] for r in dedup_against(new, prior).collect())
+    b = sorted(
+        r["doc_id"] for r in dedup_against(new, prior, broadcast_prior=True).collect()
+    )
+    assert a == b and len(a) == 100  # ids with id%50 >= 25

@@ -41,3 +41,75 @@ def test_global_no_groups(spark):
     df = spark.range(300).select((F.col("id") % 77).alias("v"))
     row = kmv_distinct(df, "v", k=128).first()
     assert (row["n_seen"], row["estimate"]) == (77, 77.0)
+
+
+def _freqs(df, key):
+    return {r[key]: r["n"] for r in df.groupBy(key).agg(F.count("*").alias("n")).collect()}
+
+
+def test_cms_never_undercounts_and_is_close(spark):
+    from webx.sketch import cms_build, cms_estimate
+
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    sketch = cms_build(df, "k", width=64, depth=4)
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, df, "k", width=64, depth=4).collect()
+    }
+    true = _freqs(df, "k")
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t  # the CMS one-sided guarantee
+        assert est[k] <= t + 2000  # trivially bounded by N
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct keys and collision-free cells, estimates
+    are exact counts."""
+    from webx.sketch import cms_build, cms_estimate
+
+    df = spark.range(500).select((F.col("id") % 5).alias("k"))
+    sketch = cms_build(df, "k", width=8192, depth=4)
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, df, "k", width=8192, depth=4).collect()
+    }
+    assert est == _freqs(df, "k")
+
+
+def test_cms_merge_equals_rebuild(spark):
+    """Summing two sketches cell-wise == sketching the union — the
+    mergeability that allows per-snapshot builds."""
+    from webx.sketch import cms_build
+
+    a = spark.range(0, 600).select((F.col("id") % 23).alias("k"))
+    b = spark.range(600, 1000).select((F.col("id") % 19).alias("k"))
+    merged = (
+        cms_build(a, "k", width=32, depth=3)
+        .unionByName(cms_build(b, "k", width=32, depth=3))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "k", width=32, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_weighted_build(spark):
+    from webx.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(1, 5), (1, 2), (2, 10)], "k long, w int")
+    sketch = cms_build(df, "k", width=1024, depth=3, weight_col="w")
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, df, "k", width=1024, depth=3).collect()
+    }
+    assert est == {1: 7, 2: 10}
+
+
+def test_cms_partition_independence(spark):
+    from webx.sketch import cms_build
+
+    df = spark.range(1000).select((F.col("id") % 41).alias("k"))
+    one = cms_build(df.coalesce(1), "k", width=64, depth=4)
+    many = cms_build(df.repartition(7), "k", width=64, depth=4)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))

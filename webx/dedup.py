@@ -747,3 +747,31 @@ def remove_duplicate_spans(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    prior: DataFrame,
+    key: str = "text",
+    broadcast_prior: bool = False,
+) -> DataFrame:
+    """Cross-snapshot exact dedup: rows of ``new`` whose ``key`` content
+    hash does NOT appear in ``prior`` — the "dedup dump N against dumps
+    1..N-1" pass every rolling crawl corpus runs (CCNet / RefinedWeb /
+    FineWeb all dedup new snapshots against the accumulated corpus).
+
+    Left-anti join on xxhash64(key): the prior side reduces to its
+    DISTINCT 8-byte hashes (not its texts) before the exchange, so the
+    shuffle moves 8 bytes/doc no matter the document size; set
+    ``broadcast_prior`` when the prior hash set fits an executor
+    (~10^7 hashes). At 10^10+ priors, persist the hash set bucketed by
+    ``fp`` so repeated snapshot arrivals skip its shuffle entirely.
+    Collision risk at 64 bits is ~n^2/2^65 (10^9 docs -> ~3%% chance of
+    ONE false drop corpus-wide) — the standard engineering trade; use
+    the 128-bit md5 variant of exact_dedup where that is unacceptable.
+    """
+    fp = F.xxhash64(F.col(key)).alias("fp")
+    prior_fp = prior.select(fp).distinct()
+    if broadcast_prior:
+        prior_fp = F.broadcast(prior_fp)
+    return new.withColumn("fp", fp).join(prior_fp, "fp", "left_anti").drop("fp")

@@ -134,3 +134,67 @@ def bloom_probe(
         F.col("bits").bitwiseAND(F.col("mask")) != 0
     )
     return probed.groupBy(key_col).agg(F.bool_and(hit).alias("maybe_seen"))
+
+
+def _cms_cells(key_col: str, width: int, depth: int):
+    """The depth CMS cells of a key: pmod(xxhash64(key, row), width)
+    for row 0..depth-1 — same seeded-fold shape as the bloom positions,
+    so the DuckDB oracle mirrors each row hash exactly."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(width))
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``key_col``
+    as a (row, cell, cnt) table of at most depth×width rows: each
+    occurrence increments cell ``pmod(xxhash64(key, row), width)`` in
+    every row. ONE hash aggregation whose input collapses map-side; the
+    sketch size is independent of both corpus and key cardinality — the
+    streaming-friendly frequency summary behind heavy-hitter and
+    join-size estimation at crawl scale. Point estimates overcount by
+    at most εN (ε ≈ e/width) with probability 1−δ (δ ≈ e^−depth) and
+    NEVER undercount. Deterministic under the fixed hash family, so the
+    oracle recomputes every estimate exactly.
+
+    Mergeable: sketches of two corpora union by summing matching
+    (row, cell) counts — the property that makes per-partition /
+    per-snapshot build-then-merge work without rescans."""
+    wgt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.posexplode(_cms_cells(key_col, width, depth)).alias("row", "cell"),
+        wgt.alias("_w"),
+    )
+    return cells.groupBy("row", "cell").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` → (key_col, estimate):
+    min over the depth rows of the key's cell counts (missing cell =
+    0). The sketch side broadcasts by default (≤ depth×width rows);
+    the probe is one narrow explode + hash join + min aggregate."""
+    sk = F.broadcast(sketch) if broadcast_sketch else sketch
+    probe = keys.select(key_col).distinct().select(
+        key_col, F.posexplode(_cms_cells(key_col, width, depth)).alias("row", "cell")
+    )
+    return (
+        probe.join(sk, ["row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

@@ -2319,6 +2319,210 @@ def _dedup_against_oracle_sql() -> str:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (2h window / 30min slide): every
+    event lands in exactly 4 epoch-aligned windows — `F.window` with a
+    slide, the structured-streaming window shape run in batch. The
+    oracle replays the window grid with integer microsecond arithmetic
+    (epoch_us // slide), no float time math."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = F.window("ts", "2 hours", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def q_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from the event
+    stream: per user, each event's state is valid [ts, next ts) with an
+    open current row — `lead` over (user_id, ts), the standard
+    upsert-log → validity-interval rewrite (one window shuffle on the
+    key, no self-join)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: stage k
+    counts users whose first stage-k event follows their first
+    stage-(k-1) event. Three tiny per-user aggregates chained by
+    broadcast joins — each stage's frame is ≤ one row per user, so at
+    10^9 users this is three hash aggs on the user key and nothing
+    quadratic."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{etype}"))
+        )
+
+    views = first_after("view", None, None)
+    clicks = first_after("click", views, "t_view")
+    buys = first_after("purchase", clicks, "t_click")
+    return (
+        views.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(buys.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+def q_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day trailing revenue per event type: a RANGE-frame window over
+    the day's epoch seconds (rangeBetween −6d..0) on top of a daily
+    pre-aggregate — the pre-agg collapses the corpus to days×types
+    rows BEFORE the window, so the sort is trivial at any scale.
+    Integer cents end-to-end; the trailing average divides two exact
+    integers once."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("day_cents"))
+    sec = F.unix_timestamp("day")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    roll = F.sum("day_cents").over(w)
+    ndays = F.count("*").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "day_cents",
+        roll.alias("trailing7_cents"),
+        (roll.cast("double") / ndays).alias("trailing7_avg_cents"),
+    )
+
+
+def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches (the
+    AMS/CM inner-product): |events ⋈ orders on user/cust key| estimated
+    without running the join, alongside the true size — the
+    sketch-level answer to sizing a shuffle before paying for it."""
+    from webx.sketch import cms_build, cms_join_size
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    sa = cms_build(ev, "user_id", width=256, depth=4)
+    sb = cms_build(orders, "user_id", width=256, depth=4)
+    est = cms_join_size(sa, sb)
+    true = (
+        ev.select("user_id")
+        .join(orders, "user_id")
+        .agg(F.count("*").alias("true_join_size"))
+    )
+    return est.crossJoin(true)
+
+
+def _sliding_window_oracle_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events), "
+        "g AS (SELECT event_type, value, "
+        "make_timestamp(((us // 1800000000) - i) * 1800000000) AS window_start "
+        "FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)) "
+        "SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, "
+        "event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM g GROUP BY window_start, event_type"
+    )
+
+
+def _scd2_oracle_sql() -> str:
+    return (
+        "SELECT event_id, user_id, ts AS effective_from, "
+        "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to, "
+        "CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS INT) "
+        "AS is_current FROM events"
+    )
+
+
+def _funnel_oracle_sql() -> str:
+    return (
+        "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id) "
+        "SELECT (SELECT count(*) FROM v) AS n_viewed, "
+        "(SELECT count(*) FROM c) AS n_clicked_after_view, "
+        "(SELECT count(*) FROM p) AS n_purchased_after_click"
+    )
+
+
+def _rolling_avg_oracle_sql() -> str:
+    return (
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents "
+        "FROM events GROUP BY day, event_type), "
+        "w AS (SELECT day, event_type, day_cents, "
+        "CAST(sum(day_cents) OVER fr AS BIGINT) AS trailing7_cents, "
+        "count(*) OVER fr AS n_days FROM daily "
+        "WINDOW fr AS (PARTITION BY event_type "
+        "ORDER BY CAST(epoch(day) AS BIGINT) "
+        "RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)) "
+        "SELECT day, event_type, day_cents, trailing7_cents, "
+        "CAST(trailing7_cents AS DOUBLE) / n_days AS trailing7_avg_cents FROM w"
+    )
+
+
+def _cms_join_size_oracle_sql(width: int = 256, depth: int = 4) -> str:
+    from webx import oracles as _o
+
+    cell = (
+        "((xsigned(xhash_int(r, xhash_long(xunsigned(user_id), 42::HUGEINT)))"
+        f" % {width}) + {width}) % {width}"
+    )
+    return _o.XXH64_MACROS + (
+        f"WITH rows_ AS (SELECT unnest(generate_series(0, {depth - 1})) AS r), "
+        f"ca AS (SELECT r AS row, {cell} AS cell "
+        "FROM events CROSS JOIN rows_), "
+        "sa AS (SELECT row, cell, count(*) AS cnt FROM ca GROUP BY row, cell), "
+        "ob AS (SELECT o_custkey AS user_id FROM orders), "
+        f"cb AS (SELECT r AS row, {cell} AS cell FROM ob CROSS JOIN rows_), "
+        "sb AS (SELECT row, cell, count(*) AS cnt FROM cb GROUP BY row, cell), "
+        "ip AS (SELECT sa.row, sum(sa.cnt * sb.cnt) AS ip FROM sa "
+        "JOIN sb USING (row, cell) GROUP BY sa.row), "
+        "tru AS (SELECT count(*) AS true_join_size FROM events e "
+        "JOIN ob USING (user_id)) "
+        "SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS join_size_est, "
+        "(SELECT true_join_size FROM tru) AS true_join_size"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2445,6 +2649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy": q_cms_heavy,
         "q_quality_terciles": q_quality_terciles,
         "q_dedup_against": q_dedup_against,
+        "q_sliding_window": q_sliding_window,
+        "q_scd2": q_scd2,
+        "q_funnel": q_funnel,
+        "q_rolling_avg": q_rolling_avg,
+        "q_cms_join_size": q_cms_join_size,
     }
 
 
@@ -3656,4 +3865,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_heavy": _cms_oracle_sql(),
         "q_quality_terciles": _quality_terciles_oracle_sql(),
         "q_dedup_against": _dedup_against_oracle_sql(),
+        "q_sliding_window": _sliding_window_oracle_sql(),
+        "q_scd2": _scd2_oracle_sql(),
+        "q_funnel": _funnel_oracle_sql(),
+        "q_rolling_avg": _rolling_avg_oracle_sql(),
+        "q_cms_join_size": _cms_join_size_oracle_sql(),
     }

@@ -149,3 +149,26 @@ def test_inverted_index_caps_postings_before_collect(spark, queries):
     plan = plan_of(queries["q_inverted_index"](spark, SF))
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "collect_list" in plan
+
+
+def test_scd2_single_exchange_window(spark, queries):
+    plan = plan_of(queries["q_scd2"](spark, SF))
+    assert nodes(plan, "Exchange") == 1
+    assert nodes(plan, "Window") == 1
+    assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_rolling_avg_window_sits_on_daily_preagg(spark, queries):
+    """The RANGE-frame window must consume the days×types pre-aggregate,
+    not the raw event stream — the corpus collapses BEFORE the sort."""
+    plan = plan_of(queries["q_rolling_avg"](spark, SF))
+    assert nodes(plan, "Window") == 1
+    assert nodes(plan, "HashAggregate") >= 2  # partial+final daily agg
+    # window's sort input is the aggregated frame: no second window pass
+    assert nodes(plan, "Exchange") <= 2
+
+
+def test_funnel_stage_joins_broadcast(spark, queries):
+    plan = plan_of(queries["q_funnel"](spark, SF))
+    assert nodes(plan, "BroadcastHashJoin") >= 2
+    assert nodes(plan, "SortMergeJoin") == 0

@@ -113,3 +113,22 @@ def test_cms_partition_independence(spark):
     one = cms_build(df.coalesce(1), "k", width=64, depth=4)
     many = cms_build(df.repartition(7), "k", width=64, depth=4)
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_cms_join_size_never_undercounts_exact_when_wide(spark):
+    from webx.sketch import cms_build, cms_join_size
+
+    a = spark.range(300).select((F.col("id") % 30).alias("k"))
+    b = spark.range(200).select((F.col("id") % 20).alias("k"))
+    true = a.join(b, "k").count()
+    # narrow sketch: collisions inflate, never deflate
+    est_narrow = cms_join_size(
+        cms_build(a, "k", width=16, depth=3), cms_build(b, "k", width=16, depth=3)
+    ).collect()[0]["join_size_est"]
+    assert est_narrow >= true
+    # wide sketch: collision-free -> exact inner product
+    est_wide = cms_join_size(
+        cms_build(a, "k", width=4096, depth=3),
+        cms_build(b, "k", width=4096, depth=3),
+    ).collect()[0]["join_size_est"]
+    assert est_wide == true

@@ -198,3 +198,21 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    with the SAME (width, depth, key type): |A ⋈ B| ≈ min over rows of
+    Σ_cell cntA·cntB (the AMS/CM inner-product estimator, Cormode &
+    Muthukrishnan 2005 §4.2) — never an undercount. ONE row out. This
+    is the shuffle-free answer to "how big would this join be" that a
+    planner (or a human sizing spark.sql.shuffle.partitions) wants
+    BEFORE paying for the join: sketches are depth×width rows, the
+    estimate joins them cell-wise and folds."""
+    prod = (
+        a.alias("a")
+        .join(b.alias("b"), ["row", "cell"], "inner")
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return prod.agg(F.min("ip").alias("join_size_est"))

@@ -2523,6 +2523,58 @@ def _cms_join_size_oracle_sql(width: int = 256, depth: int = 4) -> str:
     )
 
 
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit salt-bucket skew join (webx/joins.py salted_join):
+    events × customer-segment dim on the skew-prone user key, big side
+    salted by a whole-row hash (deterministic — replayable shuffles,
+    unlike rand() salts), small side replicated ×8. Semantically a
+    plain equi-join (the oracle), physically a (key, salt) join that
+    spreads any mega-key across 8 tasks where AQE skew handling cannot
+    reach (streaming stages, non-SMJ paths)."""
+    from webx.joins import salted_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = salted_join(ev, dim, key="user_id", salt_buckets=8)
+    return out.select("event_id", "user_id", "value", "c_mktsegment")
+
+
+def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (user_id, event second) —
+    the ZORDER BY clustering key as a deterministic column
+    (webx/layout.py): extract-and-multiply interleave, no shifted data
+    bits, engine-exact. Feed to repartitionByRange+sortWithinPartitions
+    (cluster_by_zorder) to make file min/max stats tight on BOTH
+    dimensions at write time."""
+    from webx.layout import zorder_key
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), F.unix_timestamp("ts"), bits=31).alias(
+            "zval"
+        ),
+    )
+
+
+def _salted_join_oracle_sql() -> str:
+    return (
+        "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from webx.layout import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "CAST(floor(epoch(ts)) AS BIGINT)", bits=31)
+    return f"SELECT event_id, {z} AS zval FROM events"
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2654,6 +2706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_rolling_avg": q_rolling_avg,
         "q_cms_join_size": q_cms_join_size,
+        "q_salted_join": q_salted_join,
+        "q_zorder": q_zorder,
     }
 
 
@@ -3870,4 +3924,6 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel": _funnel_oracle_sql(),
         "q_rolling_avg": _rolling_avg_oracle_sql(),
         "q_cms_join_size": _cms_join_size_oracle_sql(),
+        "q_salted_join": _salted_join_oracle_sql(),
+        "q_zorder": _zorder_oracle_sql(),
     }

@@ -162,3 +162,41 @@ def test_range_join_degenerate_interval_matches_nothing(spark):
     df = spark.createDataFrame([(1, 3.0)], "rid int, v double")
     iv = spark.createDataFrame([(3.0, 3.0, "empty")], "lo double, hi double, band string")
     assert range_join_bucketed(df, iv, "v", bucket_width=2.0).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from webx.joins import salted_join
+
+    big = spark.range(500).select(
+        F.col("id").alias("rid"), (F.col("id") % 13).alias("k")
+    )
+    small = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(13)], "k long, tag string"
+    )
+    plain = big.join(small, "k").select("rid", "k", "tag")
+    salted = salted_join(big, small, key="k", salt_buckets=8).select(
+        "rid", "k", "tag"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from webx.joins import salted_join
+
+    big = spark.createDataFrame([(1, 10), (2, 99)], "rid int, k int")
+    small = spark.createDataFrame([(10, "hit")], "k int, tag string")
+    out = {r["rid"]: r["tag"] for r in salted_join(big, small, "k", 4, "left").collect()}
+    assert out == {1: "hit", 2: None}
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    """Same input → same bucket assignment (replayable shuffles); also
+    a mega-key must actually spread across buckets."""
+    from pyspark.sql import functions as F2
+
+    big = spark.range(1000).select(F2.col("id").alias("rid"), F2.lit(7).alias("k"))
+    salt = F2.pmod(F2.xxhash64(*[F2.col(c) for c in big.columns]), F2.lit(8))
+    a = big.withColumn("s", salt).groupBy("s").count().collect()
+    b = big.withColumn("s", salt).groupBy("s").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 8  # the single hot key spreads over all buckets

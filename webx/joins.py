@@ -138,3 +138,39 @@ def range_join_bucketed(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return joined.drop("_bucket")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: every big-side row picks a deterministic
+    salt bucket ``pmod(xxhash64(<all columns>), S)`` and the SMALL side
+    replicates ×S so every (key, bucket) pair exists; the join key
+    becomes (key, bucket), so a mega-key's rows spread across S tasks
+    instead of serializing in one.
+
+    The salt hashes the WHOLE row rather than using ``rand()`` —
+    identical rows share a bucket (harmless: spread is what matters,
+    not per-row perfection) and the same input always shuffles the
+    same way, so checkpoint/resume and A/B runs see identical
+    partitioning. ``rand()``-salted plans are not replayable.
+
+    This is the manual fallback for engines/paths where AQE skew-join
+    does not reach (AQE only splits SORT-MERGE partitions post-shuffle
+    and needs runtime stats; a streaming stage or a forced broadcast
+    miss gets nothing). ``how`` supports inner/left joins (the
+    replicate-small trick preserves both).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

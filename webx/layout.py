@@ -1,0 +1,81 @@
+"""Data-layout keys — Z-order (Morton) interleaving for multi-dim file
+clustering.
+
+At 100 TB the scan you never do is the cheapest operator: engines skip
+parquet files whose min/max stats exclude the predicate, and min/max
+stats are only tight when rows with nearby values are physically
+together. Sorting by one column makes ONE predicate skippable; Z-order
+interleaves the bits of two columns so files are tight on BOTH — the
+``OPTIMIZE … ZORDER BY`` of Delta/Iceberg, implemented here as a plain
+deterministic column + ``repartitionByRange`` so it works on any sink.
+
+``zorder_key`` avoids left-shifting data bits entirely: each input bit
+is extracted with a right-shift and multiplied by a literal power of
+two — no sign-bit or overflow edge in either Spark or the DuckDB
+oracle, bit-identical across engines. Inputs are clamped to
+``bits`` ≤ 31 low bits (62-bit result in a signed 64-bit long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(a, b, bits: int = 31) -> Column:
+    """Morton interleave of the low ``bits`` bits of integer columns
+    ``a`` (even positions) and ``b`` (odd positions) → non-negative
+    BIGINT. Values are masked to ``bits`` first (callers bucket/scale
+    wider domains down; rank-based normalization is the production
+    recipe for arbitrary distributions)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    mask = (1 << bits) - 1
+    a = a.cast("long").bitwiseAND(F.lit(mask))
+    b = b.cast("long").bitwiseAND(F.lit(mask))
+    terms = []
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        terms.append(bit_a * F.lit(1 << (2 * i)))
+        terms.append(bit_b * F.lit(1 << (2 * i + 1)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_key_sql(a_expr: str, b_expr: str, bits: int = 31) -> str:
+    """DuckDB mirror of :func:`zorder_key` — identical extract-and-
+    multiply arithmetic, so the oracle recomputes keys bit-for-bit."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    mask = (1 << bits) - 1
+    a = f"(CAST({a_expr} AS BIGINT) & {mask})"
+    b = f"(CAST({b_expr} AS BIGINT) & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    a: str,
+    b: str,
+    num_files: int,
+    bits: int = 31,
+    key_col: str = "_zorder",
+) -> DataFrame:
+    """Physically cluster ``df`` for a multi-dim-filterable layout:
+    range-partition on the Morton key into ``num_files`` buckets and
+    sort within each — one range exchange (sampled boundaries), then
+    each output file's min/max stats are tight on BOTH ``a`` and ``b``.
+    Write the result with any file sink; drop ``key_col`` afterwards if
+    the key itself is not wanted."""
+    keyed = df.withColumn(key_col, zorder_key(a, b, bits))
+    return keyed.repartitionByRange(num_files, key_col).sortWithinPartitions(
+        key_col
+    )

@@ -2575,6 +2575,26 @@ def _zorder_oracle_sql() -> str:
     return f"SELECT event_id, {z} AS zval FROM events"
 
 
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's KMeans (webx/kmeans.py), 8 clusters × 3
+    iterations, bit-exact across engines: integer-quantized coords make
+    the update order-independent, pinned-fold double L2 makes the
+    argmin reproducible, empty clusters keep their centroid. The oracle
+    replays ALL THREE iterations as unrolled CTEs — the iterative
+    algorithm category done with a full value oracle instead of the
+    sanctioned rows-only fallback."""
+    from webx.kmeans import kmeans_lloyd
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    return kmeans_lloyd(emb, k=8, iters=3, scale=1024)
+
+
+def _kmeans_oracle_sql() -> str:
+    from webx.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=3, scale=1024)
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2708,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_join_size": q_cms_join_size,
         "q_salted_join": q_salted_join,
         "q_zorder": q_zorder,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -3926,4 +3947,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_join_size": _cms_join_size_oracle_sql(),
         "q_salted_join": _salted_join_oracle_sql(),
         "q_zorder": _zorder_oracle_sql(),
+        "q_kmeans": _kmeans_oracle_sql(),
     }

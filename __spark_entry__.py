@@ -2595,6 +2595,314 @@ def _kmeans_oracle_sql() -> str:
     return kmeans_oracle_sql(k=8, iters=3, scale=1024)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide per-user activity matrix via `groupBy().pivot()` with an
+    EXPLICIT value list — the form that stays one pass (implicit pivot
+    runs a distinct-scan job first to discover columns, a silent extra
+    stage at crawl scale). Missing cells coalesce to 0."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Melt the wide matrix back to (user_id, event_type, n) with
+    `DataFrame.unpivot` (Spark's STACK/UNPIVOT relational op) —
+    round-tripping the pivot proves both directions; zero-count cells
+    survive the melt (they exist as rows, unlike the raw group-by)."""
+    wide = q_pivot(spark, sf)
+    out = wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in _EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return out.select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of event values via `width_bucket` — the
+    one-pass profiling shape (bucket id is a pure projection, ONE
+    hash agg; no sort, no percentile buffer)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    b = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(20))
+    return (
+        ev.select(b.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo_seen"),
+            F.max("value").alias("hi_seen"),
+        )
+    )
+
+
+def q_length_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-language length outliers: median + MAD (median
+    absolute deviation), flag docs beyond median + 3·1.4826·MAD — the
+    outlier gate that, unlike mean/stddev, a few megadocs cannot drag.
+    Exact `percentile` twice (both interpolations proven ≡ DuckDB
+    quantile_cont); per-lang stats broadcast back. Same scale caveat
+    as q_length_percentiles: approx_percentile is the 100× path."""
+    docs = synth.load_documents(spark, sf).select("doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.5).alias("med")
+    )
+    with_med = docs.join(F.broadcast(med), "lang")
+    mad = with_med.groupBy("lang").agg(
+        F.percentile(F.abs(F.col("n_chars") - F.col("med")), 0.5).alias("mad")
+    )
+    out = with_med.join(F.broadcast(mad), "lang")
+    thresh = F.col("med") + F.lit(3 * 1.4826) * F.col("mad")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars").cast("double") > thresh).cast("int").alias("is_outlier"),
+    )
+
+
+def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic planted host multigraph from document arithmetic:
+    src = doc_id%7, dst = (src + 1 + doc_id%3) % 7 — varied in/out
+    degrees, no self-loops, engine-mirrorable."""
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    src = (F.col("doc_id") % 7).cast("int")
+    dst = ((src + 1 + F.col("doc_id") % 3) % 7).cast("int")
+    return (
+        docs.select(src.alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+_HOST_EDGES_SQL = (
+    "SELECT CAST(doc_id % 7 AS INT) AS src, "
+    "CAST((doc_id % 7 + 1 + doc_id % 3) % 7 AS INT) AS dst, "
+    "count(*) AS w FROM documents GROUP BY 1, 2"
+)
+
+
+def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the undirected host graph — the
+    degree-ordered formulation: canonicalize each edge to (lo, hi),
+    then the two-join wedge closure only over ordered triples a<b<c,
+    so every triangle is produced exactly once and the join fan-out is
+    bounded by the ordered adjacency (the standard web-graph clustering
+    -coefficient input at scale)."""
+    e = _host_edges(spark, sf)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node
+
+
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the weighted host
+    graph, TWO unnormalized iterations in exact integer arithmetic —
+    float HITS normalizes by an L2 norm each step (order-dependent
+    sums, not oracle-able); deferring normalization keeps every
+    intermediate an integer, so the oracle replays both iterations
+    bit-for-bit. Each half-step is one edge join + sum aggregation —
+    the same shuffle shape PageRank pays."""
+    e = _host_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # h0 = 1 for all nodes
+    a1 = e.groupBy("dst").agg(F.sum("w").alias("auth"))  # Σ_{u→v} w·h0(u)
+    h1 = (
+        e.join(a1, e.dst == a1.dst)
+        .groupBy("src")
+        .agg(F.sum(F.col("w") * F.col("auth")).alias("hub"))
+    )
+    a2 = (
+        e.join(h1, e.src == h1.src)
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") * F.col("hub")).alias("auth"))
+    )
+    return (
+        nodes.join(a2.withColumnRenamed("dst", "node"), "node", "left")
+        .join(h1.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).alias("authority"),
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+        )
+    )
+
+
+def q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| for adjacent
+    doc pairs — the measure that catches quotation/syndication
+    (a short doc fully inside a long one scores ~1 one way, low the
+    other; symmetric Jaccard misses it, Broder 1997's resemblance vs
+    containment distinction). Distinct word-3-shingle sets, exact
+    integer intersection, one double division per direction."""
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    toks = F.split(F.trim("text"), "[ \\t\\r\\n]+")
+    sh = F.array_distinct(
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    s = docs.select("doc_id", sh.alias("sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 1
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("n_common"),
+        F.size("a.sh").alias("n_a"),
+        F.size("b.sh").alias("n_b"),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        (F.col("n_common") / F.col("n_a")).alias("containment_a"),
+        (F.col("n_common") / F.col("n_b")).alias("containment_b"),
+    )
+
+
+def _pivot_oracle_sql() -> str:
+    cols = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+def _unpivot_oracle_sql() -> str:
+    return (
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "t AS (SELECT unnest(main.list_value("
+        + ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+        + ")) AS event_type), "
+        "c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+        "GROUP BY user_id, event_type) "
+        "SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n "
+        "FROM u CROSS JOIN t LEFT JOIN c USING (user_id, event_type)"
+    )
+
+
+def _value_histogram_oracle_sql() -> str:
+    # DuckDB has no width_bucket; mirror Spark's arithmetic exactly:
+    # bucket = floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1
+    return (
+        "SELECT (CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 21 "
+        "ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END) AS bucket, "
+        "count(*) AS n, min(value) AS lo_seen, max(value) AS hi_seen "
+        "FROM events GROUP BY 1"
+    )
+
+
+def _length_outliers_oracle_sql() -> str:
+    return (
+        "WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY lang), "
+        "wm AS (SELECT d.doc_id, d.lang, d.n_chars, m.med FROM documents d "
+        "JOIN med m USING (lang)), "
+        "mad AS (SELECT lang, quantile_cont(abs(n_chars - med), 0.5) AS mad "
+        "FROM wm GROUP BY lang) "
+        "SELECT w.doc_id, w.lang, w.n_chars, "
+        "CAST(CAST(w.n_chars AS DOUBLE) > (w.med + 3 * 1.4826 * m.mad) AS INT) "
+        "AS is_outlier FROM wm w JOIN mad m USING (lang)"
+    )
+
+
+def _triangles_oracle_sql() -> str:
+    return (
+        f"WITH e AS ({_HOST_EDGES_SQL}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM e WHERE src <> dst), "
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM und e1 JOIN und e2 ON e1.b = e2.a "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT node, count(*) AS n_triangles FROM ("
+        "SELECT unnest(main.list_value(x, y, z)) AS node FROM tri) "
+        "GROUP BY node"
+    )
+
+
+def _hits_oracle_sql() -> str:
+    return (
+        f"WITH e AS ({_HOST_EDGES_SQL}), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "a1 AS (SELECT dst, sum(w) AS auth FROM e GROUP BY dst), "
+        "h1 AS (SELECT e.src, sum(e.w * a1.auth) AS hub FROM e "
+        "JOIN a1 USING (dst) GROUP BY e.src), "
+        "a2 AS (SELECT e.dst, sum(e.w * h1.hub) AS auth FROM e "
+        "JOIN h1 USING (src) GROUP BY e.dst) "
+        "SELECT n.node, COALESCE(a2.auth, 0) AS authority, "
+        "COALESCE(h1.hub, 0) AS hub FROM nodes n "
+        "LEFT JOIN a2 ON a2.dst = n.node LEFT JOIN h1 ON h1.src = n.node"
+    )
+
+
+def _containment_oracle_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL}) AS t FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+        "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+        "ELSE main.list_value() END AS sh FROM toks) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common, "
+        "CAST(len(a.sh) AS INT) AS n_a, CAST(len(b.sh) AS INT) AS n_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) "
+        "AS containment_a, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) "
+        "AS containment_b "
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2729,6 +3037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_zorder": q_zorder,
         "q_kmeans": q_kmeans,
+        "q_pivot": q_pivot,
+        "q_unpivot": q_unpivot,
+        "q_value_histogram": q_value_histogram,
+        "q_length_outliers": q_length_outliers,
+        "q_triangles": q_triangles,
+        "q_hits": q_hits,
+        "q_containment": q_containment,
     }
 
 
@@ -3948,4 +4263,11 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_join": _salted_join_oracle_sql(),
         "q_zorder": _zorder_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
+        "q_pivot": _pivot_oracle_sql(),
+        "q_unpivot": _unpivot_oracle_sql(),
+        "q_value_histogram": _value_histogram_oracle_sql(),
+        "q_length_outliers": _length_outliers_oracle_sql(),
+        "q_triangles": _triangles_oracle_sql(),
+        "q_hits": _hits_oracle_sql(),
+        "q_containment": _containment_oracle_sql(),
     }

@@ -200,3 +200,52 @@ def test_salted_join_salt_is_deterministic(spark):
     b = big.withColumn("s", salt).groupBy("s").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 8  # the single hot key spreads over all buckets
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Cross-check the union-window as-of against pandas merge_asof
+    (an independent implementation) over 30 random key/time layouts.
+    One Spark job total: all cases are unioned into a single frame and
+    keyed by case id (hypothesis-style coverage without 30 sessions)."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(1234)
+    lrows, rrows = [], []
+    for case in range(30):
+        nl, nr = rnd.randint(0, 8), rnd.randint(0, 8)
+        for i in range(nl):
+            lrows.append((case, i, rnd.randint(0, 3), rnd.randint(0, 100)))
+        for j in range(nr):
+            rrows.append((case, rnd.randint(0, 3), rnd.randint(0, 100), j * 11))
+    left = spark.createDataFrame(lrows, "case int, lid int, k int, ts long")
+    right = (
+        spark.createDataFrame(rrows, "case int, k int, ts long, payload int")
+        .groupBy("case", "k", "ts")
+        .agg(F.max("payload").alias("payload"))  # unique per (key, ts)
+    )
+    from webx.joins import asof_join
+
+    # composite key via a single string col (case|k)
+    lc = left.withColumn("ck", F.concat_ws("|", "case", "k"))
+    rc = right.withColumn("ck", F.concat_ws("|", "case", "k"))
+    got = {
+        (r["case"], r["lid"]): r["payload"]
+        for r in asof_join(
+            lc, rc, key="ck", right_payload=("payload",)
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["case", "lid", "k", "ts"]).sort_values("ts")
+    rpd = (
+        pd.DataFrame(rrows, columns=["case", "k", "ts", "payload"])
+        .groupby(["case", "k", "ts"], as_index=False)["payload"]
+        .max()
+        .sort_values("ts")
+    )
+    exp_df = pd.merge_asof(
+        lpd, rpd, on="ts", by=["case", "k"], direction="backward"
+    )
+    for _, row in exp_df.iterrows():
+        want = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[(row["case"], row["lid"])] == want

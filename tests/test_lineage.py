@@ -203,3 +203,29 @@ def test_snapshot_id_tracks_input_content(tmp_path):
     _time.sleep(0.01)
     (d / "part-0.parquet").write_bytes(b"bbb!")  # new size+mtime
     assert snapshot_id_for_path(str(d)) != a
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    from webx.lineage import compact_parquet
+
+    p = str(tmp_path / "frag")
+    df = spark.range(5000).selectExpr("id", "concat('x', id % 97) AS s")
+    df.repartition(24).write.parquet(p)
+    import os
+
+    before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert before >= 20
+    stats = compact_parquet(spark, p, target_file_bytes=10**9)
+    assert stats["files_after"] < before and not stats["skipped"]
+    back = spark.read.parquet(p)
+    assert back.count() == 5000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_skips_when_already_compact(spark, tmp_path):
+    from webx.lineage import compact_parquet
+
+    p = str(tmp_path / "ok")
+    spark.range(100).coalesce(1).write.parquet(p)
+    stats = compact_parquet(spark, p, target_file_bytes=10**9)
+    assert stats["skipped"] and stats["files_after"] == stats["files_before"]

@@ -386,3 +386,49 @@ def incremental_extract(
     # the extractor's column order.
     common = [c for c in fresh.columns if c in set(carried.columns)]
     return fresh.select(*common).unionByName(carried.select(*common)), diff
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (floor
+    ``min_files``). Long-running incremental pipelines accrete one
+    file per task per run; at 10^5+ files the NameNode/manifest
+    listing and per-file open overhead dominate scan time — periodic
+    compaction is the standard hygiene (Iceberg rewrite_data_files;
+    this is its plain-parquet analog).
+
+    Rewrites via a temp sibling directory + atomic-ish rename swap so
+    a crash mid-compaction never leaves the original truncated; reads
+    see either the old or the new layout. Returns {files_before,
+    files_after, bytes} for lineage records. Coalesce (no shuffle) is
+    used — target counts only ever shrink the file count."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    if n_out >= len(files):
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes": total, "skipped": True}
+    tmp = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".compact_old"
+    df = spark.read.parquet(path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total, "skipped": False}

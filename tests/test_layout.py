@@ -83,3 +83,36 @@ def test_cluster_by_zorder_tightens_both_dims(spark):
     # random layout would have span ~63 on both; z-order keeps both
     # bounded well below the full domain
     assert avg_sa < 40 and avg_sb < 40
+
+
+def test_pruning_report_sorted_vs_scattered(spark, tmp_path):
+    """Real-footer evidence for the layout claim: a range-partitioned
+    sort lets parquet min/max stats skip ~everything outside a narrow
+    predicate; the same rows hash-scattered skip nothing."""
+    from webx.layout import pruning_report
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    sorted_p = str(tmp_path / "sorted")
+    scattered_p = str(tmp_path / "scattered")
+    df.repartitionByRange(10, "k").write.parquet(sorted_p)
+    df.repartition(10).write.parquet(scattered_p)
+    good = pruning_report(sorted_p, "k", 0, 999)
+    bad = pruning_report(scattered_p, "k", 0, 999)
+    assert good["n_files"] >= 10 and good["skip_fraction"] >= 0.8
+    assert bad["skip_fraction"] == 0.0
+
+
+def test_pruning_report_zorder_skips_on_both_dims(spark, tmp_path):
+    from webx.layout import cluster_by_zorder, pruning_report
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("a"), F.floor(F.col("id") / 128).alias("b")
+    )
+    p = str(tmp_path / "z")
+    cluster_by_zorder(df, "a", "b", num_files=16, bits=8).write.parquet(p)
+    ra = pruning_report(p, "a", 0, 15)
+    rb = pruning_report(p, "b", 0, 15)
+    # both dimensions must show real skipping from one layout
+    assert ra["skip_fraction"] >= 0.5, ra
+    assert rb["skip_fraction"] >= 0.5, rb

@@ -328,3 +328,87 @@ def test_host_rate_windows_watermark_and_parity(spark, tmp_path):
     }
     for k, v in batch_tw.items():
         assert got.get(k) == v, k
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from webx.streaming import enrich_stream, read_events_stream
+
+    inp, out, ck = (str(tmp_path / p) for p in ("in", "out", "ck"))
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 3, "view", 1.0, "{}")
+        for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("append").parquet(inp)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    q = (
+        enrich_stream(read_events_stream(spark, inp), dim)
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, ev.join(dim, "user_id").select("event_id", "user_id", "tier").collect())
+    )
+    assert got == want
+
+
+def test_stream_stream_join_pairs_within_window_only(spark, tmp_path):
+    import datetime as dt
+
+    from webx.streaming import read_events_stream, stream_stream_join
+
+    lin, rin, out, ck = (str(tmp_path / p) for p in ("l", "r", "out", "ck"))
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def ev(i, minutes, uid):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, "x", 0.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # views at t+0 (u1), t+5 (u2); purchases at t+10 (u1, in-window),
+    # t+50 (u2, OUTSIDE the 30-min window), t+12 (u3, no view)
+    spark.createDataFrame([ev(1, 0, 1), ev(2, 5, 2)], schema).write.mode(
+        "append"
+    ).parquet(lin)
+    spark.createDataFrame(
+        [ev(100, 10, 1), ev(101, 50, 2), ev(102, 12, 3)], schema
+    ).write.mode("append").parquet(rin)
+    q = (
+        stream_stream_join(
+            read_events_stream(spark, lin),
+            read_events_stream(spark, rin),
+            max_delay="30 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 1, 100)]

@@ -111,3 +111,50 @@ def read_bucketed(spark, table: str) -> DataFrame:
     spec; reading the files directly would silently drop it and
     re-introduce the shuffle)."""
     return spark.table(table)
+
+
+def pruning_report(path: str, column: str, lo, hi) -> dict:
+    """Measure data-skipping potential from REAL parquet footers: for a
+    predicate ``column BETWEEN lo AND hi``, a file whose [min, max]
+    stats exclude the range is never opened by the scan. Returns
+    {n_files, n_skipped, skip_fraction}. This is the observable the
+    layout operators exist to move: after ``cluster_by_zorder`` /
+    sort-on-write, skip_fraction for selective predicates approaches
+    (1 − selectivity); a hash-scattered layout pins it at 0 because
+    every file spans the whole domain. Files without stats count as
+    unskippable (the engines' conservative behavior)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    n_skipped = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == column:
+                idx = i
+                break
+        if idx is None:
+            raise ValueError(f"column {column!r} not in {f}")
+        fmin = fmax = None
+        have = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                have = False
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if have and fmin is not None and (fmax < lo or fmin > hi):
+            n_skipped += 1
+    return {
+        "n_files": len(files),
+        "n_skipped": n_skipped,
+        "skip_fraction": (n_skipped / len(files)) if files else 0.0,
+    }

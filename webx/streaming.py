@@ -292,3 +292,69 @@ def host_rate_windows(
             "n_bytes",
         )
     )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    STATIC dim snapshot broadcast to executors — stateless (no state
+    store, no watermark), the workhorse production streaming join
+    (event → user/host attributes). The dim side re-reads per batch if
+    it is a live table, so slowly-changing dims pick up updates between
+    micro-batches for free."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: pair each left event with
+    right events for the same key that happened within
+    (left.ts − max_delay, left.ts] — e.g. "purchase within 30 min of a
+    view". Both sides carry a watermark and the join condition bounds
+    the time skew, so Spark can age buffered state out instead of
+    holding both streams forever (the unbounded-state trap of a naive
+    stream join). State per key is O(events inside the delay window).
+    Output: (key, left event_id/ts, right event_id/ts)."""
+    l = (
+        left.withWatermark("ts", watermark_delay)
+        .select(
+            F.col(key).alias("k"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark_delay)
+        .select(
+            F.col(key).alias("rk"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("k").alias(key), "l_id", "l_ts", "r_id", "r_ts"
+    )

@@ -2903,6 +2903,66 @@ def _containment_oracle_sql() -> str:
     )
 
 
+def q_topk_partial(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user top-3 events by value via the TWO-PHASE top-k
+    (webx/agg.py): each input partition prunes to its local top-3
+    before the exchange, so ≤ k·n_partitions rows per key shuffle
+    instead of the corpus — answer identical to the plain window (the
+    oracle), plan asserted in test_agg.py."""
+    from webx.agg import topk_per_key
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = topk_per_key(
+        ev, key="user_id", order_col="value", k=3, tiebreak="event_id"
+    )
+    return out.select("user_id", "event_id", "value", "rank")
+
+
+def q_cogroup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user reconciliation of two event slices via
+    cogroup().applyInPandas (Spark's two-sided grouped map): purchases
+    vs views arrive as aligned per-key pandas frames in ONE co-shuffle
+    — n/first-ts each side plus how many views predate the first
+    purchase, without join fan-out."""
+    from webx.agg import cogroup_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return cogroup_stats(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        key="user_id",
+    )
+
+
+def _topk_partial_oracle_sql() -> str:
+    return (
+        "SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM ("
+        "SELECT user_id, event_id, value, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
+        "FROM events) WHERE rank <= 3"
+    )
+
+
+def _cogroup_stats_oracle_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, count(*) AS n_left, min(ts) AS fl "
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+        "v AS (SELECT user_id, count(*) AS n_right, min(ts) AS fr "
+        "FROM events WHERE event_type = 'view' GROUP BY user_id), "
+        "keys AS (SELECT user_id FROM p UNION SELECT user_id FROM v), "
+        "pre AS (SELECT e.user_id, count(*) AS nb FROM events e "
+        "JOIN p ON e.user_id = p.user_id "
+        "WHERE e.event_type = 'view' AND e.ts < p.fl GROUP BY e.user_id) "
+        "SELECT k.user_id, COALESCE(p.n_left, 0) AS n_left, "
+        "COALESCE(v.n_right, 0) AS n_right, p.fl AS first_left_ts, "
+        "v.fr AS first_right_ts, "
+        "(CASE WHEN p.user_id IS NOT NULL AND v.user_id IS NOT NULL "
+        "THEN COALESCE(pre.nb, 0) ELSE 0 END) AS n_right_before_first_left "
+        "FROM keys k LEFT JOIN p USING (user_id) LEFT JOIN v USING (user_id) "
+        "LEFT JOIN pre USING (user_id)"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3044,6 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_hits": q_hits,
         "q_containment": q_containment,
+        "q_topk_partial": q_topk_partial,
+        "q_cogroup_stats": q_cogroup_stats,
     }
 
 
@@ -4270,4 +4332,6 @@ def oracle_sql() -> dict[str, str]:
         "q_triangles": _triangles_oracle_sql(),
         "q_hits": _hits_oracle_sql(),
         "q_containment": _containment_oracle_sql(),
+        "q_topk_partial": _topk_partial_oracle_sql(),
+        "q_cogroup_stats": _cogroup_stats_oracle_sql(),
     }

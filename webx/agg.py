@@ -58,12 +58,23 @@ def cogroup_stats(
     key: str,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-key reconciliation of two tables via cogroup: (key, n_left,
     n_right, first_left_ts, first_right_ts, n_right_before_first_left)
     — the last field is the cross-side question ("how much right-side
     activity predates the first left event?") that a join would answer
-    with a per-key fan-out and this answers with one aligned pass."""
+    with a per-key fan-out and this answers with one aligned pass.
+
+    Cogroups on a HASH BUCKET of the key, not the key itself, and
+    resolves per-key stats with vectorized pandas inside the bucket:
+    grouped-map pays a per-GROUP Python/Arrow round-trip (slice,
+    invoke, coerce a tiny result frame — ~tens of ms each), so
+    millions of small keys die of overhead while a few hundred buckets
+    amortize it. Measured here: 150 raw keys 10-15 s, 64 buckets
+    sub-second, identical output (PLANS.md). Same bucketing trick any
+    high-cardinality grouped map should use; determinism comes free
+    (xxhash64, not a random partitioner)."""
     import pandas as pd
 
     schema = (
@@ -71,27 +82,33 @@ def cogroup_stats(
         "first_left_ts timestamp, first_right_ts timestamp, "
         "n_right_before_first_left long"
     )
+    b = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("_b")
+    lb = left.select(b, F.col(key), F.col(left_ts).alias("_ts"))
+    rb = right.select(b, F.col(key), F.col(right_ts).alias("_ts"))
 
     def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        kv = l[key].iloc[0] if len(l) else r[key].iloc[0]
-        fl = l[left_ts].min() if len(l) else pd.NaT
-        fr = r[right_ts].min() if len(r) else pd.NaT
-        before = int((r[right_ts] < fl).sum()) if len(l) and len(r) else 0
-        return pd.DataFrame(
-            [
-                {
-                    key: kv,
-                    "n_left": len(l),
-                    "n_right": len(r),
-                    "first_left_ts": fl,
-                    "first_right_ts": fr,
-                    "n_right_before_first_left": before,
-                }
-            ]
+        la = l.groupby(key)["_ts"].agg(n_left="size", first_left_ts="min")
+        ra = r.groupby(key)["_ts"].agg(n_right="size", first_right_ts="min")
+        out = la.join(ra, how="outer")
+        if len(l) and len(r):
+            fl = r.merge(
+                la[["first_left_ts"]], left_on=key, right_index=True, how="inner"
+            )
+            before = (
+                (fl["_ts"] < fl["first_left_ts"]).groupby(fl[key]).sum()
+            )
+            out["n_right_before_first_left"] = before
+        else:
+            out["n_right_before_first_left"] = 0
+        out["n_right_before_first_left"] = (
+            out["n_right_before_first_left"].fillna(0).astype("int64")
         )
+        for c in ("n_left", "n_right"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out.reset_index()
 
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        lb.groupBy("_b")
+        .cogroup(rb.groupBy("_b"))
         .applyInPandas(fn, schema=schema)
     )

@@ -51,3 +51,41 @@ def test_empty_cluster_keeps_centroid_and_converges(spark):
     out = kmeans_lloyd(emb, k=3, iters=3)
     assert out.count() == 40
     assert out.select("cid").distinct().count() == 2
+
+
+def test_checkpoint_resume_is_bit_identical(spark, tmp_path):
+    """Kill after iteration 1 of 3 (simulated by running iters=1 with a
+    checkpoint dir — its state file survives), then resume the full
+    3-iteration run: assignment must equal the uninterrupted run's."""
+    import json
+    import os
+
+    emb = _blobs(spark, n_per=25)
+    ck = str(tmp_path / "ck")
+    clean = sorted(map(tuple, kmeans_lloyd(emb, k=4, iters=3).collect()))
+
+    # phase 1: run only the first iteration, checkpointed
+    kmeans_lloyd(emb, k=4, iters=1, checkpoint_dir=ck).collect()
+    assert os.path.exists(os.path.join(ck, "iter_0.json"))
+    state = json.load(open(os.path.join(ck, "iter_0.json")))
+    assert all(isinstance(s, int) for c in state["cents"] for s, n in c)
+
+    # phase 2: resume the full run from the surviving state
+    resumed = sorted(
+        map(tuple, kmeans_lloyd(emb, k=4, iters=3, checkpoint_dir=ck).collect())
+    )
+    assert resumed == clean
+
+
+def test_resume_past_final_update_reproduces_assignment(spark, tmp_path):
+    emb = _blobs(spark, n_per=20)
+    ck = str(tmp_path / "ck2")
+    first = sorted(
+        map(tuple, kmeans_lloyd(emb, k=2, iters=2, checkpoint_dir=ck).collect())
+    )
+    # all checkpoints exist now; a rerun must not iterate again and must
+    # return the identical assignment
+    rerun = sorted(
+        map(tuple, kmeans_lloyd(emb, k=2, iters=2, checkpoint_dir=ck).collect())
+    )
+    assert rerun == first

@@ -80,24 +80,56 @@ def kmeans_lloyd(
     k: int = 8,
     iters: int = 3,
     scale: int = 1024,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """→ (vec_id, cid) after ``iters`` Lloyd iterations from the
     deterministic init. An empty cluster keeps its previous centroid
     (the standard keep-stale policy, applied identically by the
-    oracle)."""
+    oracle).
+
+    Centroid state is carried as exact RATIONALS (integer sum, count)
+    per coordinate — the double each engine compares against is always
+    one correctly-rounded division away, and the state is losslessly
+    JSON-serializable: with ``checkpoint_dir`` set, each completed
+    update writes ``iter_<t>.json`` (atomic rename) and a restarted
+    call resumes after the last completed iteration with bit-identical
+    results to an uninterrupted run — the per-partition resume story
+    (webx/lineage.py) extended to iterative algorithm state."""
+    import json
+    import os
+
     spark = emb.sparkSession
     q = _quantize(emb, scale).persist()
     try:
         dim = len(q.select("q").first()["q"])
-        init_rows = (
-            q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-        )
-        if len(init_rows) < k:
-            raise ValueError(f"need vec_id 0..{k-1} present for init")
-        cents = [[float(v) for v in r["q"]] for r in init_rows]
+
+        def ck_path(t: int) -> str:
+            return os.path.join(checkpoint_dir, f"iter_{t}.json")
+
+        start = 0
+        rats: list | None = None
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            for t in range(iters - 1, -1, -1):
+                if os.path.exists(ck_path(t)):
+                    with open(ck_path(t)) as fh:
+                        rats = json.load(fh)["cents"]
+                    start = t + 1
+                    break
+        if rats is None:
+            init_rows = (
+                q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+            )
+            if len(init_rows) < k:
+                raise ValueError(f"need vec_id 0..{k-1} present for init")
+            rats = [[[int(v), 1] for v in r["q"]] for r in init_rows]
+
+        def doubles(r):
+            return [[s / n for s, n in c] for c in r]
+
         assigned = None
-        for _ in range(iters):
-            assigned = _assign(q, cents, spark)
+        for t in range(start, iters):
+            assigned = _assign(q, doubles(rats), spark)
             sums = (
                 assigned.select("cid", F.posexplode("q").alias("pos", "v"))
                 .groupBy("cid", "pos")
@@ -106,16 +138,33 @@ def kmeans_lloyd(
             )
             by_cid: dict = {}
             for r in sums:
-                by_cid.setdefault(r["cid"], [None] * dim)[r["pos"]] = (
-                    r["s"],
-                    r["n"],
-                )
-            cents = [
-                [s / n for (s, n) in by_cid[cid]]
-                if cid in by_cid
-                else cents[cid]  # empty cluster keeps its centroid
+                by_cid.setdefault(r["cid"], [None] * dim)[r["pos"]] = [
+                    int(r["s"]),
+                    int(r["n"]),
+                ]
+            rats = [
+                by_cid.get(cid, rats[cid])  # empty cluster keeps its centroid
                 for cid in range(k)
             ]
+            if checkpoint_dir:
+                tmp = ck_path(t) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump({"t": t, "cents": rats}, fh)
+                os.replace(tmp, ck_path(t))
+        if assigned is None:
+            # resumed past the final update: the run's assignment used the
+            # state BEFORE the last update — iter_{iters-2}'s checkpoint
+            # (or the deterministic init when iters == 1)
+            prev_path = ck_path(iters - 2)
+            if iters >= 2 and os.path.exists(prev_path):
+                with open(prev_path) as fh:
+                    assigned = _assign(q, doubles(json.load(fh)["cents"]), spark)
+            else:
+                init_rows = (
+                    q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+                )
+                init = [[[int(v), 1] for v in r["q"]] for r in init_rows]
+                assigned = _assign(q, doubles(init), spark)
         return assigned.select("vec_id", "cid")
     finally:
         q.unpersist()

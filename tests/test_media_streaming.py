@@ -412,3 +412,37 @@ def test_stream_stream_join_pairs_within_window_only(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, 1, 100)]
+
+
+def test_upsert_drain_latest_per_key_and_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from webx.streaming import upsert_drain
+
+    inp, state, ck = (str(tmp_path / p) for p in ("in", "state", "ck"))
+    t0 = dt.datetime(2026, 1, 1)
+
+    def page(url, day, body):
+        return (url, t0 + dt.timedelta(days=day), body)
+
+    schema = "url string, warc_ts timestamp, html binary"
+    spark.createDataFrame(
+        [page("u/a", 1, b"a1"), page("u/b", 1, b"b1")], schema
+    ).write.mode("append").parquet(inp)
+    upsert_drain(spark, inp, state, ck)
+    s1 = {r["url"]: (r["warc_ts"], bytes(r["html"])) for r in spark.read.parquet(state).collect()}
+    assert s1["u/a"][1] == b"a1" and len(s1) == 2
+
+    # second drain: recrawl of u/a (newer), stale duplicate of u/b (older), new u/c
+    spark.createDataFrame(
+        [page("u/a", 5, b"a2"), page("u/b", 0, b"b0"), page("u/c", 2, b"c1")],
+        schema,
+    ).write.mode("append").parquet(inp)
+    upsert_drain(spark, inp, state, ck)
+    s2 = {r["url"]: bytes(r["html"]) for r in spark.read.parquet(state).collect()}
+    assert s2 == {"u/a": b"a2", "u/b": b"b1", "u/c": b"c1"}
+
+    # third drain with no new files: state must be unchanged (idempotence)
+    upsert_drain(spark, inp, state, ck)
+    s3 = {r["url"]: bytes(r["html"]) for r in spark.read.parquet(state).collect()}
+    assert s3 == s2

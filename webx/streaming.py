@@ -358,3 +358,59 @@ def stream_stream_join(
     return l.join(r, cond, "inner").select(
         F.col("k").alias(key), "l_id", "l_ts", "r_id", "r_ts"
     )
+
+
+def upsert_drain(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    schema: str = PAGES_SCHEMA,
+) -> None:
+    """Streaming MERGE-analog via ``foreachBatch``: drain new input
+    files and fold each micro-batch into a latest-per-key state table
+    (webx.lineage.latest_capture semantics — Iceberg MERGE upsert on a
+    plain-parquet state dir). Each batch: read current state, union the
+    batch, keep the newest row per key, write to a temp sibling, atomic
+    rename swap. The fold is IDEMPOTENT (latest-per-key of a replayed
+    batch is a no-op), so the at-least-once replay window after a crash
+    between the swap and the checkpoint commit still converges to
+    exactly-once state — the standard foreachBatch contract: make the
+    batch effect idempotent, let the source checkpoint handle delivery.
+
+    State rewrite cost is O(state) per drain; on a real lakehouse the
+    same callback body is ``MERGE INTO`` and pays only the touched
+    partitions. Drains with ``availableNow`` and blocks until done."""
+    import os
+    import shutil
+
+    from webx.lineage import latest_capture
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        b = latest_capture(batch_df, key=key, ts_col=ts_col)
+        if os.path.exists(state_path):
+            cur = spark.read.parquet(state_path)
+            merged = latest_capture(
+                cur.unionByName(b.select(*cur.columns)), key=key, ts_col=ts_col
+            )
+        else:
+            merged = b
+        tmp = state_path.rstrip("/") + ".swap_tmp"
+        old = state_path.rstrip("/") + ".swap_old"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    reader = spark.readStream.schema(schema).parquet(input_path)
+    q = (
+        reader.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

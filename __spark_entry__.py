@@ -2963,6 +2963,64 @@ def _cogroup_stats_oracle_sql() -> str:
     )
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnosis (webx/joins.py skew_report) over a planted
+    mega-key distribution (half the corpus on one key): top-5 heavy
+    keys with corpus share and ratio-to-median — the number that says
+    "salt this join" before the shuffle is paid. One map-side-collapsing
+    count agg; only top_n rows leave."""
+    from webx.joins import skew_report
+
+    docs = synth.load_documents(spark, sf)
+    key = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % 50
+    )
+    return skew_report(docs.select(key.alias("k")), "k", top_n=5)
+
+
+def q_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom runtime-filtered join (webx/joins.py bloom_filtered_join):
+    the small side's keys become a broadcast bloom bitmap that prunes
+    big-side rows BEFORE the join exchange — the manual analog of
+    engine runtime filters, exact because the join discards the false
+    positives. Allowlist = every 10th customer key; result rows equal
+    the plain join (the oracle)."""
+    from webx.joins import bloom_filtered_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    allow = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") < 150))
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    out = bloom_filtered_join(ev, allow, key="user_id")
+    return out.select("event_id", "user_id", "value", "c_mktsegment")
+
+
+def _skew_report_oracle_sql() -> str:
+    return (
+        "WITH keyed AS (SELECT (CASE WHEN doc_id % 2 = 0 THEN 0 "
+        "ELSE doc_id % 50 END) AS key FROM documents), "
+        "counts AS (SELECT key, count(*) AS n FROM keyed GROUP BY key), "
+        "stats AS (SELECT quantile_cont(n, 0.5) AS median_n, sum(n) AS total_n "
+        "FROM counts), "
+        "top AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 5) "
+        "SELECT t.key, t.n, CAST(t.n AS DOUBLE) / s.total_n AS share, "
+        "CAST(t.n AS DOUBLE) / s.median_n AS ratio_to_median "
+        "FROM top t CROSS JOIN stats s"
+    )
+
+
+def _bloom_join_oracle_sql() -> str:
+    return (
+        "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "WHERE c.c_custkey % 10 = 0 AND c.c_custkey < 150"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3106,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_topk_partial": q_topk_partial,
         "q_cogroup_stats": q_cogroup_stats,
+        "q_skew_report": q_skew_report,
+        "q_bloom_join": q_bloom_join,
     }
 
 
@@ -4334,4 +4394,6 @@ def oracle_sql() -> dict[str, str]:
         "q_containment": _containment_oracle_sql(),
         "q_topk_partial": _topk_partial_oracle_sql(),
         "q_cogroup_stats": _cogroup_stats_oracle_sql(),
+        "q_skew_report": _skew_report_oracle_sql(),
+        "q_bloom_join": _bloom_join_oracle_sql(),
     }

@@ -249,3 +249,41 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
     for _, row in exp_df.iterrows():
         want = None if pd.isna(row["payload"]) else int(row["payload"])
         assert got[(row["case"], row["lid"])] == want
+
+
+def test_skew_report_flags_mega_key(spark):
+    from webx.joins import skew_report
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, 7).otherwise(F.col("id") % 100).alias("k")
+    )
+    top = skew_report(df, "k", top_n=3).collect()
+    # key 7 gets the planted 500 plus the ids in 500..999 with id%100==7
+    assert top[0]["key"] == 7 and top[0]["n"] == 505
+    assert top[0]["share"] == 0.505
+    assert top[0]["ratio_to_median"] > 50  # median key has ~5 rows
+
+
+def test_bloom_filtered_join_matches_plain_and_prunes(spark):
+    from webx.joins import bloom_filtered_join
+    from webx.sketch import bloom_build, bloom_probe
+
+    big = spark.range(5000).select(
+        F.col("id").alias("rid"), F.concat(F.lit("k"), F.col("id") % 500).alias("key")
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(0, 500, 25)], "key string, payload int"
+    )
+    got = sorted(
+        map(tuple, bloom_filtered_join(big, small, "key").select("rid", "payload").collect())
+    )
+    want = sorted(map(tuple, big.join(small, "key").select("rid", "payload").collect()))
+    assert got == want and len(got) == 200
+    # the prefilter really prunes: surviving key count << big-side keys
+    bm = bloom_build(small.select("key"), key_col="key")
+    survivors = (
+        bloom_probe(bm, big.select("key").distinct(), key_col="key")
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    assert survivors < 100  # 20 true keys + few false positives out of 500

@@ -174,3 +174,61 @@ def salted_join(
     )
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key, top_n: int = 5
+) -> DataFrame:
+    """Key-distribution diagnosis before an expensive shuffle: per-key
+    counts → the ``top_n`` heaviest keys with share-of-corpus and the
+    ratio to the MEDIAN key's count. ratio_to_median ≳ the per-task
+    row budget divided by the median is the "salt this join / split
+    this key" signal (webx/pipeline.py mega-host handling,
+    salted_join). One hash agg (collapses map-side) + a tiny
+    aggregate-of-aggregates; nothing returns at corpus scale except
+    top_n rows."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    counts = df.select(key_col.alias("key")).groupBy("key").agg(
+        F.count("*").alias("n")
+    )
+    stats = counts.agg(
+        F.percentile("n", 0.5).alias("median_n"),
+        F.sum("n").alias("total_n"),
+    )
+    top = counts.orderBy(F.desc("n"), "key").limit(top_n)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n",
+        (F.col("n") / F.col("total_n")).alias("share"),
+        (F.col("n") / F.col("median_n")).alias("ratio_to_median"),
+    )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom RUNTIME FILTER: build a bloom bitmap of
+    the small side's join keys (webx/sketch.py — m_bits/64 rows, one
+    agg), broadcast it, and drop big-side rows whose keys cannot match
+    BEFORE the join's exchange. When the join is selective (most
+    big-side keys unmatched — the usual shape for "events ⋈ curated
+    allowlist"), the shuffle moves only the surviving fraction plus the
+    bloom's false positives; the join itself then discards those. Same
+    rows as the plain join for inner/semi semantics. This is the
+    manual form of the engine-side runtime-filter/DPP family, usable
+    where Spark's own bloom join filter does not fire (non-AQE paths,
+    pre-shuffle Python stages)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError("bloom prefilter preserves inner/left_semi joins only")
+    from webx.sketch import bloom_build, bloom_probe
+
+    bitmap = bloom_build(small.select(F.col(key)), key_col=key, m_bits=m_bits, k=k)
+    maybe = bloom_probe(bitmap, big.select(key), key_col=key, m_bits=m_bits, k=k)
+    keep = maybe.filter(F.col("maybe_seen")).select(key)
+    pruned = big.join(F.broadcast(keep), key, "inner")
+    return pruned.join(small, key, how)

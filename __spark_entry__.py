@@ -3021,6 +3021,60 @@ def _bloom_join_oracle_sql() -> str:
     )
 
 
+_SPAM_SUFFIX_A = " Buy Vіаgra now"   # Cyrillic і and а — invisible to a naive gate
+_SPAM_SUFFIX_B = " c-a-s.i$n-o jackpot"
+_BLOCK_TERMS = ("viagra", "casino")
+
+
+def q_blocklist_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Obfuscation-resilient spam gate (webx/textstats.py): homoglyph
+    fold (UTS #39 confusables subset) + separator strip + lowercase
+    BEFORE the wordlist, so Cyrillic-masked and punctuation-riddled
+    terms still hit. Planted: doc_id%7 gets Cyrillic-masked 'viagra',
+    doc_id%11 a dotted 'casino'. Pure codegen chain — translate,
+    regexp_replace, contains — fused into the scan."""
+    from webx.textstats import blocklist_gate, fold_homoglyphs
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    spiked = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_SPAM_SUFFIX_A)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_SPAM_SUFFIX_B)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = blocklist_gate(fold_homoglyphs(spiked), _BLOCK_TERMS)
+    return out.select("doc_id", "homoglyphs_folded", "blocked_term", "keep")
+
+
+def _blocklist_gate_oracle_sql() -> str:
+    from webx.textstats import HOMOGLYPH_DST, HOMOGLYPH_SRC
+
+    planted = (
+        "(text || (CASE WHEN doc_id % 7 = 0 THEN ' Buy Vіаgra now' ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 0 THEN ' c-a-s.i$n-o jackpot' "
+        "ELSE '' END))"
+    )
+    folded = f"translate({planted}, '{HOMOGLYPH_SRC}', '{HOMOGLYPH_DST}')"
+    gone = f"translate({planted}, '{HOMOGLYPH_SRC}', '')"
+    canon = f"lower(regexp_replace({folded}, '[^[:alnum:]]', '', 'g'))"
+    return (
+        f"WITH c AS (SELECT doc_id, {canon} AS canon, "
+        f"CAST(length({planted}) - length({gone}) AS INT) "
+        "AS homoglyphs_folded FROM documents) "
+        "SELECT doc_id, homoglyphs_folded, "
+        "(CASE WHEN contains(canon, 'viagra') THEN 'viagra' "
+        "WHEN contains(canon, 'casino') THEN 'casino' END) AS blocked_term, "
+        "CAST((NOT contains(canon, 'viagra')) AND "
+        "(NOT contains(canon, 'casino')) AS INT) AS keep FROM c"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3166,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cogroup_stats": q_cogroup_stats,
         "q_skew_report": q_skew_report,
         "q_bloom_join": q_bloom_join,
+        "q_blocklist_gate": q_blocklist_gate,
     }
 
 
@@ -4396,4 +4451,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cogroup_stats": _cogroup_stats_oracle_sql(),
         "q_skew_report": _skew_report_oracle_sql(),
         "q_bloom_join": _bloom_join_oracle_sql(),
+        "q_blocklist_gate": _blocklist_gate_oracle_sql(),
     }

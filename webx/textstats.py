@@ -590,3 +590,73 @@ def compression_ratio(docs: DataFrame, col: str = "text", level: int = 6) -> Dat
         n_comp.alias("n_compressed"),
         ratio.alias("ratio"),
     )
+
+
+# Unicode confusables (a pragmatic core of UTS #39): Cyrillic/Greek
+# letters that render identically to Latin — the spam-evasion alphabet
+# ("vіаgra" passes a naive wordlist). Frozen (src, dst) pairs; the two
+# translate strings are derived so they can never drift in length.
+HOMOGLYPH_PAIRS = (
+    # Cyrillic lowercase
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("х", "x"), ("у", "y"), ("і", "i"), ("к", "k"), ("ԁ", "d"), ("ѕ", "s"),
+    # Cyrillic uppercase
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+    ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"), ("Х", "X"),
+    # Greek lowercase
+    ("ο", "o"), ("ν", "v"), ("ρ", "p"), ("α", "a"),
+    # Greek uppercase
+    ("Α", "A"), ("Β", "B"), ("Ε", "E"), ("Ζ", "Z"), ("Η", "H"),
+    ("Ι", "I"), ("Κ", "K"), ("Μ", "M"), ("Ν", "N"), ("Ο", "O"),
+    ("Ρ", "P"), ("Τ", "T"), ("Υ", "Y"), ("Χ", "X"),
+)
+HOMOGLYPH_SRC = "".join(s for s, _ in HOMOGLYPH_PAIRS)
+HOMOGLYPH_DST = "".join(d for _, d in HOMOGLYPH_PAIRS)
+assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST)
+
+
+def fold_homoglyphs(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Fold Cyrillic/Greek lookalike letters onto their Latin twins
+    (UTS #39 confusables, pragmatic subset): adds ``text_folded`` and
+    ``homoglyphs_folded`` (count of replaced code points). One
+    ``translate`` projection — pure codegen, zero shuffle. Run BEFORE
+    any wordlist gate; obfuscated spam is invisible without it. NOT a
+    linguistic normalization: apply to gate inputs, never to the text
+    you keep (folding real Cyrillic prose would destroy it — gate on
+    the dominant-script profile first, webx/textstats.py
+    script_profile)."""
+    folded = F.translate(F.col(col), HOMOGLYPH_SRC, HOMOGLYPH_DST)
+    n = F.length(col) - F.length(
+        F.translate(F.col(col), HOMOGLYPH_SRC, "")
+    )
+    return docs.select(
+        "*", folded.alias("text_folded"), n.cast("int").alias("homoglyphs_folded")
+    )
+
+
+def blocklist_gate(
+    docs: DataFrame,
+    terms: tuple,
+    col: str = "text",
+) -> DataFrame:
+    """Obfuscation-resilient term gate: homoglyph-fold, lowercase, and
+    strip non-alphanumerics before matching, so "V-і-a-g.r-a" hits the
+    plain wordlist. Adds ``blocked_term`` (first frozen-order match or
+    NULL) and ``keep`` (0/1). Matching is substring `contains` over the
+    canonical form — terms list broadcasts as literals into ONE codegen
+    projection; no join, no shuffle, fuses into any scan."""
+    canon = F.lower(
+        F.regexp_replace(
+            F.translate(F.col(col), HOMOGLYPH_SRC, HOMOGLYPH_DST),
+            "[^\\p{Alnum}]",
+            "",
+        )
+    )
+    hit = F.lit(None).cast("string")
+    for t in reversed(terms):
+        hit = F.when(canon.contains(t.lower()), F.lit(t)).otherwise(hit)
+    return docs.select(
+        "*",
+        hit.alias("blocked_term"),
+        hit.isNull().cast("int").alias("keep"),
+    )

@@ -3075,6 +3075,104 @@ def _blocklist_gate_oracle_sql() -> str:
     )
 
 
+def q_changed_captures(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-series change detection: a url's capture survives only if
+    its content hash differs from the PREVIOUS capture's (lag window
+    per url, ordered by capture index) — the crawl-side "don't
+    reprocess unchanged pages" filter at capture granularity
+    (incremental_extract's snapshot-level diff, moved into one series).
+    Corpus: every page captured 3× with the content mutated only on
+    capture 2 for doc_id%3==0 — so keeps = first captures + mutated
+    seconds. One window shuffle on url; the hash is 8 bytes/row."""
+    from pyspark.sql import Window
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    caps = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("cap_idx"),
+        "text",
+    ).withColumn(
+        "body",
+        F.when(
+            (F.col("cap_idx") == 1) & (F.col("doc_id") % 3 == 0),
+            F.concat(F.col("text"), F.lit("<!--rev-->")),
+        ).otherwise(F.col("text")),
+    )
+    w = Window.partitionBy("doc_id").orderBy("cap_idx")
+    h = F.xxhash64("body")
+    out = caps.select(
+        "doc_id", "cap_idx", h.alias("h"), F.lag(h).over(w).alias("prev_h")
+    ).filter(F.col("prev_h").isNull() | (F.col("h") != F.col("prev_h")))
+    return out.select("doc_id", "cap_idx")
+
+
+def q_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Proportional-fair crawl-budget apportionment: split a global
+    fetch budget of 1000 slots across hosts proportional to pending-URL
+    counts via the LARGEST-REMAINDER (Hamilton) method — all-integer
+    (floor shares + remainder-ranked top-up), so allocation is exact,
+    deterministic, and sums to the budget by construction. One count
+    agg + one tiny window over the host table; the corpus never
+    shuffles twice."""
+    from pyspark.sql import Window
+
+    budget = 1000
+    docs = synth.load_documents(spark, sf)
+    pending = docs.groupBy((F.col("doc_id") % 7).alias("host")).agg(
+        F.count("*").alias("n_pending")
+    )
+    tot = pending.agg(F.sum("n_pending").alias("total")).collect()[0]["total"]
+    base = (F.col("n_pending") * budget) / F.lit(int(tot))
+    fl = F.floor(base).cast("long")
+    rem = F.col("n_pending") * budget - fl * F.lit(int(tot))  # remainder×total
+    alloc = pending.select("host", "n_pending", fl.alias("fl"), rem.alias("rem"))
+    deficit = budget - alloc.agg(F.sum("fl").alias("s")).collect()[0]["s"]
+    w = Window.orderBy(F.desc("rem"), "host")
+    return (
+        alloc.withColumn("rk", F.row_number().over(w))
+        .select(
+            "host",
+            "n_pending",
+            (F.col("fl") + (F.col("rk") <= deficit).cast("long")).alias("slots"),
+        )
+    )
+
+
+def _changed_captures_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    return _o.XXH64_MACROS + (
+        "WITH caps AS (SELECT doc_id, i.cap_idx, "
+        "text || (CASE WHEN i.cap_idx = 1 AND doc_id % 3 = 0 "
+        "THEN '<!--rev-->' ELSE '' END) AS body "
+        "FROM documents CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 2)) AS cap_idx) i), "
+        + _o.xxh64_str_ctes("caps", "doc_id, cap_idx", "body", "bh")
+        + ", lagged AS (SELECT doc_id, cap_idx, h, "
+        "LAG(h) OVER (PARTITION BY doc_id ORDER BY cap_idx) AS prev_h FROM bh) "
+        "SELECT doc_id, cap_idx FROM lagged "
+        "WHERE prev_h IS NULL OR h <> prev_h"
+    )
+
+
+def _budget_allocation_oracle_sql(budget: int = 1000) -> str:
+    return (
+        "WITH pending AS (SELECT CAST(doc_id % 7 AS BIGINT) AS host, "
+        "count(*) AS n_pending FROM documents GROUP BY 1), "
+        "tot AS (SELECT sum(n_pending) AS total FROM pending), "
+        f"base AS (SELECT host, n_pending, "
+        f"(n_pending * {budget}) // t.total AS fl, "
+        f"n_pending * {budget} - ((n_pending * {budget}) // t.total) * t.total "
+        "AS rem FROM pending CROSS JOIN tot t), "
+        f"d AS (SELECT {budget} - sum(fl) AS deficit FROM base), "
+        "rk AS (SELECT host, n_pending, fl, "
+        "ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS r FROM base) "
+        "SELECT rk.host, rk.n_pending, "
+        "CAST(rk.fl + (CASE WHEN rk.r <= d.deficit THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS slots FROM rk CROSS JOIN d"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3221,6 +3319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": q_skew_report,
         "q_bloom_join": q_bloom_join,
         "q_blocklist_gate": q_blocklist_gate,
+        "q_changed_captures": q_changed_captures,
+        "q_budget_allocation": q_budget_allocation,
     }
 
 
@@ -4452,4 +4552,6 @@ def oracle_sql() -> dict[str, str]:
         "q_skew_report": _skew_report_oracle_sql(),
         "q_bloom_join": _bloom_join_oracle_sql(),
         "q_blocklist_gate": _blocklist_gate_oracle_sql(),
+        "q_changed_captures": _changed_captures_oracle_sql(),
+        "q_budget_allocation": _budget_allocation_oracle_sql(),
     }

@@ -452,3 +452,16 @@ def test_dedup_against_broadcast_path_same_result(spark):
         r["doc_id"] for r in dedup_against(new, prior, broadcast_prior=True).collect()
     )
     assert a == b and len(a) == 100  # ids with id%50 >= 25
+
+
+def test_budget_allocation_sums_exactly_to_budget(spark):
+    import __spark_entry__ as E
+
+    out = E.q_budget_allocation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert sum(r["slots"] for r in rows) == 1000
+    # proportionality: every host within 1 slot of its exact share
+    total = sum(r["n_pending"] for r in rows)
+    for r in rows:
+        exact = r["n_pending"] * 1000 / total
+        assert abs(r["slots"] - exact) < 1

@@ -3173,6 +3173,50 @@ def _budget_allocation_oracle_sql(budget: int = 1000) -> str:
     )
 
 
+def q_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup survivor policy (webx/dedup.py
+    keep_best): within each MinHash cluster only the longest member
+    (byte length, ties → lowest doc_id) survives — the RefinedWeb
+    keep-the-longest policy replacing keep_list's arbitrary min-id.
+    Planted dups drop their last word, so every original outlives its
+    shorter copy. Oracle: the full XXH64 pair replay + transitive
+    closure + per-cluster argmax."""
+    from webx.dedup import keep_best, minhash_neardup
+
+    docs = _docs_with_neardups(spark, sf)
+    pairs = minhash_neardup(docs, threshold=0.6).select("id_a", "id_b")
+    scored = docs.select("doc_id", F.octet_length("text").alias("score"))
+    return keep_best(scored, pairs)
+
+
+def _keep_best_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    inner = _o.minhash_oracle_sql(threshold=0.6)
+    assert inner.startswith(_o.XXH64_MACROS)
+    inner_body = inner[len(_o.XXH64_MACROS):]
+    return _o.XXH64_MACROS + (
+        "WITH RECURSIVE pairs AS (" + inner_body + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS (SELECT a AS node, b AS r FROM edges "
+        "UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node), "
+        "clusters AS (SELECT node AS doc_id, least(node, min(r)) AS cid "
+        "FROM reach GROUP BY node), "
+        "corpus2 AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, "
+        r"regexp_replace(text, '\s+\S+$', '') FROM documents WHERE doc_id < 20), "
+        "scored AS (SELECT c.doc_id, COALESCE(cl.cid, c.doc_id) AS cid, "
+        "octet_length(encode(c.text)) AS s FROM corpus2 c "
+        "LEFT JOIN clusters cl USING (doc_id)), "
+        "best AS (SELECT cid, doc_id AS best_id FROM ("
+        "SELECT cid, doc_id, ROW_NUMBER() OVER (PARTITION BY cid "
+        "ORDER BY s DESC, doc_id) AS rn FROM scored) WHERE rn = 1) "
+        "SELECT f.doc_id, CAST(f.doc_id = b.best_id AS INT) AS keep "
+        "FROM scored f JOIN best b USING (cid)"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3321,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist_gate": q_blocklist_gate,
         "q_changed_captures": q_changed_captures,
         "q_budget_allocation": q_budget_allocation,
+        "q_keep_best": q_keep_best,
     }
 
 
@@ -4554,4 +4599,5 @@ def oracle_sql() -> dict[str, str]:
         "q_blocklist_gate": _blocklist_gate_oracle_sql(),
         "q_changed_captures": _changed_captures_oracle_sql(),
         "q_budget_allocation": _budget_allocation_oracle_sql(),
+        "q_keep_best": _keep_best_oracle_sql(),
     }

@@ -775,3 +775,30 @@ def dedup_against(
     if broadcast_prior:
         prior_fp = F.broadcast(prior_fp)
     return new.withColumn("fp", fp).join(prior_fp, "fp", "left_anti").drop("fp")
+
+
+def keep_best(
+    docs: DataFrame, pairs: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Quality-aware survivor selection: (doc_id, keep) where within
+    each near-dup cluster only the member with the highest
+    ``score_col`` survives (ties → lowest doc_id); singletons always
+    keep. This is the policy real curation uses (RefinedWeb keeps the
+    longest member, FineWeb the best-scored) where ``keep_list``'s
+    min-id is arbitrary. The cluster frame is pair-sized, so both the
+    membership join and the per-cluster argmax run on frames orders of
+    magnitude under the corpus."""
+    clusters = dedup_clusters(pairs)
+    labeled = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cid"),
+        F.col(score_col).alias("_s"),
+    )
+    best = labeled.groupBy("cid").agg(
+        F.max_by("doc_id", F.struct(F.col("_s"), -F.col("doc_id"))).alias(
+            "best_id"
+        )
+    )
+    return labeled.join(F.broadcast(best), "cid").select(
+        "doc_id", (F.col("doc_id") == F.col("best_id")).cast("int").alias("keep")
+    )

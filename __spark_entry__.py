@@ -3217,6 +3217,93 @@ def _keep_best_oracle_sql() -> str:
     )
 
 
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: typed field pull from the JSON
+    ``props`` column via ``from_json`` with an explicit schema — the
+    declared-schema form Catalyst can prune and push into the scan
+    (schema-on-read without a Python parser in sight). Aggregates the
+    extracted field per event type to prove the values, not just the
+    parse."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_url_params(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function API surface): explode each
+    url's query string into (url, param, value) rows — one UDTF call
+    per row, arrow-batched by the engine. Urls are planted with
+    ?page=N&ref=hM params from document arithmetic so the oracle is
+    closed-form. UDTFs are the lateral-view escape hatch when one input
+    row yields a VARIABLE number of typed rows and the logic is too
+    gnarly for explode(expr); for fixed shapes prefer codegen explode
+    (this query's oracle is exactly that, in SQL)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="url string, param string, value string")
+    class ParseQuery:
+        def eval(self, url: str):
+            if url is None or "?" not in url:
+                return
+            qs = url.split("?", 1)[1]
+            for part in qs.split("&"):
+                if not part:
+                    continue
+                k, _, v = part.partition("=")
+                yield url, k, v
+
+    docs = synth.load_documents(spark, sf)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/list?page="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("&ref=h"),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+        ).alias("url")
+    )
+    spark.udtf.register("parse_query", ParseQuery)
+    urls.createOrReplaceTempView("_urls_v")
+    return spark.sql(
+        "SELECT p.url, p.param, p.value FROM _urls_v, "
+        "LATERAL parse_query(url) p"
+    )
+
+
+def _json_extract_oracle_sql() -> str:
+    return (
+        "SELECT event_type, count(*) AS n, "
+        "sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, "
+        "min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k "
+        "FROM events GROUP BY event_type"
+    )
+
+
+def _url_params_oracle_sql() -> str:
+    url = (
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.com/list?page=' || CAST(doc_id % 40 AS VARCHAR) || "
+        "'&ref=h' || CAST((doc_id + 1) % 7 AS VARCHAR)"
+    )
+    return (
+        f"WITH u AS (SELECT {url} AS url, doc_id FROM documents) "
+        "SELECT url, 'page' AS param, CAST(doc_id % 40 AS VARCHAR) AS value "
+        "FROM u UNION ALL "
+        "SELECT url, 'ref', 'h' || CAST((doc_id + 1) % 7 AS VARCHAR) FROM u"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3366,6 +3453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changed_captures": q_changed_captures,
         "q_budget_allocation": q_budget_allocation,
         "q_keep_best": q_keep_best,
+        "q_json_extract": q_json_extract,
+        "q_url_params": q_url_params,
     }
 
 
@@ -4600,4 +4689,6 @@ def oracle_sql() -> dict[str, str]:
         "q_changed_captures": _changed_captures_oracle_sql(),
         "q_budget_allocation": _budget_allocation_oracle_sql(),
         "q_keep_best": _keep_best_oracle_sql(),
+        "q_json_extract": _json_extract_oracle_sql(),
+        "q_url_params": _url_params_oracle_sql(),
     }

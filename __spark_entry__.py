@@ -3304,6 +3304,123 @@ def _url_params_oracle_sql() -> str:
     )
 
 
+def q_delete_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deletion-request propagation (GDPR/DMCA tombstones): a deletion
+    list (every 13th doc) anti-joins the corpus AND its derived
+    extracted table, and the audit row proves both surfaces dropped the
+    SAME set — the compliance invariant (a url deleted upstream but
+    surviving in a derivative is the failure mode). Deletion list
+    broadcast; both prunes map-side."""
+    docs = synth.load_documents(spark, sf)
+    tombstones = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    derived = docs.select("doc_id", F.substring("text", 1, 40).alias("snippet"))
+    kept_docs = docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    kept_derived = derived.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    return (
+        kept_docs.agg(F.count("*").alias("n_docs_kept"))
+        .crossJoin(kept_derived.agg(F.count("*").alias("n_derived_kept")))
+        .crossJoin(tombstones.agg(F.count("*").alias("n_deleted")))
+    )
+
+
+# Frozen accent-fold pairs (Latin-1/Latin-Extended core) — the search-
+# normalization complement of the homoglyph table.
+_ACCENT_PAIRS = (
+    ("á", "a"), ("à", "a"), ("â", "a"), ("ä", "a"), ("ã", "a"), ("å", "a"),
+    ("é", "e"), ("è", "e"), ("ê", "e"), ("ë", "e"),
+    ("í", "i"), ("ì", "i"), ("î", "i"), ("ï", "i"),
+    ("ó", "o"), ("ò", "o"), ("ô", "o"), ("ö", "o"), ("õ", "o"),
+    ("ú", "u"), ("ù", "u"), ("û", "u"), ("ü", "u"),
+    ("ç", "c"), ("ñ", "n"), ("ý", "y"),
+    ("Á", "A"), ("À", "A"), ("Â", "A"), ("Ä", "A"),
+    ("É", "E"), ("È", "E"), ("Ê", "E"), ("Ë", "E"),
+    ("Í", "I"), ("Ó", "O"), ("Ö", "O"), ("Ú", "U"), ("Ü", "U"),
+    ("Ç", "C"), ("Ñ", "N"),
+)
+_ACCENT_SRC = "".join(s for s, _ in _ACCENT_PAIRS)
+_ACCENT_DST = "".join(d for _, d in _ACCENT_PAIRS)
+_ACCENT_SUFFIX = " Café résumé niño Zürich ÀÉÎÕÜ"
+
+
+def q_strip_accents(spark: SparkSession, sf: str) -> DataFrame:
+    """Accent folding over a planted diacritic suffix (frozen pair
+    table, one translate projection — the same engine-exact shape as
+    the homoglyph fold): text_ascii + accents_folded count. The
+    search/matching normalization; like the homoglyph fold, apply to
+    MATCH inputs, never to kept text."""
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    spiked = F.concat("text", F.lit(_ACCENT_SUFFIX))
+    folded = F.translate(spiked, _ACCENT_SRC, _ACCENT_DST)
+    n = F.length(spiked) - F.length(F.translate(spiked, _ACCENT_SRC, ""))
+    return docs.select(
+        "doc_id",
+        folded.alias("text_ascii"),
+        n.cast("int").alias("accents_folded"),
+    )
+
+
+def q_vocab_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary drift between snapshots: fraction of the new
+    snapshot's distinct token types absent from the prior snapshot
+    (docs split by doc_id parity play the two dumps) — the corpus-
+    freshness signal behind 'is this crawl adding anything'. Both
+    vocabularies collapse to DISTINCT tokens before the anti-join, so
+    the join runs at vocabulary scale, not corpus scale."""
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    tok = F.explode(F.split(F.trim("text"), "[ \\t\\r\\n]+")).alias("tok")
+    prior_vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0).select(tok).distinct()
+    )
+    new_vocab = docs.filter(F.col("doc_id") % 2 == 1).select(tok).distinct()
+    novel = new_vocab.join(prior_vocab, "tok", "left_anti")
+    return (
+        new_vocab.agg(F.count("*").alias("n_new_vocab"))
+        .crossJoin(novel.agg(F.count("*").alias("n_novel")))
+        .select(
+            "n_new_vocab",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_new_vocab")).alias("novelty_rate"),
+        )
+    )
+
+
+def _delete_propagation_oracle_sql() -> str:
+    return (
+        "SELECT (SELECT count(*) FROM documents WHERE doc_id % 13 <> 0) "
+        "AS n_docs_kept, "
+        "(SELECT count(*) FROM documents WHERE doc_id % 13 <> 0) "
+        "AS n_derived_kept, "
+        "(SELECT count(*) FROM documents WHERE doc_id % 13 = 0) AS n_deleted"
+    )
+
+
+def _strip_accents_oracle_sql() -> str:
+    spiked = "(text || ' Café résumé niño Zürich ÀÉÎÕÜ')"
+    return (
+        f"SELECT doc_id, translate({spiked}, '{_ACCENT_SRC}', '{_ACCENT_DST}') "
+        "AS text_ascii, "
+        f"CAST(length({spiked}) - length(translate({spiked}, '{_ACCENT_SRC}', "
+        "'')) AS INT) AS accents_folded FROM documents"
+    )
+
+
+def _vocab_novelty_oracle_sql() -> str:
+    return (
+        "WITH prior_v AS (SELECT DISTINCT unnest(regexp_split_to_array("
+        f"trim(text), {WS_SPLIT_SQL})) AS tok FROM documents "
+        "WHERE doc_id % 2 = 0), "
+        "new_v AS (SELECT DISTINCT unnest(regexp_split_to_array("
+        f"trim(text), {WS_SPLIT_SQL})) AS tok FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "novel AS (SELECT tok FROM new_v WHERE tok NOT IN "
+        "(SELECT tok FROM prior_v)) "
+        "SELECT (SELECT count(*) FROM new_v) AS n_new_vocab, "
+        "(SELECT count(*) FROM novel) AS n_novel, "
+        "CAST((SELECT count(*) FROM novel) AS DOUBLE) / "
+        "(SELECT count(*) FROM new_v) AS novelty_rate"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3455,6 +3572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keep_best": q_keep_best,
         "q_json_extract": q_json_extract,
         "q_url_params": q_url_params,
+        "q_delete_propagation": q_delete_propagation,
+        "q_strip_accents": q_strip_accents,
+        "q_vocab_novelty": q_vocab_novelty,
     }
 
 
@@ -4691,4 +4811,7 @@ def oracle_sql() -> dict[str, str]:
         "q_keep_best": _keep_best_oracle_sql(),
         "q_json_extract": _json_extract_oracle_sql(),
         "q_url_params": _url_params_oracle_sql(),
+        "q_delete_propagation": _delete_propagation_oracle_sql(),
+        "q_strip_accents": _strip_accents_oracle_sql(),
+        "q_vocab_novelty": _vocab_novelty_oracle_sql(),
     }

@@ -3421,6 +3421,54 @@ def _vocab_novelty_oracle_sql() -> str:
     )
 
 
+_MM_TERMS = ("viagra", "casino", "jackpot", "agra")
+
+
+def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary-scale multi-pattern matching (webx/match.py): the
+    set of terms present as substrings, OVERLAPS included ('viagra'
+    also contains 'agra' — a consuming alternation would miss it; the
+    lookahead regex and the Aho-Corasick automaton both see it). The
+    regex impl runs here (JVM-side); the automaton impl is A/B-proven
+    identical in tests and is the 10^5-term path. matched_terms is
+    serialized to a comma scalar (the round-2 canonicalizer lesson)."""
+    from webx.match import multi_term_match
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    spiked = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" Viagra")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" casino jackpot")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = multi_term_match(spiked, _MM_TERMS, impl="regex")
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", "matched_terms").alias("matched"),
+        "n_matched",
+    )
+
+
+def _multi_match_oracle_sql() -> str:
+    terms = "main.list_value(" + ", ".join(
+        f"'{t}'" for t in sorted(set(_MM_TERMS))
+    ) + ")"
+    spiked = (
+        "lower(text || (CASE WHEN doc_id % 7 = 0 THEN ' Viagra' ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 0 THEN ' casino jackpot' ELSE '' END))"
+    )
+    return (
+        f"WITH c AS (SELECT doc_id, list_filter({terms}, "
+        f"t -> contains({spiked}, t)) AS m FROM documents) "
+        "SELECT doc_id, COALESCE(array_to_string(m, ','), '') AS matched, "
+        "CAST(len(m) AS INT) AS n_matched FROM c"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3575,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_propagation": q_delete_propagation,
         "q_strip_accents": q_strip_accents,
         "q_vocab_novelty": q_vocab_novelty,
+        "q_multi_match": q_multi_match,
     }
 
 
@@ -4814,4 +4863,5 @@ def oracle_sql() -> dict[str, str]:
         "q_delete_propagation": _delete_propagation_oracle_sql(),
         "q_strip_accents": _strip_accents_oracle_sql(),
         "q_vocab_novelty": _vocab_novelty_oracle_sql(),
+        "q_multi_match": _multi_match_oracle_sql(),
     }

@@ -172,3 +172,18 @@ def test_funnel_stage_joins_broadcast(spark, queries):
     plan = plan_of(queries["q_funnel"](spark, SF))
     assert nodes(plan, "BroadcastHashJoin") >= 2
     assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(SF + "/events.parquet")
+        .filter(F.col("user_id") == 7)
+        .select("event_id")
+    )
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "EqualTo(user_id,7)" in pushed[0]
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read and "props" not in read

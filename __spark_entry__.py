@@ -3469,6 +3469,90 @@ def _multi_match_oracle_sql() -> str:
     )
 
 
+def q_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation per event type between value (cents) and
+    hour-of-day — computed from EXACT integer moments (Σx, Σy, Σxy,
+    Σx², Σy², n are order-independent BIGINT sums; only the final
+    closed-form division/sqrt touches floats, once per group). The
+    engine-exact alternative to F.corr, whose internal running floats
+    are aggregation-order-dependent — same trick as the integer HITS
+    and quantized KMeans. One map-side-collapsing agg."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    x = F.floor(F.col("value") * 100).cast("long")
+    y = F.hour("ts").cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = num.cast("double") / F.sqrt(
+        denx.cast("double") * deny.cast("double")
+    )
+    return m.select("event_type", "n", corr.alias("corr_value_hour"))
+
+
+def q_event_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """Immediate-succession pattern count (MATCH_RECOGNIZE-lite): per
+    user, how often a view is DIRECTLY followed by a purchase in the
+    event sequence — lead(event_type) over (user, ts), then one count.
+    The window formulation of sequence patterns; k-step or gapped
+    patterns chain more leads or fall back to stateful streaming
+    (webx/streaming.py sessionize)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("event_type").over(w)
+    hits = ev.select(
+        "user_id",
+        ((F.col("event_type") == "view") & (nxt == "purchase")).cast(
+            "int"
+        ).alias("hit"),
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(F.sum("hit").alias("n_view_then_purchase"))
+        .filter(F.col("n_view_then_purchase") > 0)
+    )
+
+
+def _correlation_oracle_sql() -> str:
+    return (
+        "WITH m AS (SELECT event_type, count(*) AS n, "
+        "sum(CAST(floor(value * 100) AS BIGINT)) AS sx, "
+        "sum(CAST(hour(ts) AS BIGINT)) AS sy, "
+        "sum(CAST(floor(value * 100) AS BIGINT) * CAST(hour(ts) AS BIGINT)) "
+        "AS sxy, "
+        "sum(CAST(floor(value * 100) AS BIGINT) * "
+        "CAST(floor(value * 100) AS BIGINT)) AS sxx, "
+        "sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS syy "
+        "FROM events GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+        "CAST(n * syy - sy * sy AS DOUBLE)) AS corr_value_hour FROM m"
+    )
+
+
+def _event_sequence_oracle_sql() -> str:
+    return (
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt "
+        "FROM events) "
+        "SELECT user_id, CAST(count(*) FILTER (WHERE event_type = 'view' "
+        "AND nxt = 'purchase') AS BIGINT) AS n_view_then_purchase "
+        "FROM s GROUP BY user_id "
+        "HAVING count(*) FILTER (WHERE event_type = 'view' "
+        "AND nxt = 'purchase') > 0"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3624,6 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_strip_accents": q_strip_accents,
         "q_vocab_novelty": q_vocab_novelty,
         "q_multi_match": q_multi_match,
+        "q_correlation": q_correlation,
+        "q_event_sequence": q_event_sequence,
     }
 
 
@@ -4864,4 +4950,6 @@ def oracle_sql() -> dict[str, str]:
         "q_strip_accents": _strip_accents_oracle_sql(),
         "q_vocab_novelty": _vocab_novelty_oracle_sql(),
         "q_multi_match": _multi_match_oracle_sql(),
+        "q_correlation": _correlation_oracle_sql(),
+        "q_event_sequence": _event_sequence_oracle_sql(),
     }

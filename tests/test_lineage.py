@@ -229,3 +229,37 @@ def test_compact_parquet_skips_when_already_compact(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(p)
     stats = compact_parquet(spark, p, target_file_bytes=10**9)
     assert stats["skipped"] and stats["files_after"] == stats["files_before"]
+
+
+def test_update_agg_state_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from webx.lineage import update_agg_state
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, ["en", "de", "fr"][i % 3], 10 + i % 7) for i in ids],
+            "doc_id long, lang string, n_chars long",
+        )
+
+    full = docs(range(100))
+    state = update_agg_state(None, docs(range(60)), None)
+    state = update_agg_state(state, docs(range(60, 100)), None)
+    # delete a slice, add it back, delete another
+    state = update_agg_state(state, None, docs(range(10, 30)))
+    state = update_agg_state(state, docs(range(10, 30)), docs(range(90, 100)))
+    want = (
+        docs(range(90))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_update_agg_state_drops_emptied_keys(spark):
+    from webx.lineage import update_agg_state
+
+    d = spark.createDataFrame([(1, "xx", 5)], "doc_id long, lang string, n_chars long")
+    state = update_agg_state(None, d, None)
+    state = update_agg_state(state, None, d)
+    assert state.count() == 0

@@ -432,3 +432,46 @@ def compact_parquet(
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": len(files), "files_after": after,
             "bytes": total, "skipped": False}
+
+
+def update_agg_state(
+    state: Optional[DataFrame],
+    added: Optional[DataFrame],
+    deleted: Optional[DataFrame],
+    key: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for the distributive
+    aggregates (count, sum): fold the ADDED and DELETED row deltas into
+    a per-key (n_docs, sum_chars) state without rescanning the corpus —
+    the standard delta rule ΔV = V ⊎ agg(Δ+) ⊎ (−agg(Δ−)). Per update
+    the work is O(delta) + a state-sized merge; a full recompute is
+    O(corpus). Keys whose count reaches zero drop out (so state stays
+    exactly equal to a recompute, not merely equivalent). min/max/
+    distinct are NOT maintainable this way (deletion breaks them) —
+    recompute those or keep a sketch (webx/sketch.py KMV merges for
+    append-only distincts)."""
+    spark_fns = []
+    if state is not None:
+        spark_fns.append(state.select(key, "n_docs", "sum_chars"))
+
+    def delta(df, sign):
+        return df.groupBy(key).agg(
+            (F.count("*") * sign).alias("n_docs"),
+            (F.sum(chars_col) * sign).alias("sum_chars"),
+        )
+
+    if added is not None:
+        spark_fns.append(delta(added, F.lit(1)))
+    if deleted is not None:
+        spark_fns.append(delta(deleted, F.lit(-1)))
+    if not spark_fns:
+        raise ValueError("nothing to merge")
+    allf = spark_fns[0]
+    for f in spark_fns[1:]:
+        allf = allf.unionByName(f)
+    return (
+        allf.groupBy(key)
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_chars").alias("sum_chars"))
+        .filter(F.col("n_docs") > 0)
+    )

@@ -3553,6 +3553,30 @@ def _event_sequence_oracle_sql() -> str:
     )
 
 
+def q_percentile_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-CDF placement: each document's cume_dist of length
+    within its language — the corpus-relative score normalization used
+    before mixing heterogeneous quality signals (a raw length means
+    nothing; 'longer than 93% of same-language docs' does). cume_dist
+    = rank/N from integer ordering, deterministic across engines. One
+    window shuffle on lang."""
+    from pyspark.sql import Window
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return docs.select(
+        "doc_id", "lang", "n_chars", F.cume_dist().over(w).alias("len_pctile")
+    )
+
+
+def _percentile_rank_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, lang, n_chars, "
+        "cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS len_pctile "
+        "FROM documents"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3710,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_match": q_multi_match,
         "q_correlation": q_correlation,
         "q_event_sequence": q_event_sequence,
+        "q_percentile_rank": q_percentile_rank,
     }
 
 
@@ -4952,4 +4977,5 @@ def oracle_sql() -> dict[str, str]:
         "q_multi_match": _multi_match_oracle_sql(),
         "q_correlation": _correlation_oracle_sql(),
         "q_event_sequence": _event_sequence_oracle_sql(),
+        "q_percentile_rank": _percentile_rank_oracle_sql(),
     }

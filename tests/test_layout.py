@@ -116,3 +116,41 @@ def test_pruning_report_zorder_skips_on_both_dims(spark, tmp_path):
     # both dimensions must show real skipping from one layout
     assert ra["skip_fraction"] >= 0.5, ra
     assert rb["skip_fraction"] >= 0.5, rb
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write.partitionBy + a literal predicate on the partition column:
+    the scan must list ONLY the matching directory (PartitionFilters),
+    read zero bytes of other languages, and keep the partition column
+    out of the data files."""
+    from tests.test_plans import plan_of
+
+    p = str(tmp_path / "bylang")
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"t{i}") for i in range(300)],
+        "doc_id long, lang string, text string",
+    )
+    df.write.partitionBy("lang").parquet(p)
+    import os
+
+    assert sorted(d for d in os.listdir(p) if d.startswith("lang=")) == [
+        "lang=de", "lang=en", "lang=fr"
+    ]
+    q = spark.read.parquet(p).filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0]
+    assert q.count() == 100
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    dfp = str(tmp_path / "o.parquet")
+    dfo = str(tmp_path / "o.orc")
+    df = spark.range(500).selectExpr(
+        "id", "concat('s', id % 13) AS s", "CAST(id AS DOUBLE)/7 AS v"
+    )
+    df.write.parquet(dfp)
+    df.write.orc(dfo)
+    a = sorted(map(tuple, spark.read.parquet(dfp).collect()))
+    b = sorted(map(tuple, spark.read.orc(dfo).collect()))
+    assert a == b

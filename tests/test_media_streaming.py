@@ -446,3 +446,56 @@ def test_upsert_drain_latest_per_key_and_idempotent(spark, tmp_path):
     upsert_drain(spark, inp, state, ck)
     s3 = {r["url"]: bytes(r["html"]) for r in spark.read.parquet(state).collect()}
     assert s3 == s2
+
+
+def test_rate_limit_stream_token_bucket_and_state_carryover(spark, tmp_path):
+    """rate=1/s burst=2: a 6-candidate burst at t+0..t+1 admits only the
+    bucket's budget; a SECOND drain starting where the first left off
+    must see the depleted bucket (state carries), admitting only what
+    refill allows."""
+    import datetime as dt
+
+    from webx.streaming import rate_limit_stream
+
+    inp, out, ck = (str(tmp_path / p) for p in ("in", "out", "ck"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def cand(i, sec, host="h.com"):
+        return (host, f"https://{host}/{i}", t0 + dt.timedelta(seconds=sec))
+
+    schema = "host string, url string, ts timestamp"
+    spark.createDataFrame(
+        [cand(i, i * 0.2) for i in range(6)], schema
+    ).write.mode("append").parquet(inp)
+
+    def drain():
+        q = (
+            rate_limit_stream(
+                spark.readStream.schema(schema).parquet(inp), 1.0, 2.0
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    admitted = sorted(u for u, r in rows.items() if r["admitted"] == 1)
+    # burst 2 at t=0, refill 0.2/step: admits 0, 1, then one more around t=1
+    assert len(admitted) == 3, rows
+    assert len(rows) == 6
+
+    # second drain: candidates 2s later — refill grants ~2 tokens, not burst+
+    spark.createDataFrame(
+        [cand(100 + i, 3.0 + i * 0.1) for i in range(5)], schema
+    ).write.mode("append").parquet(inp)
+    drain()
+    rows2 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    new_admitted = [
+        u for u, r in rows2.items() if r["admitted"] == 1 and "/10" in u
+    ]
+    assert len(new_admitted) == 2, rows2  # depleted bucket + 2s refill = 2

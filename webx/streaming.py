@@ -414,3 +414,57 @@ def upsert_drain(
         .start()
     )
     q.awaitTermination()
+
+
+_RL_STATE = "last_us long, tokens double"
+_RL_OUT = (
+    "host string, url string, ts timestamp, admitted int, tokens_after double"
+)
+
+
+def _make_rate_limit_update(rate_per_sec: float, burst: float):
+    def update(key, pdfs, state: GroupState):
+        last_us, tokens = state.get if state.exists else (None, float(burst))
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "url"])
+        out = []
+        for _, r in rows.iterrows():
+            us = int(r["ts"].value // 1000)  # pandas ns -> µs
+            if last_us is not None and us > last_us:
+                tokens = min(
+                    float(burst), tokens + (us - last_us) / 1e6 * rate_per_sec
+                )
+            last_us = us if last_us is None else max(last_us, us)
+            admitted = 1 if tokens >= 1.0 else 0
+            if admitted:
+                tokens -= 1.0
+            out.append((key[0], r["url"], r["ts"], admitted, tokens))
+        state.update((last_us, tokens))
+        yield pd.DataFrame(
+            out, columns=["host", "url", "ts", "admitted", "tokens_after"]
+        )
+
+    return update
+
+
+def rate_limit_stream(
+    hosts_urls: DataFrame,
+    rate_per_sec: float = 1.0,
+    burst: float = 2.0,
+) -> DataFrame:
+    """Per-host token-bucket admission over a stream of fetch
+    candidates (host, url, ts): tokens refill at ``rate_per_sec`` up
+    to ``burst``; each candidate consumes one or is rejected — the
+    crawler-politeness rate limiter as a custom STATEFUL streaming
+    operator (`applyInPandasWithState`). Bucket level persists across
+    micro-batches AND restarts via the checkpoint, so a resumed drain
+    cannot burst past the budget the previous drain already spent —
+    the property a stateless per-batch limiter cannot give. Rows
+    process in (ts, url) order within a host; state is two numbers
+    per host."""
+    return hosts_urls.groupBy("host").applyInPandasWithState(
+        _make_rate_limit_update(rate_per_sec, burst),
+        outputStructType=_RL_OUT,
+        stateStructType=_RL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

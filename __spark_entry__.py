@@ -3577,6 +3577,57 @@ def _percentile_rank_oracle_sql() -> str:
     )
 
 
+def q_embedding_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic test-set decontamination (webx/similarity.py): corpus
+    vectors whose max pinned-fold cosine against the benchmark set
+    (vec_id<16) crosses 0.93 are flagged — the paraphrase-robust
+    complement of 13-gram exact decontamination (q_decontaminate).
+    Exact copies of benchmark vectors planted at vec_id+3·10^6 MUST
+    flag (cos=1). Benchmark broadcast; no corpus shuffle."""
+    from webx.similarity import embedding_decontaminate
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 16)
+    corpus = emb.filter(F.col("vec_id") >= 16).unionByName(
+        bench.select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding")
+    )
+    return embedding_decontaminate(_par(corpus, spark), bench, threshold=0.93)
+
+
+def q_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix over the labeled
+    embeddings (webx/kmeans.py centroid_confusion): per-label integer-
+    quantized mean centroids, pinned-fold L2 assignment, (label, pred,
+    n) — embedding-space separability as an engine-exact eval."""
+    from webx.kmeans import centroid_confusion
+
+    return centroid_confusion(_emb(spark, sf).select("vec_id", "embedding", "label"))
+
+
+def _embedding_decontaminate_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    cos = _o._cos("c.embedding", "b.embedding")
+    return (
+        "WITH bench AS (SELECT vec_id AS bid, embedding FROM embeddings "
+        "WHERE vec_id < 16), "
+        "corpus AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id >= 16 "
+        "UNION ALL SELECT vec_id + 3000000, embedding FROM embeddings "
+        "WHERE vec_id < 16), "
+        f"per AS (SELECT c.vec_id, max({cos}) AS max_cos "
+        "FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id) "
+        "SELECT vec_id, max_cos, CAST(max_cos >= 0.93 AS INT) "
+        "AS contaminated FROM per"
+    )
+
+
+def _confusion_matrix_oracle_sql() -> str:
+    from webx.kmeans import confusion_oracle_sql
+
+    return confusion_oracle_sql()
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3735,6 +3786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_correlation": q_correlation,
         "q_event_sequence": q_event_sequence,
         "q_percentile_rank": q_percentile_rank,
+        "q_embedding_decontaminate": q_embedding_decontaminate,
+        "q_confusion_matrix": q_confusion_matrix,
     }
 
 
@@ -4978,4 +5031,6 @@ def oracle_sql() -> dict[str, str]:
         "q_correlation": _correlation_oracle_sql(),
         "q_event_sequence": _event_sequence_oracle_sql(),
         "q_percentile_rank": _percentile_rank_oracle_sql(),
+        "q_embedding_decontaminate": _embedding_decontaminate_oracle_sql(),
+        "q_confusion_matrix": _confusion_matrix_oracle_sql(),
     }

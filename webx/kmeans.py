@@ -218,3 +218,73 @@ def kmeans_oracle_sql(
     parts.append(f"fin AS (SELECT vec_id, cid FROM a{last}) ")
     parts.append("SELECT vec_id, cid FROM fin")
     return "".join(parts)
+
+
+def centroid_confusion(emb: DataFrame, scale: int = 1024) -> DataFrame:
+    """Nearest-centroid classifier evaluation: fit one centroid per
+    LABEL (integer-quantized mean — exact, order-independent), assign
+    every vector to its nearest centroid (pinned-fold L2, ties to the
+    lowest label), and emit the confusion matrix (label, pred, n) —
+    the separability diagnostic for an embedding space, engine-exact
+    end to end (same arithmetic contract as :func:`kmeans_lloyd`)."""
+    spark = emb.sparkSession
+    q = _quantize(emb, scale).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).persist()
+    try:
+        dim = len(q.select("q").first()["q"])
+        sums = (
+            q.select("label", F.posexplode("q").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_label: dict = {}
+        for r in sums:
+            by_label.setdefault(int(r["label"]), [None] * dim)[r["pos"]] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        labels = sorted(by_label)
+        cents = [[s / n for (s, n) in by_label[l]] for l in labels]
+        assigned = _assign(q.select("vec_id", "q"), cents, spark)
+        pred = F.element_at(
+            F.array(*[F.lit(l) for l in labels]), F.col("cid") + 1
+        )
+        return (
+            assigned.select("vec_id", pred.alias("pred"))
+            .join(q.select("vec_id", "label"), "vec_id")
+            .groupBy("label", "pred")
+            .agg(F.count("*").alias("n"))
+        )
+    finally:
+        q.unpersist()
+
+
+def confusion_oracle_sql(scale: int = 1024, dim: int = 64) -> str:
+    """DuckDB replay of :func:`centroid_confusion` on ``embeddings``."""
+
+    def dist_expr(carr: str, n: str) -> str:
+        terms = [
+            f"(CAST(q[{i+1}] AS DOUBLE) - CAST({carr}[{i+1}] AS DOUBLE) / {n})"
+            f" * (CAST(q[{i+1}] AS DOUBLE) - CAST({carr}[{i+1}] AS DOUBLE) / {n})"
+            for i in range(dim)
+        ]
+        return "(0.0 + " + " + ".join(terms) + ")"
+
+    sum_list = (
+        "list_value(" + ", ".join(f"SUM(q[{i+1}])" for i in range(dim)) + ")"
+    )
+    return (
+        "WITH qv AS (SELECT vec_id, label, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q "
+        "FROM embeddings), "
+        f"cents AS (SELECT label AS clabel, {sum_list} AS s, COUNT(*) AS n "
+        "FROM qv GROUP BY label), "
+        "a AS (SELECT vec_id, label, clabel AS pred FROM ("
+        "SELECT qv.vec_id, qv.label, c.clabel, "
+        "ROW_NUMBER() OVER (PARTITION BY qv.vec_id "
+        f"ORDER BY {dist_expr('c.s', 'c.n')}, c.clabel) AS rn "
+        "FROM qv CROSS JOIN cents c) WHERE rn = 1) "
+        "SELECT label, pred, count(*) AS n FROM a GROUP BY label, pred"
+    )

@@ -534,3 +534,38 @@ def embedding_outliers(
         F.col("far_rank").cast("int").alias("far_rank"),
         (F.col("far_rank") <= k_far).alias("outlier"),
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.93,
+) -> DataFrame:
+    """Semantic test-set decontamination (the embedding-space
+    complement of the 13-gram exact overlap in webx/curate.py —
+    paraphrased benchmark leakage survives n-gram checks but not
+    cosine): flag corpus vectors whose max cosine against ANY
+    benchmark vector ≥ threshold → (vec_id, max_cos, contaminated).
+
+    Benchmarks are small by nature (10^3-10^5 rows) so the benchmark
+    side BROADCASTS and the corpus pass is one narrow fan-out ×
+    |benchmark| with a max-aggregate — no corpus shuffle. At larger
+    benchmark sizes swap the expansion for the LSH-bucketed candidate
+    path (``_cosine_neardup_lsh``); the flag semantics are unchanged.
+    Pinned-fold cosine (the `_dot`/`_norm` contract) keeps every score
+    engine-exact."""
+    b = F.broadcast(
+        benchmark.select(
+            F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+        )
+    )
+    cos = _dot(F.col("embedding"), F.col("bemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("bemb"))
+    )
+    per = corpus.crossJoin(b).select("vec_id", cos.alias("c"))
+    agg = per.groupBy("vec_id").agg(F.max("c").alias("max_cos"))
+    return agg.select(
+        "vec_id",
+        "max_cos",
+        (F.col("max_cos") >= threshold).cast("int").alias("contaminated"),
+    )

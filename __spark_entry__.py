@@ -3628,6 +3628,112 @@ def _confusion_matrix_oracle_sql() -> str:
     return confusion_oracle_sql()
 
 
+def q_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap filling: forward-fill missing sensor values per series —
+    `last(x, ignorenulls)` over (user, ts, rows unbounded preceding),
+    the carry-forward idiom for sparse observations (every 5th event
+    keeps its value; the rest inherit the latest earlier one). One
+    window shuffle; same running-last machinery as the as-of join."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sparse = F.when(F.col("event_id") % 5 == 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sparse.alias("observed"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def q_day_over_day(spark: SparkSession, sf: str) -> DataFrame:
+    """Period-over-period deltas: daily revenue per event type with the
+    previous day's value and the change — lag over the days×types
+    pre-aggregate (the q_rolling_avg input frame; the window never
+    touches raw events). Integer cents; NULL delta on each series'
+    first day."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cents").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "cents",
+        prev.alias("prev_cents"),
+        (F.col("cents") - prev).alias("delta_cents"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    active at each day offset — the (cohort_day, offset, n_users)
+    triangle behind every retention curve. Two aggregations (first-seen
+    per user is ≤1 row/user and broadcasts back; distinct (user, day)
+    collapses map-side); nothing quadratic."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _forward_fill_oracle_sql() -> str:
+    return (
+        "WITH s AS (SELECT event_id, user_id, ts, "
+        "(CASE WHEN event_id % 5 = 0 THEN value END) AS observed "
+        "FROM events) "
+        "SELECT event_id, user_id, observed, "
+        "last_value(observed IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM s"
+    )
+
+
+def _day_over_day_oracle_sql() -> str:
+    return (
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+        "AS day, event_type, "
+        "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM events GROUP BY day, event_type) "
+        "SELECT day, event_type, cents, "
+        "LAG(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev_cents, "
+        "cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY day) "
+        "AS delta_cents FROM daily"
+    )
+
+
+def _retention_cohorts_oracle_sql() -> str:
+    return (
+        "WITH days AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events), "
+        "first AS (SELECT user_id, min(day) AS cohort_day FROM days "
+        "GROUP BY user_id) "
+        "SELECT f.cohort_day, date_diff('day', f.cohort_day, d.day) "
+        "AS offset_days, count(*) AS n_users "
+        "FROM days d JOIN first f USING (user_id) "
+        "GROUP BY f.cohort_day, offset_days"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3788,6 +3894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_rank": q_percentile_rank,
         "q_embedding_decontaminate": q_embedding_decontaminate,
         "q_confusion_matrix": q_confusion_matrix,
+        "q_forward_fill": q_forward_fill,
+        "q_day_over_day": q_day_over_day,
+        "q_retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -5033,4 +5142,7 @@ def oracle_sql() -> dict[str, str]:
         "q_percentile_rank": _percentile_rank_oracle_sql(),
         "q_embedding_decontaminate": _embedding_decontaminate_oracle_sql(),
         "q_confusion_matrix": _confusion_matrix_oracle_sql(),
+        "q_forward_fill": _forward_fill_oracle_sql(),
+        "q_day_over_day": _day_over_day_oracle_sql(),
+        "q_retention_cohorts": _retention_cohorts_oracle_sql(),
     }

@@ -3734,6 +3734,52 @@ def _retention_cohorts_oracle_sql() -> str:
     )
 
 
+def q_host_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-host document concentration — the
+    crawl-balance diagnostic (0 = perfectly even hosts, →1 = one
+    mega-host owns the corpus; pairs with q_skew_report's per-key
+    view). Computed in the rank form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over hosts sorted ascending: every term is an exact integer until
+    ONE double division — engine-exact, unlike a float Lorenz
+    integration. Host counts are a tiny aggregate; the window runs on
+    n_hosts rows."""
+    from pyspark.sql import Window
+
+    docs = synth.load_documents(spark, sf)
+    key = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % 50
+    )
+    counts = docs.select(key.alias("host")).groupBy("host").agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("x", "host")
+    ranked = counts.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1) / F.col("n")
+    )
+    return agg.select("n", "sx", gini.alias("gini"))
+
+
+def _host_gini_oracle_sql() -> str:
+    return (
+        "WITH counts AS (SELECT (CASE WHEN doc_id % 2 = 0 THEN 0 "
+        "ELSE doc_id % 50 END) AS host, count(*) AS x FROM documents "
+        "GROUP BY host), "
+        "ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, host) AS i "
+        "FROM counts), "
+        "agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six "
+        "FROM ranked) "
+        "SELECT n, sx, 2.0 * six / (n * sx) - "
+        "CAST(n + 1 AS DOUBLE) / n AS gini FROM agg"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3897,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forward_fill": q_forward_fill,
         "q_day_over_day": q_day_over_day,
         "q_retention_cohorts": q_retention_cohorts,
+        "q_host_gini": q_host_gini,
     }
 
 
@@ -5145,4 +5192,5 @@ def oracle_sql() -> dict[str, str]:
         "q_forward_fill": _forward_fill_oracle_sql(),
         "q_day_over_day": _day_over_day_oracle_sql(),
         "q_retention_cohorts": _retention_cohorts_oracle_sql(),
+        "q_host_gini": _host_gini_oracle_sql(),
     }

@@ -187,3 +187,69 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert pushed and "EqualTo(user_id,7)" in pushed[0]
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "event_id" in read and "props" not in read
+
+
+def test_observation_metrics_without_extra_pass(spark):
+    """The Observation API collects pipeline counters DURING the action
+    (no second scan) — the lineage-metrics hook for jobs that cannot
+    afford a counting pass at 100 TB."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation("extract_metrics")
+    df = (
+        spark.read.parquet(SF + "/events.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = spark.read.parquet(SF + "/events.parquet").agg(
+        F.count(F.lit(1)), F.sum(F.floor(F.col("value") * 100).cast("long"))
+    ).collect()[0]
+    assert got["n_rows"] == want[0] and got["cents"] == want[1]
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE skew-join: with thresholds lowered to toy scale, a planted
+    mega-key SMJ must show skew=true partitions in the final adaptive
+    plan — the runtime half of the skew story (salted_join is the
+    manual half for paths AQE cannot reach)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p"),
+        )
+        right = spark.range(250_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("r")
+        )  # unique keys: no join fan-out, the skew is purely left-side
+        joined = big.hint("merge").join(right, "k")
+        # action on the SAME QueryExecution so AQE finalizes THIS plan
+        # (a write/count wraps a new execution whose final plan we
+        # could not read back)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -3780,6 +3780,98 @@ def _host_gini_oracle_sql() -> str:
     )
 
 
+def q_sql_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """The pure-SQL user surface: a TPC-H-Q3-shaped revenue query
+    written as `spark.sql` text over registered temp views — same
+    Catalyst plan machinery as the DataFrame API (broadcast dim, partial
+    aggs), proving a SQL-only user of this engine gets the full planner.
+    The oracle is the IDENTICAL statement (ANSI subset) in DuckDB."""
+    sql = (
+        "SELECT o.o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem_v l JOIN orders_v o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer_v c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' AND l.l_shipdate > o.o_orderdate "
+        "GROUP BY o.o_orderpriority"
+    )
+    for t in ("lineitem", "orders", "customer"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(
+            f"{t}_v"
+        )
+    return spark.sql(sql)
+
+
+def q_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level PII governance scan: per (table, column) totals of
+    email/phone/IPv4 hits across documents.text and events.props, with
+    planted PII (every 17th doc gets an email+IP suffix) so nonzero
+    rows prove detection. The per-column counters fuse into each
+    table's scan (pure regexp_count projections); output is
+    tables×columns rows."""
+    from webx.pii import pii_counts
+
+    docs = synth.load_documents(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat("text", F.lit(" contact bob@example.com at 10.0.0.1")),
+        ).otherwise(F.col("text")),
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    def audit(df, table, col):
+        return df.select(*pii_counts(col)).agg(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+        )
+    return audit(docs, "documents", "text").unionByName(
+        audit(ev, "events", "props")
+    )
+
+
+def _sql_analytics_oracle_sql() -> str:
+    return (
+        "SELECT o.o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) "
+        "AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' AND l.l_shipdate > o.o_orderdate "
+        "GROUP BY o.o_orderpriority"
+    )
+
+
+def _pii_audit_oracle_sql() -> str:
+    from webx.pii import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    spiked = (
+        "(text || CASE WHEN doc_id % 17 = 0 THEN "
+        "' contact bob@example.com at 10.0.0.1' ELSE '' END)"
+    )
+
+    def cnt(src, kind):
+        return (
+            f"CAST(sum(len(regexp_extract_all({src}, '{pats[kind]}'))) "
+            f"AS BIGINT)"
+        )
+
+    return (
+        f"SELECT 'documents' AS table_name, 'text' AS column_name, "
+        f"{cnt(spiked, 'email')} AS n_email, {cnt(spiked, 'phone')} AS n_phone, "
+        f"{cnt(spiked, 'ipv4')} AS n_ipv4 FROM documents "
+        "UNION ALL "
+        f"SELECT 'events', 'props', {cnt('props', 'email')}, "
+        f"{cnt('props', 'phone')}, {cnt('props', 'ipv4')} FROM events"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3944,6 +4036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_day_over_day": q_day_over_day,
         "q_retention_cohorts": q_retention_cohorts,
         "q_host_gini": q_host_gini,
+        "q_sql_analytics": q_sql_analytics,
+        "q_pii_audit": q_pii_audit,
     }
 
 
@@ -5193,4 +5287,6 @@ def oracle_sql() -> dict[str, str]:
         "q_day_over_day": _day_over_day_oracle_sql(),
         "q_retention_cohorts": _retention_cohorts_oracle_sql(),
         "q_host_gini": _host_gini_oracle_sql(),
+        "q_sql_analytics": _sql_analytics_oracle_sql(),
+        "q_pii_audit": _pii_audit_oracle_sql(),
     }

@@ -143,3 +143,23 @@ def test_warc_chunked_framing_errors_fail_soft():
     assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
     # trailer headers after the 0 chunk are not content
     assert _dechunk(b"3\r\nabc\r\n0\r\nX-T: 1\r\n\r\n") == b"abc"
+
+
+def test_corrupt_parquet_file_tolerance(spark, tmp_path):
+    """Operational robustness: one garbage file in a 10^5-file dataset
+    must not kill the scan when ignoreCorruptFiles is on — and MUST
+    kill it when off (silent data loss is opt-in, never default)."""
+    import pytest
+
+    p = str(tmp_path / "mixed")
+    spark.range(100).write.parquet(p)
+    with open(f"{p}/part-junk.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        spark.read.parquet(p).count()
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(p).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)

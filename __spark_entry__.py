@@ -3872,6 +3872,107 @@ def _pii_audit_oracle_sql() -> str:
     )
 
 
+def q_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus language diversity WITHOUT logarithms: Simpson's index
+    D = Σ nᵢ(nᵢ−1)/(N(N−1)) and its effective-language-count inverse —
+    Shannon entropy needs ln() whose last-ulp differs between libm
+    implementations (not oracle-able); Simpson is integer mass with
+    ONE division, engine-exact. One tiny language aggregate."""
+    docs = synth.load_documents(spark, sf)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    agg = counts.agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs"),
+        F.count("*").alias("n_langs"),
+    )
+    d = F.col("pairs").cast("double") / (F.col("N") * (F.col("N") - 1))
+    return agg.select(
+        "n_langs",
+        "N",
+        d.alias("simpson"),
+        (F.lit(1.0) / d).alias("effective_langs"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    and probabilities of event_type → next event_type per user stream
+    (lead window + one count agg; probability = integer count over
+    integer row-total, one division). The behavioral-model input; at
+    10^12 events the (from, to) matrix is |types|² rows no matter the
+    corpus."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w2 = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w2)).alias("p"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang × length decile):
+    equivalence classes smaller than k=5 re-identify their members —
+    report every class with its size and the violation flag. The
+    governance pre-check before any per-document release; one hash agg
+    on the quasi-identifier tuple."""
+    docs = synth.load_documents(spark, sf)
+    qid = docs.select(
+        "lang", (F.col("n_chars") / 100).cast("int").alias("len_bucket")
+    )
+    classes = qid.groupBy("lang", "len_bucket").agg(F.count("*").alias("n"))
+    return classes.select(
+        "lang",
+        "len_bucket",
+        "n",
+        (F.col("n") < 5).cast("int").alias("k_violation"),
+    )
+
+
+def _simpson_oracle_sql() -> str:
+    return (
+        "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+        "a AS (SELECT sum(n) AS N, sum(n * (n - 1)) AS pairs, "
+        "count(*) AS n_langs FROM c) "
+        "SELECT n_langs, N, "
+        "CAST(pairs AS DOUBLE) / (N * (N - 1)) AS simpson, "
+        "1.0 / (CAST(pairs AS DOUBLE) / (N * (N - 1))) AS effective_langs "
+        "FROM a"
+    )
+
+
+def _event_transitions_oracle_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type AS from_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type "
+        "FROM events), "
+        "c AS (SELECT from_type, to_type, count(*) AS n FROM p "
+        "WHERE to_type IS NOT NULL GROUP BY from_type, to_type) "
+        "SELECT from_type, to_type, n, "
+        "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p "
+        "FROM c"
+    )
+
+
+def _k_anonymity_oracle_sql() -> str:
+    return (
+        "SELECT lang, CAST(n_chars // 100 AS INT) AS len_bucket, "
+        "count(*) AS n, CAST(count(*) < 5 AS INT) AS k_violation "
+        "FROM documents GROUP BY lang, len_bucket"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4038,6 +4139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_gini": q_host_gini,
         "q_sql_analytics": q_sql_analytics,
         "q_pii_audit": q_pii_audit,
+        "q_simpson_diversity": q_simpson_diversity,
+        "q_event_transitions": q_event_transitions,
+        "q_k_anonymity": q_k_anonymity,
     }
 
 
@@ -5289,4 +5393,7 @@ def oracle_sql() -> dict[str, str]:
         "q_host_gini": _host_gini_oracle_sql(),
         "q_sql_analytics": _sql_analytics_oracle_sql(),
         "q_pii_audit": _pii_audit_oracle_sql(),
+        "q_simpson_diversity": _simpson_oracle_sql(),
+        "q_event_transitions": _event_transitions_oracle_sql(),
+        "q_k_anonymity": _k_anonymity_oracle_sql(),
     }

@@ -263,3 +263,23 @@ def test_update_agg_state_drops_emptied_keys(spark):
     state = update_agg_state(None, d, None)
     state = update_agg_state(state, None, d)
     assert state.count() == 0
+
+
+def test_compact_parquet_recovers_from_rename_crash_window(spark, tmp_path):
+    """Simulate a crash between the two swap renames (path gone, data
+    under .compact_old): the next compact call must restore and
+    proceed, never losing rows."""
+    import os
+    import shutil
+
+    from webx.lineage import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(3000).repartition(12).write.parquet(p)
+    os.rename(p, p + ".compact_old")          # the crash window state
+    os.makedirs(p + ".compact_tmp")           # plus a half-written tmp
+    stats = compact_parquet(spark, p, target_file_bytes=10**9)
+    assert not stats["skipped"]
+    assert spark.read.parquet(p).count() == 3000
+    assert not os.path.exists(p + ".compact_old")
+    shutil.rmtree(p + ".compact_tmp", ignore_errors=True)

@@ -411,6 +411,15 @@ def compact_parquet(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".compact_old"
+    # crash recovery: a previous run that died between its two renames
+    # leaves the data under .compact_old with `path` missing — restore
+    # before doing anything else (the tmp dir, if any, is incomplete)
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
     files = [
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -421,8 +430,6 @@ def compact_parquet(
     if n_out >= len(files):
         return {"files_before": len(files), "files_after": len(files),
                 "bytes": total, "skipped": True}
-    tmp = path.rstrip("/") + ".compact_tmp"
-    old = path.rstrip("/") + ".compact_old"
     df = spark.read.parquet(path)
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)

@@ -149,6 +149,20 @@ def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
     return extract_pdf(pdfs).select("url", "text")
 
 
+def q_extract_pdf_cid(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-font PDF lane (webx/pdf.py font maps): every document a
+    Type0/CID PDF — show ops as 2-byte-code HEX strings, the code →
+    unicode map carried in a /ToUnicode CMap (codespacerange, bfchar,
+    both bfrange forms) exactly as modern subsetted-font writers emit.
+    Extraction must reproduce the SAME closed-form golden text as the
+    flagship, byte-identical — proving the CMap decode is exact, not
+    approximate."""
+    from webx.pdf import extract_pdf
+
+    pdfs = _par(synth.synth_pdfs(spark, sf, layout="cid"), spark)
+    return extract_pdf(pdfs).select("url", "text")
+
+
 def q_extract_wet(spark: SparkSession, sf: str) -> DataFrame:
     """Extraction output round-tripped through the WET container (the
     Common-Crawl extracted-text interchange format): flagship extraction
@@ -3990,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_warc": q_extract_warc,
         "q_extract_wet": q_extract_wet,
         "q_extract_pdf": q_extract_pdf,
+        "q_extract_pdf_cid": q_extract_pdf_cid,
         "q_keyed_store": q_keyed_store,
         "q_convert_det_labels": q_convert_det_labels,
         "q_spans_stats": q_spans_stats,
@@ -4497,6 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_wet": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_convert_det_labels": (
             f"SELECT {URL} AS url, 1 AS n_spans, "

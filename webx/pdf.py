@@ -14,11 +14,15 @@ DBNet detect → CRNN decode split):
 
 Honest bounds (stated, not hidden): classic xref tables AND PDF 1.5+
 xref streams / object streams (/Prev incremental-update chains, TIFF +
-all five per-row PNG predictors), FlateDecode only, text strings
-interpreted as UTF-8 bytes (the synthetic-fixture shortcut; real-world
-PDFs need font /Encoding + ToUnicode maps). Anything outside these
-bounds yields status='unsupported' with zero rows lost — same explicit
-bad-row policy as the HTML lane.
+all five per-row PNG predictors), FlateDecode only. Show-string decode
+goes through font maps: /ToUnicode CMaps (codespacerange + bfchar +
+both bfrange forms — the composite/CID-font layout modern subsetted
+writers emit) and simple-font /Encoding with /Differences (WinAnsi /
+MacRoman bases + an Adobe-Glyph-List subset); fonts with neither map
+decode as UTF-8 bytes (the synthetic-fixture contract and the
+best-effort fallback). Anything outside these bounds yields
+status='unsupported' with zero rows lost — same explicit bad-row
+policy as the HTML lane.
 
 Distribution: ``extract_pdf`` is one fused Arrow ``mapInPandas`` pass
 over (url, pdf) rows — the same zero-shuffle flagship plan shape as
@@ -29,7 +33,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -66,7 +70,12 @@ def write_pdf(title: str, body: str, compress: bool = True) -> bytes:
         stream_dict + b"\nstream\n" + data + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
-    out = [b"%PDF-1.4\n"]
+    return _classic_assemble(objs)
+
+
+def _classic_assemble(objs: List[bytes], header: bytes = b"%PDF-1.4\n") -> bytes:
+    """Assemble numbered objects 1..N into a classic-xref-table PDF."""
+    out = [header]
     offsets = []
     pos = len(out[0])
     for i, body_i in enumerate(objs, start=1):
@@ -87,6 +96,189 @@ def write_pdf(title: str, body: str, compress: bool = True) -> bytes:
         + b"\n%%EOF\n"
     )
     return b"".join(out)
+
+
+def _tounicode_cmap(codes: List[Tuple[int, str]]) -> bytes:
+    """Build a /ToUnicode CMap for (code, char) pairs (2-byte codes).
+    Runs of ≥3 consecutive codes mapping to consecutive BMP codepoints
+    (within one 256-code block, per spec) become incrementing bfrange
+    rows; runs of exactly 2 use the ARRAY bfrange form; everything else
+    (singles, non-BMP surrogate pairs, multi-char) becomes bfchar — so
+    every construct a reader must support is exercised by synthesis."""
+
+    def u16(s: str) -> str:
+        return s.encode("utf-16-be").hex().upper()
+
+    bfchar: List[bytes] = []
+    bfrange: List[bytes] = []
+    i, n = 0, len(codes)
+    while i < n:
+        c0, ch0 = codes[i]
+        j = i + 1
+        if len(ch0) == 1 and ord(ch0) <= 0xFFFF and not 0xD800 <= ord(ch0) <= 0xDFFF:
+            while (
+                j < n
+                and codes[j][0] == codes[j - 1][0] + 1
+                and (codes[j][0] >> 8) == (c0 >> 8)
+                and len(codes[j][1]) == 1
+                and ord(codes[j][1]) == ord(codes[j - 1][1]) + 1
+                and ord(codes[j][1]) <= 0xFFFF
+            ):
+                j += 1
+        run = codes[i:j]
+        if len(run) >= 3:
+            bfrange.append(
+                f"<{c0:04X}> <{run[-1][0]:04X}> <{ord(ch0):04X}>".encode()
+            )
+        elif len(run) == 2:
+            bfrange.append(
+                f"<{c0:04X}> <{run[1][0]:04X}> [<{u16(ch0)}> <{u16(run[1][1])}>]".encode()
+            )
+        else:
+            bfchar.append(f"<{c0:04X}> <{u16(ch0)}>".encode())
+        i = j
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /WebxUCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    # spec caps sections at 100 rows
+    for rows, kw in ((bfchar, b"bfchar"), (bfrange, b"bfrange")):
+        for s in range(0, len(rows), 100):
+            chunk = rows[s : s + 100]
+            parts.append(
+                str(len(chunk)).encode() + b" begin" + kw + b"\n"
+                + b"\n".join(chunk) + b"\nend" + kw + b"\n"
+            )
+    parts.append(
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    )
+    return b"".join(parts)
+
+
+def write_pdf_cid(
+    title: str,
+    body: str,
+    compress: bool = True,
+    extra_simple_font: bool = False,
+    corrupt_tounicode: bool = False,
+) -> bytes:
+    """The ``write_pdf`` document in the layout modern subsetted-font
+    writers emit: a Type0 (composite) font with 2-byte CIDs assigned in
+    first-appearance order, show ops as HEX strings, and a /ToUnicode
+    CMap carrying the code→unicode map. Extraction must be byte-identical
+    to ``title + "\\n" + body`` — the decode goes code units → CMap →
+    characters, the same dictionary indirection mindocr's recognizer
+    applies to logit indices (mindocr/postprocess/rec_postprocess.py).
+
+    ``extra_simple_font`` adds a second (plain) font and a third line
+    shown under it after a mid-region Tf switch — the mixed-font test.
+    ``corrupt_tounicode`` writes garbage as the CMap stream (fallback
+    path test)."""
+    order: Dict[str, int] = {}
+    for ch in title + body:
+        if ch not in order:
+            order[ch] = len(order) + 1  # code 0 stays unmapped
+
+    def hexstr(s: str) -> bytes:
+        return b"<" + "".join(f"{order[ch]:04X}" for ch in s).encode() + b">"
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        + hexstr(title)
+        + b" Tj 0 -14 TD "
+        + hexstr(body)
+        + b" Tj"
+    )
+    if extra_simple_font:
+        content += b" /F2 12 Tf T* (plain!) Tj"
+    content += b" ET"
+    if compress:
+        data = zlib.compress(content)
+        stream_dict = (
+            b"<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
+        )
+    else:
+        data = content
+        stream_dict = b"<< /Length " + str(len(data)).encode() + b" >>"
+    cmap = (
+        b"not a cmap \xff\xfe"
+        if corrupt_tounicode
+        else _tounicode_cmap([(c, ch) for ch, c in order.items()])
+    )
+    cmap_z = zlib.compress(cmap)
+    fonts = b"<< /F1 5 0 R" + (b" /F2 8 0 R" if extra_simple_font else b"") + b" >>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font " + fonts + b" >> >>",
+        stream_dict + b"\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /WebxCID /Encoding /Identity-H "
+        b"/DescendantFonts [6 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /WebxCID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>",
+        b"<< /Length " + str(len(cmap_z)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + cmap_z + b"\nendstream",
+    ]
+    if extra_simple_font:
+        objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _classic_assemble(objs, header=b"%PDF-1.6\n")
+
+
+def write_pdf_differences(title: str, body: str) -> bytes:
+    """The same document under a SIMPLE (single-byte) font whose
+    /Encoding carries a /Differences array: ASCII shows as itself
+    (WinAnsi base), every non-ASCII character gets a byte ≥ 0x80 mapped
+    by Adobe glyph name. Raises if the text needs a glyph outside the
+    supported name table — fixtures must stay within it."""
+    rev = {v: k for k, v in _AGL.items()}
+    assign: Dict[str, int] = {}
+    diffs: List[bytes] = []
+    state = {"nxt": 0x80}
+
+    def enc(s: str) -> bytes:
+        out = bytearray()
+        for ch in s:
+            if ord(ch) < 0x80:
+                out.append(ord(ch))
+                continue
+            if ch not in assign:
+                name = rev.get(ch) or (
+                    f"uni{ord(ch):04X}" if ord(ch) <= 0xFFFF else None
+                )
+                if name is None:
+                    raise ValueError(f"no glyph name for {ch!r}")
+                if state["nxt"] > 0xFF:
+                    raise ValueError("too many non-ASCII characters for one byte font")
+                assign[ch] = state["nxt"]
+                diffs.append(f"{state['nxt']} /{name}".encode())
+                state["nxt"] += 1
+            out.append(assign[ch])
+        return bytes(out)
+
+    t_enc, b_enc = enc(title), enc(body)
+    content = (
+        b"BT /F1 12 Tf 72 720 Td ("
+        + _esc(t_enc)
+        + b") Tj 0 -14 TD ("
+        + _esc(b_enc)
+        + b") Tj ET"
+    )
+    data = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /WebxDiff /Encoding 6 0 R >>",
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences ["
+        + b" ".join(diffs)
+        + b"] >>",
+    ]
+    return _classic_assemble(objs)
 
 
 def _png_up_encode(rows: List[bytes], columns: int) -> bytes:
@@ -525,18 +717,285 @@ def _deref(raw, offsets, v):
     return v
 
 
+# ----------------------------------------------------------- font maps
+#
+# Show-string bytes are code units, not characters. Composite (Type0)
+# fonts carry the code→unicode map in a /ToUnicode CMap stream; simple
+# fonts map single bytes through /Encoding (base table + /Differences
+# glyph-name overrides). Fonts with neither fall back to the UTF-8
+# byte decode (the synthetic-fixture contract, and the best-effort
+# policy for fonts we cannot map). The reference analog is the
+# recognizer's char dictionary (mindocr/utils/dict/*,
+# mindocr/postprocess/rec_postprocess.py:36-60): decode indices through
+# a lookup table to characters.
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _cmap_hexbytes(tok: bytes) -> bytes:
+    hx = re.sub(rb"\s", b"", tok)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _parse_tounicode(cmap: bytes) -> Tuple[List[int], Dict[bytes, str]]:
+    """/ToUnicode CMap stream → (sorted code-unit byte widths,
+    {code bytes → unicode str}). Handles codespacerange (unit widths),
+    bfchar pairs, and BOTH bfrange forms (<lo> <hi> <dstStart> with the
+    last UTF-16 unit incrementing, and <lo> <hi> [<dst> …]). Destination
+    hex is UTF-16BE: surrogate pairs for non-BMP, multiple units for
+    ligature expansions."""
+    widths: set = set()
+    mapping: Dict[bytes, str] = {}
+
+    def dst_str(hx: bytes) -> str:
+        return _cmap_hexbytes(hx).decode("utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S):
+        for hm in _CMAP_HEX_RE.finditer(m.group(1)):
+            widths.add(len(_cmap_hexbytes(hm.group(1))))
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        toks = _CMAP_HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            mapping[_cmap_hexbytes(src)] = dst_str(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        pos, n = 0, len(body)
+        while pos < n:
+            lo_m = _CMAP_HEX_RE.search(body, pos)
+            if not lo_m:
+                break
+            hi_m = _CMAP_HEX_RE.search(body, lo_m.end())
+            if not hi_m:
+                break
+            lo = _cmap_hexbytes(lo_m.group(1))
+            hi = _cmap_hexbytes(hi_m.group(1))
+            w = len(lo)
+            pos = hi_m.end()
+            arr = re.match(rb"\s*(\[)?", body[pos:])
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if arr.group(1):  # array form: one dst per code
+                pos += arr.end()
+                end = body.find(b"]", pos)
+                if end < 0:
+                    break
+                for i, d in enumerate(_CMAP_HEX_RE.findall(body[pos:end])):
+                    mapping[(lo_i + i).to_bytes(w, "big")] = dst_str(d)
+                pos = end + 1
+            else:  # incrementing form: last UTF-16BE unit counts up
+                d_m = _CMAP_HEX_RE.search(body, pos)
+                if not d_m:
+                    break
+                base = _cmap_hexbytes(d_m.group(1))
+                prefix, last = base[:-2], int.from_bytes(base[-2:] or b"\0\0", "big")
+                for i in range(hi_i - lo_i + 1):
+                    mapping[(lo_i + i).to_bytes(w, "big")] = (
+                        prefix + ((last + i) & 0xFFFF).to_bytes(2, "big")
+                    ).decode("utf-16-be", errors="replace")
+                pos = d_m.end()
+    return sorted(widths) or [2], mapping
+
+
+def _cmap_decoder(widths: List[int], mapping: Dict[bytes, str]) -> Callable[[bytes], str]:
+    """String bytes → text via the CMap: at each position try the
+    declared code widths shortest-first; unmapped codes emit U+FFFD and
+    consume the widest declared unit (fail-soft, never raises)."""
+
+    def decode(s: bytes) -> str:
+        out: List[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            for w in widths:
+                code = s[i : i + w]
+                if code in mapping:
+                    out.append(mapping[code])
+                    i += w
+                    break
+            else:
+                i += widths[-1] if i + widths[-1] <= n else 1
+                out.append("�")
+        return "".join(out)
+
+    return decode
+
+
+# Adobe Glyph List subset: ASCII names, Latin-1/15 accents, and the
+# typographic punctuation real /Differences arrays use. uniXXXX / uXXXX
+# names decode positionally and need no table.
+_AGL: Dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "Euro": "€", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "mu": "µ", "periodcentered": "·",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "exclamdown": "¡", "questiondown": "¿", "cent": "¢",
+    "sterling": "£", "yen": "¥", "section": "§",
+    "dieresis": "¨", "guillemotleft": "«",
+    "guillemotright": "»", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Eacute": "É", "Ntilde": "Ñ", "Odieresis": "Ö",
+    "Oslash": "Ø", "Udieresis": "Ü", "OE": "Œ",
+    "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ", "Zcaron": "Ž", "zcaron": "ž",
+    "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "dagger": "†", "daggerdbl": "‡", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fi": "ﬁ", "fl": "ﬂ",
+}
+for _c in range(0x41, 0x7B):  # A-Z a-z glyph names are the letters themselves
+    if chr(_c).isalpha():
+        _AGL.setdefault(chr(_c), chr(_c))
+
+
+def _glyph_to_char(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else "�"
+    return "�"
+
+
+def _base_encoding_table(name: Optional[str]) -> List[str]:
+    # WinAnsi == cp1252, MacRoman == mac-roman; Standard/absent ≈
+    # latin-1 for the printable range (documented approximation —
+    # StandardEncoding differs from Latin-1 only in glyphs the fixtures
+    # never use).
+    codec = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac-roman"}.get(
+        name or "", "latin-1"
+    )
+    table = []
+    for b in range(256):
+        try:
+            table.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            table.append("�")
+    return table
+
+
+def _simple_font_decoder(
+    base: Optional[str], differences: list
+) -> Callable[[bytes], str]:
+    """Single-byte font decode: base encoding table overridden by the
+    /Differences array ([code /name /name code /name …] — numbers set
+    the next code, names consume consecutive codes)."""
+    table = _base_encoding_table(base)
+    code = 0
+    for item in differences:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        else:
+            name = item[1] if isinstance(item, tuple) else str(item)
+            if 0 <= code < 256:
+                table[code] = _glyph_to_char(name)
+            code += 1
+
+    def decode(s: bytes) -> str:
+        return "".join(table[b] for b in s)
+
+    return decode
+
+
+def _one_font_decoder(raw: bytes, offsets: dict, fval) -> Optional[Callable[[bytes], str]]:
+    """Font dict → decode callable, or None for the UTF-8 fallback.
+    Priority: /ToUnicode CMap (authoritative when present, simple or
+    composite), then simple-font /Encoding. Unparsable font structures
+    fall back to None — a bad font must not fail the document."""
+    try:
+        if not isinstance(fval, dict):
+            return None
+        tu = fval.get("ToUnicode")
+        if isinstance(tu, tuple) and tu[0] == "ref":
+            _, stream = _load_obj(raw, offsets, tu[1])
+            if stream:
+                widths, mapping = _parse_tounicode(stream)
+                if mapping:
+                    return _cmap_decoder(widths, mapping)
+        enc = _deref(raw, offsets, fval.get("Encoding"))
+        if isinstance(enc, dict):
+            base = enc.get("BaseEncoding")
+            base_name = base[1] if isinstance(base, tuple) else None
+            return _simple_font_decoder(base_name, enc.get("Differences", []))
+        if isinstance(enc, tuple) and enc[0] == "name" and enc[1] in (
+            "WinAnsiEncoding",
+            "MacRomanEncoding",
+        ):
+            return _simple_font_decoder(enc[1], [])
+        return None
+    except Exception:
+        return None
+
+
+def _font_decoders(raw: bytes, offsets: dict, resources) -> Dict[bytes, Callable]:
+    """Page /Resources → {b'/F1': decoder} for fonts that carry a map;
+    fonts without one are simply absent (UTF-8 fallback)."""
+    fonts: Dict[bytes, Callable] = {}
+    if not isinstance(resources, dict):
+        return fonts
+    fdict = _deref(raw, offsets, resources.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, ref in fdict.items():
+        try:
+            dec = _one_font_decoder(raw, offsets, _deref(raw, offsets, ref))
+        except Exception:
+            dec = None
+        if dec is not None:
+            fonts[b"/" + name.encode("latin-1")] = dec
+    return fonts
+
+
 def page_content_streams(raw: bytes) -> List[bytes]:
     """Stage-1 structural walk: xref → /Root → page tree → decoded
     content streams in page order."""
+    return [c for c, _ in page_contents_with_fonts(raw)]
+
+
+def page_contents_with_fonts(raw: bytes) -> List[Tuple[bytes, Dict[bytes, Callable]]]:
+    """Stage-1 walk returning (content stream, font decode maps) per
+    page. /Resources inherits down the page tree (PDF 7.7.3.4)."""
     offsets, trailer = _parse_xref(raw)
     root = _deref(raw, offsets, trailer["Root"])
-    streams: List[bytes] = []
+    pages: List[Tuple[bytes, Dict[bytes, Callable]]] = []
 
-    def walk(node):
+    def walk(node, inherited_res):
         ntype = node.get("Type")
+        res = node.get("Resources", None)
+        res = _deref(raw, offsets, res) if res is not None else inherited_res
         if ntype == ("name", "Pages"):
             for kid in node.get("Kids", []):
-                walk(_deref(raw, offsets, kid))
+                walk(_deref(raw, offsets, kid), res)
         elif ntype == ("name", "Page"):
             contents = node.get("Contents")
             refs = contents if isinstance(contents, list) else [contents]
@@ -546,10 +1005,10 @@ def page_content_streams(raw: bytes) -> List[bytes]:
                     _, s = _load_obj(raw, offsets, r[1])
                     if s is not None:
                         parts.append(s)
-            streams.append(b"\n".join(parts))
+            pages.append((b"\n".join(parts), _font_decoders(raw, offsets, res)))
 
-    walk(_deref(raw, offsets, root["Pages"]))
-    return streams
+    walk(_deref(raw, offsets, root["Pages"]), None)
+    return pages
 
 
 # ------------------------------------------------------------ text decode
@@ -619,18 +1078,27 @@ def detect_text_objects(content: bytes) -> List[Tuple[int, int]]:
     return regions
 
 
-def decode_text_object(region: bytes) -> str:
+def decode_text_object(
+    region: bytes, fonts: Optional[Dict[bytes, Callable]] = None
+) -> str:
     """Stage 2: sequential decode of one BT…ET region. Show ops Tj / TJ /
     ' / \" append text; Td/TD with a vertical move, T*, and Tm with a new
     y start a new line. (The CTC-decode analog: an ordered scan that
-    emits the final sequence.)"""
+    emits the final sequence.) ``fonts`` maps font name tokens (b'/F1')
+    to decode callables; Tf switches the active map, strings under a
+    font with no map decode as UTF-8 bytes (the fixture contract)."""
     lines: List[str] = [""]
     stack: List[bytes] = []
     nums: List[float] = []
     last_ty: Optional[float] = None
+    last_name: Optional[bytes] = None
+    cur_decode: Optional[Callable[[bytes], str]] = None
 
     def show(s: bytes) -> None:
-        lines[-1] += s.decode("utf-8", errors="replace")
+        lines[-1] += (
+            cur_decode(s) if cur_decode is not None
+            else s.decode("utf-8", errors="replace")
+        )
 
     def newline() -> None:
         if lines[-1] != "" or len(lines) == 1:
@@ -644,8 +1112,10 @@ def decode_text_object(region: bytes) -> str:
             if len(hx) % 2:
                 hx += b"0"  # PDF: odd final digit implies trailing 0
             stack.append(bytes.fromhex(hx.decode("ascii")))
-        elif kind in ("delim", "name"):
-            continue  # array delimiters / name operands don't clear state
+        elif kind == "delim":
+            continue  # array delimiters don't clear state
+        elif kind == "name":
+            last_name = tok
         elif kind == "num":
             nums.append(float(tok))
         else:
@@ -673,6 +1143,8 @@ def decode_text_object(region: bytes) -> str:
                     if last_ty is not None:
                         newline()
                     last_ty = nums[-1]
+            elif op == b"Tf":
+                cur_decode = (fonts or {}).get(last_name) if last_name else None
             stack = []
             nums = []
     return "\n".join(line for line in lines if line != "")
@@ -685,9 +1157,9 @@ def parse_pdf(raw: bytes) -> Tuple[str, List[Tuple[int, int]]]:
     pieces: List[str] = []
     spans: List[Tuple[int, int]] = []
     pos = 0
-    for content in page_content_streams(raw):
+    for content, fonts in page_contents_with_fonts(raw):
         for r0, r1 in detect_text_objects(content):
-            t = decode_text_object(content[r0:r1])
+            t = decode_text_object(content[r0:r1], fonts=fonts)
             if not t:
                 continue
             if pieces:

@@ -226,20 +226,23 @@ def synth_pages_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataFrame:
     """Deterministic text-PDF per document → (url, pdf). Same
     generate-input-from-expected-output trick as the HTML pages: the PDF
     shows 'Doc N' then the normalized text, so the expected extraction is
     the SAME closed form as the flagship (`'Doc '||doc_id||'\\n'||norm`).
     The binary container is assembled in a distributed Arrow pass
     (fixture generation, like webx.sources.write_warc — the QUERY path
-    is webx.pdf.extract_pdf)."""
+    is webx.pdf.extract_pdf). ``layout='mixed'`` rotates every parser
+    lane (classic xref, xref-stream ± predictor, CID/ToUnicode);
+    ``layout='cid'`` makes every document a composite-font hex-string
+    PDF (the q_extract_pdf_cid gate)."""
     from typing import Iterable, Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    from webx.pdf import write_pdf, write_pdf_xrefstream
+    from webx.pdf import write_pdf, write_pdf_cid, write_pdf_xrefstream
 
     src = load_documents(spark, sf_dir).select(
         _url().alias("url"),
@@ -254,15 +257,20 @@ def synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
             # deterministic layout mix so every parser lane is exercised:
-            # even docs → classic xref table, doc%4==1 → xref stream with
-            # the PNG-Up predictor, doc%4==3 → xref stream unpredicted
+            # even docs → classic xref table, doc%8==1 → xref stream with
+            # the PNG-Up predictor, doc%8==5 → xref stream unpredicted,
+            # doc%8∈{3,7} → composite-font (CID hex strings + ToUnicode)
             pdfs = []
             for d, t, b in zip(p["doc_id"], p["title"], p["body"]):
-                if d % 2 == 0:
+                if layout == "cid":
+                    pdfs.append(write_pdf_cid(t, b))
+                elif d % 2 == 0:
                     pdfs.append(write_pdf(t, b, compress=True))
+                elif d % 4 == 3:
+                    pdfs.append(write_pdf_cid(t, b))
                 else:
                     pdfs.append(
-                        write_pdf_xrefstream(t, b, predictor=12 if d % 4 == 1 else 1)
+                        write_pdf_xrefstream(t, b, predictor=12 if d % 8 == 1 else 1)
                     )
             yield pd.DataFrame({"url": p["url"], "pdf": pdfs})
 

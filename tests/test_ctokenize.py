@@ -158,3 +158,84 @@ def test_synth_corpus_identical(spark):
         for row in gen(spark, sf).select("html").collect():
             h = bytes(row["html"])
             assert tokenize_c(h) == tokenize(h)
+
+
+# ---- fused stage-1 kernel (wx_detect): tokenize+score+runs in one call
+
+
+def _stage1_py(html: bytes, cfg):
+    """Reference composition: Python tokenizer → block_scores →
+    merge_runs_table (exactly what ckernels='off' runs)."""
+    from webx.detect import block_scores, merge_runs_table
+    from webx.extract import _tokenize_table_py
+
+    start, end, tlen, link, tags, heading, boiler = _tokenize_table_py(html)
+    if not len(tlen):
+        return []
+    scores = block_scores(tlen, link, tags, boiler, cfg)
+    return merge_runs_table(start, end, tlen, heading, scores, cfg)
+
+
+def _stage1_fused(html: bytes, cfg):
+    from webx.ctokenize import detect_table
+    from webx.detect import _finalize_runs
+
+    start, end, tlen, heading, scores, runs = detect_table(
+        html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars
+    )
+    if not len(tlen):
+        return []
+    return _finalize_runs(start, end, tlen, heading, scores, runs, cfg)
+
+
+@pytest.mark.parametrize("html", CORNERS, ids=range(len(CORNERS)))
+def test_detect_fused_corners_identical(html):
+    from webx.config import ExtractConfig
+
+    cfg = ExtractConfig()
+    assert _stage1_fused(html, cfg) == _stage1_py(html, cfg)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, max_size=40))
+def test_detect_fused_fuzz_differential(parts):
+    """Span lists (including exact float scores — namedtuple equality
+    compares the doubles bitwise-equal-or-not) must match the Python
+    reference on fragment soup; multi-block runs keep np.dot on BOTH
+    paths so summation order can never drift."""
+    from webx.config import ExtractConfig
+
+    html = b"".join(parts)
+    cfg = ExtractConfig()
+    assert _stage1_fused(html, cfg) == _stage1_py(html, cfg)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_detect_fused_fuzz_raw_bytes(html):
+    from webx.config import ExtractConfig
+
+    cfg = ExtractConfig()
+    assert _stage1_fused(html, cfg) == _stage1_py(html, cfg)
+
+
+def test_detect_fused_multiblock_runs():
+    """Force a multi-block candidate run (adjacent non-block-separated
+    text segments via comments) so the np.dot path is exercised."""
+    from webx.config import ExtractConfig
+
+    cfg = ExtractConfig()
+    seg = b"lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    html = b"<div>" + (seg + b"<!-- c -->") * 5 + seg + b"</div>"
+    fused, py = _stage1_fused(html, cfg), _stage1_py(html, cfg)
+    assert fused == py and fused
+
+
+def test_detect_fused_gap_mode_falls_back():
+    """merge_gap > 0 routes to the decomposed path (resolver returns
+    None) — fused never runs with gap semantics it does not implement."""
+    from webx.extract import resolve_detect_table
+
+    assert resolve_detect_table("off") is None
+    fn = resolve_detect_table("auto")
+    assert fn is not None  # kernel is built in this suite

@@ -331,6 +331,77 @@ void wx_free(int64_t* p) {
 }
 
 /* ====================================================================
+ * Fused stage-1 detect: tokenize + per-block score + candidate-run
+ * boundaries in ONE call, eliminating the per-document numpy/ctypes
+ * round trips (block_scores' elementwise ufuncs and the run walk in
+ * webx/detect.py). Float arithmetic is the EXACT elementwise
+ * expression of detect.block_scores — same operations in the same
+ * order on IEEE doubles, so results are bit-identical; the per-run
+ * weighted score (np.dot) deliberately STAYS in Python so its
+ * summation order is untouched.
+ *
+ * ABI (single packed buffer, ONE copy out on the Python side):
+ *   int64_t* wx_detect(const uint8_t* html, long n,
+ *                      double tag_weight, double binary_thresh,
+ *                      long min_block_chars, long* out_len);
+ *     returns a malloc'd int64 buffer of out_len 8-byte slots:
+ *       [0]            k (block count)
+ *       [1]            r (run count)
+ *       [2 .. 2+4k)    block columns start,end,tlen,heading (k each)
+ *       [.. +2r)       runs (first,last) pairs
+ *       [.. +k)        per-block scores, double bit patterns
+ *     (link/tag/boiler columns are consumed inside; only what the
+ *     Python finalization needs crosses the boundary.)
+ *     NULL only on malloc failure. Free with wx_free.
+ * ==================================================================== */
+
+int64_t* wx_detect(const uint8_t* html, long n,
+                   double tag_weight, double binary_thresh,
+                   long min_block_chars, long* out_len) {
+    *out_len = 0;
+    long k = 0;
+    int64_t* blocks = wx_tokenize(html, n, &k);
+    if (!blocks) return NULL;
+    long len = 2 + 4 * k + 2 * k /* runs upper bound */ + k;
+    int64_t* buf = (int64_t*)malloc((size_t)(len ? len : 1) * sizeof(int64_t));
+    if (!buf) { free(blocks); return NULL; }
+    int64_t* col_start = buf + 2;
+    int64_t* col_end = col_start + k;
+    int64_t* col_tlen = col_end + k;
+    int64_t* col_head = col_tlen + k;
+    int64_t* runs = col_head + k;
+    double* scores = (double*)(runs + 2 * k);
+    long r = 0;
+    int in_run = 0;
+    for (long i = 0; i < k; i++) {
+        const int64_t* b = blocks + i * 7;
+        col_start[i] = b[0];
+        col_end[i] = b[1];
+        col_tlen[i] = b[2];
+        col_head[i] = b[5];
+        double tl = (double)b[2];
+        double density = tl / (tl + tag_weight * (double)b[4] + 1.0);
+        double tl1 = tl >= 1.0 ? tl : 1.0;   /* np.maximum(tl, 1.0) */
+        double link_density = (double)b[3] / tl1;
+        double score = density * (1.0 - link_density);
+        if (b[6]) score = 0.0;               /* boiler -> 0 */
+        scores[i] = score;
+        int cand = (score >= binary_thresh) && (b[2] >= min_block_chars);
+        if (cand && !in_run) { runs[r * 2] = i; in_run = 1; }
+        if (cand) runs[r * 2 + 1] = i;
+        if (!cand && in_run) { r++; in_run = 0; }
+    }
+    if (in_run) r++;
+    free(blocks);
+    /* compact: move scores down next to the actual r runs */
+    memmove(runs + 2 * r, scores, (size_t)k * sizeof(double));
+    buf[0] = k;
+    buf[1] = r;
+    *out_len = 2 + 4 * k + 2 * r + k;
+    return buf;
+}
+
+/* ====================================================================
  * Stage-2 span decode: the four sequential regex passes of
  * webx/recognize.py (_RAWTEXT_RE -> ' ', _COMMENT_RE -> ' ',
  * _BLOCKTAG_RE -> '\n', _ANYTAG_RE -> ''), mirrored byte-for-byte

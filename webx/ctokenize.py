@@ -95,6 +95,15 @@ try:
     ]
     _lib.wx_free_bytes.restype = None
     _lib.wx_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib.wx_detect.restype = ctypes.POINTER(ctypes.c_int64)
+    _lib.wx_detect.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
 except Exception:  # no gcc / bad toolchain: Python path carries on
     _lib = None
 
@@ -154,6 +163,42 @@ def tokenize_table(html: bytes):
         arr[:, 5] != 0,
         arr[:, 6] != 0,
     )
+
+
+def detect_table(
+    html: bytes, tag_weight: float, binary_thresh: float, min_block_chars: int
+):
+    """Fused stage-1: tokenize + block scores + candidate-run boundaries
+    in ONE C call and ONE copy out (packed int64 buffer → frombuffer →
+    views). Returns (start, end, tlen, heading, scores, runs) numpy
+    views; runs is (r, 2) (first, last) block indices — the per-run
+    weighted-score finalization stays in Python
+    (webx.detect._finalize_runs) so np.dot's summation order, and with
+    it bit-identity to the Python reference path, is untouched."""
+    import numpy as np
+
+    out_len = ctypes.c_long()
+    ptr = _lib.wx_detect(
+        html, len(html), tag_weight, binary_thresh, min_block_chars,
+        ctypes.byref(out_len),
+    )
+    if not ptr:
+        raise MemoryError("wx_detect allocation failure")
+    try:
+        a = np.frombuffer(
+            ctypes.string_at(ptr, out_len.value * 8), dtype=np.int64
+        )
+    finally:
+        _lib.wx_free(ptr)
+    k = int(a[0])
+    r = int(a[1])
+    start = a[2 : 2 + k]
+    end = a[2 + k : 2 + 2 * k]
+    tlen = a[2 + 2 * k : 2 + 3 * k]
+    heading = a[2 + 3 * k : 2 + 4 * k] != 0
+    runs = a[2 + 4 * k : 2 + 4 * k + 2 * r].reshape(r, 2)
+    scores = a[2 + 4 * k + 2 * r :].view(np.float64)
+    return start, end, tlen, heading, scores, runs
 
 
 def strip_markup_c(raw: bytes) -> bytes:

@@ -139,14 +139,42 @@ def merge_runs_table(
     else:
         pairs = _gap_runs(cand, cfg.merge_gap)
 
+    return _finalize_runs(start, end, tlen, heading, scores, pairs, cfg)
+
+
+def _finalize_runs(
+    start: np.ndarray,
+    end: np.ndarray,
+    tlen: np.ndarray,
+    heading: np.ndarray,
+    scores: np.ndarray,
+    pairs,
+    cfg: ExtractConfig,
+) -> List[Span]:
+    """Per-run weighted-score finalization — the one float reduction in
+    stage 1 (np.dot), shared by the Python run walk and the fused C
+    candidate-run path (webx/ctokenize.detect_table) so both produce
+    bit-identical span scores."""
     spans: List[Span] = []
     for i, last in pairs:
-        run = slice(i, last + 1)
-        w = tlen[run].astype(np.float64)
-        sc = float(np.dot(scores[run], w) / max(w.sum(), 1.0))
-        span_tlen = int(w.sum())
+        if last == i:
+            # single-block run (the common case): np.dot of a 1-element
+            # pair IS the scalar product, and w.sum() IS w — the two
+            # IEEE ops below are the identical operations, so this path
+            # is bit-identical to the array path by construction
+            w1 = float(tlen[i])
+            sc = float(scores[i]) * w1 / max(w1, 1.0)
+            span_tlen = int(w1)
+            head_all = bool(heading[i])
+        else:
+            run = slice(i, last + 1)
+            w = tlen[run].astype(np.float64)
+            ws = w.sum()
+            sc = float(np.dot(scores[run], w) / max(ws, 1.0))
+            span_tlen = int(ws)
+            head_all = bool(heading[run].all())
         if sc >= cfg.box_thresh and span_tlen >= cfg.min_span_chars:
-            kind = "heading" if bool(heading[run].all()) else "content"
+            kind = "heading" if head_all else "content"
             spans.append(
                 Span(int(start[i]), int(end[last]), sc, kind, int(i), int(last))
             )

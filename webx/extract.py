@@ -22,7 +22,14 @@ from functools import lru_cache
 
 from webx.charset import decode_bytes, normalize_input_bytes, sniff_charset
 from webx.config import ExtractConfig
-from webx.detect import Span, block_scores, expand_spans, merge_runs_table, validate_spans
+from webx.detect import (
+    Span,
+    _finalize_runs,
+    block_scores,
+    expand_spans,
+    merge_runs_table,
+    validate_spans,
+)
 from webx.recognize import decode_span
 from webx.tokenize import Block, tokenize
 
@@ -84,6 +91,19 @@ def resolve_strip(mode: str):
     return _resolve_kernel(mode, strip_markup, "strip_markup_c")
 
 
+@lru_cache(maxsize=4)
+def resolve_detect_table(mode: str):
+    """The FUSED stage-1 kernel (tokenize + scores + candidate runs in
+    one C call) or None for the decomposed path. Unlike the other
+    resolvers there is no Python twin — None routes to the reference
+    composition (tokenize_table → block_scores → merge_runs_table),
+    which is also the merge_gap > 0 path."""
+    if mode == "off":
+        return None
+    fn = _resolve_kernel(mode, None, "detect_table")
+    return fn  # None when the kernel is unavailable in "auto"
+
+
 def _extract_doc_stage1(
     html: Optional[bytes], cfg: ExtractConfig
 ) -> Tuple[List[Block], List[Span], dict]:
@@ -98,24 +118,45 @@ def _extract_doc_stage1(
         html = html[: cfg.limit_side_len]
         truncated = True
     charset = sniff_charset(html, cfg.default_charset)
-    # columnar block table straight from the tokenizer (the C kernel
-    # fills numpy columns directly; the Python path transposes once)
-    start, end, tlen, link, tags, heading, boiler = resolve_tokenize_table(
-        cfg.ckernels
-    )(html)
-    n_blocks = len(tlen)
-    if n_blocks:
-        scores = block_scores(tlen, link, tags, boiler, cfg)
-        spans = validate_spans(
-            expand_spans(
-                html,
-                merge_runs_table(start, end, tlen, heading, scores, cfg),
-                cfg.expand_ratio,
-            ),
-            len(html),
+    fused = resolve_detect_table(cfg.ckernels) if cfg.merge_gap == 0 else None
+    if fused is not None:
+        # one C call: tokenize + elementwise scores + candidate runs;
+        # only the per-run np.dot finalization stays Python-side
+        start, end, tlen, heading, scores, runs = fused(
+            html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars
+        )
+        n_blocks = len(tlen)
+        spans = (
+            validate_spans(
+                expand_spans(
+                    html,
+                    _finalize_runs(start, end, tlen, heading, scores, runs, cfg),
+                    cfg.expand_ratio,
+                ),
+                len(html),
+            )
+            if n_blocks
+            else []
         )
     else:
-        spans = []
+        # columnar block table straight from the tokenizer (the C kernel
+        # fills numpy columns directly; the Python path transposes once)
+        start, end, tlen, link, tags, heading, boiler = resolve_tokenize_table(
+            cfg.ckernels
+        )(html)
+        n_blocks = len(tlen)
+        if n_blocks:
+            scores = block_scores(tlen, link, tags, boiler, cfg)
+            spans = validate_spans(
+                expand_spans(
+                    html,
+                    merge_runs_table(start, end, tlen, heading, scores, cfg),
+                    cfg.expand_ratio,
+                ),
+                len(html),
+            )
+        else:
+            spans = []
     meta = {
         "html_bytes": nbytes,
         "n_blocks": n_blocks,

@@ -194,12 +194,18 @@ def _decode_spans(
         )
         weights.append(len(text))
     joined = cfg.join_sep.join(r["text"] for r in rows)
-    if weights:
+    if not weights:
+        conf = 0.0
+    elif len(weights) == 1:
+        # one span (the common page): dot of a 1-element pair is the
+        # scalar product and w.sum() is w — same IEEE ops as the array
+        # path, bit-identical by construction
+        w1 = float(weights[0])
+        conf = rows[0]["score"] * w1 / w1
+    else:
         w = np.asarray(weights, dtype=np.float64)
         sc = np.asarray([r["score"] for r in rows], dtype=np.float64)
         conf = float(np.dot(sc, w) / w.sum())
-    else:
-        conf = 0.0
     return rows, joined, conf, status
 
 

@@ -163,3 +163,72 @@ def test_corrupt_parquet_file_tolerance(spark, tmp_path):
         assert spark.read.parquet(p).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+
+def test_warc_content_encoding_gzip_and_deflate():
+    """Real crawl captures store payloads as transmitted: gzip and
+    deflate Content-Encodings must be reversed; a chunked+gzip stack
+    dechunks first (transfer coding wraps content coding)."""
+    import gzip as _gz
+    import zlib as _zl
+
+    date = b"2017-10-24T00:14:32.000Z"
+    page = b"<p>compressed page body</p>"
+    gz_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + _gz.compress(page)
+    )
+    zl_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n" + _zl.compress(page)
+    )
+    # raw deflate (no zlib wrapper) — the widespread server bug
+    raw_deflate = _zl.compressobj(wbits=-_zl.MAX_WBITS)
+    rd = raw_deflate.compress(page) + raw_deflate.flush()
+    rd_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n" + rd
+    )
+    gz_payload = _gz.compress(page)
+    chunked_gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + hex(len(gz_payload))[2:].encode() + b"\r\n" + gz_payload + b"\r\n0\r\n\r\n"
+    )
+    recs = parse_warc(
+        _warc_record(b"response", b"http://e.com/gz", date, gz_http)
+        + _warc_record(b"response", b"http://e.com/zl", date, zl_http)
+        + _warc_record(b"response", b"http://e.com/rd", date, rd_http)
+        + _warc_record(b"response", b"http://e.com/cg", date, chunked_gz)
+    )
+    assert [(u, h) for u, _, h in recs] == [
+        ("http://e.com/gz", page),
+        ("http://e.com/zl", page),
+        ("http://e.com/rd", page),
+        ("http://e.com/cg", page),
+    ]
+
+
+def test_warc_content_encoding_fail_soft():
+    """Unknown codings (br) and corrupt streams keep bytes untouched —
+    the explicit bad-row policy, no record loss."""
+    date = b"2017-10-24T00:14:32.000Z"
+    br_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + b"\x0b\x01\x80junk"
+    )
+    corrupt = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + b"not gzip at all"
+    )
+    ident = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\n" + b"<p>plain</p>"
+    )
+    recs = parse_warc(
+        _warc_record(b"response", b"http://e.com/br", date, br_http)
+        + _warc_record(b"response", b"http://e.com/bad", date, corrupt)
+        + _warc_record(b"response", b"http://e.com/id", date, ident)
+    )
+    assert [(u, h) for u, _, h in recs] == [
+        ("http://e.com/br", b"\x0b\x01\x80junk"),
+        ("http://e.com/bad", b"not gzip at all"),
+        ("http://e.com/id", b"<p>plain</p>"),
+    ]

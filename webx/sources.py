@@ -20,6 +20,7 @@ them unchanged.
 from __future__ import annotations
 
 import gzip
+import zlib
 import re
 from datetime import datetime, timezone
 from typing import Iterable, Iterator, List, Optional, Tuple
@@ -40,6 +41,41 @@ _TYPE_RE = re.compile(rb"^warc-type:\s*(\S+)\s*$", re.I | re.M)
 _URI_RE = re.compile(rb"^warc-target-uri:\s*(\S+)\s*$", re.I | re.M)
 _DATE_RE = re.compile(rb"^warc-date:\s*(\S+)\s*$", re.I | re.M)
 _CHUNKED_RE = re.compile(rb"^transfer-encoding:.*\bchunked\b", re.I | re.M)
+_CONTENT_ENC_RE = re.compile(rb"^content-encoding:\s*([a-zA-Z0-9_, -]+)\s*$", re.I | re.M)
+
+
+def _decode_content_encoding(html: bytes, http_hdr: bytes) -> bytes:
+    """Reverse the HTTP Content-Encoding on a captured payload (Common
+    Crawl stores bodies as transmitted: gzip and deflate are routine).
+    gzip → gzip; deflate → zlib, with the raw-deflate fallback real
+    servers emit despite the RFC; identity → unchanged. Unknown codings
+    (br, zstd — no codec in this environment) and corrupt streams
+    return the payload untouched — fail-soft, same policy as _dechunk;
+    downstream extraction marks undecodable bytes, never drops rows."""
+    m = _CONTENT_ENC_RE.search(http_hdr)
+    if m is None:
+        return html
+    # apply in reverse order for stacked codings (rare but legal)
+    codings = [c.strip().lower() for c in m.group(1).decode("ascii", "replace").split(",")]
+    for coding in reversed(codings):
+        if coding in ("identity", ""):
+            continue
+        if coding in ("gzip", "x-gzip"):
+            try:
+                html = gzip.decompress(html)
+            except (OSError, EOFError):
+                return html
+        elif coding == "deflate":
+            try:
+                html = zlib.decompress(html)
+            except zlib.error:
+                try:  # raw deflate (no zlib wrapper): widespread bug
+                    html = zlib.decompress(html, -zlib.MAX_WBITS)
+                except zlib.error:
+                    return html
+        else:  # br / zstd / unknown: no codec here, keep bytes
+            return html
+    return html
 
 
 def _parse_warc_date(s: str) -> Optional[datetime]:
@@ -139,6 +175,8 @@ def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
                 http_hdr, html = b"", body
         if _CHUNKED_RE.search(http_hdr):
             html = _dechunk(html)
+        if http_hdr:
+            html = _decode_content_encoding(html, http_hdr)
         out.append((url, ts, html))
     return out
 

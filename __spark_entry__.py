@@ -3441,11 +3441,12 @@ _MM_TERMS = ("viagra", "casino", "jackpot", "agra")
 def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
     """Dictionary-scale multi-pattern matching (webx/match.py): the
     set of terms present as substrings, OVERLAPS included ('viagra'
-    also contains 'agra' — a consuming alternation would miss it; the
-    lookahead regex and the Aho-Corasick automaton both see it). The
-    regex impl runs here (JVM-side); the automaton impl is A/B-proven
-    identical in tests and is the 10^5-term path. matched_terms is
-    serialized to a comma scalar (the round-2 canonicalizer lesson)."""
+    also contains 'agra' — a consuming alternation would miss it).
+    The codegen impl runs here (JVM higher-order per-term containment,
+    exactly the oracle's list_filter semantics); the Aho-Corasick
+    automaton impl — C inner loop — is A/B-proven identical in tests
+    and is the 10^5-term path. matched_terms is serialized to a comma
+    scalar (the round-2 canonicalizer lesson)."""
     from webx.match import multi_term_match
 
     docs = synth.load_documents(spark, sf).select("doc_id", "text")

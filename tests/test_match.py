@@ -58,3 +58,51 @@ def test_large_dictionary_aho_scales(spark):
     got = {r["doc_id"]: r["matched_terms"]
            for r in multi_term_match(df, terms, impl="aho").collect()}
     assert got == {1: ["term04217"], 2: []}
+
+
+def test_compiled_ac_identical_to_python():
+    """C automaton walk (webx/_ctok.c wx_ac_find) == the Python
+    reference on overlapping, unicode, and shared-prefix dictionaries —
+    including a pickle round trip (the instance ships to executors)."""
+    import pickle
+    import random
+
+    import pytest as _pytest
+
+    from webx.ctokenize import AVAILABLE
+    from webx.match import AhoCorasick, CompiledAC
+
+    if not AVAILABLE:
+        _pytest.skip("C kernel not built")
+    random.seed(3)
+    terms = sorted(
+        {"abc", "bcd", "ab", "bc", "c", "café", "é b", "漢字", "he", "she",
+         "hers", "his", "aaaa", "aa"}
+        | {"".join(random.choice("abcdé漢 ") for _ in range(random.randint(1, 7)))
+           for _ in range(200)}
+    )
+    py, c = AhoCorasick(terms), CompiledAC(terms)
+    c2 = pickle.loads(pickle.dumps(c))
+    texts = ["", "abcd", "ushers", "caféé b漢字と", "aaaaaa", "x" * 100] + [
+        "".join(random.choice("abcdé漢 hers") for _ in range(random.randint(0, 300)))
+        for _ in range(500)
+    ]
+    for t in texts:
+        want = py.find_set(t)
+        assert c.find_set(t) == want
+        assert c2.find_set(t) == want
+
+
+def test_multi_term_match_aho_uses_compiled(spark):
+    """impl='aho' end-to-end with the C walk active: same frame as
+    impl='regex' on an overlap corpus."""
+    from webx.match import multi_term_match
+
+    docs = spark.createDataFrame(
+        [(1, "xxabcdyy"), (2, "no hits here"), (3, "ushers and Hers")],
+        "id int, text string",
+    )
+    terms = ("abc", "bcd", "he", "she", "hers")
+    a = multi_term_match(docs, terms, impl="aho").orderBy("id").collect()
+    r = multi_term_match(docs, terms, impl="regex").orderBy("id").collect()
+    assert [x.asDict() for x in a] == [x.asDict() for x in r]

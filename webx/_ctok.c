@@ -402,6 +402,72 @@ int64_t* wx_detect(const uint8_t* html, long n,
 }
 
 /* ====================================================================
+ * Aho-Corasick scan: the automaton inner loop of webx/match.py's
+ * dictionary-scale multi-pattern matcher. The automaton is built ONCE
+ * in Python (webx.match.CompiledAC flattens goto/fail/out into arrays,
+ * byte-level over UTF-8 — exact substring equality is byte equality in
+ * UTF-8); this is just the O(len(text)) per-document walk that was the
+ * CPython floor. Per-node edges are sorted by byte for binary search.
+ *
+ * ABI:
+ *   long wx_ac_find(const uint8_t* text, long n,
+ *                   const int32_t* ebase, const int32_t* ecnt,
+ *                   const uint8_t* ebyte, const int32_t* enext,
+ *                   const int32_t* fail,
+ *                   const int32_t* obase, const int32_t* ocnt,
+ *                   const int32_t* oids,
+ *                   uint8_t* hits);
+ *     walks text through the automaton; sets hits[tid] = 1 for every
+ *     dictionary term present (hits is caller-zeroed, n_terms wide).
+ *     Returns the number of DISTINCT terms newly marked.
+ * ==================================================================== */
+
+static inline int32_t ac_step(const int32_t* ebase, const int32_t* ecnt,
+                              const uint8_t* ebyte, const int32_t* enext,
+                              int32_t node, uint8_t c) {
+    int32_t lo_i = ebase[node], hi_i = ebase[node] + ecnt[node] - 1;
+    while (lo_i <= hi_i) {
+        int32_t mid = (lo_i + hi_i) >> 1;
+        uint8_t b = ebyte[mid];
+        if (b == c) return enext[mid];
+        if (b < c) lo_i = mid + 1; else hi_i = mid - 1;
+    }
+    return -1;
+}
+
+long wx_ac_find(const uint8_t* text, long n,
+                const int32_t* ebase, const int32_t* ecnt,
+                const uint8_t* ebyte, const int32_t* enext,
+                const int32_t* fail,
+                const int32_t* obase, const int32_t* ocnt,
+                const int32_t* oids,
+                uint8_t* hits) {
+    long found = 0;
+    int32_t node = 0;
+    for (long i = 0; i < n; i++) {
+        uint8_t c = text[i];
+        /* while node and ch not in goto[node]: node = fail[node] */
+        int32_t nxt;
+        while (node && (nxt = ac_step(ebase, ecnt, ebyte, enext, node, c)) < 0)
+            node = fail[node];
+        if (node == 0) {
+            nxt = ac_step(ebase, ecnt, ebyte, enext, 0, c);
+            node = nxt < 0 ? 0 : nxt;
+        } else {
+            node = nxt;
+        }
+        int32_t oc = ocnt[node];
+        if (oc) {
+            const int32_t* ids = oids + obase[node];
+            for (int32_t k = 0; k < oc; k++) {
+                if (!hits[ids[k]]) { hits[ids[k]] = 1; found++; }
+            }
+        }
+    }
+    return found;
+}
+
+/* ====================================================================
  * Stage-2 span decode: the four sequential regex passes of
  * webx/recognize.py (_RAWTEXT_RE -> ' ', _COMMENT_RE -> ' ',
  * _BLOCKTAG_RE -> '\n', _ANYTAG_RE -> ''), mirrored byte-for-byte

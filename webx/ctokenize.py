@@ -104,6 +104,17 @@ try:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.wx_ac_find.restype = ctypes.c_long
+    _lib.wx_ac_find.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        _i32p, _i32p,                       # ebase, ecnt
+        ctypes.c_char_p, _i32p,             # ebyte, enext
+        _i32p,                              # fail
+        _i32p, _i32p, _i32p,                # obase, ocnt, oids
+        ctypes.POINTER(ctypes.c_uint8),     # hits
+    ]
 except Exception:  # no gcc / bad toolchain: Python path carries on
     _lib = None
 

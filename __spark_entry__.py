@@ -102,7 +102,11 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     # silently reuse a stale fixture
     src = os.path.join(sf, "documents.parquet")
     st = os.stat(src)
-    key = hashlib.md5(f"{sf}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    # "ce1" = fixture layout version (mixed Content-Encoding rotation);
+    # bump on layout changes or a stale cached fixture is reused
+    key = hashlib.md5(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:ce1".encode()
+    ).hexdigest()[:10]
     d = f"/tmp/webx_warcq_{key}"
     if not os.path.exists(os.path.join(d, "_DONE")):
         os.makedirs(d, exist_ok=True)
@@ -122,7 +126,9 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
             pid = TaskContext.get().partitionId()
             path = os.path.join(d, f"part-{pid}.warc")
             with open(path, "wb") as f:
-                f.write(write_warc(recs))
+                # mixed gzip/deflate Content-Encoding: the reader must
+                # reverse the HTTP content coding before extraction
+                f.write(write_warc(recs, content_encoding="mixed"))
             yield pd.DataFrame({"path": [path], "n": [len(recs)]})
 
         (
@@ -3468,6 +3474,32 @@ def q_multi_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multi_match_aho(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME contract as q_multi_match through the Aho-Corasick
+    automaton path (webx/match.py CompiledAC → _ctok.c wx_ac_find when
+    the kernel is built, Python walk otherwise) — the 10^5-term scale
+    impl, gated against the identical per-term-containment oracle."""
+    from webx.match import multi_term_match
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    spiked = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" Viagra")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" casino jackpot")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = multi_term_match(spiked, _MM_TERMS, impl="aho")
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", "matched_terms").alias("matched"),
+        "n_matched",
+    )
+
+
 def _multi_match_oracle_sql() -> str:
     terms = "main.list_value(" + ", ".join(
         f"'{t}'" for t in sorted(set(_MM_TERMS))
@@ -4144,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_strip_accents": q_strip_accents,
         "q_vocab_novelty": q_vocab_novelty,
         "q_multi_match": q_multi_match,
+        "q_multi_match_aho": q_multi_match_aho,
         "q_correlation": q_correlation,
         "q_event_sequence": q_event_sequence,
         "q_percentile_rank": q_percentile_rank,
@@ -5399,6 +5432,7 @@ def oracle_sql() -> dict[str, str]:
         "q_strip_accents": _strip_accents_oracle_sql(),
         "q_vocab_novelty": _vocab_novelty_oracle_sql(),
         "q_multi_match": _multi_match_oracle_sql(),
+        "q_multi_match_aho": _multi_match_oracle_sql(),
         "q_correlation": _correlation_oracle_sql(),
         "q_event_sequence": _event_sequence_oracle_sql(),
         "q_percentile_rank": _percentile_rank_oracle_sql(),

@@ -201,13 +201,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(fn, schema=WARC_PAGES_SCHEMA)
 
 
-def write_warc(records: List[Tuple[str, datetime, bytes]]) -> bytes:
+def write_warc(
+    records: List[Tuple[str, datetime, bytes]], content_encoding: str = "none"
+) -> bytes:
     """Serialize (url, ts, html) to a WARC/1.0 byte stream (test fixture
     generator — the generate-input-from-expected-output trick applied to
-    the container format)."""
+    the container format). ``content_encoding='mixed'`` stores every
+    third payload gzip- and every third deflate-encoded with the
+    matching HTTP header (as real crawls capture them); the reader must
+    reverse both so extraction stays byte-identical."""
     chunks: List[bytes] = []
-    for url, ts, html in records:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    for i, (url, ts, html) in enumerate(records):
+        if content_encoding == "mixed" and i % 3 == 1:
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+            )
+        elif content_encoding == "mixed" and i % 3 == 2:
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(html)
+            )
+        else:
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
         header = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"

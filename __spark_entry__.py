@@ -573,6 +573,63 @@ def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
+    """Public-suffix-aware domain grouping (webx/urls.py
+    registrable_domain): per-DOMAIN caps and crawl budgets need eTLD+1,
+    not the raw host — "a.co.uk" and "b.co.uk" are different owners
+    while "a.example.com" and "b.example.com" are one. Deterministic
+    host mix exercises multi-label PSL suffixes (bbc.co.uk,
+    example.com.au), private-section entries (github.io where every
+    subdomain is a different user), plain eTLD+1 collapsing, and
+    single-label hosts. Pure codegen (split/slice/isin); the oracle
+    recomputes the suffix logic independently over the same hosts."""
+    from webx.urls import registrable_domain
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    m = F.col("doc_id") % 5
+    h = (
+        F.when(m == 0, F.concat(F.lit("news"), (F.col("doc_id") % 3).cast("string"),
+                                F.lit(".bbc.co.uk")))
+        .when(m == 1, F.concat(F.lit("sub"), (F.col("doc_id") % 4).cast("string"),
+                               F.lit(".example.com")))
+        .when(m == 2, F.concat(F.lit("blog"), (F.col("doc_id") % 2).cast("string"),
+                               F.lit(".github.io")))
+        .when(m == 3, F.lit("shop.example.com.au"))
+        .otherwise(F.lit("localhost"))
+    )
+    url = F.concat(F.lit("https://"), h, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    df = docs.select(F.col("doc_id"), h.alias("host"), url.alias("url"))
+    return (
+        df.select("host", registrable_domain("url").alias("rdomain"))
+        .groupBy("rdomain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def _registrable_domain_oracle_sql() -> str:
+    from webx.urls import PSL_MULTI_SUFFIXES
+
+    psl = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES)
+    return (
+        "WITH h AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'news' || CAST(doc_id % 3 AS VARCHAR) || '.bbc.co.uk' "
+        "WHEN 1 THEN 'sub' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' "
+        "WHEN 2 THEN 'blog' || CAST(doc_id % 2 AS VARCHAR) || '.github.io' "
+        "WHEN 3 THEN 'shop.example.com.au' "
+        "ELSE 'localhost' END AS host FROM documents), "
+        "r AS (SELECT host, string_split(host, '.') AS p FROM h), "
+        "d AS (SELECT host, CASE WHEN len(p) <= 2 THEN host "
+        f"WHEN (p[-2] || '.' || p[-1]) IN ({psl}) "
+        "THEN p[-3] || '.' || p[-2] || '.' || p[-1] "
+        "ELSE p[-2] || '.' || p[-1] END AS rdomain FROM r) "
+        "SELECT rdomain, COUNT(*) AS n_pages, "
+        "COUNT(DISTINCT host) AS n_hosts FROM d GROUP BY rdomain"
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization ops (webx/urls.py) over deterministically
     messy urls; the oracle states the expected canonical form closed-form
@@ -4107,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessions": q_sessions,
         "q_user_rollup": q_user_rollup,
         "q_url_normalize": q_url_normalize,
+        "q_registrable_domain": q_registrable_domain,
         "q_extract_links": q_extract_links,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
@@ -4986,6 +5044,7 @@ def oracle_sql() -> dict[str, str]:
             f"length({GOLDEN}) AS chars FROM documents) "
             "GROUP BY ROLLUP(lang, host)"
         ),
+        "q_registrable_domain": _registrable_domain_oracle_sql(),
         "q_url_normalize": (
             "SELECT doc_id, "
             "(CASE doc_id % 3 "

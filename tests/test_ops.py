@@ -465,3 +465,28 @@ def test_budget_allocation_sums_exactly_to_budget(spark):
     for r in rows:
         exact = r["n_pending"] * 1000 / total
         assert abs(r["slots"] - exact) < 1
+
+
+def test_registrable_domain(spark):
+    """eTLD+1 grouping: multi-label PSL suffixes take three labels,
+    everything else two; single-label hosts and bare suffixes group as
+    themselves."""
+    from webx.urls import registrable_domain
+
+    cases = [
+        ("https://news0.bbc.co.uk/x", "bbc.co.uk"),
+        ("https://a.b.deep.bbc.co.uk/x", "bbc.co.uk"),
+        ("https://sub.example.com/x", "example.com"),
+        ("https://example.com/x", "example.com"),
+        ("https://alice.github.io/x", "alice.github.io"),
+        ("https://shop.example.com.au/x", "example.com.au"),
+        ("http://localhost/x", "localhost"),
+        ("https://co.uk/", "co.uk"),  # bare suffix host: itself
+        ("HTTPS://Sub.EXAMPLE.Com:8080/x", "example.com"),  # case+port
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r[0]
+        for r in df.select(registrable_domain("url")).collect()
+    ]
+    assert got == [want for _, want in cases]

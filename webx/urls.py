@@ -54,9 +54,55 @@ def path_depth(url: Column | str) -> Column:
 
 
 def tld(url: Column | str) -> Column:
-    """Last dot-label of the host (naive TLD — a public-suffix list is a
-    broadcast-table upgrade)."""
+    """Last dot-label of the host (naive TLD — registrable_domain below
+    is the public-suffix-aware grouping key)."""
     return F.regexp_extract(host(url), r"\.([^.]+)$", 1)
+
+
+# Multi-label public suffixes (subset of the Mozilla Public Suffix List,
+# publicsuffix.org — public data; the full list is a config-file swap).
+# Only suffixes under which REGISTRATIONS happen belong here: grouping
+# by registrable domain (eTLD+1) is what makes per-domain caps and
+# crawl budgets correct when a mega-site splits across subdomains —
+# "a.co.uk" and "b.co.uk" are DIFFERENT owners, while "a.example.com"
+# and "b.example.com" are the same one.
+PSL_MULTI_SUFFIXES = (
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "org.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.za", "org.za", "gov.za", "ac.za",
+    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.id", "or.id", "ac.id", "go.id",
+    # private-section entries where per-user registrations live
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "web.app", "pages.dev",
+    "s3.amazonaws.com", "cloudfront.net",
+)
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """eTLD+1 grouping key: the last two host labels, or the last THREE
+    when the last two form a known multi-label public suffix. Hosts with
+    a single label (localhost, intranet names) and bare suffixes group
+    as themselves. Pure codegen (split/slice/isin) — no UDF, no join;
+    the suffix set compiles into the expression."""
+    h = host(url)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    return (
+        F.when(n <= 2, h)
+        .when(last2.isin(*PSL_MULTI_SUFFIXES), last3)
+        .otherwise(last2)
+    )
 
 
 def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:

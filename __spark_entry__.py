@@ -377,6 +377,60 @@ def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return lang_id(_par(synth.load_documents(spark, sf), spark))
 
 
+def q_langid_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level language ID (webx/textstats.py
+    lang_id_paragraphs — the CCNet granularity): every document gets a
+    second paragraph appended in a rotating language (the language's own
+    stopword list joined as text — single source of truth with the
+    scorer), and the per-paragraph predictions must recover the mix.
+    One narrow posexplode, scoring shared with q_langid's operator."""
+    from webx.textstats import LANG_STOPWORDS, lang_id_paragraphs
+
+    snippets = [" ".join(sw) for _, sw in LANG_STOPWORDS]
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    pick = F.col("doc_id") % len(snippets)
+    snip = F.when(pick == 0, F.lit(snippets[0]))
+    for i in range(1, len(snippets)):
+        snip = snip.when(pick == i, F.lit(snippets[i]))
+    two_para = docs.withColumn("text", F.concat("text", F.lit("\n"), snip))
+    return lang_id_paragraphs(two_para)
+
+
+def _langid_paragraphs_oracle_sql() -> str:
+    """DuckDB mirror: same snippet construction, newline split with
+    ordinality, and the SAME generated stopword scoring as the
+    q_langid oracle (both derive from LANG_STOPWORDS)."""
+    from webx.textstats import LANG_STOPWORDS
+
+    snip_cases = " ".join(
+        f"WHEN {i} THEN '{' '.join(sw)}'"
+        for i, (_, sw) in enumerate(LANG_STOPWORDS)
+    )
+    score_cols = []
+    for lang, sw in LANG_STOPWORDS:
+        lst = "[" + ",".join(f"'{w}'" for w in sw) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, w -> list_contains({lst}, w))) AS s_{lang}"
+        )
+    best = "greatest(" + ",".join(f"s_{lang}" for lang, _ in LANG_STOPWORDS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang, _ in LANG_STOPWORDS
+    )
+    n = len(LANG_STOPWORDS)
+    return (
+        "WITH d AS (SELECT doc_id, text || chr(10) || "
+        f"(CASE CAST(doc_id % {n} AS INT) {snip_cases} END) AS text2 FROM documents), "
+        "p AS (SELECT doc_id, string_split(text2, chr(10)) AS paras FROM d), "
+        "e AS (SELECT doc_id, generate_subscripts(paras, 1) - 1 AS para_idx, "
+        "unnest(paras) AS para FROM p), "
+        "t AS (SELECT doc_id, para_idx, list_transform(regexp_split_to_array("
+        f"trim(para), {WS_SPLIT_SQL}), w -> lower(w)) AS toks FROM e), "
+        f"s AS (SELECT doc_id, para_idx, {', '.join(score_cols)} FROM t) "
+        "SELECT doc_id, para_idx, "
+        f"(CASE WHEN {best} < 1 THEN 'und' {cases} END) AS pred_lang FROM s"
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return fingerprint(synth.load_documents(spark, sf))
 
@@ -4108,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": q_quality_filter,
         "q_repetition": q_repetition,
         "q_langid": q_langid,
+        "q_langid_paragraphs": q_langid_paragraphs,
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
@@ -4688,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END) AS top_bigram_frac FROM b"
         ),
         "q_langid": _langid_oracle_sql(),
+        "q_langid_paragraphs": _langid_paragraphs_oracle_sql(),
         "q_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))) "
             "AS fp FROM documents"

@@ -490,3 +490,27 @@ def test_registrable_domain(spark):
         for r in df.select(registrable_domain("url")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_lang_id_paragraphs(spark):
+    """Per-paragraph predictions segment a multilingual page; empty
+    paragraphs predict 'und'; doc-level scoring is unchanged."""
+    from webx.textstats import lang_id_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox and the dog\nder hund ist nicht ein fuchs"),
+            (2, "le chat est dans le jardin\n\nel perro es una mascota"),
+            (3, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.para_idx): r.pred_lang
+        for r in lang_id_paragraphs(docs).collect()
+    }
+    assert got == {
+        (1, 0): "en", (1, 1): "de",
+        (2, 0): "fr", (2, 1): "und", (2, 2): "es",
+        (3, 0): "und",
+    }

@@ -70,16 +70,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Deterministic multi-language stopword-count heuristic: the language
-    with the most stopword hits wins (priority order breaks ties;
-    zero hits → 'und').
-
-    (A real model would be a broadcast n-gram table; the *operator shape* —
-    pure column expressions, no shuffle, no Python — is what matters at
-    scale.)
-    """
-    toks = F.transform(_tokens(), lambda w: F.lower(w))
+def _lang_pred(text_col) -> "F.Column":
+    """Stopword-count language prediction over one text expression —
+    shared by the document- and paragraph-level operators so the scoring
+    can never drift between them."""
+    toks = F.transform(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), WS_SPLIT),
+        lambda w: F.lower(w),
+    )
     scores = {
         lang: F.size(
             F.filter(toks, lambda w: F.array_contains(F.array(*map(F.lit, sw)), w))
@@ -90,7 +88,36 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pred = F.when(best < 1, F.lit("und"))
     for lang, _ in LANG_STOPWORDS:  # priority order on ties
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-language stopword-count heuristic: the language
+    with the most stopword hits wins (priority order breaks ties;
+    zero hits → 'und').
+
+    (A real model would be a broadcast n-gram table; the *operator shape* —
+    pure column expressions, no shuffle, no Python — is what matters at
+    scale.)
+    """
+    return docs.select("doc_id", _lang_pred(F.col("text")).alias("pred_lang"))
+
+
+def lang_id_paragraphs(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Paragraph-level language ID (the CCNet granularity): multilingual
+    pages carry navigation in one language and content in another, so
+    corpus language routing must segment BELOW the document. Splits on
+    newline, predicts per paragraph with the same scoring as lang_id —
+    one narrow explode, no shuffle; empty paragraphs predict 'und'."""
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col(col), F.lit("")), "\n")
+        ).alias("para_idx", "para"),
+    )
+    return paras.select(
+        "doc_id", "para_idx", _lang_pred(F.col("para")).alias("pred_lang")
+    )
 
 
 def quality_filter(

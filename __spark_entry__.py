@@ -144,6 +144,56 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_extract_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    """Common Crawl's container-level dedup: each page is captured TWICE
+    (its url and url?rev=1); the second capture is stored as a REVISIT
+    record (payload digest only, no body — webx/sources.py
+    write_warc_revisits). The pipeline reads records, resolves revisits
+    by one digest join (resolve_revisits), extracts — and must produce
+    the closed-form golden text at BOTH urls, proving the dedup
+    round-trips losslessly."""
+    import hashlib
+    import os
+
+    from webx.sources import read_warc_records, resolve_revisits, write_warc_revisits
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:rv1".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/webx_warcrv_{key}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        import pandas as pd
+        from pyspark import TaskContext
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                for u, t, h in zip(p["url"], p["warc_ts"], p["html"]):
+                    recs.append((u, t.to_pydatetime(), bytes(h)))
+                    recs.append((u + "?rev=1", t.to_pydatetime(), bytes(h)))
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc")
+            with open(path, "wb") as f:
+                f.write(write_warc_revisits(recs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            synth.synth_pages(spark, sf)
+            .select("url", "warc_ts", "html")
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    records = read_warc_records(spark, os.path.join(d, "part-*.warc"))
+    pages = resolve_revisits(records)
+    return run_extraction(pages, CFG).select("url", "text")
+
+
 def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
     """PDF lane of the two-stage extractor (webx/pdf.py): deterministic
     Flate-compressed text PDFs built from the documents table, parsed
@@ -4146,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_warc": q_extract_warc,
+        "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
         "q_extract_pdf": q_extract_pdf,
         "q_extract_pdf_cid": q_extract_pdf_cid,
@@ -4657,6 +4708,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_warc_revisit": (
+            f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents "
+            f"UNION ALL SELECT {URL} || '?rev=1' AS url, {GOLDEN} AS text "
+            "FROM documents"
+        ),
         "q_extract_wet": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",

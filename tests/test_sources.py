@@ -232,3 +232,68 @@ def test_warc_content_encoding_fail_soft():
         ("http://e.com/bad", b"not gzip at all"),
         ("http://e.com/id", b"<p>plain</p>"),
     ]
+
+
+def test_warc_revisit_records_roundtrip():
+    """Revisit layout: first capture of a body is a response, later
+    identical captures are digest-only revisit records; the plain
+    reader still sees only responses."""
+    from webx.sources import parse_warc_records, payload_digest, write_warc_revisits
+
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    recs = [
+        ("http://a.com/1", ts, b"<p>body one</p>"),
+        ("http://a.com/2", ts, b"<p>body two</p>"),
+        ("http://b.com/1-copy", ts, b"<p>body one</p>"),
+    ]
+    raw = write_warc_revisits(recs)
+    got = parse_warc_records(raw)
+    assert [(k, u) for k, u, _, _, _ in got] == [
+        ("response", "http://a.com/1"),
+        ("response", "http://a.com/2"),
+        ("revisit", "http://b.com/1-copy"),
+    ]
+    assert got[2][3] == got[0][3] == payload_digest(b"<p>body one</p>")
+    assert got[2][4] == b""
+    assert [(u, h) for u, _, h in parse_warc(raw)] == [
+        ("http://a.com/1", b"<p>body one</p>"),
+        ("http://a.com/2", b"<p>body two</p>"),
+    ]
+
+
+def test_resolve_revisits_across_files(spark, tmp_path):
+    """The digest join resolves a revisit whose response lives in a
+    DIFFERENT archive file; dangling digests drop (fail-soft)."""
+    from webx.sources import (
+        payload_digest,
+        read_warc_records,
+        resolve_revisits,
+        write_warc_revisits,
+    )
+
+    ts = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    body = b"<p>shared body</p>"
+    # file 1: the stored response; file 2: a revisit of it + a dangling one
+    (tmp_path / "a.warc").write_bytes(
+        write_warc_revisits([("http://a.com/orig", ts, body)])
+    )
+    f2 = write_warc_revisits([("http://a.com/orig", ts, body),
+                              ("http://b.com/copy", ts, body)])
+    # drop file 2's response record, keep only its revisit
+    f2_revisit_only = f2[f2.index(b"WARC/1.0", 1):]
+    dangling = (
+        b"WARC/1.0\r\nWARC-Type: revisit\r\n"
+        b"WARC-Target-URI: http://c.com/ghost\r\n"
+        b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+        b"WARC-Payload-Digest: sha1:NOSUCHDIGEST\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    (tmp_path / "b.warc").write_bytes(f2_revisit_only + dangling)
+    records = read_warc_records(spark, str(tmp_path / "*.warc"))
+    got = sorted(
+        (r.url, bytes(r.html)) for r in resolve_revisits(records).collect()
+    )
+    assert got == [
+        ("http://a.com/orig", body),
+        ("http://b.com/copy", body),
+    ]

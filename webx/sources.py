@@ -116,19 +116,16 @@ def _dechunk(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
-    """Minimal WARC/1.0 reader: walk records via Content-Length, keep
-    ``response`` records, strip the HTTP header block → (url, ts, body).
-
-    Deterministic and allocation-light; malformed trailing bytes end the
-    scan (never raise — bad records are skipped, counted by the caller
-    via row counts, matching our explicit bad-row policy)."""
+def _warc_walk(raw: bytes):
+    """Record walk shared by the readers: yields (warc_header_bytes,
+    record_body_bytes) per record via Content-Length framing. Handles
+    the gzipped (concatenated-member) layout; malformed trailing bytes
+    end the scan (never raise)."""
     if raw[:2] == b"\x1f\x8b":  # gzipped warc (members concatenated)
         try:
             raw = gzip.decompress(raw)
         except OSError:
-            return []
-    out: List[Tuple[str, Optional[datetime], bytes]] = []
+            return
     pos, n = 0, len(raw)
     while pos < n:
         if raw[pos : pos + 5] != b"WARC/":
@@ -150,34 +147,85 @@ def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
         # records are separated by two CRLFs
         while raw[pos : pos + 2] == b"\r\n":
             pos += 2
+        yield header, body
+
+
+def _http_payload(body: bytes) -> bytes:
+    """HTTP response capture → page bytes: split the header block
+    (CRLF or the bare-LF blocks some origin servers emit), reverse
+    chunked transfer framing, then the Content-Encoding."""
+    http_end = body.find(b"\r\n\r\n")
+    if http_end >= 0:
+        http_hdr, html = body[:http_end], body[http_end + 4 :]
+    else:
+        lf_end = body.find(b"\n\n")
+        if lf_end >= 0:
+            http_hdr, html = body[:lf_end], body[lf_end + 2 :]
+        else:
+            http_hdr, html = b"", body
+    if _CHUNKED_RE.search(http_hdr):
+        html = _dechunk(html)
+    if http_hdr:
+        html = _decode_content_encoding(html, http_hdr)
+    return html
+
+
+def _warc_url_ts(header: bytes):
+    u = _URI_RE.search(header)
+    if u is None:
+        return None, None
+    url = u.group(1).decode("utf-8", "replace").strip("<>")
+    ts = None
+    d = _DATE_RE.search(header)
+    if d is not None:
+        ts = _parse_warc_date(d.group(1).decode("ascii", "replace"))
+    return url, ts
+
+
+def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
+    """Minimal WARC/1.0 reader: walk records via Content-Length, keep
+    ``response`` records, strip the HTTP header block → (url, ts, body).
+
+    Deterministic and allocation-light; malformed trailing bytes end the
+    scan (never raise — bad records are skipped, counted by the caller
+    via row counts, matching our explicit bad-row policy)."""
+    out: List[Tuple[str, Optional[datetime], bytes]] = []
+    for header, body in _warc_walk(raw):
         t = _TYPE_RE.search(header)
         if t is None or t.group(1).lower() != b"response":
             continue
-        u = _URI_RE.search(header)
-        if u is None:
+        url, ts = _warc_url_ts(header)
+        if url is None:
             continue
-        url = u.group(1).decode("utf-8", "replace").strip("<>")
-        ts = None
-        d = _DATE_RE.search(header)
-        if d is not None:
-            ts = _parse_warc_date(d.group(1).decode("ascii", "replace"))
-        # body = HTTP response: status line + headers, blank line, payload.
-        # Some origin servers emit bare-LF header blocks; WARC preserves
-        # the capture verbatim, so accept \n\n when \r\n\r\n is absent.
-        http_end = body.find(b"\r\n\r\n")
-        if http_end >= 0:
-            http_hdr, html = body[:http_end], body[http_end + 4 :]
-        else:
-            lf_end = body.find(b"\n\n")
-            if lf_end >= 0:
-                http_hdr, html = body[:lf_end], body[lf_end + 2 :]
-            else:
-                http_hdr, html = b"", body
-        if _CHUNKED_RE.search(http_hdr):
-            html = _dechunk(html)
-        if http_hdr:
-            html = _decode_content_encoding(html, http_hdr)
-        out.append((url, ts, html))
+        out.append((url, ts, _http_payload(body)))
+    return out
+
+
+_DIGEST_RE = re.compile(rb"^warc-payload-digest:\s*(\S+)\s*$", re.I | re.M)
+
+
+def parse_warc_records(
+    raw: bytes,
+) -> List[Tuple[str, str, Optional[datetime], str, bytes]]:
+    """Record-level reader including REVISIT records — Common Crawl's
+    container-level dedup: an identical recapture is stored as a
+    ``revisit`` record carrying only the WARC-Payload-Digest of the
+    original response, no body. Yields (kind, url, ts, digest, html)
+    where kind ∈ {'response', 'revisit'}; revisit html is b'' and must
+    be resolved by digest (webx.sources.resolve_revisits)."""
+    out: List[Tuple[str, str, Optional[datetime], str, bytes]] = []
+    for header, body in _warc_walk(raw):
+        t = _TYPE_RE.search(header)
+        kind = t.group(1).lower().decode("ascii", "replace") if t else ""
+        if kind not in ("response", "revisit"):
+            continue
+        url, ts = _warc_url_ts(header)
+        if url is None:
+            continue
+        dm = _DIGEST_RE.search(header)
+        digest = dm.group(1).decode("ascii", "replace") if dm else ""
+        html = _http_payload(body) if kind == "response" else b""
+        out.append((kind, url, ts, digest, html))
     return out
 
 
@@ -199,6 +247,98 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema=WARC_PAGES_SCHEMA)
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → (kind, url, warc_ts, digest, html) including
+    revisit records (html = empty, digest points at the original
+    response). Distributed like read_warc."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"kind": [], "url": [], "warc_ts": [], "digest": [], "html": []}
+            for content in pdf["content"]:
+                for kind, url, ts, digest, html in parse_warc_records(bytes(content)):
+                    rows["kind"].append(kind)
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+                    rows["digest"].append(digest)
+                    rows["html"].append(html)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        fn,
+        schema="kind string, url string, warc_ts timestamp, digest string, html binary",
+    )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Materialize a revisit-deduplicated capture set back into a full
+    page table (url, warc_ts, html): response rows keep their body;
+    revisit rows join their payload digest to the distinct
+    (digest → body) table of the responses. ONE shuffle join on the
+    digest key — each stored body crosses the wire once per revisit,
+    which is the algorithmic minimum for materialization; revisits whose
+    digest has no stored response are DROPPED (the fail-soft policy —
+    nothing to materialize), observable as the row-count delta."""
+    responses = records.filter(F.col("kind") == "response")
+    revisits = records.filter(F.col("kind") == "revisit")
+    bodies = (
+        responses.filter(F.col("digest") != "")
+        .select("digest", "html")
+        .dropDuplicates(["digest"])
+    )
+    resolved = revisits.drop("html").join(bodies, "digest", "inner")
+    cols = ("url", "warc_ts", "html")
+    return responses.select(*cols).unionByName(resolved.select(*cols))
+
+
+def payload_digest(html: bytes) -> str:
+    """WARC-Payload-Digest value for a page body (sha1, RFC 4648
+    base32 — the format Common Crawl emits)."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(html).digest()).decode("ascii")
+
+
+def write_warc_revisits(records: List[Tuple[str, datetime, bytes]]) -> bytes:
+    """Fixture writer for the revisit layout: the FIRST record with a
+    given body digest is stored as a full response, every later capture
+    of the same body becomes a revisit record (digest only, no HTTP
+    payload) — exactly how Common Crawl stores recaptures."""
+    chunks: List[bytes] = []
+    seen: set = set()
+    for url, ts, html in records:
+        digest = payload_digest(html)
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+        if digest not in seen:
+            seen.add(digest)
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            header = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                + b"WARC-Date: " + date + b"\r\n"
+                + b"WARC-Payload-Digest: " + digest.encode() + b"\r\n"
+                + b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            )
+            chunks.append(header + b"\r\n" + http + b"\r\n\r\n")
+        else:
+            header = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: revisit\r\n"
+                b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n"
+                + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                + b"WARC-Date: " + date + b"\r\n"
+                + b"WARC-Payload-Digest: " + digest.encode() + b"\r\n"
+                + b"Content-Length: 0\r\n"
+            )
+            chunks.append(header + b"\r\n" + b"\r\n\r\n")
+    return b"".join(chunks)
 
 
 def write_warc(

@@ -1020,6 +1020,57 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return split_assign(docs, SPLIT_WEIGHTS, SPLIT_NAMES).select("doc_id", "split")
 
 
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval LEAKAGE AUDIT: near-duplicate pairs that straddle the
+    hash-assigned split boundary — the published test-set-contamination
+    failure (a test doc whose near-dup sits in train). Composes two
+    gated operators: MinHash near-dup pairs (webx/dedup.py) × the
+    append-stable split assignment (webx/sampling.py), two hash joins on
+    the id key (the scale shape — neither side is broadcastable at
+    corpus size), then a count per unordered split pair. The oracle
+    composes the SAME two oracle generators (XXH64 SQL port)."""
+    from webx.dedup import minhash_neardup
+    from webx.sampling import split_assign
+
+    docs = _docs_with_neardups(spark, sf)
+    pairs = minhash_neardup(docs, threshold=0.6).select("id_a", "id_b")
+    splits = split_assign(docs.select("doc_id"), SPLIT_WEIGHTS, SPLIT_NAMES)
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    return j.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+def _split_leakage_oracle_sql() -> str:
+    """Compose the minhash-pairs oracle with the split-assignment chain
+    (both from their own generators — one source of truth each)."""
+    from webx import oracles as _o
+    from webx.sampling import BUCKETS as B, split_cuts
+
+    inner = _o.minhash_oracle_sql(threshold=0.6)
+    assert inner.startswith(_o.XXH64_MACROS)
+    inner_body = inner[len(_o.XXH64_MACROS):]
+    cuts = split_cuts(SPLIT_WEIGHTS)
+    chain_sql = " ".join(
+        f"WHEN b < {c} THEN '{n}'" for n, c in zip(SPLIT_NAMES, cuts)
+    )
+    return _o.XXH64_MACROS + (
+        "WITH pairs AS (" + inner_body + "), "
+        "u AS (SELECT doc_id FROM documents "
+        "UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id < 20), "
+        f"s AS (SELECT doc_id, CASE {chain_sql} ELSE '{SPLIT_NAMES[-1]}' END AS split "
+        f"FROM (SELECT doc_id, {_o.hash_bucket_sql('doc_id', 7, B)} AS b FROM u)), "
+        "j AS (SELECT sa.split AS split_a, sb.split AS split_b FROM pairs p "
+        "JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id) "
+        "SELECT least(split_a, split_b) AS split_lo, "
+        "greatest(split_a, split_b) AS split_hi, COUNT(*) AS n_pairs "
+        "FROM j GROUP BY 1, 2"
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc top-5 tf-idf terms (corpus keyword extraction). The gate
     compares the exact integer columns (rank/tf/df) — rank order is
@@ -4262,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_split_assign": q_split_assign,
+        "q_split_leakage": q_split_leakage,
         "q_kmv_distinct": q_kmv_distinct,
         "q_sentinel_truncate": q_sentinel_truncate,
         "q_token_ids": q_token_ids,
@@ -4901,6 +4953,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_stratified_sample": _sampling_oracle_sql("stratified"),
         "q_split_assign": _sampling_oracle_sql("split"),
+        "q_split_leakage": _split_leakage_oracle_sql(),
         "q_tfidf_topk": (
             "WITH terms AS (SELECT doc_id, lower(t.term) AS term FROM ("
             "SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), "

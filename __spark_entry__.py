@@ -690,7 +690,7 @@ def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
     from webx.urls import registrable_domain
 
     docs = synth.load_documents(spark, sf).select("doc_id")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     h = (
         F.when(m == 0, F.concat(F.lit("news"), (F.col("doc_id") % 3).cast("string"),
                                 F.lit(".bbc.co.uk")))
@@ -699,6 +699,8 @@ def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
         .when(m == 2, F.concat(F.lit("blog"), (F.col("doc_id") % 2).cast("string"),
                                F.lit(".github.io")))
         .when(m == 3, F.lit("shop.example.com.au"))
+        .when(m == 4, F.concat(F.lit("bucket"), (F.col("doc_id") % 3).cast("string"),
+                               F.lit(".s3.amazonaws.com")))
         .otherwise(F.lit("localhost"))
     )
     url = F.concat(F.lit("https://"), h, F.lit("/doc/"), F.col("doc_id").cast("string"))
@@ -714,19 +716,24 @@ def q_registrable_domain(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _registrable_domain_oracle_sql() -> str:
-    from webx.urls import PSL_MULTI_SUFFIXES
+    from webx.urls import _PSL2, _PSL3
 
-    psl = ", ".join(f"'{s}'" for s in PSL_MULTI_SUFFIXES)
+    psl2 = ", ".join(f"'{s}'" for s in _PSL2)
+    psl3 = ", ".join(f"'{s}'" for s in _PSL3)
     return (
-        "WITH h AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+        "WITH h AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) "
         "WHEN 0 THEN 'news' || CAST(doc_id % 3 AS VARCHAR) || '.bbc.co.uk' "
         "WHEN 1 THEN 'sub' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' "
         "WHEN 2 THEN 'blog' || CAST(doc_id % 2 AS VARCHAR) || '.github.io' "
         "WHEN 3 THEN 'shop.example.com.au' "
+        "WHEN 4 THEN 'bucket' || CAST(doc_id % 3 AS VARCHAR) || '.s3.amazonaws.com' "
         "ELSE 'localhost' END AS host FROM documents), "
         "r AS (SELECT host, string_split(host, '.') AS p FROM h), "
         "d AS (SELECT host, CASE WHEN len(p) <= 2 THEN host "
-        f"WHEN (p[-2] || '.' || p[-1]) IN ({psl}) "
+        f"WHEN len(p) >= 3 AND (p[-3] || '.' || p[-2] || '.' || p[-1]) IN ({psl3}) "
+        "THEN (CASE WHEN len(p) = 3 THEN host "
+        "ELSE p[-4] || '.' || p[-3] || '.' || p[-2] || '.' || p[-1] END) "
+        f"WHEN (p[-2] || '.' || p[-1]) IN ({psl2}) "
         "THEN p[-3] || '.' || p[-2] || '.' || p[-1] "
         "ELSE p[-2] || '.' || p[-1] END AS rdomain FROM r) "
         "SELECT rdomain, COUNT(*) AS n_pages, "

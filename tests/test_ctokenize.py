@@ -231,11 +231,36 @@ def test_detect_fused_multiblock_runs():
     assert fused == py and fused
 
 
-def test_detect_fused_gap_mode_falls_back():
-    """merge_gap > 0 routes to the decomposed path (resolver returns
-    None) — fused never runs with gap semantics it does not implement."""
-    from webx.extract import resolve_detect_table
+def test_detect_fused_gap_mode_falls_back(monkeypatch):
+    """merge_gap > 0 must route to the decomposed path — the fused C
+    kernel implements only gap=0 run semantics. Asserted at the actual
+    routing site (_extract_doc_stage1): with a gap config the fused
+    resolver is never consulted, and the output matches the decomposed
+    gap>0 computation."""
+    import webx.extract as ex
+    from webx.config import ExtractConfig
 
-    assert resolve_detect_table("off") is None
-    fn = resolve_detect_table("auto")
-    assert fn is not None  # kernel is built in this suite
+    assert ex.resolve_detect_table("off") is None
+    assert ex.resolve_detect_table("auto") is not None  # kernel built
+
+    html = (b"<div>" + b"alpha beta gamma delta epsilon zeta " * 4
+            + b"</div><nav>a b</nav><p>"
+            + b"eta theta iota kappa lambda mu nu xi " * 4 + b"</p>")
+    cfg0 = ExtractConfig()
+    cfg_gap = ExtractConfig(merge_gap=2)
+
+    def boom(mode):
+        raise AssertionError("fused kernel consulted despite merge_gap > 0")
+
+    monkeypatch.setattr(ex, "resolve_detect_table", boom)
+    _, spans_gap, _ = ex._extract_doc_stage1(html, cfg_gap)
+    monkeypatch.undo()
+
+    # gap semantics actually differ on this input (guard is load-bearing)
+    _, spans0, _ = ex._extract_doc_stage1(html, cfg0)
+    assert spans_gap != spans0
+
+    # and the gap>0 result equals the decomposed reference with the same cfg
+    cfg_gap_off = ExtractConfig(merge_gap=2, ckernels="off")
+    _, spans_ref, _ = ex._extract_doc_stage1(html, cfg_gap_off)
+    assert spans_gap == spans_ref

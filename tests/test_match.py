@@ -93,6 +93,35 @@ def test_compiled_ac_identical_to_python():
         assert c2.find_set(t) == want
 
 
+def test_compiled_ac_python_walk_fallback(monkeypatch):
+    """An executor process without the built C kernel must degrade to
+    the pure-Python walk over the same shipped arrays, not fail the job
+    (driver-side construction succeeding proves nothing about every
+    executor). The fallback walk must agree with the reference."""
+    import pickle
+    import random
+
+    import pytest as _pytest
+
+    from webx import ctokenize as ck
+    from webx.match import AhoCorasick, CompiledAC
+
+    if not ck.AVAILABLE:
+        _pytest.skip("C kernel not built")
+    terms = ["abc", "bcd", "ab", "bc", "c", "he", "she", "hers", "漢字"]
+    py = AhoCorasick(terms)
+    c = pickle.loads(pickle.dumps(CompiledAC(terms)))  # fresh, unbound
+    monkeypatch.setattr(ck, "AVAILABLE", False)  # simulate no-kernel exec
+    random.seed(7)
+    texts = ["", "abcd", "ushers", "x漢字y", "abcbcd"] + [
+        "".join(random.choice("abcdhers漢字 ") for _ in range(random.randint(0, 80)))
+        for _ in range(200)
+    ]
+    for t in texts:
+        assert c.find_set(t) == py.find_set(t)
+    assert c._args == ()  # took (and stayed on) the Python path
+
+
 def test_multi_term_match_aho_uses_compiled(spark):
     """impl='aho' end-to-end with the C walk active: same frame as
     impl='regex' on an overlap corpus."""

@@ -468,9 +468,9 @@ def test_budget_allocation_sums_exactly_to_budget(spark):
 
 
 def test_registrable_domain(spark):
-    """eTLD+1 grouping: multi-label PSL suffixes take three labels,
-    everything else two; single-label hosts and bare suffixes group as
-    themselves."""
+    """eTLD+1 grouping: two-label PSL suffixes take three labels,
+    three-label suffixes take four, everything else two; single-label
+    hosts and bare suffixes group as themselves."""
     from webx.urls import registrable_domain
 
     cases = [
@@ -483,6 +483,13 @@ def test_registrable_domain(spark):
         ("http://localhost/x", "localhost"),
         ("https://co.uk/", "co.uk"),  # bare suffix host: itself
         ("HTTPS://Sub.EXAMPLE.Com:8080/x", "example.com"),  # case+port
+        # 3-label private-section suffix: each bucket is its own owner
+        ("https://bucket-a.s3.amazonaws.com/k", "bucket-a.s3.amazonaws.com"),
+        ("https://x.bucket-a.s3.amazonaws.com/k", "bucket-a.s3.amazonaws.com"),
+        ("https://s3.amazonaws.com/bucket-a/k", "s3.amazonaws.com"),  # bare
+        # not a 3-label suffix: plain eTLD+1 under amazonaws.com... which
+        # IS what cloudfront.net-style 2-label private entries are for
+        ("https://d111.cloudfront.net/x", "d111.cloudfront.net"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [

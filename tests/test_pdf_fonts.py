@@ -37,9 +37,9 @@ endbfchar
 endbfrange
 endcmap
 """
-    widths, mapping = _parse_tounicode(cm)
-    assert widths == [2]
-    dec = _cmap_decoder(widths, mapping)
+    ranges, mapping = _parse_tounicode(cm)
+    assert ranges == [(b"\x00\x00", b"\xff\xff")]
+    dec = _cmap_decoder(ranges, mapping)
     s = bytes.fromhex("00010002001000110012002000210099")
     # unmapped code 0x0099 -> replacement, not a crash
     assert dec(s) == "Héabc\U0001f600fi�"
@@ -56,9 +56,41 @@ endcodespacerange
 endbfrange
 endcmap
 """
-    widths, mapping = _parse_tounicode(cm)
-    assert widths == [1]
-    assert _cmap_decoder(widths, mapping)(b"ABC") == "abc"
+    ranges, mapping = _parse_tounicode(cm)
+    assert ranges == [(b"\x00", b"\xff")]
+    assert _cmap_decoder(ranges, mapping)(b"ABC") == "abc"
+
+
+def test_tounicode_multi_width_codespace_framing():
+    """The standard CJK layout: a 1-byte and a 2-byte codespacerange.
+    Width is selected by RANGE match, not mapping membership — an
+    UNMAPPED 1-byte code must consume exactly one byte (U+FFFD) and
+    must not swallow the first byte of the following 2-byte code."""
+    cm = b"""
+begincmap
+2 begincodespacerange
+<00> <80>
+<8140> <FFFC>
+endcodespacerange
+2 beginbfchar
+<41> <0061>
+<8140> <3042>
+endbfchar
+endcmap
+"""
+    ranges, mapping = _parse_tounicode(cm)
+    assert ranges == [(b"\x00", b"\x80"), (b"\x81\x40", b"\xff\xfc")]
+    dec = _cmap_decoder(ranges, mapping)
+    # mapped 1-byte, mapped 2-byte
+    assert dec(b"\x41\x81\x40") == "aあ"
+    # unmapped 1-byte (0x42 in the 1-byte range) then a mapped 2-byte
+    # code: the old membership-driven framing consumed 2 bytes here and
+    # cascaded; range framing consumes 1 and keeps alignment
+    assert dec(b"\x42\x81\x40") == "�あ"
+    # unmapped 2-byte code inside the 2-byte range: one replacement
+    assert dec(b"\x81\x41\x41") == "�a"
+    # byte outside every range: single replacement, then realign
+    assert dec(b"\x81") == "�"
 
 
 def test_simple_font_differences():
@@ -159,3 +191,32 @@ def test_synth_pdfs_cid_layout(spark):
     ).select("url", "text")
     want = _golden_text(spark, "/root/testdata/sf0.001")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_tf_persists_across_text_objects():
+    """Tf is graphics state: a font selected in one BT..ET region (or
+    before the first BT) stays active in the next region within the
+    same content stream — common real-writer output sets the font once
+    and shows text from several text objects."""
+    from webx.pdf import decode_text_object, regions_with_fonts
+
+    content = (
+        b"/F1 12 Tf "  # before the first BT
+        b"BT 72 720 Td <0001> Tj ET "
+        b"BT 72 700 Td <0002> Tj ET "  # no Tf here: inherits /F1
+        b"BT /F2 10 Tf <41> Tj ET "
+        b"BT <42> Tj ET"  # inherits /F2
+    )
+    regions = regions_with_fonts(content)
+    # the font AT each BT: region 3 opens under /F1 and switches to /F2
+    # mid-region; region 4 then inherits /F2
+    assert [f for _, _, f in regions] == [b"/F1", b"/F1", b"/F1", b"/F2"]
+    fonts = {
+        b"/F1": {b"\x00\x01": "H", b"\x00\x02": "i"}.__getitem__,
+        b"/F2": lambda s: s.decode("ascii").lower(),
+    }
+    texts = [
+        decode_text_object(content[r0:r1], fonts=fonts, initial_font=f0)
+        for r0, r1, f0 in regions
+    ]
+    assert texts == ["H", "i", "a", "b"]

@@ -234,6 +234,50 @@ def test_warc_content_encoding_fail_soft():
     ]
 
 
+def test_warc_content_encoding_valid_header_corrupt_body():
+    """A VALID gzip header with a corrupt deflate body raises zlib.error
+    (not OSError) from gzip.decompress — routine in truncated captures;
+    the payload must come through untouched, never kill the batch."""
+    import gzip as _gz
+
+    date = b"2017-10-24T00:14:32.000Z"
+    good = _gz.compress(b"<p>ok</p>")
+    corrupt_body = good[:10] + b"\xff\xfe\xfd\xfc"  # header ok, body junk
+    truncated = good[: len(good) // 2]  # mid-stream cut → EOFError
+    recs = parse_warc(
+        _warc_record(
+            b"response", b"http://e.com/c", date,
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + corrupt_body,
+        )
+        + _warc_record(
+            b"response", b"http://e.com/t", date,
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + truncated,
+        )
+    )
+    assert [(u, h) for u, _, h in recs] == [
+        ("http://e.com/c", corrupt_body),
+        ("http://e.com/t", truncated),
+    ]
+
+
+def test_warc_gz_archive_corrupt_or_truncated_never_raises():
+    """A .warc.gz whose gzip member is truncated (EOFError) or corrupt
+    past the header (zlib.error) ends the scan empty — never raises."""
+    import gzip as _gz
+
+    date = b"2017-10-24T00:14:32.000Z"
+    whole = _gz.compress(
+        _warc_record(b"response", b"http://e.com/", date,
+                     b"HTTP/1.1 200 OK\r\n\r\n<p>x</p>")
+    )
+    assert parse_warc(whole[: len(whole) // 2]) == []          # truncated
+    assert parse_warc(whole[:10] + b"\xff\xfe\xfd\xfc") == []  # corrupt body
+    from webx.sources import parse_wet
+
+    assert parse_wet(whole[: len(whole) // 2]) == []
+    assert parse_wet(whole[:10] + b"\xff\xfe\xfd\xfc") == []
+
+
 def test_warc_revisit_records_roundtrip():
     """Revisit layout: first capture of a body is a response, later
     identical captures are digest-only revisit records; the plain

@@ -168,11 +168,44 @@ class CompiledAC:
         self._fn = ck._lib.wx_ac_find
         self._u8p = ctypes.POINTER(ctypes.c_uint8)
 
+    def _find_set_py(self, text: str) -> set:
+        """Pure-Python walk over the SAME shipped arrays — the fallback
+        when an executor process has no built C kernel (no toolchain,
+        read-only tmp). Slower, but a heterogeneous cluster must degrade,
+        not fail the job: driver-side construction succeeding says
+        nothing about every executor."""
+        b = text.encode("utf-8")
+        ebase, ecnt, ebyte = self._ebase, self._ecnt, self._ebyte
+        enext, fail = self._enext, self._fail
+        obase, ocnt, oids = self._obase, self._ocnt, self._oids
+        node = 0
+        hit_ids: set = set()
+        for byte in b:
+            while True:
+                base = int(ebase[node])
+                idx = ebyte.find(byte, base, base + int(ecnt[node]))
+                if idx >= 0:
+                    node = int(enext[idx])
+                    break
+                if node == 0:
+                    break
+                node = int(fail[node])
+            c = int(ocnt[node])
+            if c:
+                base = int(obase[node])
+                hit_ids.update(int(i) for i in oids[base : base + c])
+        return {self.terms[i] for i in hit_ids}
+
     def find_set(self, text: str) -> set:
         import numpy as np
 
         if self._args is None:
-            self._bind()
+            try:
+                self._bind()
+            except RuntimeError:
+                self._args = ()  # sentinel: Python walk in this process
+        if self._args == ():
+            return self._find_set_py(text)
         hits = np.zeros(len(self.terms) or 1, dtype=np.uint8)
         b = text.encode("utf-8")
         n = self._fn(b, len(b), *self._args, hits.ctypes.data_as(self._u8p))

@@ -739,22 +739,29 @@ def _cmap_hexbytes(tok: bytes) -> bytes:
     return bytes.fromhex(hx.decode("ascii"))
 
 
-def _parse_tounicode(cmap: bytes) -> Tuple[List[int], Dict[bytes, str]]:
-    """/ToUnicode CMap stream → (sorted code-unit byte widths,
-    {code bytes → unicode str}). Handles codespacerange (unit widths),
-    bfchar pairs, and BOTH bfrange forms (<lo> <hi> <dstStart> with the
-    last UTF-16 unit incrementing, and <lo> <hi> [<dst> …]). Destination
-    hex is UTF-16BE: surrogate pairs for non-BMP, multiple units for
-    ligature expansions."""
-    widths: set = set()
+def _parse_tounicode(
+    cmap: bytes,
+) -> Tuple[List[Tuple[bytes, bytes]], Dict[bytes, str]]:
+    """/ToUnicode CMap stream → (codespace ranges as (lo, hi) byte
+    pairs, {code bytes → unicode str}). Handles codespacerange (kept as
+    RANGES, not just widths — multi-width CMaps frame codes by matching
+    the next bytes against a declared range, so membership in the
+    mapping must not drive width selection), bfchar pairs, and BOTH
+    bfrange forms (<lo> <hi> <dstStart> with the last UTF-16 unit
+    incrementing, and <lo> <hi> [<dst> …]). Destination hex is UTF-16BE:
+    surrogate pairs for non-BMP, multiple units for ligature
+    expansions."""
+    ranges: List[Tuple[bytes, bytes]] = []
     mapping: Dict[bytes, str] = {}
 
     def dst_str(hx: bytes) -> str:
         return _cmap_hexbytes(hx).decode("utf-16-be", errors="replace")
 
     for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S):
-        for hm in _CMAP_HEX_RE.finditer(m.group(1)):
-            widths.add(len(_cmap_hexbytes(hm.group(1))))
+        toks = [_cmap_hexbytes(hm.group(1)) for hm in _CMAP_HEX_RE.finditer(m.group(1))]
+        for lo, hi in zip(toks[0::2], toks[1::2]):
+            if len(lo) == len(hi):
+                ranges.append((lo, hi))
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
         toks = _CMAP_HEX_RE.findall(m.group(1))
         for src, dst in zip(toks[0::2], toks[1::2]):
@@ -794,13 +801,25 @@ def _parse_tounicode(cmap: bytes) -> Tuple[List[int], Dict[bytes, str]]:
                         prefix + ((last + i) & 0xFFFF).to_bytes(2, "big")
                     ).decode("utf-16-be", errors="replace")
                 pos = d_m.end()
-    return sorted(widths) or [2], mapping
+    return sorted(ranges, key=lambda r: (len(r[0]), r[0])) or [(b"\x00\x00", b"\xff\xff")], mapping
 
 
-def _cmap_decoder(widths: List[int], mapping: Dict[bytes, str]) -> Callable[[bytes], str]:
-    """String bytes → text via the CMap: at each position try the
-    declared code widths shortest-first; unmapped codes emit U+FFFD and
-    consume the widest declared unit (fail-soft, never raises)."""
+def _cmap_decoder(
+    ranges: List[Tuple[bytes, bytes]], mapping: Dict[bytes, str]
+) -> Callable[[bytes], str]:
+    """String bytes → text via the CMap. Width selection follows the
+    PDF spec: at each position the next bytes are matched BYTE-WISE
+    against the declared codespace ranges, shortest width first — a
+    code inside a matched range consumes that width whether or not it
+    is mapped (unmapped → U+FFFD), so an unmapped 1-byte code can never
+    swallow the first byte of the following 2-byte code. Bytes outside
+    every range fall back to mapping membership (CMaps that omit
+    codespacerange), then to a single U+FFFD of the widest declared
+    unit. Fail-soft, never raises."""
+    by_w: Dict[int, List[Tuple[bytes, bytes]]] = {}
+    for lo, hi in ranges:
+        by_w.setdefault(len(lo), []).append((lo, hi))
+    widths = sorted(by_w)
 
     def decode(s: bytes) -> str:
         out: List[str] = []
@@ -808,13 +827,23 @@ def _cmap_decoder(widths: List[int], mapping: Dict[bytes, str]) -> Callable[[byt
         while i < n:
             for w in widths:
                 code = s[i : i + w]
-                if code in mapping:
-                    out.append(mapping[code])
+                if len(code) == w and any(
+                    all(l <= c <= h for c, l, h in zip(code, lo, hi))
+                    for lo, hi in by_w[w]
+                ):
+                    out.append(mapping.get(code, "�"))
                     i += w
                     break
             else:
-                i += widths[-1] if i + widths[-1] <= n else 1
-                out.append("�")
+                for w in widths:  # no range matched: membership fallback
+                    code = s[i : i + w]
+                    if code in mapping:
+                        out.append(mapping[code])
+                        i += w
+                        break
+                else:
+                    i += widths[-1] if i + widths[-1] <= n else 1
+                    out.append("�")
         return "".join(out)
 
     return decode
@@ -939,9 +968,9 @@ def _one_font_decoder(raw: bytes, offsets: dict, fval) -> Optional[Callable[[byt
         if isinstance(tu, tuple) and tu[0] == "ref":
             _, stream = _load_obj(raw, offsets, tu[1])
             if stream:
-                widths, mapping = _parse_tounicode(stream)
+                ranges, mapping = _parse_tounicode(stream)
                 if mapping:
-                    return _cmap_decoder(widths, mapping)
+                    return _cmap_decoder(ranges, mapping)
         enc = _deref(raw, offsets, fval.get("Encoding"))
         if isinstance(enc, dict):
             base = enc.get("BaseEncoding")
@@ -1078,21 +1107,54 @@ def detect_text_objects(content: bytes) -> List[Tuple[int, int]]:
     return regions
 
 
+def regions_with_fonts(
+    content: bytes,
+) -> List[Tuple[int, int, Optional[bytes]]]:
+    """Stage 1 with font tracking: (start, end, active_font_name) per
+    BT…ET region. Tf is GRAPHICS STATE — it persists across text
+    objects within one content stream and may be issued before the
+    first BT (common real-writer output), so the walk tracks the last
+    Tf across the whole stream, not per region."""
+    regions: List[Tuple[int, int, Optional[bytes]]] = []
+    start: Optional[int] = None
+    start_font: Optional[bytes] = None
+    last_name: Optional[bytes] = None
+    cur_font: Optional[bytes] = None
+    for kind, tok, t0, t1 in _content_tokens(content):
+        if kind == "name":
+            last_name = tok
+        elif kind == "op":
+            if tok == b"Tf":
+                cur_font = last_name
+            elif tok == b"BT" and start is None:
+                start, start_font = t0, cur_font
+            elif tok == b"ET" and start is not None:
+                regions.append((start, t1, start_font))
+                start = None
+    return regions
+
+
 def decode_text_object(
-    region: bytes, fonts: Optional[Dict[bytes, Callable]] = None
+    region: bytes,
+    fonts: Optional[Dict[bytes, Callable]] = None,
+    initial_font: Optional[bytes] = None,
 ) -> str:
     """Stage 2: sequential decode of one BT…ET region. Show ops Tj / TJ /
     ' / \" append text; Td/TD with a vertical move, T*, and Tm with a new
     y start a new line. (The CTC-decode analog: an ordered scan that
     emits the final sequence.) ``fonts`` maps font name tokens (b'/F1')
     to decode callables; Tf switches the active map, strings under a
-    font with no map decode as UTF-8 bytes (the fixture contract)."""
+    font with no map decode as UTF-8 bytes (the fixture contract).
+    ``initial_font`` is the font selected BEFORE this region (Tf state
+    persists across text objects — see regions_with_fonts)."""
     lines: List[str] = [""]
     stack: List[bytes] = []
     nums: List[float] = []
     last_ty: Optional[float] = None
     last_name: Optional[bytes] = None
     cur_decode: Optional[Callable[[bytes], str]] = None
+    if initial_font is not None:
+        cur_decode = (fonts or {}).get(initial_font)
 
     def show(s: bytes) -> None:
         lines[-1] += (
@@ -1158,8 +1220,8 @@ def parse_pdf(raw: bytes) -> Tuple[str, List[Tuple[int, int]]]:
     spans: List[Tuple[int, int]] = []
     pos = 0
     for content, fonts in page_contents_with_fonts(raw):
-        for r0, r1 in detect_text_objects(content):
-            t = decode_text_object(content[r0:r1], fonts=fonts)
+        for r0, r1, font0 in regions_with_fonts(content):
+            t = decode_text_object(content[r0:r1], fonts=fonts, initial_font=font0)
             if not t:
                 continue
             if pieces:

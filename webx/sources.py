@@ -63,7 +63,9 @@ def _decode_content_encoding(html: bytes, http_hdr: bytes) -> bytes:
         if coding in ("gzip", "x-gzip"):
             try:
                 html = gzip.decompress(html)
-            except (OSError, EOFError):
+            except (OSError, EOFError, zlib.error):
+                # zlib.error: valid gzip header, corrupt deflate body —
+                # routine in truncated captures; must not kill the task.
                 return html
         elif coding == "deflate":
             try:
@@ -124,7 +126,9 @@ def _warc_walk(raw: bytes):
     if raw[:2] == b"\x1f\x8b":  # gzipped warc (members concatenated)
         try:
             raw = gzip.decompress(raw)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # EOFError: truncated member; zlib.error: corrupt body.
+            # Both routine in crawl archives — end the scan, never raise.
             return
     pos, n = 0, len(raw)
     while pos < n:
@@ -610,7 +614,7 @@ def parse_wet(raw: bytes) -> "List[Tuple[str, Optional[datetime], str]]":
     if raw[:2] == b"\x1f\x8b":
         try:
             raw = gzip.decompress(raw)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             return []
     out: List[Tuple[str, Optional[datetime], str]] = []
     pos, n = 0, len(raw)

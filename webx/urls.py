@@ -87,20 +87,29 @@ PSL_MULTI_SUFFIXES = (
 )
 
 
+_PSL2 = tuple(s for s in PSL_MULTI_SUFFIXES if s.count(".") == 1)
+_PSL3 = tuple(s for s in PSL_MULTI_SUFFIXES if s.count(".") == 2)
+
+
 def registrable_domain(url: Column | str) -> Column:
-    """eTLD+1 grouping key: the last two host labels, or the last THREE
-    when the last two form a known multi-label public suffix. Hosts with
-    a single label (localhost, intranet names) and bare suffixes group
-    as themselves. Pure codegen (split/slice/isin) — no UDF, no join;
-    the suffix set compiles into the expression."""
+    """eTLD+1 grouping key: the last two host labels, plus one more
+    label for each extra level of the matched public suffix (two-label
+    suffixes like co.uk → last three labels; three-label suffixes like
+    s3.amazonaws.com → last four). Hosts with a single label
+    (localhost, intranet names) and bare suffixes group as themselves.
+    Pure codegen (split/slice/isin) — no UDF, no join; the suffix set
+    compiles into the expression. ``slice`` past the array start yields
+    [] → empty join string → no isin match, so short hosts are safe."""
     h = host(url)
     parts = F.split(h, r"\.")
     n = F.size(parts)
     last2 = F.array_join(F.slice(parts, -2, 2), ".")
     last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    last4 = F.array_join(F.slice(parts, -4, 4), ".")
     return (
         F.when(n <= 2, h)
-        .when(last2.isin(*PSL_MULTI_SUFFIXES), last3)
+        .when(last3.isin(*_PSL3), F.when(n == 3, h).otherwise(last4))
+        .when(last2.isin(*_PSL2), last3)
         .otherwise(last2)
     )
 

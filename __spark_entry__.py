@@ -879,6 +879,68 @@ def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     return extract_links(pages)
 
 
+def q_base_href(spark: SparkSession, sf: str) -> DataFrame:
+    """``<base href>`` resolution (webx/urls.py effective_base): pages
+    rotate through no-base / absolute / root-relative / document-
+    relative base elements; relative hrefs must resolve against the
+    declared base, root-relative ones against the BASE's origin (a
+    cross-origin base redirects them off-host — the real-crawl trap),
+    absolute hrefs and fragments are base-immune. Pure codegen; the
+    oracle states every resolution closed-form."""
+    from webx.urls import extract_links
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/sec/"), i, F.lit("/index.html"))
+    base_tag = (
+        F.when(m == 1, F.lit('<base href="https://cdn.example.org/assets/">'))
+        .when(m == 2, F.lit('<base href="/deep/dir/">'))
+        .when(m == 3, F.lit('<base href="docs/">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        F.lit('<a href="rel.html">r</a><a href="/root.html">o</a>'),
+        F.lit('<a href="https://x.test/abs">a</a><a href="#top">f</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return extract_links(pages)
+
+
+def _base_href_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS origin, "
+        "'/sec/' || CAST(doc_id AS VARCHAR) || '/' AS pagedir FROM documents), "
+        "b AS (SELECT doc_id, m, origin, origin || pagedir || 'index.html' AS url, "
+        # the directory relative hrefs resolve against, per base mode
+        "CASE m WHEN 1 THEN 'https://cdn.example.org/assets/' "
+        "WHEN 2 THEN origin || '/deep/dir/' "
+        "WHEN 3 THEN origin || pagedir || 'docs/' "
+        "ELSE origin || pagedir END AS bdir, "
+        # the ORIGIN of the effective base (root-relative hrefs use it)
+        "CASE m WHEN 1 THEN 'https://cdn.example.org' ELSE origin END AS borigin, "
+        # the base element's own raw href (extract_links emits it too)
+        "CASE m WHEN 1 THEN 'https://cdn.example.org/assets/' "
+        "WHEN 2 THEN '/deep/dir/' WHEN 3 THEN 'docs/' END AS braw FROM d), "
+        # the base tag's own href row, resolved against the effective base
+        "baserow AS (SELECT url, braw AS href, "
+        "CASE m WHEN 1 THEN braw WHEN 2 THEN origin || '/deep/dir/' "
+        "ELSE bdir || 'docs/' END AS resolved FROM b WHERE m <> 0), "
+        "bodyrows AS ("
+        "SELECT url, 'rel.html' AS href, bdir || 'rel.html' AS resolved FROM b "
+        "UNION ALL SELECT url, '/root.html', borigin || '/root.html' FROM b "
+        "UNION ALL SELECT url, 'https://x.test/abs', 'https://x.test/abs' FROM b "
+        "UNION ALL SELECT url, '#top', NULL FROM b) "
+        "SELECT url, href, resolved FROM baserow "
+        "UNION ALL SELECT url, href, resolved FROM bodyrows"
+    )
+
+
 def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Host-level link graph (PageRank input): resolve → host pair →
     count. Flagship chrome links are same-host, so every host is a
@@ -4331,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_registrable_domain": q_registrable_domain,
         "q_extract_links": q_extract_links,
+        "q_base_href": q_base_href,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5308,6 +5371,7 @@ def oracle_sql() -> dict[str, str]:
             "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' || h.href) "
             "AS resolved FROM documents CROSS JOIN h"
         ),
+        "q_base_href": _base_href_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

@@ -174,6 +174,67 @@ def test_resolve_href_cases(spark):
     assert got == [e for _, _, e in rows]
 
 
+def test_base_href_resolution(spark):
+    """<base href> overrides the page url for relative links: relative
+    hrefs resolve against the base's directory, root-relative against
+    the BASE's origin (cross-origin base pulls them off-host), absolute
+    hrefs and fragments are base-immune; only the FIRST base counts and
+    the match is case-insensitive. A fragment-only base is unusable and
+    falls back to the page url."""
+    from webx.urls import extract_anchors, extract_links
+
+    pages = spark.createDataFrame(
+        [
+            # absolute cross-origin base, mixed-case tag, second base ignored
+            ("https://a.com/sec/1/index.html",
+             b'<head><BASE target="_b" HREF="https://cdn.org/assets/">'
+             b'<base href="https://evil.org/"></head>'
+             b'<a href="rel.html">r</a><a href="/root.html">o</a>'
+             b'<a href="https://x.test/abs">a</a><a href="#top">f</a>'),
+            # root-relative base: resolves against the page origin
+            ("https://a.com/sec/2/index.html",
+             b'<base href="/deep/dir/"><a href="rel.html">r</a>'),
+            # document-relative base: resolves against the page directory
+            ("https://a.com/sec/3/index.html",
+             b'<base href="docs/"><a href="rel.html">r</a>'),
+            # unusable (fragment) base: falls back to the page url
+            ("https://a.com/sec/4/index.html",
+             b'<base href="#x"><a href="rel.html">r</a>'),
+            # no base at all
+            ("https://a.com/sec/5/index.html", b'<a href="rel.html">r</a>'),
+        ],
+        "url string, html binary",
+    )
+    anchors = {
+        (r["url"], r["href"]): r["resolved"]
+        for r in extract_anchors(pages).collect()
+    }
+    assert anchors[("https://a.com/sec/1/index.html", "rel.html")] == \
+        "https://cdn.org/assets/rel.html"
+    assert anchors[("https://a.com/sec/1/index.html", "/root.html")] == \
+        "https://cdn.org/root.html"  # base origin, not the page's
+    assert anchors[("https://a.com/sec/1/index.html", "https://x.test/abs")] == \
+        "https://x.test/abs"
+    assert anchors[("https://a.com/sec/1/index.html", "#top")] is None
+    assert anchors[("https://a.com/sec/2/index.html", "rel.html")] == \
+        "https://a.com/deep/dir/rel.html"
+    assert anchors[("https://a.com/sec/3/index.html", "rel.html")] == \
+        "https://a.com/sec/3/docs/rel.html"
+    assert anchors[("https://a.com/sec/4/index.html", "rel.html")] == \
+        "https://a.com/sec/4/rel.html"
+    assert anchors[("https://a.com/sec/5/index.html", "rel.html")] == \
+        "https://a.com/sec/5/rel.html"
+    # extract_links agrees (it also emits the base tags' own hrefs)
+    links = {
+        (r["url"], r["href"]): r["resolved"]
+        for r in extract_links(pages).collect()
+    }
+    for k, v in anchors.items():
+        assert links[k] == v
+    assert links[("https://a.com/sec/1/index.html",
+                  "https://cdn.org/assets/")] == "https://cdn.org/assets/"
+
+
 def test_host_link_graph_cross_host(spark):
     from webx.urls import extract_links, host_link_graph
 

@@ -124,7 +124,7 @@ def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-_HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
+_HREF_RE = r"""(?i)href\s*=\s*["']([^"']+)["']"""
 
 
 
@@ -138,16 +138,37 @@ def _lossy_utf8(html_col: str):
     return F.make_valid_utf8(F.col(html_col).cast("string"))
 
 
+_BASE_RE = r"""(?is)<base\b[^>]*?href\s*=\s*["']([^"']+)["']"""
+
+
+def effective_base(url: Column, html_txt: Column) -> Column:
+    """The URL relative hrefs resolve against: the page's first
+    ``<base href>`` if present, else the page url (HTML spec: only the
+    first base element counts). The base href may itself be root- or
+    document-relative, so it is first resolved against the page url;
+    an unusable base (fragment/mailto → NULL) falls back to the url.
+    Pure codegen — one regexp_extract over the already-decoded text."""
+    b = F.regexp_extract(html_txt, _BASE_RE, 1)
+    return F.when(b == "", url).otherwise(F.coalesce(resolve_href(url, b), url))
+
+
 def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Outlink extraction — the link-graph source every web-scale corpus
     needs (PageRank/harmonic centrality inputs, spam-farm detection):
-    (url, href, resolved) per anchor, document order preserved. Pure
+    (url, href, resolved) per anchor, document order preserved. Relative
+    hrefs honor the page's ``<base href>`` (effective_base). Pure
     codegen: lossy UTF-8 decode (see _lossy_utf8), one ``regexp_extract_all``, one
     explode, string-op resolution. No Python, no shuffle."""
     txt = _lossy_utf8(html_col)
     hrefs = F.regexp_extract_all(txt, F.lit(_HREF_RE), 1)
-    out = pages.select(F.col("url"), F.explode(hrefs).alias("href"))
-    return out.select("url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"))
+    out = pages.select(
+        F.col("url"),
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(hrefs).alias("href"),
+    )
+    return out.select(
+        "url", "href", resolve_href(F.col("_base"), F.col("href")).alias("resolved")
+    )
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -189,7 +210,7 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     )
 
 
-_ANCHOR_RE = r"""(?s)<a\b[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+_ANCHOR_RE = r"""(?si)<a\b[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
 
 
 def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -199,15 +220,21 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
     descriptions). Two aligned ``regexp_extract_all`` passes over the
     same pattern (group 1 = href, group 2 = inner markup) keep pairing
     by construction; the inner markup has tags stripped and whitespace
-    collapsed. Pure codegen: no Python, no shuffle, one explode."""
+    collapsed. Relative hrefs honor the page's ``<base href>``
+    (effective_base). Pure codegen: no Python, no shuffle, one explode."""
     txt = _lossy_utf8(html_col)
     pat = F.lit(_ANCHOR_RE)
     pairs = F.arrays_zip(
         F.regexp_extract_all(txt, pat, 1).alias("href"),
         F.regexp_extract_all(txt, pat, 2).alias("inner"),
     )
-    out = pages.select("url", F.explode(pairs).alias("p")).select(
+    out = pages.select(
         "url",
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        "url",
+        "_base",
         F.col("p.href").alias("href"),
         F.trim(
             F.regexp_replace(
@@ -216,7 +243,7 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
         ).alias("anchor"),
     )
     return out.select(
-        "url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"), "anchor"
+        "url", "href", resolve_href(F.col("_base"), F.col("href")).alias("resolved"), "anchor"
     )
 
 

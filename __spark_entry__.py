@@ -941,6 +941,51 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_nofollow_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-link rel hygiene (webx/urls.extract_anchors ``nofollow``):
+    anchors rotate rel="nofollow" / rel='ugc me' / REL="SPONSORED
+    noopener" / rel="noopener" / no rel — the three opt-out tokens mark
+    the edge true, other rel values and bare anchors false. The count
+    every endorsement-weighted link graph needs before PageRank."""
+    from webx.urls import extract_anchors, host
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    rel = (
+        F.when(m == 0, F.lit(' rel="nofollow"'))
+        .when(m == 1, F.lit(" rel='ugc me'"))
+        .when(m == 2, F.lit(' REL="SPONSORED noopener"'))
+        .when(m == 3, F.lit(' rel="noopener"'))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".example.com/p/"), i)
+    html = F.concat(
+        F.lit('<a href="https://t.example.org/x"'), rel, F.lit(">out</a>"),
+        F.lit('<a href="/in">in</a>'),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    a = extract_anchors(pages)
+    return (
+        a.groupBy(host(F.col("url")).alias("src_host"), "nofollow")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _nofollow_links_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m, "
+        "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS src_host "
+        "FROM documents), "
+        # outbound anchor: nofollow iff m in (0,1,2); inbound: always false
+        "rows AS (SELECT src_host, m IN (0, 1, 2) AS nofollow FROM d "
+        "UNION ALL SELECT src_host, false FROM d) "
+        "SELECT src_host, nofollow, count(*) AS n_links "
+        "FROM rows GROUP BY src_host, nofollow"
+    )
+
+
 def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Host-level link graph (PageRank input): resolve → host pair →
     count. Flagship chrome links are same-host, so every host is a
@@ -4394,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_registrable_domain": q_registrable_domain,
         "q_extract_links": q_extract_links,
         "q_base_href": q_base_href,
+        "q_nofollow_links": q_nofollow_links,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5372,6 +5418,7 @@ def oracle_sql() -> dict[str, str]:
             "AS resolved FROM documents CROSS JOIN h"
         ),
         "q_base_href": _base_href_oracle_sql(),
+        "q_nofollow_links": _nofollow_links_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

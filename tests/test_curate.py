@@ -235,6 +235,28 @@ def test_base_href_resolution(spark):
                   "https://cdn.org/assets/")] == "https://cdn.org/assets/"
 
 
+def test_anchor_rel_nofollow(spark):
+    """rel opt-out tokens (nofollow/ugc/sponsored, any case, anywhere in
+    the space-separated rel list) mark the anchor nofollow=true; other
+    rel values, rel-less anchors, and lookalike substrings
+    (rel="nofollowme") do not."""
+    from webx.urls import extract_anchors
+
+    html = (
+        b'<a href="/a" rel="nofollow">1</a>'
+        b"<a href='/b' rel='ugc me'>2</a>"
+        b'<A HREF="/c" REL="SPONSORED noopener">3</A>'
+        b'<a rel="noopener" href="/d">4</a>'
+        b'<a href="/e">5</a>'
+        b'<a href="/f" rel="nofollowme">6</a>'
+    )
+    pages = spark.createDataFrame([("https://a.com/p", html)],
+                                  "url string, html binary")
+    got = {r["href"]: r["nofollow"] for r in extract_anchors(pages).collect()}
+    assert got == {"/a": True, "/b": True, "/c": True,
+                   "/d": False, "/e": False, "/f": False}
+
+
 def test_host_link_graph_cross_host(spark):
     from webx.urls import extract_links, host_link_graph
 

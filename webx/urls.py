@@ -210,7 +210,11 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     )
 
 
-_ANCHOR_RE = r"""(?si)<a\b[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+_ANCHOR_RE = r"""(?si)<a\b([^>]*?href\s*=\s*["'][^"']+["'][^>]*)>(.*?)</a>"""
+# rel token match inside the captured attrs: nofollow/ugc/sponsored are
+# the three link-graph-opt-out rel values (rel is a space-separated
+# token list; any of the three marks the edge as not-an-endorsement)
+_REL_NOFOLLOW_RE = r"""(?i)\brel\s*=\s*["'][^"']*\b(nofollow|ugc|sponsored)\b"""
 
 
 def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -221,11 +225,14 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
     same pattern (group 1 = href, group 2 = inner markup) keep pairing
     by construction; the inner markup has tags stripped and whitespace
     collapsed. Relative hrefs honor the page's ``<base href>``
-    (effective_base). Pure codegen: no Python, no shuffle, one explode."""
+    (effective_base); ``nofollow`` is true when the tag's rel list
+    carries any link-graph-opt-out token (nofollow/ugc/sponsored) — the
+    edge hygiene PageRank-style uses require. Pure codegen: no Python,
+    no shuffle, one explode."""
     txt = _lossy_utf8(html_col)
     pat = F.lit(_ANCHOR_RE)
     pairs = F.arrays_zip(
-        F.regexp_extract_all(txt, pat, 1).alias("href"),
+        F.regexp_extract_all(txt, pat, 1).alias("attrs"),
         F.regexp_extract_all(txt, pat, 2).alias("inner"),
     )
     out = pages.select(
@@ -235,7 +242,8 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ).select(
         "url",
         "_base",
-        F.col("p.href").alias("href"),
+        F.regexp_extract("p.attrs", _HREF_RE, 1).alias("href"),
+        F.col("p.attrs").rlike(_REL_NOFOLLOW_RE).alias("nofollow"),
         F.trim(
             F.regexp_replace(
                 F.regexp_replace("p.inner", r"<[^>]*>", " "), r"[ \t\r\n]+", " "
@@ -243,7 +251,11 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
         ).alias("anchor"),
     )
     return out.select(
-        "url", "href", resolve_href(F.col("_base"), F.col("href")).alias("resolved"), "anchor"
+        "url",
+        "href",
+        resolve_href(F.col("_base"), F.col("href")).alias("resolved"),
+        "anchor",
+        "nofollow",
     )
 
 

@@ -2115,6 +2115,81 @@ def q_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sitemap_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap-INDEX lane (webx/feeds.sitemap_kind + parse_sitemap_index):
+    docs rotate sitemapindex / urlset / non-sitemap bytes; index docs
+    carry doc_id%5 children (0 children = a valid empty index — kind
+    'index' with NULL child row). Classification is the root-element
+    test; children fan out one row each with loc + lastmod closed-form."""
+    from webx.feeds import parse_sitemap_index, sitemap_kind
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 3
+    nchild = F.col("doc_id") % 5
+
+    def child(j: int):
+        r = (F.col("doc_id") + j) % 28
+        return F.when(
+            nchild > j,
+            F.concat(
+                F.lit("<sitemap><loc>https://h"), k, F.lit(".example.com/sm_"),
+                i, F.lit("_"), F.lit(str(j)), F.lit(".xml</loc><lastmod>"),
+                F.date_format(
+                    F.date_add(F.to_date(F.lit("2024-01-01")), r.cast("int")),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("</lastmod></sitemap>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    xml = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<?xml version="1.0"?>\n<sitemapindex '
+                      'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                *[child(j) for j in range(5)],
+                F.lit("</sitemapindex>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<urlset><url><loc>https://h"), k,
+                F.lit(".example.com/p/"), i, F.lit("</loc></url></urlset>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<html><body>not a sitemap "), i))
+    )
+    sm = docs.select("doc_id", F.encode(xml, "UTF-8").alias("xml"))
+    kinds = sm.select("doc_id", sitemap_kind("xml").alias("kind"))
+    children = parse_sitemap_index(sm).select("doc_id", "sm_idx", "loc", "lastmod")
+    return kinds.join(children, "doc_id", "left").select(
+        "doc_id", "kind", "sm_idx", "loc", "lastmod"
+    )
+
+
+def _sitemap_index_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m, "
+        "CAST(doc_id % 5 AS INT) AS nchild, "
+        "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS h FROM documents), "
+        "kinds AS (SELECT doc_id, CASE m WHEN 0 THEN 'index' "
+        "WHEN 1 THEN 'urlset' ELSE 'unknown' END AS kind, nchild, h FROM d), "
+        "ch AS (SELECT doc_id, kind, CAST(j AS INT) AS sm_idx, "
+        "'https://' || h || '/sm_' || CAST(doc_id AS VARCHAR) || '_' || "
+        "CAST(j AS VARCHAR) || '.xml' AS loc, "
+        "strftime(DATE '2024-01-01' + CAST((doc_id + j) % 28 AS INT), '%Y-%m-%d') "
+        "AS lastmod FROM kinds CROSS JOIN unnest(generate_series(0, 4)) t(j) "
+        "WHERE kind = 'index' AND j < nchild) "
+        "SELECT doc_id, kind, sm_idx, loc, lastmod FROM ch "
+        "UNION ALL SELECT doc_id, kind, NULL, NULL, NULL FROM kinds "
+        "WHERE kind <> 'index' OR nchild = 0"
+    )
+
+
 def q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap source lane (webx/feeds.parse_sitemap): doc_id%3+1 <url>
     blocks per sitemap; lastmod omitted when (doc_id+u)%3==0, priority
@@ -4464,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_depth": q_dom_depth,
         "q_feed_entries": q_feed_entries,
         "q_sitemap": q_sitemap,
+        "q_sitemap_index": q_sitemap_index,
         "q_host_boilerplate": q_host_boilerplate,
         "q_nfc_normalize": q_nfc_normalize,
         "q_robots_rules": q_robots_rules,
@@ -5566,6 +5642,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1)) AS j "
             "FROM documents)"
         ),
+        "q_sitemap_index": _sitemap_index_oracle_sql(),
         "q_sitemap": (
             "SELECT doc_id, CAST(u - 1 AS INT) AS url_idx, "
             "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || "

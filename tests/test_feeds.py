@@ -88,3 +88,52 @@ def test_parse_sitemap_fields_and_defaults(spark):
 
 def test_parse_sitemap_empty(spark):
     assert parse_sitemap(_df(spark, [("sm", "<urlset></urlset>")])).count() == 0
+
+
+SITEMAP_INDEX = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<sitemap><loc> https://s.example/sm1.xml </loc>"
+    "<lastmod>2024-02-01</lastmod></sitemap>"
+    "<sitemap><loc>https://s.example/sm2.xml</loc></sitemap>"
+    "</sitemapindex>"
+)
+
+
+def test_sitemap_kind_classifies_root_element(spark):
+    """index vs urlset vs anything else — prolog, namespace attrs, and
+    case must not confuse the root test."""
+    from pyspark.sql import functions as F
+
+    from webx.feeds import sitemap_kind
+
+    rows = [
+        ("i", SITEMAP_INDEX, "index"),
+        ("u", SITEMAP, "urlset"),
+        ("U", '<?xml version="1.0"?><URLSET>x</URLSET>', "urlset"),
+        ("h", "<html><body>nope", "unknown"),
+        ("e", "", "unknown"),
+    ]
+    got = {
+        r["url"]: r["kind"]
+        for r in _df(spark, [(u, x) for u, x, _ in rows])
+        .select("url", sitemap_kind("xml").alias("kind"))
+        .collect()
+    }
+    assert got == {u: k for u, _, k in rows}
+
+
+def test_parse_sitemap_index_children(spark):
+    """One row per child <sitemap>: loc trimmed, lastmod '' when the
+    block omits it; a urlset document yields no child rows."""
+    from webx.feeds import parse_sitemap_index
+
+    rows = (
+        parse_sitemap_index(_df(spark, [("i", SITEMAP_INDEX), ("u", SITEMAP)]))
+        .orderBy("sm_idx")
+        .collect()
+    )
+    assert [(r["url"], r["sm_idx"], r["loc"], r["lastmod"]) for r in rows] == [
+        ("i", 0, "https://s.example/sm1.xml", "2024-02-01"),
+        ("i", 1, "https://s.example/sm2.xml", ""),
+    ]

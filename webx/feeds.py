@@ -106,6 +106,40 @@ _CHANGEFREQ_RE = "(?is)<changefreq[^>]*>([^<]*)</changefreq>"
 _PRIORITY_RE = "(?is)<priority[^>]*>([^<]*)</priority>"
 
 
+_SMBLOCK_RE = "(?is)<sitemap>(.*?)</sitemap>"
+
+
+def sitemap_kind(xml_col: str = "xml") -> Column:
+    """'index' | 'urlset' | 'unknown' — the sitemaps.org protocol has
+    two document kinds and large hosts serve BOTH (an index of child
+    sitemaps, each a urlset); a crawler must classify before parsing.
+    Root-element test, case-insensitive, tolerant of the XML prolog and
+    namespace attributes."""
+    txt = _lossy_utf8(xml_col)
+    return (
+        F.when(txt.rlike("(?is)<\\s*sitemapindex[\\s>]"), F.lit("index"))
+        .when(txt.rlike("(?is)<\\s*urlset[\\s>]"), F.lit("urlset"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def parse_sitemap_index(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """``<sitemapindex>`` → one row per child ``<sitemap>`` block:
+    ``(…, sm_idx, loc, lastmod)`` — the discovery fan-out a crawler
+    follows before fetching the child urlsets (then fed back through
+    ``parse_sitemap``). Same codegen shape as parse_sitemap; rows from
+    a non-index document are simply absent (no block matches)."""
+    txt = _lossy_utf8(xml_col)
+    blocks = F.regexp_extract_all(txt, F.lit(_SMBLOCK_RE), 1)
+    out = sitemaps.select("*", F.posexplode(blocks).alias("sm_idx", "sm_xml"))
+    return out.select(
+        *sitemaps.columns,
+        "sm_idx",
+        F.trim(F.regexp_extract("sm_xml", _LOC_RE, 1)).alias("loc"),
+        F.trim(F.regexp_extract("sm_xml", _LASTMOD_RE, 1)).alias("lastmod"),
+    )
+
+
 def parse_sitemap(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
     """``sitemap.xml`` urlset → one row per ``<url>`` block:
     ``(…, url_idx, loc, lastmod, changefreq, priority)``.

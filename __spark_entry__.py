@@ -941,6 +941,57 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_canonical_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """In-page redirect/dedup signals (webx/urls.rel_canonical +
+    meta_refresh_target): rel=canonical (absolute and root-relative,
+    attr order swapped) and meta-refresh targets (';' and ',' separator
+    forms, inner-quoted, uppercase REFRESH, attrs in either order),
+    both resolved against the page url; '' when absent. The canonical
+    is THE group-by key crawl dedup applies before content hashing."""
+    from webx.urls import meta_refresh_target, rel_canonical
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    head = (
+        F.when(m == 0, F.concat(F.lit('<link rel="canonical" href="'),
+                                origin, F.lit("/c/"), i, F.lit('">')))
+        .when(m == 1, F.concat(F.lit("<link href='/c/"), i,
+                               F.lit("' rel='canonical'>")))
+        .when(m == 2, F.concat(F.lit('<meta http-equiv="refresh" '
+                                     'content="0; url=/moved/'), i, F.lit('">')))
+        .when(m == 3, F.concat(F.lit("<meta content=\"5, url='https://off.example.org/x/"),
+                               i, F.lit("'\" HTTP-EQUIV='REFRESH'>")))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body>text</body></html>"))
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return meta_refresh_target(rel_canonical(pages)).select(
+        "doc_id", "canonical", "refresh_url"
+    )
+
+
+def _canonical_refresh_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/c/' || CAST(doc_id AS VARCHAR) "
+        "WHEN 1 THEN "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/c/' || CAST(doc_id AS VARCHAR) "
+        "ELSE '' END AS canonical, "
+        "CASE CAST(doc_id % 5 AS INT) WHEN 2 THEN "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/moved/' || CAST(doc_id AS VARCHAR) "
+        "WHEN 3 THEN 'https://off.example.org/x/' || CAST(doc_id AS VARCHAR) "
+        "ELSE '' END AS refresh_url "
+        "FROM documents"
+    )
+
+
 def q_nofollow_links(spark: SparkSession, sf: str) -> DataFrame:
     """Per-link rel hygiene (webx/urls.extract_anchors ``nofollow``):
     anchors rotate rel="nofollow" / rel='ugc me' / REL="SPONSORED
@@ -4515,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_links": q_extract_links,
         "q_base_href": q_base_href,
         "q_nofollow_links": q_nofollow_links,
+        "q_canonical_refresh": q_canonical_refresh,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5495,6 +5547,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_base_href": _base_href_oracle_sql(),
         "q_nofollow_links": _nofollow_links_oracle_sql(),
+        "q_canonical_refresh": _canonical_refresh_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

@@ -235,6 +235,46 @@ def test_base_href_resolution(spark):
                   "https://cdn.org/assets/")] == "https://cdn.org/assets/"
 
 
+def test_rel_canonical_and_meta_refresh(spark):
+    """Canonical link and meta-refresh targets resolve against the
+    page's effective base; absent/unusable declarations yield ''. Attr
+    order, case, separator form (';' vs ','), and inner quotes must not
+    matter; a <base href> shifts a relative canonical."""
+    from webx.urls import meta_refresh_target, rel_canonical
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p/1",
+             b'<link rel="canonical" href="https://a.com/c/1">'),
+            ("https://a.com/p/2", b"<link href='/c/2' rel='canonical'>"),
+            ("https://a.com/p/3",
+             b'<base href="https://cdn.org/x/"><link rel="canonical" href="c">'),
+            ("https://a.com/p/4",
+             b'<meta http-equiv="refresh" content="0; url=/moved">'),
+            ("https://a.com/p/5",
+             b"<meta content=\"5, url='https://b.org/n'\" HTTP-EQUIV='REFRESH'>"),
+            ("https://a.com/p/6",
+             b'<meta http-equiv="refresh" content="30">'),  # delay-only
+            ("https://a.com/p/7", b"<p>nothing declared</p>"),
+            ("https://a.com/p/8",
+             b'<link rel="canonical" href="#frag">'),  # unusable
+        ],
+        "url string, html binary",
+    )
+    got = {
+        r["url"]: (r["canonical"], r["refresh_url"])
+        for r in meta_refresh_target(rel_canonical(pages)).collect()
+    }
+    assert got["https://a.com/p/1"] == ("https://a.com/c/1", "")
+    assert got["https://a.com/p/2"] == ("https://a.com/c/2", "")
+    assert got["https://a.com/p/3"] == ("https://cdn.org/x/c", "")
+    assert got["https://a.com/p/4"] == ("", "https://a.com/moved")
+    assert got["https://a.com/p/5"] == ("", "https://b.org/n")
+    assert got["https://a.com/p/6"] == ("", "")
+    assert got["https://a.com/p/7"] == ("", "")
+    assert got["https://a.com/p/8"] == ("", "")
+
+
 def test_anchor_rel_nofollow(spark):
     """rel opt-out tokens (nofollow/ugc/sponsored, any case, anywhere in
     the space-separated rel list) mark the anchor nofollow=true; other

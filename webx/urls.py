@@ -331,6 +331,56 @@ def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return flagged.filter(~F.col("robots_noindex")).select(*pages.columns)
 
 
+# <link rel=canonical href=...> — rel and href in either order; the
+# attrs span is captured once and href extracted from it (same
+# pairing-by-construction discipline as extract_anchors)
+_CANONICAL_RE = (
+    r"""(?is)<link\b([^>]*\brel\s*=\s*["']canonical["'][^>]*)>"""
+)
+# <meta http-equiv=refresh content="N; url=..."> — the soft-redirect
+# surface. Attrs captured as a span (http-equiv/content in either
+# order), then the url pulled from the content value; the url= part is
+# optional (a bare delay reloads in place) and the separator may be
+# ';' or ',' with the target optionally inner-quoted.
+_META_REFRESH_TAG_RE = (
+    r"""(?is)<meta\b([^>]*\bhttp-equiv\s*=\s*["']refresh["'][^>]*)>"""
+)
+_REFRESH_URL_RE = (
+    r"""(?i)\bcontent\s*=\s*["']\s*\d+\s*[;,]\s*url\s*=\s*'?([^"'>\s]+)"""
+)
+
+
+def rel_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds ``canonical`` — the page-declared canonical URL resolved
+    against the page's effective base (the dedup signal crawl pipelines
+    group on BEFORE content hashing: mirrors, tracking-parameter
+    variants, and paginated views all point at one canonical). '' when
+    the page declares none or the declaration is unusable (fragment).
+    First declaration wins (deterministic, oracle-exact). Pure codegen:
+    two regexp_extracts + the resolve CASE, zero shuffle."""
+    txt = _lossy_utf8(html_col)
+    attrs = F.regexp_extract(txt, _CANONICAL_RE, 1)
+    href = F.regexp_extract(attrs, _HREF_RE, 1)
+    resolved = F.when(href == "", F.lit(None)).otherwise(
+        resolve_href(effective_base(F.col("url"), txt), href)
+    )
+    return pages.select("*", F.coalesce(resolved, F.lit("")).alias("canonical"))
+
+
+def meta_refresh_target(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds ``refresh_url`` — the ``<meta http-equiv=refresh>`` redirect
+    target resolved against the page's effective base ('' when absent
+    or delay-only). The soft-redirect edge a crawler must follow (and a
+    thin-content signal: pages whose only purpose is the hop)."""
+    txt = _lossy_utf8(html_col)
+    attrs = F.regexp_extract(txt, _META_REFRESH_TAG_RE, 1)
+    raw = F.regexp_extract(attrs, _REFRESH_URL_RE, 1)
+    resolved = F.when(raw == "", F.lit(None)).otherwise(
+        resolve_href(effective_base(F.col("url"), txt), raw)
+    )
+    return pages.select("*", F.coalesce(resolved, F.lit("")).alias("refresh_url"))
+
+
 TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
 
 

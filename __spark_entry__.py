@@ -941,6 +941,58 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_hreflang(spark: SparkSession, sf: str) -> DataFrame:
+    """hreflang alternate clusters (webx/urls.hreflang_alternates) —
+    the bitext-mining discovery signal: docs declare doc_id%4 language
+    alternates (attr order and case rotated per lang; fr root-relative
+    to exercise base resolution) plus an x-default on even docs;
+    alternates without hreflang are dropped. One row per declaration,
+    closed-form oracle."""
+    from webx.urls import hreflang_alternates
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    nalts = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    en = F.when(nalts > 0, F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), origin,
+        F.lit("/en/p/"), i, F.lit('">'))).otherwise(F.lit(""))
+    fr = F.when(nalts > 1, F.concat(
+        F.lit("<link href='/fr/p/"), i,
+        F.lit("' hreflang='fr' rel='alternate'>"))).otherwise(F.lit(""))
+    de = F.when(nalts > 2, F.concat(
+        F.lit('<LINK REL="alternate" HREFLANG="DE" HREF="'), origin,
+        F.lit("/de/p/"), i, F.lit('">'))).otherwise(F.lit(""))
+    xd = F.when(F.col("doc_id") % 2 == 0, F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="'), origin,
+        F.lit("/p/"), i, F.lit('">'))).otherwise(F.lit(""))
+    # an alternate WITHOUT hreflang (a feed link): must be dropped
+    feed = F.lit('<link rel="alternate" type="application/rss+xml" href="/feed.xml">')
+    html = F.concat(F.lit("<html><head>"), en, fr, de, xd, feed,
+                    F.lit("</head><body>t</body></html>"))
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return hreflang_alternates(pages).join(
+        docs.select("doc_id", url.alias("url")), "url"
+    ).select("doc_id", "hreflang", "alt_url")
+
+
+def _hreflang_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS nalts, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o, "
+        "CAST(doc_id AS VARCHAR) AS i FROM documents) "
+        "SELECT doc_id, 'en' AS hreflang, o || '/en/p/' || i AS alt_url "
+        "FROM d WHERE nalts > 0 "
+        "UNION ALL SELECT doc_id, 'fr', o || '/fr/p/' || i FROM d WHERE nalts > 1 "
+        "UNION ALL SELECT doc_id, 'de', o || '/de/p/' || i FROM d WHERE nalts > 2 "
+        "UNION ALL SELECT doc_id, 'x-default', o || '/p/' || i FROM d "
+        "WHERE doc_id % 2 = 0"
+    )
+
+
 def q_canonical_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """In-page redirect/dedup signals (webx/urls.rel_canonical +
     meta_refresh_target): rel=canonical (absolute and root-relative,
@@ -4567,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_base_href": q_base_href,
         "q_nofollow_links": q_nofollow_links,
         "q_canonical_refresh": q_canonical_refresh,
+        "q_hreflang": q_hreflang,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5548,6 +5601,7 @@ def oracle_sql() -> dict[str, str]:
         "q_base_href": _base_href_oracle_sql(),
         "q_nofollow_links": _nofollow_links_oracle_sql(),
         "q_canonical_refresh": _canonical_refresh_oracle_sql(),
+        "q_hreflang": _hreflang_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

@@ -235,6 +235,35 @@ def test_base_href_resolution(spark):
                   "https://cdn.org/assets/")] == "https://cdn.org/assets/"
 
 
+def test_hreflang_alternates(spark):
+    """One row per hreflang declaration: lang lowercased, target
+    base-resolved; alternates without hreflang (feed links) and
+    fragment targets dropped."""
+    from webx.urls import hreflang_alternates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p/1",
+             b'<link rel="alternate" hreflang="en" href="https://a.com/en">'
+             b"<link href='/fr' hreflang='fr' rel='alternate'>"
+             b'<LINK REL="alternate" HREFLANG="DE" HREF="de.html">'
+             b'<link rel="alternate" type="application/rss+xml" href="/feed">'
+             b'<link rel="alternate" hreflang="es" href="#frag">'),
+            ("https://a.com/p/2", b"<p>none</p>"),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["hreflang"]): r["alt_url"]
+        for r in hreflang_alternates(pages).collect()
+    }
+    assert got == {
+        "en": "https://a.com/en",
+        "fr": "https://a.com/fr",
+        "de": "https://a.com/p/de.html",
+    }
+
+
 def test_rel_canonical_and_meta_refresh(spark):
     """Canonical link and meta-refresh targets resolve against the
     page's effective base; absent/unusable declarations yield ''. Attr

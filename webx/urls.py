@@ -367,6 +367,44 @@ def rel_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return pages.select("*", F.coalesce(resolved, F.lit("")).alias("canonical"))
 
 
+# <link rel=alternate hreflang=... href=...> — attrs captured as one
+# span; hreflang/href extracted from it so attribute order is free
+_ALTERNATE_RE = r"""(?is)<link\b([^>]*\brel\s*=\s*["']alternate["'][^>]*)>"""
+_HREFLANG_RE = r"""(?i)\bhreflang\s*=\s*["']([^"']+)["']"""
+
+
+def hreflang_alternates(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per ``<link rel=alternate hreflang>`` declaration:
+    ``(url, hreflang, alt_url)`` with the target resolved against the
+    page's effective base. The multilingual cluster signal bitext
+    mining groups on (pages declaring each other as language
+    alternates are document-aligned translation candidates — the
+    WMT-style parallel-corpus source). Alternates without an hreflang
+    (RSS/print alternates) are dropped; ``x-default`` is kept (callers
+    filter). Pure codegen: one regexp_extract_all + explode."""
+    txt = _lossy_utf8(html_col)
+    alts = F.regexp_extract_all(txt, F.lit(_ALTERNATE_RE), 1)
+    out = pages.select(
+        F.col("url"),
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(alts).alias("attrs"),
+    ).select(
+        "url",
+        "_base",
+        F.lower(F.regexp_extract("attrs", _HREFLANG_RE, 1)).alias("hreflang"),
+        F.regexp_extract("attrs", _HREF_RE, 1).alias("href"),
+    )
+    return (
+        out.filter((F.col("hreflang") != "") & (F.col("href") != ""))
+        .select(
+            "url",
+            "hreflang",
+            resolve_href(F.col("_base"), F.col("href")).alias("alt_url"),
+        )
+        .filter(F.col("alt_url").isNotNull())
+    )
+
+
 def meta_refresh_target(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Adds ``refresh_url`` — the ``<meta http-equiv=refresh>`` redirect
     target resolved against the page's effective base ('' when absent

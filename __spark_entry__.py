@@ -993,6 +993,50 @@ def _hreflang_oracle_sql() -> str:
     )
 
 
+def q_bitext_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutually-confirmed bitext pairs (webx/urls.bitext_pairs): every
+    doc has an en page declaring a fr alternate (plus an x-default and
+    a one-way de declaration to a page that never answers); the fr page
+    declares back only for doc_id%3 != 0. Only the reciprocal pairs
+    survive — the reciprocity gate bitext miners apply. Runs the full
+    lane: html → hreflang_alternates → self-join confirmation."""
+    from webx.urls import bitext_pairs, hreflang_alternates
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    p_url = F.concat(origin, F.lit("/p/"), i)
+    q_url = F.concat(origin, F.lit("/fr/p/"), i)
+    p_html = F.concat(
+        F.lit('<link rel="alternate" hreflang="fr" href="/fr/p/'), i, F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="x-default" href="/p/'), i, F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="de" href="/de/p/'), i, F.lit('">'),
+    )
+    q_html = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit('<link rel="alternate" hreflang="en" href="/p/'), i,
+                 F.lit('">')),
+    ).otherwise(F.lit("<p>no declarations</p>"))
+    pages = docs.select(p_url.alias("url"), F.encode(p_html, "UTF-8").alias("html")).unionByName(
+        docs.select(q_url.alias("url"), F.encode(q_html, "UTF-8").alias("html"))
+    )
+    page_lang = docs.select(p_url.alias("url"), F.lit("en").alias("lang")).unionByName(
+        docs.select(q_url.alias("url"), F.lit("fr").alias("lang"))
+    )
+    return bitext_pairs(hreflang_alternates(pages), page_lang)
+
+
+def _bitext_pairs_oracle_sql() -> str:
+    return (
+        "SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/fr/p/' "
+        "|| CAST(doc_id AS VARCHAR) AS url_a, 'fr' AS lang_a, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' "
+        "|| CAST(doc_id AS VARCHAR) AS url_b, 'en' AS lang_b "
+        "FROM documents WHERE doc_id % 3 <> 0"
+    )
+
+
 def q_canonical_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """In-page redirect/dedup signals (webx/urls.rel_canonical +
     meta_refresh_target): rel=canonical (absolute and root-relative,
@@ -4620,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nofollow_links": q_nofollow_links,
         "q_canonical_refresh": q_canonical_refresh,
         "q_hreflang": q_hreflang,
+        "q_bitext_pairs": q_bitext_pairs,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5602,6 +5647,7 @@ def oracle_sql() -> dict[str, str]:
         "q_nofollow_links": _nofollow_links_oracle_sql(),
         "q_canonical_refresh": _canonical_refresh_oracle_sql(),
         "q_hreflang": _hreflang_oracle_sql(),
+        "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

@@ -264,6 +264,31 @@ def test_hreflang_alternates(spark):
     }
 
 
+def test_bitext_pairs_reciprocity(spark):
+    """Only mutually-declared pairs survive: one-way declarations and
+    x-default rows never pair; each pair is emitted once (url_a <
+    url_b) with the lang the DECLARING side attributed."""
+    from webx.urls import bitext_pairs
+
+    alts = spark.createDataFrame(
+        [
+            ("https://a.com/en", "fr", "https://a.com/fr"),   # mutual
+            ("https://a.com/fr", "en", "https://a.com/en"),
+            ("https://a.com/en", "de", "https://a.com/de"),   # one-way
+            ("https://a.com/en", "x-default", "https://a.com/en"),
+            ("https://b.com/x", "es", "https://b.com/y"),     # one-way
+        ],
+        "url string, hreflang string, alt_url string",
+    )
+    lang = spark.createDataFrame(
+        [("https://a.com/en", "en"), ("https://a.com/fr", "fr"),
+         ("https://b.com/x", "en")],
+        "url string, lang string",
+    )
+    got = [tuple(r) for r in bitext_pairs(alts, lang).collect()]
+    assert got == [("https://a.com/en", "en", "https://a.com/fr", "fr")]
+
+
 def test_rel_canonical_and_meta_refresh(spark):
     """Canonical link and meta-refresh targets resolve against the
     page's effective base; absent/unusable declarations yield ''. Attr

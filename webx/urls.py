@@ -405,6 +405,30 @@ def hreflang_alternates(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def bitext_pairs(alternates: DataFrame, page_lang: DataFrame) -> DataFrame:
+    """Mutually-confirmed translation-document pairs from hreflang
+    declarations: (url_a, lang_a, url_b, lang_b) where A declares B as
+    its lang_b alternate AND B declares A back — the reciprocity check
+    bitext miners apply before alignment (a one-way declaration is
+    routinely stale or spam). ``page_lang`` maps url → lang (the
+    page's own language, e.g. from language-ID). Emitted once per
+    unordered pair (url_a < url_b); x-default rows never pair.
+
+    Scale shape: one self-join of the alternates table keyed on the
+    (src, dst) edge — both sides shuffle on the same join key, and the
+    alternates table is tiny next to the corpus (rows ∝ declarations,
+    not bytes). page_lang joins by url afterwards."""
+    a = alternates.filter(F.col("hreflang") != "x-default")
+    fwd = a.select(F.col("url").alias("url_a"), F.col("alt_url").alias("url_b"),
+                   F.col("hreflang").alias("lang_b")).distinct()
+    rev = a.select(F.col("alt_url").alias("url_a"), F.col("url").alias("url_b"))
+    mutual = fwd.join(rev, ["url_a", "url_b"], "left_semi").filter(
+        F.col("url_a") < F.col("url_b")
+    )
+    la = page_lang.select(F.col("url").alias("url_a"), F.col("lang").alias("lang_a"))
+    return mutual.join(la, "url_a").select("url_a", "lang_a", "url_b", "lang_b")
+
+
 def meta_refresh_target(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Adds ``refresh_url`` — the ``<meta http-equiv=refresh>`` redirect
     target resolved against the page's effective base ('' when absent

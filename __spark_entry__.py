@@ -993,6 +993,53 @@ def _hreflang_oracle_sql() -> str:
     )
 
 
+def q_image_captions(spark: SparkSession, sf: str) -> DataFrame:
+    """LAION-style image-text pair mining (webx/urls.image_captions):
+    docs rotate a captioned img with declared dims / an empty-alt img
+    (dropped — the caption is the training signal) / a data: URI
+    (dropped — not fetchable) / a base-resolved relative src with
+    author-formatted alt (whitespace collapsed, dims NULL). The
+    multimodal dataset source every image-text corpus build starts
+    from; tiny-image filtering stays a plain predicate on width."""
+    from webx.urls import image_captions
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<img src="/img/'), i,
+            F.lit('.jpg" alt="A photo of thing '), i,
+            F.lit('" width="640" height="480">')))
+        .when(m == 1, F.concat(F.lit('<img alt="" src="/img/'), i, F.lit('.jpg">')))
+        .when(m == 2, F.lit('<img src="data:image/png;base64,AAAA" alt="inline">'))
+        .otherwise(F.concat(
+            F.lit('<base href="https://cdn.example.org/a/"><img src="t/'), i,
+            F.lit('.png" ALT="Cat\n  '), i, F.lit('">')))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return image_captions(pages)
+
+
+def _image_captions_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT o || '/p/' || i AS url, o || '/img/' || i || '.jpg' AS img_url, "
+        "'A photo of thing ' || i AS alt, 640 AS width, 480 AS height "
+        "FROM d WHERE m = 0 "
+        "UNION ALL SELECT o || '/p/' || i, "
+        "'https://cdn.example.org/a/t/' || i || '.png', 'Cat ' || i, NULL, NULL "
+        "FROM d WHERE m = 3"
+    )
+
+
 def q_bitext_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Mutually-confirmed bitext pairs (webx/urls.bitext_pairs): every
     doc has an en page declaring a fr alternate (plus an x-default and
@@ -4665,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_refresh": q_canonical_refresh,
         "q_hreflang": q_hreflang,
         "q_bitext_pairs": q_bitext_pairs,
+        "q_image_captions": q_image_captions,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5648,6 +5696,7 @@ def oracle_sql() -> dict[str, str]:
         "q_canonical_refresh": _canonical_refresh_oracle_sql(),
         "q_hreflang": _hreflang_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
+        "q_image_captions": _image_captions_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

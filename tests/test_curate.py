@@ -264,6 +264,36 @@ def test_hreflang_alternates(spark):
     }
 
 
+def test_image_captions(spark):
+    """src base-resolved, alt whitespace-collapsed, declared dims as
+    ints (NULL when absent); empty-alt and data:-URI images dropped;
+    require_alt=False keeps captionless images with alt=''."""
+    from webx.urls import image_captions
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p",
+             b'<img src="/i/1.jpg" alt="A  dog" width="640" height="480">'
+             b'<img width=320 SRC="rel.png" ALT="cat\n pic">'
+             b'<img src="/i/2.jpg" alt="">'
+             b'<img src="data:image/png;base64,AA" alt="inline">'
+             b'<img src="/i/3.jpg">'),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["img_url"]: r for r in image_captions(pages).collect()}
+    assert set(rows) == {"https://a.com/i/1.jpg", "https://a.com/rel.png"}
+    assert rows["https://a.com/i/1.jpg"]["alt"] == "A dog"
+    assert rows["https://a.com/i/1.jpg"]["width"] == 640
+    assert rows["https://a.com/i/1.jpg"]["height"] == 480
+    assert rows["https://a.com/rel.png"]["alt"] == "cat pic"
+    assert rows["https://a.com/rel.png"]["width"] == 320
+    assert rows["https://a.com/rel.png"]["height"] is None
+    # without the alt gate, the captionless images come through
+    all_rows = image_captions(pages, require_alt=False).collect()
+    assert len(all_rows) == 4  # data: URI still dropped
+
+
 def test_bitext_pairs_reciprocity(spark):
     """Only mutually-declared pairs survive: one-way declarations and
     x-default rows never pair; each pair is emitted once (url_a <

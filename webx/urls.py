@@ -405,6 +405,58 @@ def hreflang_alternates(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+_IMG_RE = r"""(?is)<img\b([^>]*)>"""
+_SRC_RE = r"""(?i)\bsrc\s*=\s*["']([^"']+)["']"""
+_ALT_RE = r"""(?i)\balt\s*=\s*["']([^"']*)["']"""
+_WIDTH_RE = r"""(?i)\bwidth\s*=\s*["']?(\d+)"""
+_HEIGHT_RE = r"""(?i)\bheight\s*=\s*["']?(\d+)"""
+
+
+def _ws_collapse(c: Column) -> Column:
+    """Whitespace-collapse + trim (alt text arrives with author
+    formatting)."""
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+def image_captions(
+    pages: DataFrame, html_col: str = "html", require_alt: bool = True
+) -> DataFrame:
+    """Image-text pairs from crawl HTML — the LAION-style multimodal
+    dataset source: one row per ``<img>`` with ``(url, img_url, alt,
+    width, height)``. The src resolves against the page's effective
+    base (``data:`` URIs drop — inline bytes are not fetchable
+    targets); declared width/height come through as ints (NULL when
+    absent) so the standard tiny-image filter is a plain predicate
+    downstream. ``require_alt`` drops images with no or empty alt text
+    — the caption IS the training signal. Attrs captured once per tag;
+    src/alt/dims extract from the span, so attribute order is free.
+    Pure codegen: one regexp_extract_all + explode, zero Python."""
+    txt = _lossy_utf8(html_col)
+    imgs = F.regexp_extract_all(txt, F.lit(_IMG_RE), 1)
+    out = pages.select(
+        F.col("url"),
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(imgs).alias("attrs"),
+    ).select(
+        "url",
+        "_base",
+        F.regexp_extract("attrs", _SRC_RE, 1).alias("src"),
+        _ws_collapse(F.regexp_extract("attrs", _ALT_RE, 1)).alias("alt"),
+        F.nullif(F.regexp_extract("attrs", _WIDTH_RE, 1), F.lit("")).cast("int").alias("width"),
+        F.nullif(F.regexp_extract("attrs", _HEIGHT_RE, 1), F.lit("")).cast("int").alias("height"),
+    )
+    out = out.filter(F.col("src") != "")
+    if require_alt:
+        out = out.filter(F.col("alt") != "")
+    return out.select(
+        "url",
+        resolve_href(F.col("_base"), F.col("src")).alias("img_url"),
+        "alt",
+        "width",
+        "height",
+    ).filter(F.col("img_url").isNotNull())
+
+
 def bitext_pairs(alternates: DataFrame, page_lang: DataFrame) -> DataFrame:
     """Mutually-confirmed translation-document pairs from hreflang
     declarations: (url_a, lang_a, url_b, lang_b) where A declares B as

@@ -993,6 +993,66 @@ def _hreflang_oracle_sql() -> str:
     )
 
 
+def q_interleaved(spark: SparkSession, sf: str) -> DataFrame:
+    """MMC4/OBELICS-style interleaved documents (webx/pipeline.py
+    run_interleave): the REAL two-stage extractor's text spans and the
+    page's <img> occurrences merged in DOM order — the reading-order
+    layout interleaved multimodal training data preserves. Fixture: the
+    two-article page with a figure inside the link-farm divider (link
+    density keeps the divider boiler; the img contributes no text), so
+    each doc yields text / image / text with both span texts and the
+    caption closed-form; src resolves JVM-side against the page url."""
+    from webx.pipeline import run_interleave
+    from webx.synth import (
+        P_CHROME, P_HEAD_UTF8, P_MID, P_TAIL, _did, _esc, _norm,
+    )
+    from webx.urls import resolve_href
+
+    docs = synth.load_documents(spark, sf)
+    did, i = _did(), F.col("doc_id").cast("string")
+    norm = _norm(F.col("text"))
+    sep = F.concat(
+        F.lit('</p></article><!-- figure --><div class="ad">'
+              '<a href="/buy">Buy now</a> <img src="/im/'),
+        i,
+        F.lit('.jpg" alt="Figure\n  '),
+        i,
+        F.lit('"> <a href="/offer">Special offer</a> '
+              '<a href="/deal">Deal</a></div><article><h2>Notes</h2><p>'),
+    )
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        _esc(norm), sep, _esc(F.upper(norm)), F.lit(P_TAIL),
+    )
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"), i,
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    out = run_interleave(_par(pages, spark))
+    return out.select(
+        "url", "seq", "kind", "text",
+        F.when(
+            F.col("src").isNotNull(), resolve_href(F.col("url"), F.col("src"))
+        ).alias("img_url"),
+        "alt",
+    )
+
+
+def _interleaved_oracle_sql() -> str:
+    return (
+        f"SELECT {URL} AS url, 0 AS seq, 'text' AS kind, "
+        f"({DID} || {NL} || {NORM}) AS text, NULL AS img_url, NULL AS alt "
+        "FROM documents "
+        f"UNION ALL SELECT {URL}, 1, 'image', NULL, "
+        "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/im/' || "
+        "CAST(doc_id AS VARCHAR) || '.jpg'), "
+        "('Figure ' || CAST(doc_id AS VARCHAR)) FROM documents "
+        f"UNION ALL SELECT {URL}, 2, 'text', "
+        f"('Notes' || {NL} || upper({NORM})), NULL, NULL FROM documents"
+    )
+
+
 def q_image_captions(spark: SparkSession, sf: str) -> DataFrame:
     """LAION-style image-text pair mining (webx/urls.image_captions):
     docs rotate a captioned img with declared dims / an empty-alt img
@@ -4713,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hreflang": q_hreflang,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
+        "q_interleaved": q_interleaved,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5697,6 +5758,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hreflang": _hreflang_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),
+        "q_interleaved": _interleaved_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

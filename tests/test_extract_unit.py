@@ -131,3 +131,35 @@ def test_utf16_bom_pages_extract_like_utf8(spark):
     assert texts["u8bom"] == texts["u8"]
     assert texts["u16le"] == texts["u8"]
     assert texts["u16be"] == texts["u8"]
+
+
+def test_interleave_batch_dom_order():
+    """Text spans and <img> occurrences merge in DOM order: image
+    between two articles sits between their spans; srcless imgs drop;
+    alt '' when absent, whitespace-collapsed otherwise; empty pages
+    yield nothing."""
+    import pandas as pd
+
+    from webx.config import ExtractConfig
+    from webx.extract import interleave_batch
+
+    art1 = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    art2 = "one two three four five six seven eight nine ten " * 6
+    html = (
+        "<html><body><img src=\"/top.png\" alt=\"Top\n  banner\">"
+        f"<article><p>{art1}</p></article>"
+        '<div class="ad"><a href="/x">Buy</a> <a href="/y">Offer</a> '
+        '<a href="/z">Deal</a> <img src="/mid.jpg"></div>'
+        '<img alt="srcless, dropped">'
+        f"<article><p>{art2}</p></article></body></html>"
+    ).encode()
+    pdf = pd.DataFrame({"url": ["u", "e"], "html": [html, b""]})
+    out = interleave_batch(pdf, ExtractConfig())
+    assert out["url"].tolist() == ["u"] * len(out)
+    kinds = out["kind"].tolist()
+    assert kinds == ["image", "text", "image", "text"]
+    assert out["src"].tolist()[0::2] == ["/top.png", "/mid.jpg"]
+    assert out["alt"].tolist()[0::2] == ["Top banner", ""]
+    assert art1.strip() in out["text"].tolist()[1]
+    assert art2.strip() in out["text"].tolist()[3]
+    assert out["seq"].tolist() == [0, 1, 2, 3]

@@ -13,6 +13,7 @@ save_det_res / save_rec_res debug sinks, tools/infer/text/predict_det.py:190-201
 
 from __future__ import annotations
 
+import re as _re
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -285,5 +286,70 @@ def make_detect_fn(cfg: ExtractConfig):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield detect_batch(pdf, cfg)
+
+    return fn
+
+
+# ---------------------------------------------------- interleaved documents
+
+_IMG_TAG_RE = _re.compile(rb"(?is)<img\b([^>]*)>")
+_IMG_SRC_RE = _re.compile(rb"""(?i)\bsrc\s*=\s*["']([^"']+)["']""")
+_IMG_ALT_RE = _re.compile(rb"""(?i)\balt\s*=\s*["']([^"']*)["']""")
+_WS_RE = _re.compile(r"[ \t\r\n]+")
+
+
+def interleave_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """MMC4/OBELICS-style interleaved documents: per page, the DOM-order
+    sequence of surviving text spans (the REAL extractor's stage-1+2)
+    and ``<img>`` occurrences — the layout multimodal LLM training data
+    preserves (text and images in reading order, not two detached
+    tables). One output row per sequence element: (url, seq, kind
+    ∈ {text, image}, text, src, alt); src is emitted RAW (resolution
+    against the page url is a JVM-side column op downstream). Images
+    with no src drop; alt is whitespace-collapsed ('' when absent).
+    Placement rule: elements order by byte offset, a span by its START
+    — an image falling INSIDE a merged span's range therefore lands
+    after that span (adjacent candidate blocks merge across a bare
+    img, which contributes no text block; dividers that are real
+    boilerplate — link farms, nav — keep spans separate, so the
+    common figure-between-sections layout interleaves exactly)."""
+    out = {"url": [], "seq": [], "kind": [], "text": [], "src": [], "alt": []}
+    for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+        if html is None or len(html) == 0:
+            continue
+        html = normalize_input_bytes(bytes(html))
+        _, spans, meta = _extract_doc_stage1(html, cfg)
+        trunc = html[: cfg.limit_side_len]
+        _, _, codec = decode_bytes(trunc, meta["charset"])
+        rows, _, _, _ = _decode_spans(trunc, spans, codec, cfg)
+        items: List[tuple] = [(r["start"], "text", r["text"], None, None) for r in rows]
+        for m in _IMG_TAG_RE.finditer(trunc):
+            attrs = m.group(1)
+            sm = _IMG_SRC_RE.search(attrs)
+            if not sm:
+                continue
+            am = _IMG_ALT_RE.search(attrs)
+            src = sm.group(1).decode(codec, errors="replace")
+            alt = _WS_RE.sub(
+                " ", am.group(1).decode(codec, errors="replace")
+            ).strip() if am else ""
+            items.append((m.start(), "image", None, src, alt))
+        items.sort(key=lambda t: t[0])
+        for seq, (_, kind, text, src, alt) in enumerate(items):
+            out["url"].append(url)
+            out["seq"].append(seq)
+            out["kind"].append(kind)
+            out["text"].append(text)
+            out["src"].append(src)
+            out["alt"].append(alt)
+    res = pd.DataFrame(out)
+    res["seq"] = res["seq"].astype("int32")
+    return res
+
+
+def make_interleave_fn(cfg: ExtractConfig):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield interleave_batch(pdf, cfg)
 
     return fn

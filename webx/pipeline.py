@@ -62,6 +62,30 @@ def run_extraction(
     return df.mapInPandas(make_extract_fn(cfg, pt), schema=out_schema)
 
 
+def run_interleave(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """MMC4/OBELICS-style interleaved documents: (url, seq, kind, text,
+    src, alt) — the extractor's text spans and <img> occurrences merged
+    in DOM order, one row per sequence element (webx/extract.py
+    interleave_batch). Same narrow plan as run_extraction: pruned scan →
+    one mapInPandas → rows; src resolution stays a downstream column op."""
+    from webx.extract import make_interleave_fn
+
+    cfg = cfg or ExtractConfig()
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("alt", T.StringType()),
+        ]
+    )
+    df = pages.select("url", "html")
+    df = partition_for_extraction(df, cfg)
+    return df.mapInPandas(make_interleave_fn(cfg), schema=schema)
+
+
 def run_detect(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
     """Stage 1 only → (url, spans, meta); debug parity with save_det_res."""
     cfg = cfg or ExtractConfig()

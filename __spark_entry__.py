@@ -993,6 +993,98 @@ def _hreflang_oracle_sql() -> str:
     )
 
 
+def q_srcset(spark: SparkSession, sf: str) -> DataFrame:
+    """Responsive-image resolution (webx/urls.image_srcset_best): the
+    largest srcset candidate wins (800w over 480w/320w in any order;
+    2x over a descriptorless 1x entry), resolved against the page;
+    src-less retina imgs get a NULL fallback; imgs without srcset are
+    not this lane's rows."""
+    from webx.urls import image_srcset_best
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 3
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<img srcset="/s/'), i, F.lit('-480.jpg 480w, /s/'), i,
+            F.lit('-800.jpg 800w, /s/'), i, F.lit('-320.jpg 320w" src="/s/'),
+            i, F.lit('.jpg" alt="Pic '), i, F.lit('">')))
+        .when(m == 1, F.concat(
+            F.lit('<img srcset="/d/'), i, F.lit(".jpg, /d/"), i,
+            F.lit('@2x.jpg 2x" alt="Retina '), i, F.lit('">')))
+        .otherwise(F.concat(F.lit('<img src="/plain/'), i,
+                            F.lit('.jpg" alt="no srcset">')))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return image_srcset_best(pages)
+
+
+def _srcset_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT o || '/p/' || i AS url, o || '/s/' || i || '-800.jpg' AS best_src, "
+        "o || '/s/' || i || '.jpg' AS fallback_src, 'Pic ' || i AS alt "
+        "FROM d WHERE m = 0 "
+        "UNION ALL SELECT o || '/p/' || i, o || '/d/' || i || '@2x.jpg', "
+        "NULL, 'Retina ' || i FROM d WHERE m = 1"
+    )
+
+
+def q_media_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio/video discovery (webx/urls.media_sources): a direct-src
+    video with poster / a multi-<source> video (per-codec variants; the
+    src-less <video> shell contributes no row) / a bare audio / no
+    media, per residue class. The fetch list a video-text dataset build
+    starts from."""
+    from webx.urls import media_sources
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<video src="/v/'), i, F.lit('.mp4" poster="/v/'), i,
+            F.lit('.jpg"></video>')))
+        .when(m == 1, F.concat(
+            F.lit("<video><source src='/v/"), i,
+            F.lit(".webm' type='video/webm'><source src='/v/"), i,
+            F.lit(".mp4' type='video/mp4'></video>")))
+        .when(m == 2, F.concat(F.lit('<audio src="/a/'), i, F.lit('.mp3">')))
+        .otherwise(F.lit("<p>no media</p>"))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return media_sources(pages)
+
+
+def _media_sources_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT o || '/p/' || i AS url, 'video' AS tag, "
+        "o || '/v/' || i || '.mp4' AS media_url, '' AS mime, "
+        "o || '/v/' || i || '.jpg' AS poster_url FROM d WHERE m = 0 "
+        "UNION ALL SELECT o || '/p/' || i, 'source', o || '/v/' || i || '.webm', "
+        "'video/webm', NULL FROM d WHERE m = 1 "
+        "UNION ALL SELECT o || '/p/' || i, 'source', o || '/v/' || i || '.mp4', "
+        "'video/mp4', NULL FROM d WHERE m = 1 "
+        "UNION ALL SELECT o || '/p/' || i, 'audio', o || '/a/' || i || '.mp3', "
+        "'', NULL FROM d WHERE m = 2"
+    )
+
+
 def q_interleaved(spark: SparkSession, sf: str) -> DataFrame:
     """MMC4/OBELICS-style interleaved documents (webx/pipeline.py
     run_interleave): the REAL two-stage extractor's text spans and the
@@ -4774,6 +4866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
         "q_interleaved": q_interleaved,
+        "q_srcset": q_srcset,
+        "q_media_sources": q_media_sources,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_url_dedup": q_url_dedup,
@@ -5759,6 +5853,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),
         "q_interleaved": _interleaved_oracle_sql(),
+        "q_srcset": _srcset_oracle_sql(),
+        "q_media_sources": _media_sources_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "

@@ -264,6 +264,38 @@ def test_hreflang_alternates(spark):
     }
 
 
+def test_image_srcset_best_and_media_sources(spark):
+    """srcset: largest descriptor wins regardless of order,
+    descriptorless counts as 1x, base resolution applies; media tags:
+    one row per src-bearing video/audio/source with mime + poster."""
+    from webx.urls import image_srcset_best, media_sources
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p",
+             b'<img srcset="/a-320.jpg 320w, /a-800.jpg 800w" src="/a.jpg" alt="A">'
+             b'<img srcset="/b.jpg, /b@2x.jpg 2x" alt="B">'
+             b'<img src="/plain.jpg" alt="no srcset">'
+             b'<video src="/v.mp4" poster="/v.jpg"></video>'
+             b"<video><source src='/v.webm' type='video/webm'></video>"
+             b'<audio src="/a.mp3">'),
+        ],
+        "url string, html binary",
+    )
+    best = {r["best_src"]: r for r in image_srcset_best(pages).collect()}
+    assert set(best) == {"https://a.com/a-800.jpg", "https://a.com/b@2x.jpg"}
+    assert best["https://a.com/a-800.jpg"]["fallback_src"] == "https://a.com/a.jpg"
+    assert best["https://a.com/b@2x.jpg"]["fallback_src"] is None
+    med = {(r["tag"], r["media_url"]): r for r in media_sources(pages).collect()}
+    assert set(med) == {
+        ("video", "https://a.com/v.mp4"),
+        ("source", "https://a.com/v.webm"),
+        ("audio", "https://a.com/a.mp3"),
+    }
+    assert med[("video", "https://a.com/v.mp4")]["poster_url"] == "https://a.com/v.jpg"
+    assert med[("source", "https://a.com/v.webm")]["mime"] == "video/webm"
+
+
 def test_image_captions(spark):
     """src base-resolved, alt whitespace-collapsed, declared dims as
     ints (NULL when absent); empty-alt and data:-URI images dropped;

@@ -412,6 +412,101 @@ _WIDTH_RE = r"""(?i)\bwidth\s*=\s*["']?(\d+)"""
 _HEIGHT_RE = r"""(?i)\bheight\s*=\s*["']?(\d+)"""
 
 
+_SRCSET_RE = r"""(?i)\bsrcset\s*=\s*["']([^"']+)["']"""
+_MEDIA_TAG_RE = r"""(?is)<(video|audio|source)\b([^>]*)>"""
+_TYPE_RE = r"""(?i)\btype\s*=\s*["']([^"']+)["']"""
+_POSTER_RE = r"""(?i)\bposter\s*=\s*["']([^"']+)["']"""
+
+
+def _srcset_best(srcset: Column) -> Column:
+    """Largest candidate of a ``srcset`` list: each comma-separated
+    entry is ``URL [descriptor]`` with ``480w`` / ``2x`` descriptors
+    (descriptorless = 1x per spec). Ranked by the numeric descriptor
+    value (w and x lists are never legally mixed); ties break on the
+    URL. Pure codegen: split → transform to (value, url) structs →
+    array_max's lexicographic struct compare picks the winner."""
+    cands = F.split(srcset, ",")
+
+    def entry(c: Column) -> Column:
+        t = F.trim(c)
+        num = F.regexp_extract(t, r"\s(\d+(?:\.\d+)?)[wx]\s*$", 1)
+        return F.struct(
+            F.when(num == "", F.lit(1.0)).otherwise(num.cast("double")).alias("v"),
+            F.regexp_extract(t, r"^(\S+)", 1).alias("u"),
+        )
+
+    best = F.array_max(F.filter(F.transform(cands, entry), lambda s: s["u"] != ""))
+    return best["u"]
+
+
+def image_srcset_best(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Responsive-image resolution for the caption-mining lane: one row
+    per ``<img>`` carrying a ``srcset``, with ``best_src`` = the
+    largest declared candidate (the variant an image-text corpus
+    fetches — bigger pixels, better training signal) resolved against
+    the page's effective base, plus the plain ``src`` fallback and the
+    collapsed alt. Images without a srcset are image_captions'
+    territory and are skipped here."""
+    txt = _lossy_utf8(html_col)
+    imgs = F.regexp_extract_all(txt, F.lit(_IMG_RE), 1)
+    out = pages.select(
+        F.col("url"),
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(imgs).alias("attrs"),
+    ).select(
+        "url",
+        "_base",
+        F.regexp_extract("attrs", _SRCSET_RE, 1).alias("srcset"),
+        F.regexp_extract("attrs", _SRC_RE, 1).alias("src"),
+        _ws_collapse(F.regexp_extract("attrs", _ALT_RE, 1)).alias("alt"),
+    )
+    out = out.filter(F.col("srcset") != "")
+    return out.select(
+        "url",
+        resolve_href(F.col("_base"), _srcset_best(F.col("srcset"))).alias("best_src"),
+        F.when(F.col("src") == "", F.lit(None)).otherwise(
+            resolve_href(F.col("_base"), F.col("src"))
+        ).alias("fallback_src"),
+        "alt",
+    ).filter(F.col("best_src").isNotNull())
+
+
+def media_sources(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Audio/video discovery — one row per ``<video>/<audio>/<source>``
+    tag with a src: ``(url, tag, media_url, mime, poster_url)``, targets
+    resolved against the effective base. The video-text dataset source
+    (fetch the media, pair it with the page's extracted text/captions);
+    ``<source>`` children carry the per-codec variants, ``poster`` the
+    thumbnail an image lane can reuse. Pure codegen, one explode."""
+    txt = _lossy_utf8(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(txt, F.lit(_MEDIA_TAG_RE), 1).alias("tag"),
+        F.regexp_extract_all(txt, F.lit(_MEDIA_TAG_RE), 2).alias("attrs"),
+    )
+    out = pages.select(
+        F.col("url"),
+        effective_base(F.col("url"), txt).alias("_base"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        "url",
+        "_base",
+        F.lower("p.tag").alias("tag"),
+        F.regexp_extract("p.attrs", _SRC_RE, 1).alias("src"),
+        F.regexp_extract("p.attrs", _TYPE_RE, 1).alias("mime"),
+        F.regexp_extract("p.attrs", _POSTER_RE, 1).alias("poster"),
+    )
+    out = out.filter(F.col("src") != "")
+    return out.select(
+        "url",
+        "tag",
+        resolve_href(F.col("_base"), F.col("src")).alias("media_url"),
+        "mime",
+        F.when(F.col("poster") == "", F.lit(None)).otherwise(
+            resolve_href(F.col("_base"), F.col("poster"))
+        ).alias("poster_url"),
+    ).filter(F.col("media_url").isNotNull())
+
+
 def _ws_collapse(c: Column) -> Column:
     """Whitespace-collapse + trim (alt text arrives with author
     formatting)."""

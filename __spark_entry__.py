@@ -993,6 +993,48 @@ def _hreflang_oracle_sql() -> str:
     )
 
 
+def q_code_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-corpus mining (webx/metadata.code_blocks): pre+code with a
+    language-python class and real indentation + escaped entities /
+    pre-only with lang-c++ / no block, per residue class. Whitespace
+    preserved VERBATIM (the opposite contract to the text lane) — the
+    oracle asserts the exact newline-and-indent bytes."""
+    from webx.metadata import code_blocks
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 3
+    url = F.concat(F.lit("https://h"), k, F.lit(".example.com/p/"), i)
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<p>intro</p><pre><code class="language-python">'
+                  "def f_"), i, F.lit("(x):\n    return x &lt; "), i,
+            F.lit("\n</code></pre>")))
+        .when(m == 1, F.concat(
+            F.lit('<pre class="lang-c++">a &amp;&amp; b // case '), i,
+            F.lit("</pre>")))
+        .otherwise(F.lit("<p>no code</p>"))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return code_blocks(pages)
+
+
+def _code_blocks_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT o || '/p/' || i AS url, 0 AS block_idx, 'python' AS lang_hint, "
+        "('def f_' || i || '(x):' || chr(10) || '    return x < ' || i) AS code, "
+        "2 AS n_lines FROM d WHERE m = 0 "
+        "UNION ALL SELECT o || '/p/' || i, 0, 'c++', "
+        "('a && b // case ' || i), 1 FROM d WHERE m = 1"
+    )
+
+
 def q_srcset(spark: SparkSession, sf: str) -> DataFrame:
     """Responsive-image resolution (webx/urls.image_srcset_best): the
     largest srcset candidate wins (800w over 480w/320w in any order;
@@ -4867,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_captions": q_image_captions,
         "q_interleaved": q_interleaved,
         "q_srcset": q_srcset,
+        "q_code_blocks": q_code_blocks,
         "q_media_sources": q_media_sources,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
@@ -5854,6 +5897,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_captions": _image_captions_oracle_sql(),
         "q_interleaved": _interleaved_oracle_sql(),
         "q_srcset": _srcset_oracle_sql(),
+        "q_code_blocks": _code_blocks_oracle_sql(),
         "q_media_sources": _media_sources_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "

@@ -129,3 +129,31 @@ def test_dom_depth_stray_close_clamps(spark):
     r = dom_depth_stats(_pages(spark, [("u", "</div><p>x</p>")])).first()
     assert r["max_depth"] == 1
     assert r["n_open_tags"] == 1
+
+
+def test_code_blocks_verbatim_whitespace(spark):
+    """Indentation and newlines come through byte-verbatim (the
+    opposite contract to the text lane); mandatory entities decode
+    amp-last; lang hint from pre OR inner code class; blocks without
+    content drop; &amp;lt; round-trips to the LITERAL '&lt;'."""
+    from webx.metadata import code_blocks
+
+    html = (
+        b'<pre><code class="language-python">def f(x):\n'
+        b"    if x &lt; 2:\n"
+        b"        return x &amp;&amp; 1\n"
+        b"</code></pre>"
+        b'<pre class="lang-c++">int main() { return 0; }</pre>'
+        b"<pre>plain &amp;lt; escaped</pre>"
+        b"<pre>   \n</pre>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = code_blocks(pages).orderBy("block_idx").collect()
+    assert [(r["block_idx"], r["lang_hint"], r["n_lines"]) for r in rows] == [
+        (0, "python", 3),
+        (1, "c++", 1),
+        (2, "", 1),
+    ]
+    assert rows[0]["code"] == "def f(x):\n    if x < 2:\n        return x && 1"
+    assert rows[1]["code"] == "int main() { return 0; }"
+    assert rows[2]["code"] == "plain &lt; escaped"

@@ -81,6 +81,61 @@ _STRIP_TAGS = "(?s)<[^>]*>"
 _WS = "[ \\t\\r\\n\\f\\x0B]+"
 
 
+# <pre>…</pre> with an optional inner <code> wrapper; content captured
+# RAW — code corpora need the bytes verbatim, not the text lane's
+# whitespace collapse
+_PRE_RE = (
+    "(?is)<pre([^>]*)>\\s*(?:<code([^>]*)>)?(.*?)(?:</code>\\s*)?</pre>"
+)
+_CLASS_LANG_RE = r"""(?i)\bclass\s*=\s*["'][^"']*\blang(?:uage)?-([\w#+.-]+)"""
+
+
+def _decode_basic_entities(c: Column) -> Column:
+    """The five entities markup MUST escape inside code blocks; decoded
+    in amp-last order so '&amp;lt;' round-trips to '&lt;' not '<'."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def code_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Code-corpus mining (The-Stack/StarCoder-style sources from web
+    pages): one row per ``<pre>`` block — ``(url, block_idx, lang_hint,
+    code, n_lines)``. The semantic OPPOSITE of the text lane: internal
+    whitespace (indentation, newlines) is the signal and is preserved
+    verbatim; only the leading/trailing newline the markup convention
+    adds is trimmed. ``lang_hint`` comes from ``class="language-x"`` /
+    ``lang-x`` on the pre or inner code tag ('' when undeclared);
+    the five mandatory entities decode. Pure codegen, one explode."""
+    txt = _lossy_utf8(html_col)
+    pat = F.lit(_PRE_RE)
+    trips = F.arrays_zip(
+        F.regexp_extract_all(txt, pat, 1).alias("pre_attrs"),
+        F.regexp_extract_all(txt, pat, 2).alias("code_attrs"),
+        F.regexp_extract_all(txt, pat, 3).alias("raw"),
+    )
+    out = pages.select("url", F.posexplode(trips).alias("block_idx", "t"))
+    lang = F.when(
+        F.regexp_extract("t.code_attrs", _CLASS_LANG_RE, 1) != "",
+        F.regexp_extract("t.code_attrs", _CLASS_LANG_RE, 1),
+    ).otherwise(F.regexp_extract("t.pre_attrs", _CLASS_LANG_RE, 1))
+    code = _decode_basic_entities(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t.raw"), r"^\r?\n", ""), r"\r?\n[ \t]*$", ""
+        )
+    )
+    return out.select(
+        "url",
+        "block_idx",
+        F.lower(lang).alias("lang_hint"),
+        code.alias("code"),
+        (F.size(F.split(code, "\n", -1))).alias("n_lines"),
+    ).filter(F.col("code") != "")
+
+
 def _clean_fragment(c: Column) -> Column:
     """Inner-HTML fragment → visible text: drop tags, collapse whitespace."""
     return F.trim(F.regexp_replace(F.regexp_replace(c, _STRIP_TAGS, " "), _WS, " "))

@@ -1035,6 +1035,50 @@ def _code_blocks_oracle_sql() -> str:
     )
 
 
+def q_math_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Math-aware extraction (webx/metadata.math_spans): MathML with an
+    alttext TeX fallback / $$display$$ with internal spacing / \\(inline\\)
+    / no math, per residue class — sources verbatim (the OpenWebMath
+    contract: equations survive extraction byte-exact)."""
+    from webx.metadata import math_spans
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    url = F.concat(F.lit("https://h"), k, F.lit(".example.com/p/"), i)
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<math display="block" alttext="x^'), i,
+            F.lit('"><msup><mi>x</mi><mn>'), i,
+            F.lit("</mn></msup></math>")))
+        .when(m == 1, F.concat(
+            F.lit("<p>so $$ E_"), i, F.lit(" = m c^2 $$ holds</p>")))
+        .when(m == 2, F.concat(
+            F.lit("<p>where \\(a_"), i, F.lit(" + b\\) is small</p>")))
+        .otherwise(F.lit("<p>no math</p>"))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return math_spans(pages)
+
+
+def _math_spans_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT o || '/p/' || i AS url, 'mathml' AS kind, 0 AS idx, "
+        "('<msup><mi>x</mi><mn>' || i || '</mn></msup>') AS math, "
+        "('x^' || i) AS alttext FROM d WHERE m = 0 "
+        "UNION ALL SELECT o || '/p/' || i, 'display', 0, "
+        "(' E_' || i || ' = m c^2 '), '' FROM d WHERE m = 1 "
+        "UNION ALL SELECT o || '/p/' || i, 'inline', 0, "
+        "('a_' || i || ' + b'), '' FROM d WHERE m = 2"
+    )
+
+
 def q_srcset(spark: SparkSession, sf: str) -> DataFrame:
     """Responsive-image resolution (webx/urls.image_srcset_best): the
     largest srcset candidate wins (800w over 480w/320w in any order;
@@ -4910,6 +4954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interleaved": q_interleaved,
         "q_srcset": q_srcset,
         "q_code_blocks": q_code_blocks,
+        "q_math_spans": q_math_spans,
         "q_media_sources": q_media_sources,
         "q_link_graph": q_link_graph,
         "q_pagerank_hosts": q_pagerank_hosts,
@@ -5898,6 +5943,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interleaved": _interleaved_oracle_sql(),
         "q_srcset": _srcset_oracle_sql(),
         "q_code_blocks": _code_blocks_oracle_sql(),
+        "q_math_spans": _math_spans_oracle_sql(),
         "q_media_sources": _media_sources_oracle_sql(),
         "q_link_graph": (
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "

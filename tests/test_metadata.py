@@ -157,3 +157,28 @@ def test_code_blocks_verbatim_whitespace(spark):
     assert rows[0]["code"] == "def f(x):\n    if x < 2:\n        return x && 1"
     assert rows[1]["code"] == "int main() { return 0; }"
     assert rows[2]["code"] == "plain &lt; escaped"
+
+
+def test_math_spans_verbatim(spark):
+    """MathML inner XML and TeX between $$/\\(/\\[ delimiters come
+    through verbatim with internal spacing; alttext only on mathml;
+    whitespace-only math drops; idx orders within each kind."""
+    from webx.metadata import math_spans
+
+    html = (
+        b'<math alttext="a+b"><mi>a</mi><mo>+</mo><mi>b</mi></math>'
+        b"<p>then $$ x =\n  y $$ and $$z$$ and \\(k<2\\) and \\[ Q \\]</p>"
+        b"<p>empty $$  $$</p>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    rows = {(r["kind"], r["idx"]): r for r in math_spans(pages).collect()}
+    assert set(rows) == {
+        ("mathml", 0), ("display", 0), ("display", 1),
+        ("inline", 0), ("bracket", 0),
+    }
+    assert rows[("mathml", 0)]["math"] == "<mi>a</mi><mo>+</mo><mi>b</mi>"
+    assert rows[("mathml", 0)]["alttext"] == "a+b"
+    assert rows[("display", 0)]["math"] == " x =\n  y "
+    assert rows[("display", 1)]["math"] == "z"
+    assert rows[("inline", 0)]["math"] == "k<2"
+    assert rows[("bracket", 0)]["math"] == " Q "

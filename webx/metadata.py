@@ -136,6 +136,54 @@ def code_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ).filter(F.col("code") != "")
 
 
+_MATHML_RE = "(?is)<math\\b([^>]*)>(.*?)</math>"
+_ALTTEXT_RE = r"""(?i)\balttext\s*=\s*["']([^"']*)["']"""
+_TEX_DISPLAY_RE = r"(?s)\$\$(.+?)\$\$"
+_TEX_INLINE_RE = r"(?s)\\\((.+?)\\\)"
+_TEX_BRACKET_RE = r"(?s)\\\[(.+?)\\\]"
+
+
+def math_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Math-aware extraction (the OpenWebMath motivation: generic text
+    extractors destroy equations): one row per math occurrence —
+    ``(url, kind ∈ {mathml, display, inline, bracket}, idx, math,
+    alttext)`` with the math source VERBATIM (MathML inner XML; TeX
+    between ``$$…$$`` / ``\\(…\\)`` / ``\\[…\\]``), whitespace
+    untouched. ``idx`` orders within each kind (document order per
+    pattern pass); ``alttext`` is MathML's declared TeX fallback (''
+    elsewhere). Pure codegen: four regexp_extract_all passes fused into
+    one scan stage, one explode."""
+    txt = _lossy_utf8(html_col)
+
+    def lane(pat: str, kind: str, grp_attrs: bool) -> DataFrame:
+        if grp_attrs:
+            pairs = F.arrays_zip(
+                F.regexp_extract_all(txt, F.lit(pat), 1).alias("attrs"),
+                F.regexp_extract_all(txt, F.lit(pat), 2).alias("m"),
+            )
+            out = pages.select("url", F.posexplode(pairs).alias("idx", "t"))
+            return out.select(
+                "url", F.lit(kind).alias("kind"), "idx",
+                F.col("t.m").alias("math"),
+                F.regexp_extract("t.attrs", _ALTTEXT_RE, 1).alias("alttext"),
+            )
+        hits = F.regexp_extract_all(txt, F.lit(pat), 1)
+        out = pages.select("url", F.posexplode(hits).alias("idx", "math"))
+        return out.select(
+            "url", F.lit(kind).alias("kind"), "idx", "math",
+            F.lit("").alias("alttext"),
+        )
+
+    res = lane(_MATHML_RE, "mathml", True)
+    for pat, kind in (
+        (_TEX_DISPLAY_RE, "display"),
+        (_TEX_INLINE_RE, "inline"),
+        (_TEX_BRACKET_RE, "bracket"),
+    ):
+        res = res.unionByName(lane(pat, kind, False))
+    return res.filter(F.trim(F.col("math")) != "")
+
+
 def _clean_fragment(c: Column) -> Column:
     """Inner-HTML fragment → visible text: drop tags, collapse whitespace."""
     return F.trim(F.regexp_replace(F.regexp_replace(c, _STRIP_TAGS, " "), _WS, " "))

@@ -141,15 +141,33 @@ def _lossy_utf8(html_col: str):
 _BASE_RE = r"""(?is)<base\b[^>]*?href\s*=\s*["']([^"']+)["']"""
 
 
+def base_href_raw(html_txt: Column) -> Column:
+    """The page's first ``<base href>`` value, '' when absent — the ONE
+    regex over the full page text; callers hoist it into its own
+    projection so the CASE logic in effective_base_from references a
+    cheap column, not a repeated multi-branch regex over megabytes of
+    html (conditional CASE branches defeat codegen's common-
+    subexpression elimination)."""
+    return F.regexp_extract(html_txt, _BASE_RE, 1)
+
+
+def effective_base_from(url: Column, bhref: Column) -> Column:
+    """effective base given an already-extracted base href column: the
+    base href may itself be root- or document-relative, so it resolves
+    against the page url; '' (no base) or an unusable base
+    (fragment/mailto → NULL) falls back to the url."""
+    return F.when(bhref == "", url).otherwise(
+        F.coalesce(resolve_href(url, bhref), url)
+    )
+
+
 def effective_base(url: Column, html_txt: Column) -> Column:
     """The URL relative hrefs resolve against: the page's first
     ``<base href>`` if present, else the page url (HTML spec: only the
-    first base element counts). The base href may itself be root- or
-    document-relative, so it is first resolved against the page url;
-    an unusable base (fragment/mailto → NULL) falls back to the url.
-    Pure codegen — one regexp_extract over the already-decoded text."""
-    b = F.regexp_extract(html_txt, _BASE_RE, 1)
-    return F.when(b == "", url).otherwise(F.coalesce(resolve_href(url, b), url))
+    first base element counts). One-shot convenience composing
+    base_href_raw + effective_base_from — lane functions prefer the
+    split form (the raw extract in its own projection)."""
+    return effective_base_from(url, base_href_raw(html_txt))
 
 
 def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -163,12 +181,23 @@ def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     hrefs = F.regexp_extract_all(txt, F.lit(_HREF_RE), 1)
     out = pages.select(
         F.col("url"),
-        effective_base(F.col("url"), txt).alias("_base"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(hrefs).alias("href"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("href"),
     )
     return out.select(
         "url", "href", resolve_href(F.col("_base"), F.col("href")).alias("resolved")
     )
+
+
+# the one href class resolve_href maps to NULL — shared so lanes that
+# drop unresolvable targets can pre-filter on the RAW href (cheap; a
+# filter on resolved-IS-NOT-NULL would push down and inline the whole
+# base-resolution CASE, full-page regex included, into the predicate)
+_NON_FETCH_RE = r"^(#|mailto:|javascript:|tel:|data:)"
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -190,7 +219,7 @@ def resolve_href(base: Column, href: Column) -> Column:
         F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(
-            href.rlike(r"^(#|mailto:|javascript:|tel:|data:)"),
+            href.rlike(_NON_FETCH_RE),
             F.lit(None).cast("string"),
         )
         .when(href.startswith("/"), F.concat(origin, href))
@@ -236,9 +265,13 @@ def extract_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.regexp_extract_all(txt, pat, 2).alias("inner"),
     )
     out = pages.select(
-        "url",
-        effective_base(F.col("url"), txt).alias("_base"),
+        F.col("url"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(pairs).alias("p"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("p"),
     ).select(
         "url",
         "_base",
@@ -359,12 +392,21 @@ def rel_canonical(pages: DataFrame, html_col: str = "html") -> DataFrame:
     First declaration wins (deterministic, oracle-exact). Pure codegen:
     two regexp_extracts + the resolve CASE, zero shuffle."""
     txt = _lossy_utf8(html_col)
-    attrs = F.regexp_extract(txt, _CANONICAL_RE, 1)
-    href = F.regexp_extract(attrs, _HREF_RE, 1)
-    resolved = F.when(href == "", F.lit(None)).otherwise(
-        resolve_href(effective_base(F.col("url"), txt), href)
+    pre = pages.select(
+        "*",
+        F.regexp_extract(
+            F.regexp_extract(txt, _CANONICAL_RE, 1), _HREF_RE, 1
+        ).alias("_chref"),
+        base_href_raw(txt).alias("_bhref"),
     )
-    return pages.select("*", F.coalesce(resolved, F.lit("")).alias("canonical"))
+    resolved = F.when(F.col("_chref") == "", F.lit(None)).otherwise(
+        resolve_href(
+            effective_base_from(F.col("url"), F.col("_bhref")), F.col("_chref")
+        )
+    )
+    return pre.select(
+        *pages.columns, F.coalesce(resolved, F.lit("")).alias("canonical")
+    )
 
 
 # <link rel=alternate hreflang=... href=...> — attrs captured as one
@@ -386,22 +428,26 @@ def hreflang_alternates(pages: DataFrame, html_col: str = "html") -> DataFrame:
     alts = F.regexp_extract_all(txt, F.lit(_ALTERNATE_RE), 1)
     out = pages.select(
         F.col("url"),
-        effective_base(F.col("url"), txt).alias("_base"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(alts).alias("attrs"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("attrs"),
     ).select(
         "url",
         "_base",
         F.lower(F.regexp_extract("attrs", _HREFLANG_RE, 1)).alias("hreflang"),
         F.regexp_extract("attrs", _HREF_RE, 1).alias("href"),
     )
-    return (
-        out.filter((F.col("hreflang") != "") & (F.col("href") != ""))
-        .select(
-            "url",
-            "hreflang",
-            resolve_href(F.col("_base"), F.col("href")).alias("alt_url"),
-        )
-        .filter(F.col("alt_url").isNotNull())
+    return out.filter(
+        (F.col("hreflang") != "")
+        & (F.col("href") != "")
+        & ~F.col("href").rlike(_NON_FETCH_RE)
+    ).select(
+        "url",
+        "hreflang",
+        resolve_href(F.col("_base"), F.col("href")).alias("alt_url"),
     )
 
 
@@ -451,8 +497,12 @@ def image_srcset_best(pages: DataFrame, html_col: str = "html") -> DataFrame:
     imgs = F.regexp_extract_all(txt, F.lit(_IMG_RE), 1)
     out = pages.select(
         F.col("url"),
-        effective_base(F.col("url"), txt).alias("_base"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(imgs).alias("attrs"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("attrs"),
     ).select(
         "url",
         "_base",
@@ -460,15 +510,23 @@ def image_srcset_best(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.regexp_extract("attrs", _SRC_RE, 1).alias("src"),
         _ws_collapse(F.regexp_extract("attrs", _ALT_RE, 1)).alias("alt"),
     )
-    out = out.filter(F.col("srcset") != "")
+    out = out.filter(F.col("srcset") != "").select(
+        "url", "_base", "src", "alt",
+        _srcset_best(F.col("srcset")).alias("_best_raw"),
+    )
+    # drop unresolvable winners on the RAW candidate (see _NON_FETCH_RE)
+    out = out.filter(
+        F.col("_best_raw").isNotNull()
+        & ~F.col("_best_raw").rlike(_NON_FETCH_RE)
+    )
     return out.select(
         "url",
-        resolve_href(F.col("_base"), _srcset_best(F.col("srcset"))).alias("best_src"),
+        resolve_href(F.col("_base"), F.col("_best_raw")).alias("best_src"),
         F.when(F.col("src") == "", F.lit(None)).otherwise(
             resolve_href(F.col("_base"), F.col("src"))
         ).alias("fallback_src"),
         "alt",
-    ).filter(F.col("best_src").isNotNull())
+    )
 
 
 def media_sources(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -485,8 +543,12 @@ def media_sources(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
     out = pages.select(
         F.col("url"),
-        effective_base(F.col("url"), txt).alias("_base"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(pairs).alias("p"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("p"),
     ).select(
         "url",
         "_base",
@@ -495,7 +557,9 @@ def media_sources(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.regexp_extract("p.attrs", _TYPE_RE, 1).alias("mime"),
         F.regexp_extract("p.attrs", _POSTER_RE, 1).alias("poster"),
     )
-    out = out.filter(F.col("src") != "")
+    out = out.filter(
+        (F.col("src") != "") & ~F.col("src").rlike(_NON_FETCH_RE)
+    )
     return out.select(
         "url",
         "tag",
@@ -504,7 +568,7 @@ def media_sources(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.when(F.col("poster") == "", F.lit(None)).otherwise(
             resolve_href(F.col("_base"), F.col("poster"))
         ).alias("poster_url"),
-    ).filter(F.col("media_url").isNotNull())
+    )
 
 
 def _ws_collapse(c: Column) -> Column:
@@ -530,8 +594,12 @@ def image_captions(
     imgs = F.regexp_extract_all(txt, F.lit(_IMG_RE), 1)
     out = pages.select(
         F.col("url"),
-        effective_base(F.col("url"), txt).alias("_base"),
+        base_href_raw(txt).alias("_bhref"),
         F.explode(imgs).alias("attrs"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.col("attrs"),
     ).select(
         "url",
         "_base",
@@ -540,7 +608,9 @@ def image_captions(
         F.nullif(F.regexp_extract("attrs", _WIDTH_RE, 1), F.lit("")).cast("int").alias("width"),
         F.nullif(F.regexp_extract("attrs", _HEIGHT_RE, 1), F.lit("")).cast("int").alias("height"),
     )
-    out = out.filter(F.col("src") != "")
+    out = out.filter(
+        (F.col("src") != "") & ~F.col("src").rlike(_NON_FETCH_RE)
+    )
     if require_alt:
         out = out.filter(F.col("alt") != "")
     return out.select(
@@ -549,7 +619,7 @@ def image_captions(
         "alt",
         "width",
         "height",
-    ).filter(F.col("img_url").isNotNull())
+    )
 
 
 def bitext_pairs(alternates: DataFrame, page_lang: DataFrame) -> DataFrame:
@@ -582,12 +652,21 @@ def meta_refresh_target(pages: DataFrame, html_col: str = "html") -> DataFrame:
     or delay-only). The soft-redirect edge a crawler must follow (and a
     thin-content signal: pages whose only purpose is the hop)."""
     txt = _lossy_utf8(html_col)
-    attrs = F.regexp_extract(txt, _META_REFRESH_TAG_RE, 1)
-    raw = F.regexp_extract(attrs, _REFRESH_URL_RE, 1)
-    resolved = F.when(raw == "", F.lit(None)).otherwise(
-        resolve_href(effective_base(F.col("url"), txt), raw)
+    pre = pages.select(
+        "*",
+        F.regexp_extract(
+            F.regexp_extract(txt, _META_REFRESH_TAG_RE, 1), _REFRESH_URL_RE, 1
+        ).alias("_rraw"),
+        base_href_raw(txt).alias("_bhref"),
     )
-    return pages.select("*", F.coalesce(resolved, F.lit("")).alias("refresh_url"))
+    resolved = F.when(F.col("_rraw") == "", F.lit(None)).otherwise(
+        resolve_href(
+            effective_base_from(F.col("url"), F.col("_bhref")), F.col("_rraw")
+        )
+    )
+    return pre.select(
+        *pages.columns, F.coalesce(resolved, F.lit("")).alias("refresh_url")
+    )
 
 
 TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"

@@ -144,6 +144,72 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
+    """WHATWG charset precedence through the WARC lane: pages whose
+    bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
+    meta LIES (iso-8859-1 — decodes those bytes to control chars), and
+    whose HTTP Content-Type declares charset=windows-1252. The header
+    hint (read_warc with_charset=True → run_extraction charset_col)
+    must outrank the meta or the quotes come out as U+0093/U+0094."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    from webx.sources import read_warc, write_warc
+    from webx.synth import P_CHROME, P_HEAD_LATIN1, P_MID, _did, _esc, _norm
+
+    docs = synth.load_documents(spark, sf)
+    did, i = _did(), F.col("doc_id").cast("string")
+    quoted = F.concat(F.lit(" \x93q"), i, F.lit("\x94"))
+    html_str = F.concat(
+        F.lit(P_HEAD_LATIN1), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        _esc(_norm(F.col("text"))), quoted,
+        F.lit("</p></article><footer><p>(c) 2026 Example Corp."
+              "</p></footer></body></html>"),
+    )
+    pages_src = docs.select(
+        synth._url().alias("url"),
+        synth._warc_ts().alias("warc_ts"),
+        F.encode(html_str, "ISO-8859-1").alias("html"),
+    )
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:cs1".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/webx_warccs_{key}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, t.to_pydatetime(), bytes(h))
+                    for u, t, h in zip(p["url"], p["warc_ts"], p["html"])
+                )
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc")
+            with open(path, "wb") as f:
+                f.write(write_warc(recs, charset="windows-1252"))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            pages_src.repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = read_warc(spark, os.path.join(d, "part-*.warc"), with_charset=True)
+    return run_extraction(pages, CFG, charset_col="http_charset").select(
+        "url", "text"
+    )
+
+
 def q_extract_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
     """Common Crawl's container-level dedup: each page is captured TWICE
     (its url and url?rev=1); the second capture is stored as a REVISIT
@@ -4868,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_warc": q_extract_warc,
+        "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
         "q_extract_pdf": q_extract_pdf,
@@ -5393,6 +5460,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_warc_charset": (
+            f"SELECT {URL} AS url, ({DID} || {NL} || {NORM} || ' ' || chr(8220) "
+            "|| 'q' || CAST(doc_id AS VARCHAR) || chr(8221)) AS text FROM documents"
+        ),
         "q_extract_warc_revisit": (
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents "
             f"UNION ALL SELECT {URL} || '?rev=1' AS url, {GOLDEN} AS text "

@@ -163,3 +163,55 @@ def test_interleave_batch_dom_order():
     assert art1.strip() in out["text"].tolist()[1]
     assert art2.strip() in out["text"].tolist()[3]
     assert out["seq"].tolist() == [0, 1, 2, 3]
+
+
+def test_http_charset_hint_precedence():
+    """WHATWG precedence: the HTTP-header charset outranks a LYING
+    in-document meta (cp1252 smart quotes vs latin-1 control chars);
+    a BOM outranks the header; an unknown hint falls back to the
+    sniffed meta; no hint column keeps today's behavior."""
+    import pandas as pd
+
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    art = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4).strip()
+    body = f'<meta charset="iso-8859-1"><p>{art} \x93q\x94</p>'
+    cp1252 = body.encode("latin-1")  # \x93\x94 emit as those raw bytes
+    utf8_bom = b"\xef\xbb\xbf" + (
+        f'<meta charset="utf-8"><p>{art} “q”</p>'.encode("utf-8")
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": ["hinted", "bom", "badhint", "nohint"],
+            "html": [cp1252, utf8_bom, cp1252, cp1252],
+            "http_charset": ["windows-1252", "iso-8859-1", "klingon-8", ""],
+        }
+    )
+    cfg = ExtractConfig()
+    out = extract_batch(pdf, cfg, charset_col="http_charset")
+    texts = dict(zip(out["url"], out["text"]))
+    assert "“q”" in texts["hinted"]       # header beat the meta
+    assert "“q”" in texts["bom"]          # BOM beat the header
+    assert "\x93q\x94" in texts["badhint"]          # unknown → meta sniff
+    assert "\x93q\x94" in texts["nohint"]           # no hint → meta sniff
+    # and without the hint column at all, behavior is unchanged
+    out2 = extract_batch(pdf[["url", "html"]], cfg)
+    assert "\x93q\x94" in dict(zip(out2["url"], out2["text"]))["hinted"]
+
+
+def test_parse_warc_meta_charset():
+    """parse_warc_meta surfaces the Content-Type charset ('' when the
+    header has none), with payload identical to parse_warc."""
+    from webx.sources import parse_warc, parse_warc_meta, write_warc
+    from datetime import datetime, timezone
+
+    recs = [
+        ("http://a.com/1", datetime(2024, 1, 1, tzinfo=timezone.utc), b"<p>x</p>"),
+    ]
+    with_cs = write_warc(recs, charset="Windows-1252")
+    plain = write_warc(recs)
+    got = parse_warc_meta(with_cs)
+    assert [(u, cs) for u, _, _, cs in got] == [("http://a.com/1", "windows-1252")]
+    assert got[0][2] == parse_warc(with_cs)[0][2] == b"<p>x</p>"
+    assert [cs for _, _, _, cs in parse_warc_meta(plain)] == [""]

@@ -65,6 +65,17 @@ def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     return name
 
 
+def normalize_charset_name(name: str) -> "str | None":
+    """Alias-normalize + validate a charset name; None when the codec
+    is unknown (callers then fall back to the sniffed declaration)."""
+    n = _ALIASES.get(name.lower(), name.lower())
+    try:
+        codecs.lookup(n)
+    except LookupError:
+        return None
+    return n
+
+
 def decode_bytes(raw: bytes, charset: str) -> Tuple[str, str, str]:
     """→ (text, status, effective_codec); status ∈ {ok, charset_fallback}.
 

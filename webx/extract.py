@@ -21,7 +21,12 @@ import pandas as pd
 
 from functools import lru_cache
 
-from webx.charset import decode_bytes, normalize_input_bytes, sniff_charset
+from webx.charset import (
+    decode_bytes,
+    normalize_charset_name,
+    normalize_input_bytes,
+    sniff_charset,
+)
 from webx.config import ExtractConfig
 from webx.detect import (
     Span,
@@ -211,11 +216,23 @@ def _decode_spans(
 
 
 def extract_batch(
-    pdf: pd.DataFrame, cfg: ExtractConfig, passthrough: Tuple[str, ...] = ()
+    pdf: pd.DataFrame,
+    cfg: ExtractConfig,
+    passthrough: Tuple[str, ...] = (),
+    charset_col: "str | None" = None,
 ) -> pd.DataFrame:
-    """Run both stages over one Arrow batch → output pandas frame."""
+    """Run both stages over one Arrow batch → output pandas frame.
+
+    ``charset_col`` names a per-row HTTP-header charset hint column
+    (e.g. read_warc(with_charset=True)); WHATWG precedence applies —
+    a BOM wins, then the header hint, then the in-document meta."""
     urls = pdf["url"].tolist()
     htmls = pdf["html"].tolist()
+    hints = (
+        pdf[charset_col].tolist()
+        if charset_col and charset_col in pdf.columns
+        else None
+    )
     out = {
         "url": urls,
         "text": [],
@@ -234,8 +251,15 @@ def extract_batch(
                 {"html_bytes": 0, "n_blocks": 0, "truncated": False, "charset": cfg.default_charset}
             )
             continue
-        html = normalize_input_bytes(bytes(html))
+        raw = bytes(html)
+        had_bom = raw[:2] in (b"\xff\xfe", b"\xfe\xff") or raw[:3] == b"\xef\xbb\xbf"
+        html = normalize_input_bytes(raw)
         _, spans, meta = _extract_doc_stage1(html, cfg)
+        if hints is not None and not had_bom and hints[i]:
+            # HTTP-header charset outranks the sniffed meta declaration
+            hinted = normalize_charset_name(hints[i])
+            if hinted is not None:
+                meta["charset"] = hinted
         trunc_html = html[: cfg.limit_side_len]
         # one strict decode establishes status + the EFFECTIVE codec;
         # spans decode with that codec (a misdeclared page must not
@@ -254,12 +278,16 @@ def extract_batch(
     return res
 
 
-def make_extract_fn(cfg: ExtractConfig, passthrough: Tuple[str, ...] = ()):
+def make_extract_fn(
+    cfg: ExtractConfig,
+    passthrough: Tuple[str, ...] = (),
+    charset_col: "str | None" = None,
+):
     """mapInPandas body: Iterator[pd.DataFrame] → Iterator[pd.DataFrame]."""
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield extract_batch(pdf, cfg, passthrough)
+            yield extract_batch(pdf, cfg, passthrough, charset_col)
 
     return fn
 

@@ -50,16 +50,24 @@ def run_extraction(
     pages: DataFrame,
     cfg: Optional[ExtractConfig] = None,
     passthrough: Optional[Tuple[str, ...]] = None,
+    charset_col: Optional[str] = None,
 ) -> DataFrame:
-    """pages(url, html, …) → (url, text, spans, conf, status, meta, *passthrough)."""
+    """pages(url, html, …) → (url, text, spans, conf, status, meta, *passthrough).
+
+    ``charset_col`` names a per-row HTTP-header charset hint column
+    (read_warc(with_charset=True) produces one); WHATWG precedence —
+    BOM > header hint > in-document meta — applies per document."""
     cfg = cfg or ExtractConfig()
     pt = tuple(passthrough if passthrough is not None else ())
     pt = tuple(c for c in pt if c in pages.columns)
-    cols = ["url", "html", *pt]
+    if charset_col is not None and charset_col not in pages.columns:
+        charset_col = None
+    extra = (charset_col,) if charset_col and charset_col not in pt else ()
+    cols = ["url", "html", *pt, *extra]
     df = pages.select(*cols)  # column pruning reaches the scan
     df = partition_for_extraction(df, cfg)
     out_schema = extracted_schema([pages.schema[c] for c in pt])
-    return df.mapInPandas(make_extract_fn(cfg, pt), schema=out_schema)
+    return df.mapInPandas(make_extract_fn(cfg, pt, charset_col), schema=out_schema)
 
 
 def run_interleave(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:

@@ -154,10 +154,19 @@ def _warc_walk(raw: bytes):
         yield header, body
 
 
-def _http_payload(body: bytes) -> bytes:
-    """HTTP response capture → page bytes: split the header block
-    (CRLF or the bare-LF blocks some origin servers emit), reverse
-    chunked transfer framing, then the Content-Encoding."""
+_HTTP_CHARSET_RE = re.compile(
+    rb"^content-type:[^\r\n]*;\s*charset\s*=\s*\"?([a-zA-Z0-9._-]+)", re.I | re.M
+)
+
+
+def _http_payload_meta(body: bytes) -> "Tuple[bytes, str]":
+    """HTTP response capture → (page bytes, header-declared charset or
+    ''): split the header block (CRLF or the bare-LF blocks some origin
+    servers emit), reverse chunked transfer framing, then the
+    Content-Encoding. The charset comes from the HTTP Content-Type
+    header — per the WHATWG precedence it OUTRANKS any in-document
+    ``<meta charset>`` (BOM > HTTP header > meta), and for the common
+    header-only server configurations it is the only declaration."""
     http_end = body.find(b"\r\n\r\n")
     if http_end >= 0:
         http_hdr, html = body[:http_end], body[http_end + 4 :]
@@ -169,9 +178,17 @@ def _http_payload(body: bytes) -> bytes:
             http_hdr, html = b"", body
     if _CHUNKED_RE.search(http_hdr):
         html = _dechunk(html)
+    charset = ""
     if http_hdr:
         html = _decode_content_encoding(html, http_hdr)
-    return html
+        cm = _HTTP_CHARSET_RE.search(http_hdr)
+        if cm is not None:
+            charset = cm.group(1).decode("ascii", "replace").lower()
+    return html, charset
+
+
+def _http_payload(body: bytes) -> bytes:
+    return _http_payload_meta(body)[0]
 
 
 def _warc_url_ts(header: bytes):
@@ -205,6 +222,25 @@ def parse_warc(raw: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
     return out
 
 
+def parse_warc_meta(
+    raw: bytes,
+) -> "List[Tuple[str, Optional[datetime], bytes, str]]":
+    """parse_warc plus the HTTP-header-declared charset per record
+    ('' when the Content-Type carries none) — the hint
+    run_extraction's ``charset_col`` consumes."""
+    out: List[Tuple[str, Optional[datetime], bytes, str]] = []
+    for header, body in _warc_walk(raw):
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"response":
+            continue
+        url, ts = _warc_url_ts(header)
+        if url is None:
+            continue
+        html, charset = _http_payload_meta(body)
+        out.append((url, ts, html, charset))
+    return out
+
+
 _DIGEST_RE = re.compile(rb"^warc-payload-digest:\s*(\S+)\s*$", re.I | re.M)
 
 
@@ -233,10 +269,35 @@ def parse_warc_records(
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC archive(s) → (url, warc_ts, html). One file per input row of
-    ``binaryFile``; parsing runs distributed inside mapInPandas."""
+def read_warc(
+    spark: SparkSession, path: str, with_charset: bool = False
+) -> DataFrame:
+    """WARC archive(s) → (url, warc_ts, html[, http_charset]). One file
+    per input row of ``binaryFile``; parsing runs distributed inside
+    mapInPandas. ``with_charset=True`` adds the HTTP-header-declared
+    charset column ('' when absent) for run_extraction's
+    ``charset_col`` — the WHATWG-precedence decode hint."""
     files = spark.read.format("binaryFile").load(path).select("content")
+
+    if with_charset:
+        schema = T.StructType(
+            [*WARC_PAGES_SCHEMA.fields, T.StructField("http_charset", T.StringType())]
+        )
+
+        def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"url": [], "warc_ts": [], "html": [], "http_charset": []}
+                for content in pdf["content"]:
+                    for url, ts, html, cs in parse_warc_meta(bytes(content)):
+                        rows["url"].append(url)
+                        rows["warc_ts"].append(
+                            None if ts is None else ts.replace(tzinfo=None)
+                        )
+                        rows["html"].append(html)
+                        rows["http_charset"].append(cs)
+                yield pd.DataFrame(rows)
+
+        return files.mapInPandas(fn, schema=schema)
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -346,28 +407,33 @@ def write_warc_revisits(records: List[Tuple[str, datetime, bytes]]) -> bytes:
 
 
 def write_warc(
-    records: List[Tuple[str, datetime, bytes]], content_encoding: str = "none"
+    records: List[Tuple[str, datetime, bytes]],
+    content_encoding: str = "none",
+    charset: str = "",
 ) -> bytes:
     """Serialize (url, ts, html) to a WARC/1.0 byte stream (test fixture
     generator — the generate-input-from-expected-output trick applied to
     the container format). ``content_encoding='mixed'`` stores every
     third payload gzip- and every third deflate-encoded with the
     matching HTTP header (as real crawls capture them); the reader must
-    reverse both so extraction stays byte-identical."""
+    reverse both so extraction stays byte-identical. ``charset`` adds a
+    ``; charset=…`` parameter to the HTTP Content-Type — the
+    header-declared encoding read_warc(with_charset=True) surfaces."""
+    ctype = b"text/html" + (f"; charset={charset}".encode() if charset else b"")
     chunks: List[bytes] = []
     for i, (url, ts, html) in enumerate(records):
         if content_encoding == "mixed" and i % 3 == 1:
             http = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
                 b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
             )
         elif content_encoding == "mixed" and i % 3 == 2:
             http = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
                 b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(html)
             )
         else:
-            http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            http = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + html
         header = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"

@@ -50,6 +50,10 @@ def parse_args(argv):
     p.add_argument("--size-gears", action="store_true",
                    help="add log2(html size) bucket to the partition key")
     p.add_argument("--limit-side-len", type=int, default=4_000_000)
+    p.add_argument("--http-charset", action="store_true",
+                   help="WARC input only: surface the HTTP Content-Type "
+                        "charset and give it WHATWG precedence over the "
+                        "in-document meta during extraction")
     p.add_argument("--config", default=None,
                    help="JSON file of ExtractConfig fields (overrides the "
                         "individual CLI knobs; goldens are reproducible "
@@ -87,7 +91,7 @@ def main(argv=None) -> int:
     elif args.input_format == "warc":
         from webx.sources import read_warc
 
-        pages = read_warc(spark, args.input)
+        pages = read_warc(spark, args.input, with_charset=args.http_charset)
     elif args.input_format == "binaryFile":
         from webx.sources import read_binary_files
 
@@ -105,6 +109,15 @@ def main(argv=None) -> int:
             limit_side_len=args.limit_side_len,
         )
     store = CheckpointStore(args.checkpoint)
+    extract_fn = None
+    if args.http_charset and args.input_format == "warc":
+        from webx.pipeline import run_extraction
+
+        def extract_fn(subset, cfg, passthrough=()):
+            return run_extraction(
+                subset, cfg, passthrough, charset_col="http_charset"
+            )
+
     t0 = time.time()
     processed = run_checkpointed_extraction(
         spark,
@@ -118,6 +131,7 @@ def main(argv=None) -> int:
         chunk_size=args.chunk_size,
         max_chunks=args.max_chunks,
         output_fmt=args.output_format,
+        extract_fn=extract_fn,
     )
     dt = time.time() - t0
     lineage = store.read(spark)

@@ -1007,6 +1007,102 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """Pagination rails (webx/urls.pagination_links): middle pages
+    declare both next and prev (relative — base-resolved), first pages
+    only next, last pages only PREVIOUS (the long-form token, uppercase
+    rel), and standalone pages neither. The stitching signal that keeps
+    multi-page articles whole before packing."""
+    from webx.urls import pagination_links
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/a/"), i, F.lit("/p2"))
+    head = (
+        F.when(m == 0, F.concat(
+            F.lit('<link rel="next" href="/a/'), i, F.lit('/p3">'),
+            F.lit("<link rel='prev' href='/a/"), i, F.lit("/p1'>")))
+        .when(m == 1, F.concat(
+            F.lit('<link rel="next" href="p3">')))
+        .when(m == 2, F.concat(
+            F.lit('<LINK REL="PREVIOUS" HREF="/a/'), i, F.lit('/p1">')))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body>t</body></html>"))
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return pagination_links(pages).select("doc_id", "next_url", "prev_url")
+
+
+def _pagination_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.com/a/' || CAST(doc_id AS VARCHAR) || '/p3' "
+        "WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.com/a/' || CAST(doc_id AS VARCHAR) || '/p3' "
+        "ELSE '' END AS next_url, "
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/' || "
+        "CAST(doc_id AS VARCHAR) || '/p1' "
+        "WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.example.com/a/' || CAST(doc_id AS VARCHAR) || '/p1' "
+        "ELSE '' END AS prev_url FROM documents"
+    )
+
+
+def q_feed_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Feed autodiscovery (webx/urls.feed_links): rss / atom / both /
+    none per residue class, attr orders and quoting rotated; a plain
+    stylesheet link never matches. The crawl edge that connects the
+    page corpus to the feeds lane."""
+    from webx.urls import feed_links
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = F.concat(origin, F.lit("/p/"), i)
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed/'),
+        i, F.lit('.rss">'))
+    atom = F.concat(
+        F.lit("<link type='application/atom+xml' href='"), origin,
+        F.lit("/atom/"), i, F.lit(".xml' rel='alternate'>"))
+    head = (
+        F.when(m == 0, rss)
+        .when(m == 1, atom)
+        .when(m == 2, F.concat(rss, atom))
+        .otherwise(F.lit('<link rel="stylesheet" href="/site.css">'))
+    )
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body>t</body></html>"))
+    pages = docs.select("doc_id", url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return feed_links(pages).join(
+        docs.select("doc_id", url.alias("url")), "url"
+    ).select("doc_id", "feed_kind", "feed_url")
+
+
+def _feed_links_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, "
+        "CAST(doc_id AS VARCHAR) AS i, "
+        "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS o "
+        "FROM documents) "
+        "SELECT doc_id, 'rss' AS feed_kind, o || '/feed/' || i || '.rss' AS feed_url "
+        "FROM d WHERE m IN (0, 2) "
+        "UNION ALL SELECT doc_id, 'atom', o || '/atom/' || i || '.xml' "
+        "FROM d WHERE m IN (1, 2)"
+    )
+
+
 def q_hreflang(spark: SparkSession, sf: str) -> DataFrame:
     """hreflang alternate clusters (webx/urls.hreflang_alternates) —
     the bitext-mining discovery signal: docs declare doc_id%4 language
@@ -5016,6 +5112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nofollow_links": q_nofollow_links,
         "q_canonical_refresh": q_canonical_refresh,
         "q_hreflang": q_hreflang,
+        "q_pagination": q_pagination,
+        "q_feed_links": q_feed_links,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
         "q_interleaved": q_interleaved,
@@ -6009,6 +6107,8 @@ def oracle_sql() -> dict[str, str]:
         "q_nofollow_links": _nofollow_links_oracle_sql(),
         "q_canonical_refresh": _canonical_refresh_oracle_sql(),
         "q_hreflang": _hreflang_oracle_sql(),
+        "q_pagination": _pagination_oracle_sql(),
+        "q_feed_links": _feed_links_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),
         "q_interleaved": _interleaved_oracle_sql(),

@@ -616,3 +616,34 @@ def test_strip_host_boilerplate_all_removed_yields_empty(spark):
     rows = [(i, "a.com", "only para") for i in range(6)]
     out = strip_host_boilerplate(_hb_docs(spark, rows), min_docs=5).collect()
     assert all(r["text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_pagination_and_feed_links(spark):
+    """next/prev rails base-resolved ('' when undeclared; PREVIOUS
+    long-form and any case accepted); feed autodiscovery yields one row
+    per rss/atom alternate and ignores stylesheets and feedless
+    pages."""
+    from webx.urls import feed_links, pagination_links
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/art/p2",
+             b'<link rel="next" href="p3"><link rel=\'prev\' href=\'/art/p1\'>'
+             b'<link rel="alternate" type="application/rss+xml" href="/feed.rss">'
+             b"<link type='application/atom+xml' href='/feed.atom' rel='alternate'>"
+             b'<link rel="stylesheet" href="/site.css">'),
+            ("https://a.com/last",
+             b'<LINK REL="PREVIOUS" HREF="/art/p9">'),
+            ("https://a.com/plain", b"<p>no links</p>"),
+        ],
+        "url string, html binary",
+    )
+    rails = {r["url"]: (r["next_url"], r["prev_url"])
+             for r in pagination_links(pages).collect()}
+    assert rails["https://a.com/art/p2"] == \
+        ("https://a.com/art/p3", "https://a.com/art/p1")
+    assert rails["https://a.com/last"] == ("", "https://a.com/art/p9")
+    assert rails["https://a.com/plain"] == ("", "")
+    feeds = {(r["feed_kind"]): r["feed_url"] for r in feed_links(pages).collect()}
+    assert feeds == {"rss": "https://a.com/feed.rss",
+                     "atom": "https://a.com/feed.atom"}

@@ -622,6 +622,79 @@ def image_captions(
     )
 
 
+_FEED_TYPE_RE = r"""(?i)\btype\s*=\s*["']application/(rss|atom)\+xml["']"""
+
+
+def pagination_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds ``next_url`` / ``prev_url`` — the ``<link rel=next/prev>``
+    pagination rails, base-resolved ('' when undeclared). The stitching
+    signal multi-page articles need: an extractor that stops at page 1
+    ships truncated documents, so the curator follows next_url chains
+    before packing. First declaration of each direction wins."""
+    txt = _lossy_utf8(html_col)
+
+    def rail(words: str) -> Column:
+        pat = (
+            r"""(?is)<link\b([^>]*\brel\s*=\s*["'](?:""" + words
+            + r""")["'][^>]*)>"""
+        )
+        return F.regexp_extract(
+            F.regexp_extract(txt, pat, 1), _HREF_RE, 1
+        )
+
+    pre = pages.select(
+        "*",
+        rail("next").alias("_next"),
+        rail("prev|previous").alias("_prev"),
+        base_href_raw(txt).alias("_bhref"),
+    )
+    base = effective_base_from(F.col("url"), F.col("_bhref"))
+
+    def res(c: str) -> Column:
+        return F.coalesce(
+            F.when(F.col(c) == "", F.lit(None)).otherwise(
+                resolve_href(base, F.col(c))
+            ),
+            F.lit(""),
+        )
+
+    return pre.select(
+        *pages.columns,
+        res("_next").alias("next_url"),
+        res("_prev").alias("prev_url"),
+    )
+
+
+def feed_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """RSS/Atom autodiscovery — one row per
+    ``<link rel=alternate type=application/(rss|atom)+xml>``:
+    ``(url, feed_kind, feed_url)``, base-resolved. The discovery edge
+    that connects the page corpus to the feeds lane (webx/feeds.py
+    parses the fetched documents); publishers advertise their feeds
+    exactly this way."""
+    txt = _lossy_utf8(html_col)
+    alts = F.regexp_extract_all(txt, F.lit(_ALTERNATE_RE), 1)
+    out = pages.select(
+        F.col("url"),
+        base_href_raw(txt).alias("_bhref"),
+        F.explode(alts).alias("attrs"),
+    ).select(
+        "url",
+        effective_base_from(F.col("url"), F.col("_bhref")).alias("_base"),
+        F.lower(F.regexp_extract("attrs", _FEED_TYPE_RE, 1)).alias("feed_kind"),
+        F.regexp_extract("attrs", _HREF_RE, 1).alias("href"),
+    )
+    return out.filter(
+        (F.col("feed_kind") != "")
+        & (F.col("href") != "")
+        & ~F.col("href").rlike(_NON_FETCH_RE)
+    ).select(
+        "url",
+        "feed_kind",
+        resolve_href(F.col("_base"), F.col("href")).alias("feed_url"),
+    )
+
+
 def bitext_pairs(alternates: DataFrame, page_lang: DataFrame) -> DataFrame:
     """Mutually-confirmed translation-document pairs from hreflang
     declarations: (url_a, lang_a, url_b, lang_b) where A declares B as

@@ -1007,6 +1007,53 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """URL pattern mining + crawl-trap gating (webx/urls
+    url_path_template / url_trap_signals): numeric ids → {n}, long hex
+    ids → {h}; repeat-segment, depth, and query-param-explosion flags.
+    The frontier hygiene that caps infinite facet/calendar spaces
+    before they eat the crawl budget."""
+    from webx.urls import url_path_template, url_trap_signals
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    origin = F.concat(F.lit("https://h"), k, F.lit(".example.com"))
+    url = (
+        F.when(m == 0, F.concat(origin, F.lit("/article/"), i, F.lit("/comments")))
+        .when(m == 1, F.concat(origin, F.lit("/img/ab"), i, F.lit("f00d00/view")))
+        .when(m == 2, F.concat(origin, F.lit("/cat/cat/page/"), i))
+        .when(m == 3, F.concat(origin, F.lit("/a/b/c/d/e/f/g/h/x/"), i))
+        .otherwise(F.concat(origin, F.lit("/s/"), i,
+                            F.lit("?a=1&b=2&c=3&d=4&e=5&f=6")))
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    out = url_trap_signals(d)
+    return out.select(
+        "doc_id",
+        url_path_template(F.col("url")).alias("template"),
+        "trap_repeat", "trap_depth", "trap_params", "is_trap",
+    )
+
+
+def _url_templates_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN '/article/{n}/comments' "
+        "WHEN 1 THEN '/img/{h}/view' "
+        "WHEN 2 THEN '/cat/cat/page/{n}' "
+        "WHEN 3 THEN '/a/b/c/d/e/f/g/h/x/{n}' "
+        "ELSE '/s/{n}' END AS template, "
+        "CAST(doc_id % 5 AS INT) = 2 AS trap_repeat, "
+        "CAST(doc_id % 5 AS INT) = 3 AS trap_depth, "
+        "CAST(doc_id % 5 AS INT) = 4 AS trap_params, "
+        "CAST(doc_id % 5 AS INT) IN (2, 3, 4) AS is_trap "
+        "FROM documents"
+    )
+
+
 def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
     """Pagination rails (webx/urls.pagination_links): middle pages
     declare both next and prev (relative — base-resolved), first pages
@@ -5113,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_refresh": q_canonical_refresh,
         "q_hreflang": q_hreflang,
         "q_pagination": q_pagination,
+        "q_url_templates": q_url_templates,
         "q_feed_links": q_feed_links,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
@@ -6108,6 +6156,7 @@ def oracle_sql() -> dict[str, str]:
         "q_canonical_refresh": _canonical_refresh_oracle_sql(),
         "q_hreflang": _hreflang_oracle_sql(),
         "q_pagination": _pagination_oracle_sql(),
+        "q_url_templates": _url_templates_oracle_sql(),
         "q_feed_links": _feed_links_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),

@@ -647,3 +647,38 @@ def test_pagination_and_feed_links(spark):
     feeds = {(r["feed_kind"]): r["feed_url"] for r in feed_links(pages).collect()}
     assert feeds == {"rss": "https://a.com/feed.rss",
                      "atom": "https://a.com/feed.atom"}
+
+
+def test_url_templates_and_traps(spark):
+    """Numeric → {n}, hex ids → {h}, names verbatim; repeat/depth/param
+    trap flags fire independently; a clean url raises none."""
+    from webx.urls import url_path_template, url_trap_signals
+
+    rows = [
+        ("https://a.com/article/8372/comments", "/article/{n}/comments"),
+        ("https://a.com/u/deadbeef-1234-f00d/x", "/u/{h}/x"),
+        ("https://a.com/u/cafe/x", "/u/cafe/x"),  # short hex: verbatim
+        ("https://a.com/2024/06/17/post", "/{n}/{n}/{n}/post"),
+        ("https://a.com/", "/"),
+        ("https://a.com/p?page=2", "/p"),
+    ]
+    d = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["t"] for r in d.select(url_path_template(F.col("url")).alias("t")).collect()]
+    assert got == [t for _, t in rows]
+    traps = spark.createDataFrame(
+        [
+            ("https://a.com/cal/cal/2024",),
+            ("https://a.com/a/b/c/d/e/f/g/h/i/j",),
+            ("https://a.com/s?a=1&b=2&c=3&d=4&e=5&f=6",),
+            ("https://a.com/fine/path?x=1",),
+        ],
+        "url string",
+    )
+    out = [tuple(r) for r in url_trap_signals(traps).select(
+        "trap_repeat", "trap_depth", "trap_params", "is_trap").collect()]
+    assert out == [
+        (True, False, False, True),
+        (False, True, False, True),
+        (False, False, True, True),
+        (False, False, False, False),
+    ]

@@ -114,6 +114,54 @@ def registrable_domain(url: Column | str) -> Column:
     )
 
 
+def url_path_template(url: Column | str) -> Column:
+    """Generalized path template: numeric segments → ``{n}``, hex ids
+    (≥8 chars) and UUIDs → ``{h}``, other segments kept verbatim; query
+    and fragment dropped. The grouping key URL-pattern mining uses —
+    ``/article/8372/comments`` and ``/article/9911/comments`` collapse
+    to ``/article/{n}/comments``, so per-template page counts expose
+    infinite facet/calendar spaces the crawl budget must cap. Pure
+    codegen: three regexp_replace passes over the path."""
+    path = F.regexp_replace(
+        F.regexp_replace(url, _SCHEME_HOST, ""), r"[?#].*$", ""
+    )
+    t = F.regexp_replace(path, r"(?<=/)\d+(?=/|$)", "{n}")
+    t = F.regexp_replace(
+        t, r"(?<=/)[0-9a-fA-F-]{8,}(?=/|$)", "{h}"
+    )
+    return F.when(t == "", F.lit("/")).otherwise(t)
+
+
+def url_trap_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds the three classic crawl-trap indicators a frontier gates on:
+
+    * ``trap_repeat`` — a path segment immediately repeats (``/a/a/``),
+      the self-referencing-relative-link recursion signature;
+    * ``trap_depth`` — more than 8 path segments (calendar descents,
+      session-path mirrors);
+    * ``trap_params`` — more than 5 query parameters (faceted-search
+      blowup).
+
+    Pure codegen; the disjunction is ``is_trap``. Thresholds are the
+    conventional crawler defaults, overridable upstream by recomputing
+    from the same primitives."""
+    u = F.col(url_col)
+    path = F.regexp_replace(F.regexp_replace(u, _SCHEME_HOST, ""), r"[?#].*$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    rep = path.rlike(r"/([^/]+)/\1(/|$)")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return df.select(
+        "*",
+        rep.alias("trap_repeat"),
+        (depth > 8).alias("trap_depth"),
+        (n_params > 5).alias("trap_params"),
+        (rep | (depth > 8) | (n_params > 5)).alias("is_trap"),
+    )
+
+
 def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.select(
         "*",

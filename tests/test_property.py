@@ -111,3 +111,53 @@ def _anchor_spark():
     return SparkSession.getActiveSession() or SparkSession.builder.master(
         "local[2]"
     ).getOrCreate()
+
+
+@settings(max_examples=25, deadline=None)
+@given(html_like)
+def test_new_mining_lanes_never_crash(html):
+    """Every codegen mining lane added this round must be total on
+    arbitrary bytes: base resolution, captions, srcset, media, code,
+    math, canonical/refresh, pagination, feeds, hreflang, templates —
+    no exceptions, schema-stable rows, and the documented non-null
+    contracts hold."""
+    from webx.metadata import code_blocks, math_spans
+    from webx.urls import (
+        feed_links,
+        hreflang_alternates,
+        image_captions,
+        image_srcset_best,
+        media_sources,
+        meta_refresh_target,
+        pagination_links,
+        rel_canonical,
+        url_path_template,
+        url_trap_signals,
+    )
+    from pyspark.sql import functions as SF
+
+    spark = _anchor_spark()
+    pages = spark.createDataFrame(
+        [("https://h0.example.com/d/p", bytearray(html))],
+        "url string, html binary",
+    )
+    for r in image_captions(pages, require_alt=False).collect():
+        assert r["img_url"] is not None
+    for r in image_srcset_best(pages).collect():
+        assert r["best_src"] is not None
+    for r in media_sources(pages).collect():
+        assert r["media_url"] is not None and r["tag"] in ("video", "audio", "source")
+    for r in hreflang_alternates(pages).collect():
+        assert r["hreflang"] and r["alt_url"] is not None
+    for r in feed_links(pages).collect():
+        assert r["feed_kind"] in ("rss", "atom") and r["feed_url"] is not None
+    row = meta_refresh_target(rel_canonical(pagination_links(pages))).collect()[0]
+    assert row["canonical"] is not None and row["refresh_url"] is not None
+    assert row["next_url"] is not None and row["prev_url"] is not None
+    for r in code_blocks(pages).collect():
+        assert r["code"] != "" and r["n_lines"] >= 1
+    for r in math_spans(pages).collect():
+        assert r["kind"] in ("mathml", "display", "inline", "bracket")
+    t = pages.select(url_path_template(SF.col("url")).alias("t")).collect()[0]["t"]
+    assert t.startswith("/")
+    assert url_trap_signals(pages).collect()[0]["is_trap"] is not None

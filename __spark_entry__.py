@@ -1007,6 +1007,54 @@ def _base_href_oracle_sql() -> str:
     )
 
 
+def q_template_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-template clustering (webx/metadata.template_fingerprint):
+    the edge corpus mixes the flagship article template with the
+    boiler-only template (doc_id%5==0); per host each page lands in
+    exactly one of the two fingerprint families, content-independent.
+    Oracle recomputes both xxhash64 fingerprints EXACTLY (XXH64 DuckDB
+    port over the template tag sequences derived from the same frozen
+    parts)."""
+    from webx.metadata import template_fingerprint
+    from webx.urls import host
+
+    pages = synth.synth_pages_edge(spark, sf)
+    fp = template_fingerprint(pages)
+    return (
+        fp.groupBy(host(F.col("url")).alias("host"), "template_fp")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _template_cluster_oracle_sql() -> str:
+    import re as _r
+
+    from webx import oracles as _o
+    from webx.synth import (
+        BOILER_ONLY_BODY, P_CHROME, P_HEAD_UTF8, P_MID, P_TAIL,
+    )
+
+    def seq(parts) -> str:
+        return ",".join(
+            m.group(1).lower()
+            for p in parts
+            for m in _r.finditer(r"</?([a-zA-Z][a-zA-Z0-9]*)", p)
+        )
+
+    full = seq([P_HEAD_UTF8, P_CHROME, P_MID, P_TAIL])
+    boiler = seq([P_HEAD_UTF8, BOILER_ONLY_BODY])
+    return _o.XXH64_MACROS + (
+        f"WITH tv(kind, s) AS (VALUES ('full', '{full}'), ('boiler', '{boiler}')), "
+        + _o.xxh64_str_ctes("tv", "kind", "s", "th")
+        + ", d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'boiler' "
+        "ELSE 'full' END AS kind, "
+        "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host "
+        "FROM documents) "
+        "SELECT d.host, xsigned(th.h) AS template_fp, COUNT(*) AS n_pages "
+        "FROM d JOIN th USING (kind) GROUP BY d.host, xsigned(th.h)"
+    )
+
+
 def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
     """URL pattern mining + crawl-trap gating (webx/urls
     url_path_template / url_trap_signals): numeric ids → {n}, long hex
@@ -5161,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hreflang": q_hreflang,
         "q_pagination": q_pagination,
         "q_url_templates": q_url_templates,
+        "q_template_cluster": q_template_cluster,
         "q_feed_links": q_feed_links,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
@@ -6157,6 +6206,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hreflang": _hreflang_oracle_sql(),
         "q_pagination": _pagination_oracle_sql(),
         "q_url_templates": _url_templates_oracle_sql(),
+        "q_template_cluster": _template_cluster_oracle_sql(),
         "q_feed_links": _feed_links_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),

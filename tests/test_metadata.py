@@ -182,3 +182,26 @@ def test_math_spans_verbatim(spark):
     assert rows[("display", 1)]["math"] == "z"
     assert rows[("inline", 0)]["math"] == "k<2"
     assert rows[("bracket", 0)]["math"] == " Q "
+
+
+def test_template_fingerprint_content_independent(spark):
+    """Pages from one template share the fingerprint regardless of
+    text; a structurally different page gets another; tag case does
+    not matter; n_tags counts open+close tags."""
+    from webx.metadata import template_fingerprint
+
+    t = lambda body: f"<html><body><p>{body}</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [
+            ("a", t("first article text")),
+            ("b", t("totally different words here")),
+            ("c", b"<HTML><BODY><P>upper case markup</P></BODY></HTML>"),
+            ("d", b"<html><body><div><p>extra div</p></div></body></html>"),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: (r["template_fp"], r["n_tags"])
+           for r in template_fingerprint(pages).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] != got["a"]
+    assert got["a"][1] == 6 and got["d"][1] == 8

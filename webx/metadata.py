@@ -184,6 +184,28 @@ def math_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return res.filter(F.trim(F.col("math")) != "")
 
 
+_TAGNAME_RE = r"(?i)</?([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def template_fingerprint(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """DOM-shape fingerprint: ``template_fp`` = xxhash64 of the page's
+    lower-cased tag-name sequence (open and close tags, document
+    order), ``n_tags`` its length. Pages rendered from one template
+    share the fingerprint regardless of content, so a host's pages
+    cluster into their template families — the page-template detection
+    signal boilerplate research groups on (and a cheap prefilter
+    before per-template boilerplate induction). Pure codegen: one
+    regexp_extract_all + transform + xxhash64, no shuffle."""
+    txt = _lossy_utf8(html_col)
+    tags = F.regexp_extract_all(txt, F.lit(_TAGNAME_RE), 1)
+    seq = F.array_join(F.transform(tags, F.lower), ",")
+    return pages.select(
+        "*",
+        F.xxhash64(seq).alias("template_fp"),
+        F.size(tags).alias("n_tags"),
+    )
+
+
 def _clean_fragment(c: Column) -> Column:
     """Inner-HTML fragment → visible text: drop tags, collapse whitespace."""
     return F.trim(F.regexp_replace(F.regexp_replace(c, _STRIP_TAGS, " "), _WS, " "))

@@ -1488,6 +1488,33 @@ def _interleaved_oracle_sql() -> str:
     )
 
 
+def q_image_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Context assignment over the interleaved sequence
+    (webx/pipeline.image_contexts): each image gains the nearest text
+    before and after it in reading order — the MMC4-style text-context
+    pairing when no similarity model is in the loop. Same fixture as
+    q_interleaved, so both contexts are closed-form; one window shuffle
+    on url."""
+    from webx.pipeline import image_contexts
+
+    inter = q_interleaved(spark, sf).withColumnRenamed("img_url", "src")
+    return image_contexts(inter).select(
+        "url", "src", "alt", "context_before", "context_after"
+    )
+
+
+def _image_context_oracle_sql() -> str:
+    return (
+        f"SELECT {URL} AS url, "
+        "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/im/' || "
+        "CAST(doc_id AS VARCHAR) || '.jpg') AS src, "
+        "('Figure ' || CAST(doc_id AS VARCHAR)) AS alt, "
+        f"({DID} || {NL} || {NORM}) AS context_before, "
+        f"('Notes' || {NL} || upper({NORM})) AS context_after "
+        "FROM documents"
+    )
+
+
 def q_image_captions(spark: SparkSession, sf: str) -> DataFrame:
     """LAION-style image-text pair mining (webx/urls.image_captions):
     docs rotate a captioned img with declared dims / an empty-alt img
@@ -5213,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_links": q_feed_links,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
+        "q_image_context": q_image_context,
         "q_interleaved": q_interleaved,
         "q_srcset": q_srcset,
         "q_code_blocks": q_code_blocks,
@@ -6210,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
         "q_feed_links": _feed_links_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),
+        "q_image_context": _image_context_oracle_sql(),
         "q_interleaved": _interleaved_oracle_sql(),
         "q_srcset": _srcset_oracle_sql(),
         "q_code_blocks": _code_blocks_oracle_sql(),

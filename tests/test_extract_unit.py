@@ -215,3 +215,28 @@ def test_parse_warc_meta_charset():
     assert [(u, cs) for u, _, _, cs in got] == [("http://a.com/1", "windows-1252")]
     assert got[0][2] == parse_warc(with_cs)[0][2] == b"<p>x</p>"
     assert [cs for _, _, _, cs in parse_warc_meta(plain)] == [""]
+
+
+def test_image_contexts_edges(spark):
+    """Images at document edges get '' for the missing side; interior
+    images take the NEAREST text in each direction, skipping adjacent
+    images."""
+    from webx.pipeline import image_contexts
+
+    rows = [
+        ("u", 0, "image", None, "/lead.png", "lead"),
+        ("u", 1, "text", "first para", None, None),
+        ("u", 2, "image", None, "/a.png", "a"),
+        ("u", 3, "image", None, "/b.png", "b"),
+        ("u", 4, "text", "second para", None, None),
+        ("u", 5, "image", None, "/tail.png", "tail"),
+    ]
+    d = spark.createDataFrame(
+        rows, "url string, seq int, kind string, text string, src string, alt string"
+    )
+    got = {r["src"]: (r["context_before"], r["context_after"])
+           for r in image_contexts(d).collect()}
+    assert got["/lead.png"] == ("", "first para")
+    assert got["/a.png"] == ("first para", "second para")
+    assert got["/b.png"] == ("first para", "second para")
+    assert got["/tail.png"] == ("second para", "")

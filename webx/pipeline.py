@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from webx.config import ExtractConfig
 from webx.extract import make_detect_fn, make_extract_fn
@@ -92,6 +93,34 @@ def run_interleave(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> Dat
     df = pages.select("url", "html")
     df = partition_for_extraction(df, cfg)
     return df.mapInPandas(make_interleave_fn(cfg), schema=schema)
+
+
+def image_contexts(interleaved: DataFrame) -> DataFrame:
+    """Context assignment over an interleaved sequence (run_interleave
+    output): every image row gains the nearest text BEFORE and AFTER it
+    in reading order ('' at document edges) — the text-context pairing
+    interleaved multimodal corpora attach to each image when no
+    similarity model is in the loop. Two last/first window functions
+    over (url, seq) — one shuffle on url, no Python."""
+    w_before = (
+        Window.partitionBy("url").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_after = (
+        Window.partitionBy("url").orderBy("seq")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    return (
+        interleaved.withColumn(
+            "context_before", F.coalesce(F.last(txt, ignorenulls=True).over(w_before), F.lit(""))
+        )
+        .withColumn(
+            "context_after", F.coalesce(F.first(txt, ignorenulls=True).over(w_after), F.lit(""))
+        )
+        .filter(F.col("kind") == "image")
+        .select("url", "seq", "src", "alt", "context_before", "context_after")
+    )
 
 
 def run_detect(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:

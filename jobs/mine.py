@@ -6,6 +6,7 @@ non-text corpora — each an independent output table under --output:
 
     captions/     image-caption pairs (urls.image_captions)
     interleaved/  MMC4/OBELICS-style text+image sequences (run_interleave)
+    contexts/     per-image nearest text before/after (image_contexts)
     media/        audio/video source lists (urls.media_sources)
     code/         verbatim code blocks (metadata.code_blocks)
     math/         MathML/TeX spans (metadata.math_spans)
@@ -43,7 +44,7 @@ sys.path.insert(0, _REPO)
 # cluster --py-files ships the package and this is a no-op
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-ALL_LANES = ("captions", "interleaved", "media", "code", "math", "bitext")
+ALL_LANES = ("captions", "interleaved", "contexts", "media", "code", "math", "bitext")
 
 
 def parse_args(argv):
@@ -94,6 +95,10 @@ def main(argv=None) -> int:
             from webx.pipeline import run_interleave
 
             df = run_interleave(pages)
+        elif lane == "contexts":
+            from webx.pipeline import image_contexts, run_interleave
+
+            df = image_contexts(run_interleave(pages))
         elif lane == "media":
             from webx.urls import media_sources
 

@@ -90,7 +90,17 @@ def main(argv=None) -> int:
     from webx.textstats import fingerprint, lang_id, quality_filter, repetition_stats
     from webx.urls import host, normalize_url
 
-    spark = SparkSession.builder.appName("webx-curate").getOrCreate()
+    # AQE on by default: runtime re-planning (skew-join splitting,
+    # post-shuffle coalescing) is the 1000-executor safety net; the
+    # explicit salting/bucketing paths remain for the deterministic
+    # cases AQE cannot see (spark-submit --conf overrides still win).
+    spark = (
+        SparkSession.builder.appName("webx-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synth:

@@ -88,7 +88,14 @@ def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.appName("webx-evaluate")
+    # AQE on by default: runtime re-planning (skew-join splitting,
+    # post-shuffle coalescing) is the 1000-executor safety net; the
+    # explicit salting/bucketing paths remain for the deterministic
+    # cases AQE cannot see (spark-submit --conf overrides still win).
+    b = (SparkSession.builder.appName("webx-evaluate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true"))
     if args.master:
         b = b.master(args.master)
     spark = b.getOrCreate()

@@ -83,7 +83,17 @@ def main(argv=None) -> int:
     from webx.config import ExtractConfig
     from webx.lineage import CheckpointStore, run_checkpointed_extraction
 
-    spark = SparkSession.builder.appName(f"webx-extract-{args.run_id}").getOrCreate()
+    # AQE on by default: runtime re-planning (skew-join splitting,
+    # post-shuffle coalescing) is the 1000-executor safety net; the
+    # explicit salting/bucketing paths remain for the deterministic
+    # cases AQE cannot see (spark-submit --conf overrides still win).
+    spark = (
+        SparkSession.builder.appName(f"webx-extract-{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synth:

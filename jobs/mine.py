@@ -74,7 +74,17 @@ def main(argv=None) -> int:
 
     from webx import synth
 
-    spark = SparkSession.builder.appName("webx-mine").getOrCreate()
+    # AQE on by default: runtime re-planning (skew-join splitting,
+    # post-shuffle coalescing) is the 1000-executor safety net; the
+    # explicit salting/bucketing paths remain for the deterministic
+    # cases AQE cannot see (spark-submit --conf overrides still win).
+    spark = (
+        SparkSession.builder.appName("webx-mine")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     if args.synth:
         pages = synth.synth_pages(spark, args.synth)

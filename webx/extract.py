@@ -326,7 +326,11 @@ _IMG_ALT_RE = _re.compile(rb"""(?i)\balt\s*=\s*["']([^"']*)["']""")
 _WS_RE = _re.compile(r"[ \t\r\n]+")
 
 
-def interleave_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+def interleave_batch(
+    pdf: pd.DataFrame,
+    cfg: ExtractConfig,
+    charset_col: "str | None" = None,
+) -> pd.DataFrame:
     """MMC4/OBELICS-style interleaved documents: per page, the DOM-order
     sequence of surviving text spans (the REAL extractor's stage-1+2)
     and ``<img>`` occurrences — the layout multimodal LLM training data
@@ -342,11 +346,22 @@ def interleave_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     boilerplate — link farms, nav — keep spans separate, so the
     common figure-between-sections layout interleaves exactly)."""
     out = {"url": [], "seq": [], "kind": [], "text": [], "src": [], "alt": []}
-    for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+    hints = (
+        pdf[charset_col].tolist()
+        if charset_col and charset_col in pdf.columns
+        else None
+    )
+    for i, (url, html) in enumerate(zip(pdf["url"].tolist(), pdf["html"].tolist())):
         if html is None or len(html) == 0:
             continue
-        html = normalize_input_bytes(bytes(html))
+        raw = bytes(html)
+        had_bom = raw[:2] in (b"\xff\xfe", b"\xfe\xff") or raw[:3] == b"\xef\xbb\xbf"
+        html = normalize_input_bytes(raw)
         _, spans, meta = _extract_doc_stage1(html, cfg)
+        if hints is not None and not had_bom and hints[i]:
+            hinted = normalize_charset_name(hints[i])
+            if hinted is not None:
+                meta["charset"] = hinted
         trunc = html[: cfg.limit_side_len]
         _, _, codec = decode_bytes(trunc, meta["charset"])
         rows, _, _, _ = _decode_spans(trunc, spans, codec, cfg)
@@ -375,9 +390,9 @@ def interleave_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     return res
 
 
-def make_interleave_fn(cfg: ExtractConfig):
+def make_interleave_fn(cfg: ExtractConfig, charset_col: "str | None" = None):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield interleave_batch(pdf, cfg)
+            yield interleave_batch(pdf, cfg, charset_col)
 
     return fn

@@ -71,7 +71,11 @@ def run_extraction(
     return df.mapInPandas(make_extract_fn(cfg, pt, charset_col), schema=out_schema)
 
 
-def run_interleave(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+def run_interleave(
+    pages: DataFrame,
+    cfg: Optional[ExtractConfig] = None,
+    charset_col: Optional[str] = None,
+) -> DataFrame:
     """MMC4/OBELICS-style interleaved documents: (url, seq, kind, text,
     src, alt) — the extractor's text spans and <img> occurrences merged
     in DOM order, one row per sequence element (webx/extract.py
@@ -90,9 +94,12 @@ def run_interleave(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> Dat
             T.StructField("alt", T.StringType()),
         ]
     )
-    df = pages.select("url", "html")
+    if charset_col is not None and charset_col not in pages.columns:
+        charset_col = None
+    cols = ["url", "html"] + ([charset_col] if charset_col else [])
+    df = pages.select(*cols)
     df = partition_for_extraction(df, cfg)
-    return df.mapInPandas(make_interleave_fn(cfg), schema=schema)
+    return df.mapInPandas(make_interleave_fn(cfg, charset_col), schema=schema)
 
 
 def image_contexts(interleaved: DataFrame) -> DataFrame:

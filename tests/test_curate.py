@@ -309,12 +309,17 @@ def test_image_captions(spark):
              b'<img width=320 SRC="rel.png" ALT="cat\n pic">'
              b'<img src="/i/2.jpg" alt="">'
              b'<img src="data:image/png;base64,AA" alt="inline">'
-             b'<img src="/i/3.jpg">'),
+             b'<img src="/i/3.jpg">'
+             b'<img data-src="/lazy.jpg" alt="lazy loaded" class="lazyload">'
+             b'<img data-src="/hijack.jpg" src="/real.jpg" alt="src wins">'),
         ],
         "url string, html binary",
     )
     rows = {r["img_url"]: r for r in image_captions(pages).collect()}
-    assert set(rows) == {"https://a.com/i/1.jpg", "https://a.com/rel.png"}
+    assert set(rows) == {"https://a.com/i/1.jpg", "https://a.com/rel.png",
+                         "https://a.com/lazy.jpg", "https://a.com/real.jpg"}
+    assert rows["https://a.com/lazy.jpg"]["alt"] == "lazy loaded"
+    # a data-src must never hijack a present src
     assert rows["https://a.com/i/1.jpg"]["alt"] == "A dog"
     assert rows["https://a.com/i/1.jpg"]["width"] == 640
     assert rows["https://a.com/i/1.jpg"]["height"] == 480
@@ -323,7 +328,7 @@ def test_image_captions(spark):
     assert rows["https://a.com/rel.png"]["height"] is None
     # without the alt gate, the captionless images come through
     all_rows = image_captions(pages, require_alt=False).collect()
-    assert len(all_rows) == 4  # data: URI still dropped
+    assert len(all_rows) == 6  # data: URI still dropped
 
 
 def test_bitext_pairs_reciprocity(spark):

@@ -321,7 +321,10 @@ def make_detect_fn(cfg: ExtractConfig):
 # ---------------------------------------------------- interleaved documents
 
 _IMG_TAG_RE = _re.compile(rb"(?is)<img\b([^>]*)>")
-_IMG_SRC_RE = _re.compile(rb"""(?i)\bsrc\s*=\s*["']([^"']+)["']""")
+_IMG_SRC_RE = _re.compile(rb"""(?i)(?<![\w-])src\s*=\s*["']([^"']+)["']""")
+_IMG_LAZY_RE = _re.compile(
+    rb"""(?i)\bdata-(?:src|original|lazy-src)\s*=\s*["']([^"']+)["']"""
+)
 _IMG_ALT_RE = _re.compile(rb"""(?i)\balt\s*=\s*["']([^"']*)["']""")
 _WS_RE = _re.compile(r"[ \t\r\n]+")
 
@@ -368,7 +371,7 @@ def interleave_batch(
         items: List[tuple] = [(r["start"], "text", r["text"], None, None) for r in rows]
         for m in _IMG_TAG_RE.finditer(trunc):
             attrs = m.group(1)
-            sm = _IMG_SRC_RE.search(attrs)
+            sm = _IMG_SRC_RE.search(attrs) or _IMG_LAZY_RE.search(attrs)
             if not sm:
                 continue
             am = _IMG_ALT_RE.search(attrs)

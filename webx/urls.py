@@ -172,7 +172,10 @@ def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-_HREF_RE = r"""(?i)href\s*=\s*["']([^"']+)["']"""
+# (?<![\w-]) so data-href / data-src style lazy-load attributes can
+# NEVER hijack the real attribute (hyphen is a regex word boundary, so
+# a bare \bhref would match inside "data-href")
+_HREF_RE = r"""(?i)(?<![\w-])href\s*=\s*["']([^"']+)["']"""
 
 
 
@@ -500,13 +503,16 @@ def hreflang_alternates(pages: DataFrame, html_col: str = "html") -> DataFrame:
 
 
 _IMG_RE = r"""(?is)<img\b([^>]*)>"""
-_SRC_RE = r"""(?i)\bsrc\s*=\s*["']([^"']+)["']"""
+_SRC_RE = r"""(?i)(?<![\w-])src\s*=\s*["']([^"']+)["']"""
+# lazy-load fallbacks, tried when the img has no plain src — the
+# data-src family dominates real-crawl lazy-loading markup
+_LAZY_SRC_RE = r"""(?i)\bdata-(?:src|original|lazy-src)\s*=\s*["']([^"']+)["']"""
 _ALT_RE = r"""(?i)\balt\s*=\s*["']([^"']*)["']"""
 _WIDTH_RE = r"""(?i)\bwidth\s*=\s*["']?(\d+)"""
 _HEIGHT_RE = r"""(?i)\bheight\s*=\s*["']?(\d+)"""
 
 
-_SRCSET_RE = r"""(?i)\bsrcset\s*=\s*["']([^"']+)["']"""
+_SRCSET_RE = r"""(?i)(?<![\w-])srcset\s*=\s*["']([^"']+)["']"""
 _MEDIA_TAG_RE = r"""(?is)<(video|audio|source)\b([^>]*)>"""
 _TYPE_RE = r"""(?i)\btype\s*=\s*["']([^"']+)["']"""
 _POSTER_RE = r"""(?i)\bposter\s*=\s*["']([^"']+)["']"""
@@ -651,7 +657,13 @@ def image_captions(
     ).select(
         "url",
         "_base",
-        F.regexp_extract("attrs", _SRC_RE, 1).alias("src"),
+        # plain src, else the data-src lazy-load family (the real-crawl
+        # markup pattern where src is a placeholder or absent entirely)
+        F.coalesce(
+            F.nullif(F.regexp_extract("attrs", _SRC_RE, 1), F.lit("")),
+            F.nullif(F.regexp_extract("attrs", _LAZY_SRC_RE, 1), F.lit("")),
+            F.lit(""),
+        ).alias("src"),
         _ws_collapse(F.regexp_extract("attrs", _ALT_RE, 1)).alias("alt"),
         F.nullif(F.regexp_extract("attrs", _WIDTH_RE, 1), F.lit("")).cast("int").alias("width"),
         F.nullif(F.regexp_extract("attrs", _HEIGHT_RE, 1), F.lit("")).cast("int").alias("height"),

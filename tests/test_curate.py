@@ -276,6 +276,8 @@ def test_image_srcset_best_and_media_sources(spark):
              b'<img srcset="/a-320.jpg 320w, /a-800.jpg 800w" src="/a.jpg" alt="A">'
              b'<img srcset="/b.jpg, /b@2x.jpg 2x" alt="B">'
              b'<img src="/plain.jpg" alt="no srcset">'
+             b'<picture><source srcset="/pic-1200.avif 1200w, /pic-600.avif 600w" '
+             b'type="image/avif"><img src="/pic.jpg" alt="P"></picture>'
              b'<video src="/v.mp4" poster="/v.jpg"></video>'
              b"<video><source src='/v.webm' type='video/webm'></video>"
              b'<audio src="/a.mp3">'),
@@ -283,7 +285,9 @@ def test_image_srcset_best_and_media_sources(spark):
         "url string, html binary",
     )
     best = {r["best_src"]: r for r in image_srcset_best(pages).collect()}
-    assert set(best) == {"https://a.com/a-800.jpg", "https://a.com/b@2x.jpg"}
+    assert set(best) == {"https://a.com/a-800.jpg", "https://a.com/b@2x.jpg",
+                         "https://a.com/pic-1200.avif"}
+    assert best["https://a.com/pic-1200.avif"]["fallback_src"] is None
     assert best["https://a.com/a-800.jpg"]["fallback_src"] == "https://a.com/a.jpg"
     assert best["https://a.com/b@2x.jpg"]["fallback_src"] is None
     med = {(r["tag"], r["media_url"]): r for r in media_sources(pages).collect()}

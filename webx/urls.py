@@ -513,6 +513,8 @@ _HEIGHT_RE = r"""(?i)\bheight\s*=\s*["']?(\d+)"""
 
 
 _SRCSET_RE = r"""(?i)(?<![\w-])srcset\s*=\s*["']([^"']+)["']"""
+# srcset carriers: img and picture>source (source carries srcset only)
+_SRCSET_TAG_RE = r"""(?is)<(?:img|source)\b([^>]*)>"""
 _MEDIA_TAG_RE = r"""(?is)<(video|audio|source)\b([^>]*)>"""
 _TYPE_RE = r"""(?i)\btype\s*=\s*["']([^"']+)["']"""
 _POSTER_RE = r"""(?i)\bposter\s*=\s*["']([^"']+)["']"""
@@ -545,10 +547,12 @@ def image_srcset_best(pages: DataFrame, html_col: str = "html") -> DataFrame:
     largest declared candidate (the variant an image-text corpus
     fetches — bigger pixels, better training signal) resolved against
     the page's effective base, plus the plain ``src`` fallback and the
-    collapsed alt. Images without a srcset are image_captions'
-    territory and are skipped here."""
+    collapsed alt. Scans BOTH ``<img srcset>`` and ``<picture>``'s
+    ``<source srcset>`` children (the spec-preferred modern form — a
+    source element carries srcset only, never src). Images without a
+    srcset are image_captions' territory and are skipped here."""
     txt = _lossy_utf8(html_col)
-    imgs = F.regexp_extract_all(txt, F.lit(_IMG_RE), 1)
+    imgs = F.regexp_extract_all(txt, F.lit(_SRCSET_TAG_RE), 1)
     out = pages.select(
         F.col("url"),
         base_href_raw(txt).alias("_bhref"),

@@ -2988,6 +2988,67 @@ def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_template_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPLATE-scoped boilerplate removal — strip_host_boilerplate
+    keyed by (host, template-family) instead of host alone: on
+    multi-template hosts (article vs forum layouts) each template's
+    chrome differs, and host-scoped counting under-counts both. Docs
+    carry a per-(host, template-class) slogan (removed: ≥5 docs share
+    it within the key) and doc_id%97==0 docs a unique paragraph
+    (kept: below threshold). The tkey composite reuses the exact
+    count-then-anti-join machinery; in production the template class is
+    metadata.template_fingerprint."""
+    from webx.curate import strip_host_boilerplate
+
+    docs = synth.load_documents(spark, sf)
+    k = (F.col("doc_id") % 7).cast("string")
+    t = (F.col("doc_id") % 2).cast("string")
+    tkey = F.concat(F.lit("h"), k, F.lit(".example.com#t"), t)
+    slogan = F.concat(F.lit("Subscribe to h"), k, F.lit(" template "), t)
+    rare = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(F.lit("\nRARE "), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    staged = docs.select(
+        "doc_id",
+        tkey.alias("tkey"),
+        F.concat(F.col("text"), F.lit("\n"), slogan, rare).alias("text"),
+    )
+    return strip_host_boilerplate(
+        _par(staged, spark), host_col="tkey", min_docs=5
+    ).orderBy("doc_id")
+
+
+def _template_boilerplate_oracle_sql() -> str:
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com#t' || "
+        "CAST(doc_id % 2 AS VARCHAR)) AS tkey, "
+        "string_split(text || chr(10) || 'Subscribe to h' || "
+        "CAST(doc_id % 7 AS VARCHAR) || ' template ' || "
+        "CAST(doc_id % 2 AS VARCHAR) || "
+        "CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'RARE ' || "
+        "CAST(doc_id AS VARCHAR) ELSE '' END, chr(10)) AS ps "
+        "FROM documents), "
+        "parts AS (SELECT doc_id, tkey, unnest(ps) AS para, "
+        "unnest(generate_series(1, len(ps))) AS pos FROM base), "
+        "boiler AS (SELECT tkey, para FROM (SELECT tkey, para, "
+        "count(DISTINCT doc_id) AS nd FROM parts WHERE length(para) >= 1 "
+        "GROUP BY tkey, para) WHERE nd >= 5), "
+        "kept AS (SELECT p.doc_id, p.pos, p.para FROM parts p "
+        "LEFT JOIN boiler b ON p.tkey = b.tkey AND p.para = b.para "
+        "WHERE b.para IS NULL), "
+        "rebuilt AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) "
+        "AS text, count(*) AS n_kept FROM kept GROUP BY doc_id), "
+        "totals AS (SELECT doc_id, tkey, count(*) AS n_paragraphs "
+        "FROM parts GROUP BY doc_id, tkey) "
+        "SELECT t.doc_id, t.tkey, coalesce(r.text, '') AS text, "
+        "CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs, "
+        "CAST(t.n_paragraphs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
+        "FROM totals t LEFT JOIN rebuilt r USING (doc_id)"
+    )
+
+
 def q_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode NFC canonicalization (webx/textstats.nfc_normalize):
     doc_id%3==1 appends a DECOMPOSED accent tail (e + U+0301, i + U+0308),
@@ -5237,6 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagination": q_pagination,
         "q_url_templates": q_url_templates,
         "q_template_cluster": q_template_cluster,
+        "q_template_boilerplate": q_template_boilerplate,
         "q_feed_links": q_feed_links,
         "q_bitext_pairs": q_bitext_pairs,
         "q_image_captions": q_image_captions,
@@ -6235,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pagination": _pagination_oracle_sql(),
         "q_url_templates": _url_templates_oracle_sql(),
         "q_template_cluster": _template_cluster_oracle_sql(),
+        "q_template_boilerplate": _template_boilerplate_oracle_sql(),
         "q_feed_links": _feed_links_oracle_sql(),
         "q_bitext_pairs": _bitext_pairs_oracle_sql(),
         "q_image_captions": _image_captions_oracle_sql(),

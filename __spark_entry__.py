@@ -87,6 +87,17 @@ def q_extract_filter_empty(spark: SparkSession, sf: str) -> DataFrame:
     return out.filter(F.size("spans") > 0).select("url", "text")
 
 
+def q_extract_gnarly(spark: SparkSession, sf: str) -> DataFrame:
+    """Messy-real-web markup rotation (webx/synth.py GNARLY_PARTS):
+    conditional comments, downlevel-revealed text, unclosed table/li soup,
+    CDATA ghosts, script-string fake tags, mis-nested inline tags, quoted
+    '>' attributes, BOM, duplicate <body>, post-</html> junk — all must
+    extract to the SAME closed form as the flagship (the reference's
+    paste-real-data system-test discipline,
+    tests/st/test_train_eval_dummy.py:22-100)."""
+    return run_extraction(_par(synth.synth_pages_gnarly(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end through the WARC container: flagship pages serialized
     into WARC files (deterministic fixture, cached per sf dir), read back
@@ -5212,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_entities": q_extract_entities,
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
+        "q_extract_gnarly": q_extract_gnarly,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
@@ -5727,6 +5739,9 @@ def oracle_sql() -> dict[str, str]:
     esc_len = f"length({ESC})"
     return {
         "q_extract": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # gnarly rotation: mess is chrome-only by construction, so the
+        # expected text is the flagship closed form for every template
+        "q_extract_gnarly": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_multispan": (
             f"SELECT {URL} AS url, "
             f"({DID} || {NL} || {NORM} || {NL} || 'Notes' || {NL} || upper({NORM})) AS text "

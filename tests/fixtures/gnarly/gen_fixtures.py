@@ -1,0 +1,267 @@
+#!/usr/bin/env python3
+"""Generator for the gnarly fixture corpus (run once, goldens REVIEWED).
+
+Each page is a hand-written messy-public-web specimen; the golden .txt is
+produced by the extractor and then human-reviewed for "is this the main
+content a careful reader would keep?" before committing — the reference's
+paste-real-data system-test discipline (tests/st/test_train_eval_dummy.py:
+22-100) applied to HTML. Re-running this script regenerates goldens; diffs
+against committed goldens are extraction-behavior changes and must be
+re-reviewed, never rubber-stamped.
+
+Pages whose bytes aren't valid UTF-8 (charset specimens) are written from
+the PAGES dict as explicit byte strings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, "..", "..", ".."))
+
+PAGES: dict[str, bytes] = {}
+
+
+def page(name: str, html):
+    PAGES[name] = html.encode("utf-8") if isinstance(html, str) else html
+
+
+page("01_entity_soup", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Entities</title></head><body>
+<nav><a href="/">Home</a><a href="/glossary">Glossary</a></nav>
+<article><h1>Typography &amp; entities in the wild</h1>
+<p>Common pairs: &ldquo;curly quotes&rdquo;, the em&#8212;dash, caf&eacute;, na&iuml;ve, &frac12; cup, 3&times;4&nbsp;grid, &pound;5 &euro;7, and an unknown &fakeentity; stays literal.</p>
+<p>Numeric forms: &#65;&#66;&#67; then hex &#x44;&#x45;&#x46; and a bare ampersand & here.</p>
+</article>
+<footer><p>&copy; site</p></footer></body></html>""")
+
+page("02_unclosed_p_soup", """<html><head><title>Soup</title><body>
+<div id=nav><a href=/>home</a> <a href=/b>blog</a></div>
+<article>
+<h1>Four paragraphs, zero closing tags
+<p>The first paragraph simply never closes, like most of the 2003-era web.
+<p>The second paragraph follows it immediately and also never closes.
+<p>A third one, to make sure runs of open paragraphs merge in order.
+<p>And the fourth wraps up the argument without a single closing tag.
+</article></body></html>""")
+
+page("03_table_data", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Trains</title></head><body>
+<table class="nav"><tr><td><a href="/">Home</a></td><td><a href="/tickets">Tickets</a></td><td><a href="/help">Help</a></td></tr></table>
+<article><h1>Morning departures from Centraal</h1>
+<p>All trains below run daily except on public holidays, when a reduced schedule applies.</p>
+<table border=1><tr><th>Time</th><th>Destination</th><th>Platform</th></tr>
+<tr><td>07:12</td><td>Brussels South</td><td>4b</td></tr>
+<tr><td>07:48</td><td>Paris North</td><td>6c</td></tr>
+<tr><td>08:15</td><td>Berlin Main</td><td>2a</td></tr></table>
+</article><footer><a href="/imprint">Imprint</a></footer></body></html>""")
+
+page("04_pre_code", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Snippet</title></head><body>
+<nav><a href="/docs">Docs</a><a href="/api">API</a></nav>
+<article><h1>Comparing values safely</h1>
+<p>The comparison below keeps spacing exactly as written, including the operators.</p>
+<pre>
+if (i &lt; j &amp;&amp; j &gt; 0) {
+    total = total + rows[i];
+}
+</pre>
+<p>Note that the escaped operators decode back to plain comparison signs.</p>
+</article></body></html>""")
+
+page("05_dl_glossary", """<html><head><meta charset=utf-8><title>Glossary</title></head><body>
+<header><nav><a href="/">Index</a><a href="/a-z">A-Z</a></nav></header>
+<article><h1>Crawl glossary</h1>
+<dl>
+<dt>Fetch</dt><dd>One HTTP request for one URL, successful or not, counted once.</dd>
+<dt>Revisit</dt><dd>A fetch whose payload digest matched a previous capture of the same URL.</dd>
+<dt>Frontier</dt><dd>The prioritized queue of URLs scheduled to be fetched next.</dd>
+</dl></article>
+<footer><p><a href="/terms">Terms</a></p></footer></body></html>""")
+
+page("06_blockquote_cite", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Quote</title></head><body>
+<nav><a href="/essays">Essays</a><a href="/about">About</a></nav>
+<article><h1>On measurement</h1>
+<p>A line often repeated in engineering retrospectives deserves its full context.</p>
+<blockquote><p>Not everything that can be counted counts, and not everything that counts can be counted.</p></blockquote>
+<p>Whatever its true origin, the warning about proxy metrics stands on its own.</p>
+</article></body></html>""")
+
+page("07_rtl_arabic", """<!DOCTYPE html><html dir="rtl" lang="ar"><head><meta charset="utf-8"><title>مقال</title></head><body>
+<nav><a href="/">الرئيسية</a><a href="/news">الأخبار</a></nav>
+<article><h1>عنوان المقال الرئيسي هنا</h1>
+<p>هذه الفقرة الأولى من المقال وتحتوي على نص عربي كامل من اليمين إلى اليسار مع علامات الترقيم العادية.</p>
+<p>الفقرة الثانية تؤكد أن الاستخراج يحافظ على ترتيب القراءة كما هو في المستند الأصلي.</p>
+</article><footer><p>جميع الحقوق محفوظة</p></footer></body></html>""")
+
+page("08_cjk_nospace", """<!DOCTYPE html><html lang="zh"><head><meta charset="utf-8"><title>文章</title></head><body>
+<nav><a href="/">首页</a><a href="/news">新闻</a><a href="/about">关于</a></nav>
+<article><h1>分布式数据处理入门指南</h1>
+<p>中文文本没有空格分词，抽取器必须按字节处理整个段落而不会在任意位置截断内容，这一段用来验证该行为。</p>
+<p>第二段继续说明：列式存储与谓词下推是大规模数据扫描的基础，合理的分区策略决定了作业的扩展性。</p>
+</article><footer><p>版权所有</p></footer></body></html>""")
+
+# windows-1252 bytes: smart quotes \x93\x94, apostrophe \x92, dash \x97
+page(
+    "09_win1252",
+    b'<!DOCTYPE html><html><head><meta charset="windows-1252"><title>Quotes</title></head><body>'
+    b'<nav><a href="/">Home</a></nav>'
+    b"<article><h1>Editors\x92 picks this week</h1>"
+    b"<p>\x93Smart quotes\x94 and the long dash \x97 survive because the declared "
+    b"code page wins, exactly as the policy says.</p>"
+    b"</article></body></html>",
+)
+
+page("10_latin1_decl_ascii", """<!DOCTYPE html><html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"><title>Legacy</title></head><body>
+<nav><a href="/">Start</a><a href="/hilfe">Hilfe</a></nav>
+<article><h1>A legacy page with a legacy declaration</h1>
+<p>The body is plain ASCII on purpose; the point is that the iso-8859-1 declaration routes the decode without changing a single byte.</p>
+</article></body></html>""")
+
+page("11_figure_caption", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Figures</title></head><body>
+<header><div>Photo blog</div><nav><a href="/">Home</a><a href="/archive">Archive</a></nav></header>
+<article><h1>Fog over the harbor</h1>
+<p>Shot half an hour before sunrise, when the water and the sky share one color.</p>
+<figure><img src="/harbor.jpg" alt=""><figcaption>The east pier, 05:40, handheld at 1/25s.</figcaption></figure>
+<p>The crane in the background disappears completely two frames later.</p>
+</article></body></html>""")
+
+page("12_details_summary", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>FAQ</title></head><body>
+<nav><a href="/">Home</a><a href="/faq">FAQ</a></nav>
+<article><h1>Shipping questions answered</h1>
+<details><summary>How long does standard delivery take?</summary>
+<p>Between two and five working days for domestic orders, depending on the destination region.</p></details>
+<details><summary>Can I change the address after ordering?</summary>
+<p>Yes, until the parcel is handed to the carrier; after that the carrier's redirect service applies.</p></details>
+</article></body></html>""")
+
+page("13_nested_divitis", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Divs</title></head><body>
+<div><div><div class="l1"><div class="l2"><div class="l3"><div class="l4"><div class="l5">
+<header><nav><a href="/">Home</a><a href="/x">X</a></nav></header>
+<div><div><article><div><div class="inner"><h1>Ten layers down, still readable</h1>
+<div><p>Page builders wrap every element in a handful of divs; block structure survives because each div is just another boundary.</p></div>
+</div></div></article></div></div>
+</div></div></div></div></div></div></div></body></html>""")
+
+page("14_sibling_articles", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Digest</title></head><body>
+<nav><a href="/">Home</a><a href="/digest">Digest</a></nav>
+<article><h1>First: the morning report</h1>
+<p>Markets opened flat while the committee minutes were parsed line by line for intent.</p></article>
+<div class="ad"><a href="/buy">Sponsored: buy now</a> <a href="/deal">Today's deal</a></div>
+<article><h1>Second: the afternoon follow-up</h1>
+<p>By close, the early reading had reversed twice, which the evening wrap politely called volatility.</p></article>
+<footer><p><a href="/subscribe">Subscribe</a></p></footer></body></html>""")
+
+page("15_comment_dashes", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Comments</title></head><body>
+<!-- header start -- or is it -->
+<nav><a href="/">Home</a><a href="/log">Log</a></nav>
+<!--
+  multi-line comment with <p>markup inside</p>
+  and even an <article> that must never surface
+-->
+<article><h1>Comments with dashes inside</h1>
+<p>The page is littered with comments containing double dashes and markup; none of it belongs to the content.</p>
+</article><!-- trailing note --></body></html>""")
+
+page("16_textarea_form", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Editor</title></head><body>
+<nav><a href="/">Home</a><a href="/editor">Editor</a></nav>
+<article><h1>Paste your snippet below</h1>
+<p>The editor form keeps raw markup verbatim inside the textarea, and none of it is page content.</p>
+</article>
+<form action="/save" method="post">
+<label>Snippet</label>
+<textarea name="body"><p>This looks like a paragraph</p><h1>and a heading</h1> but it is form STATE, not content</textarea>
+<button type="submit">Save draft</button>
+</form>
+<footer><p><a href="/help">Help</a></p></footer></body></html>""")
+
+page("17_svg_between", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Chart</title></head><body>
+<nav><a href="/">Home</a><a href="/metrics">Metrics</a></nav>
+<article><h1>Throughput by week</h1>
+<p>The run rate doubled after the partitioning change landed in week nineteen.</p>
+<svg width="200" height="50"><text x="5" y="20">wk19</text><rect width="80" height="10"/></svg>
+<p>The same chart over bytes instead of rows shows an even steeper slope.</p>
+</article></body></html>""")
+
+page("18_oldweb_center", """<html><head><title>Homepage</title></head><body bgcolor="#ffffff">
+<center><font size=5>Welcome!</font></center>
+<table width=100%><tr><td><a href="/guest">Guestbook</a> <a href="/links">Links</a> <a href="/webring">Webring</a>
+<tr><td><article><h1>News from my corner of the web</h1>
+<p>Updated the photo gallery and fixed the broken counter script that a visitor kindly reported by email.</p>
+</article>
+<tr><td align=center><a href="/legal"><font size=1>est. 1998 - best viewed at 800x600</font></a>
+</table></body></html>""")
+
+page("19_noscript_tracking", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Privacy note</title>
+<script>window.dataLayer=window.dataLayer||[];function gtag(){dataLayer.push(arguments)}</script>
+</head><body>
+<noscript><img src="/collect?noscript=1" alt="">Tracking pixel placeholder text.</noscript>
+<nav><a href="/">Home</a><a href="/privacy">Privacy</a></nav>
+<article><h1>What the pixel does not see</h1>
+<p>With scripts disabled the fallback pixel fires once, and the page content remains exactly this paragraph.</p>
+</article></body></html>""")
+
+page("20_malformed_attr_footer", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Broken footer</title></head><body>
+<nav><a href="/">Home</a><a href="/status">Status</a></nav>
+<article><h1>The content is fine, the footer is not</h1>
+<p>Somewhere below this paragraph an unclosed attribute quote swallows markup until the next quote, and it must not take the article with it.</p>
+</article>
+<footer><div class="colophon><p>generated by legacy-cms 0.9</p></div><p>contact: webmaster</p></footer>
+</body></html>""")
+
+page("21_base_meta_refresh", """<!DOCTYPE html><html><head><meta charset="utf-8"><base href="https://cdn.example.org/mirror/"><meta http-equiv="refresh" content="600"><title>Mirrored</title></head><body>
+<nav><a href="relative/one">One</a><a href="relative/two">Two</a></nav>
+<article><h1>Served from a mirror</h1>
+<p>The base element rewrites every relative link, and the refresh header reloads the page every ten minutes; neither changes the text.</p>
+</article></body></html>""")
+
+page("22_crossed_nesting", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Crossed</title></head><body>
+<nav><a href="/">Home</a><a href="/b">B</a></nav>
+<article><h1>Inline and block tags, crossed</h1>
+<b><p>This paragraph opens inside a bold span that closes</b> midway through, and the paragraph keeps going regardless.</p>
+<p>A normal closing paragraph follows to prove the lexer recovered.</i></p>
+</article></body></html>""")
+
+page("23_iframe_ins_del", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Edits</title></head><body>
+<nav><a href="/">Home</a><a href="/changelog">Changelog</a></nav>
+<iframe src="https://ads.example.net/slot/728x90" title="ad"></iframe>
+<article><h1>Corrections to yesterday's post</h1>
+<p>The figure was <del>fourteen</del> <ins>forty</ins> million rows, an order-of-magnitude slip a reader caught within minutes.</p>
+</article>
+<iframe src="https://ads.example.net/slot/300x250"></iframe>
+</body></html>""")
+
+page("24_kitchen_sink", """﻿<!DOCTYPE html><!--[if lt IE 9]><script src="/shim.js"></script><![endif]--><html><head>
+<meta charset="utf-8"><meta property="og:desc" content="a > b & c < d">
+<script type="application/ld+json">{"headline":"<h1>ghost</h1>"}</script>
+<style>article:before{content:"not > text"}</style><title>Sink</title></head>
+<body><body class=dup>
+<nav><![if !IE]><span>legacy banner</span><![endif]><a href="/">Home</a><a href="/all">All</a></nav>
+<table><tr><td><article><h1>Everything, everywhere, all at once</h1>
+<![CDATA[ <p>cdata ghost</p> ]]>
+<p data-x='{"k":"<i>v</i>"}'>One surviving paragraph carries the whole page, wrapped in <b>bold that never closes and a table that never ends.</p>
+</article>
+<footer><p><a href="/fin">fin</a></p></footer></body></html>
+<div>rendered in 3ms</div>""")
+
+
+def main() -> None:
+    import pandas as pd
+
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    cfg = ExtractConfig()
+    for name, html in sorted(PAGES.items()):
+        with open(os.path.join(HERE, f"{name}.html"), "wb") as fh:
+            fh.write(html)
+        out = extract_batch(pd.DataFrame({"url": [name], "html": [html]}), cfg)
+        text = out.iloc[0]["text"]
+        with open(os.path.join(HERE, f"{name}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(text)
+        print(f"===== {name} =====")
+        print(text)
+        print()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Messy-real-web extraction contract.
+
+Two fixture families:
+
+1. The committed corpus ``tests/fixtures/gnarly/*.html`` — hand-written
+   public-web-style specimens (entity soup, unclosed-tag soup, conditional
+   comments, charset quirks, textarea/script traps, crossed nesting) with
+   REVIEWED goldens (``*.txt``, produced by ``gen_fixtures.py`` and
+   human-checked). This is the reference's paste-real-data system-test
+   discipline (tests/st/test_train_eval_dummy.py:22-100) applied to HTML.
+
+2. The oracle-gated synth rotation ``webx.synth.GNARLY_PARTS`` backing
+   ``q_extract_gnarly`` — here we assert the per-template anatomy on one
+   concrete document (golden text, ghost strings absent) so an oracle
+   failure localizes to a template instead of a 500-row hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import unicodedata
+
+import pandas as pd
+import pytest
+
+from webx import synth
+from webx.config import ExtractConfig
+from webx.extract import extract_batch
+
+CFG = ExtractConfig()
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "gnarly")
+PAGES = sorted(f[:-5] for f in os.listdir(FIXDIR) if f.endswith(".html"))
+
+
+def _extract(html: bytes) -> str:
+    out = extract_batch(pd.DataFrame({"url": ["u"], "html": [html]}), CFG)
+    return out.iloc[0]["text"]
+
+
+def test_corpus_is_committed():
+    # the corpus must stay substantial; shrinking it is a review event
+    assert len(PAGES) >= 24
+
+
+@pytest.mark.parametrize("name", PAGES)
+def test_gnarly_fixture_golden(name):
+    with open(os.path.join(FIXDIR, f"{name}.html"), "rb") as fh:
+        html = fh.read()
+    with open(os.path.join(FIXDIR, f"{name}.txt"), encoding="utf-8") as fh:
+        golden = fh.read()
+    assert _extract(html) == golden
+
+
+@pytest.mark.parametrize("name", PAGES)
+def test_gnarly_fixture_python_kernel_parity(name):
+    """The pure-Python reference path must produce the same goldens as
+    the default (C-kernel) path on the whole messy corpus."""
+    with open(os.path.join(FIXDIR, f"{name}.html"), "rb") as fh:
+        html = fh.read()
+    with open(os.path.join(FIXDIR, f"{name}.txt"), encoding="utf-8") as fh:
+        golden = fh.read()
+    out = extract_batch(
+        pd.DataFrame({"url": ["u"], "html": [html]}),
+        ExtractConfig(ckernels="off"),
+    )
+    assert out.iloc[0]["text"] == golden
+
+
+# ------------------------------------------------- synth template anatomy
+
+DOC_ID = 7
+TEXT = "A  paragraph\twith messy   whitespace that still extracts fine."
+NORM = " ".join(TEXT.split())
+GOLDEN = f"Doc {DOC_ID}\n{NORM}"
+
+# strings that exist in the raw templates and must NEVER surface
+GHOSTS = [
+    "ghost",                      # CDATA / script-string / JSON-LD ghosts
+    "Please upgrade",             # downlevel-revealed conditional text
+    "Legacy layout",              # IE conditional comment body
+    "JavaScript is disabled",     # noscript fallback
+    "cache hit",                  # post-</html> junk
+    "Tweet",                      # share bars
+    "One weird trick",            # sidebar teasers
+    "Example Corp",               # footers
+]
+
+
+def _page(k: int, doc_id: int = DOC_ID, text: str = TEXT) -> bytes:
+    pre, mid, mid2, tail = synth.GNARLY_PARTS[k]
+    did = f"Doc {doc_id}"
+    esc = (
+        " ".join(text.split())
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return (pre + did + mid + did + mid2 + esc + tail).encode("utf-8")
+
+
+@pytest.mark.parametrize("k", range(len(synth.GNARLY_PARTS)))
+def test_gnarly_template_golden(k):
+    got = _extract(_page(k))
+    assert got == GOLDEN
+    for ghost in GHOSTS:
+        assert ghost not in got
+
+
+@pytest.mark.parametrize("k", range(len(synth.GNARLY_PARTS)))
+def test_gnarly_template_shortest_doc(k):
+    """The weakest document in the driver tables has ~35 non-ws bytes;
+    every template's content block must still clear binary_thresh and
+    box_thresh at that length (the score-arithmetic margin the templates
+    were designed against — see webx/synth.py)."""
+    short = "tiny page body with just enough words here."  # 36 non-ws bytes
+    assert len("".join(short.split())) <= 37
+    got = _extract(_page(k, doc_id=0, text=short))
+    assert got == f"Doc 0\n{short}"
+
+
+def test_gnarly_template_escape_roundtrip():
+    """Text containing raw <, >, & survives through the escape+extract
+    round-trip in every template (entity decode is part of stage 2)."""
+    tricky = "compare: 2 < 3 && 5 > 4, AT&T is a carrier of choice."
+    for k in range(len(synth.GNARLY_PARTS)):
+        got = _extract(_page(k, text=tricky))
+        assert got == f"Doc {DOC_ID}\n{tricky}", f"template {k}"
+
+
+def test_bom_is_not_content():
+    """Template 5 opens with a UTF-8 BOM; it must be stripped before
+    tokenization, never decoded into the text."""
+    got = _extract(_page(5))
+    assert "﻿" not in got
+    assert unicodedata.category(got[0]) != "Cf"
+
+
+def test_fixture_corpus_is_messy():
+    """Tripwire: the corpus must keep exercising the constructs it was
+    built for (if a cleanup 'simplifies' the fixtures, this fails)."""
+    blob = b""
+    for name in PAGES:
+        with open(os.path.join(FIXDIR, f"{name}.html"), "rb") as fh:
+            blob += fh.read()
+    for marker in (
+        b"<![CDATA[", b"<!--[if", b"<![if !IE]>", b"<textarea",
+        b"<noscript>", b"\x93",  # win1252 smart quote byte
+        b'class="colophon>',     # unclosed attribute quote
+        b"<p>The first paragraph simply never closes",
+    ):
+        assert marker in blob, marker

@@ -226,6 +226,155 @@ def synth_pages_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- gnarly template family
+# Messy-real-web markup (the paste-real-data system-test discipline of the
+# reference, tests/st/test_train_eval_dummy.py:22-100, applied to HTML):
+# conditional comments, downlevel-revealed text, unclosed <li>/<td>/<table>
+# soup, CDATA ghosts, script/style strings containing fake tags, mis-nested
+# inline tags, quoted '>' in attributes, uppercase/unquoted markup, BOM,
+# duplicate <body>, trailing junk after </html>, mixed-script boilerplate.
+# INVARIANT: every template still extracts to the SAME closed form as the
+# flagship ('Doc '||doc_id||'\n'||norm(text)) — messiness lives in chrome
+# blocks that are boilerplate-flagged, link-dense, or under the
+# min_span_chars floor, and in constructs that strip to pure whitespace
+# inside the content span. tests/test_gnarly_pages.py asserts the per-
+# template block/score anatomy; q_extract_gnarly is the oracle gate.
+
+_G0_PRE = (
+    '<!DOCTYPE html><!--[if lt IE 9]><script src="/ie-shim.js"></script><![endif]-->'
+    '<html><head><meta charset="utf-8">'
+    '<!--[if IE 6]><link rel="stylesheet" href="/ie6.css"><![endif]--><title>'
+)
+_G0_MID = (
+    "</title></head><body>"
+    "<nav><![if !IE]><p>Please upgrade to a modern browser.</p><![endif]>"
+    '<ul><li><a href="/">Home</a><li><a href="/faq">FAQ</a><li><a href="/news">News</a></ul></nav>'
+    '<!--[if lte IE 8]><div class="warn"><p>Legacy layout engaged</p></div><![endif]-->'
+    "<article><h1>"
+)
+_G0_MID2 = "</h1><!-- hero --><p>"
+_G0_TAIL = (
+    '</p></article><div id="ft"><![if !IE]><!-- legacy spacer --><![endif]></div>'
+    "<footer><p>&copy; 2026 Example</p></footer></body></html>"
+)
+
+_G1_PRE = "<html><head><title>"
+_G1_MID = (
+    "</title><body bgcolor=white text=black>"
+    "<table width=100% border=0 cellpadding=0><tr><td class=topnav>"
+    '<a href="/">Home</a> | <a href="/archive">Archive</a> | <a href="/about">About</a> | <a href="/mail">Mail</a>'
+    '<tr><td><img src="/banner.gif" width=468 height=60 alt="">'
+    "<table><tr><td><article><h1>"
+)
+_G1_MID2 = "</h1><p>"
+_G1_TAIL = (
+    '</p></article><table><tr><td align=center>'
+    '<a href="/legal">&copy; 1999 Example Corp</a></body></html>'
+)
+
+_G2_PRE = (
+    '<?xml version="1.0" encoding="utf-8"?>'
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+    '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+    '<html xmlns="http://www.w3.org/1999/xhtml"><head><meta charset="utf-8"/>'
+    '<style type="text/css">/*<![CDATA[*/ body{margin:0} .hdr>ul li a{color:#900} /*]]>*/</style>'
+    '<script type="text/javascript">var tricky="</p><div>ghost</div>";'
+    'if(2<3&&tricky>""){document.title=tricky}</script><title>'
+)
+_G2_MID = (
+    '</title></head><body><div class="hdr"><ul>'
+    '<li><a href="/">Home</a></li><li><a href="/x">Docs</a></li></ul></div>'
+    "<!-- main -- ><article><h1>"
+)
+_G2_MID2 = "</h1><![CDATA[ <p>ghost paragraph that must never surface</p> ]]><p>"
+_G2_TAIL = (
+    '</p><p class="tags"><a href="/t/web">web</a> <a href="/t/xml">xml</a> '
+    '<a href="/t/legacy">legacy</a></p></article></body><!-- page ok --></html>'
+)
+
+_G3_PRE = "<!doctype HTML><HTML><HEAD><META CHARSET=UTF-8><TITLE>"
+_G3_MID = (
+    "</TITLE></HEAD><BODY>"
+    '<DIV CLASS="breadcrumb"><A HREF="/">Home</A> &raquo; <A HREF="/kb">KB</A>'
+    " &raquo; <SPAN>Article</SPAN></DIV><ARTICLE><H1>"
+)
+_G3_MID2 = (
+    "</H1><P DATA-META='{\"html\":\"<p>5>4</p>\",\"ok\":true}'>"
+    '<SPAN STYLE="font-weight:bold">'
+)
+_G3_TAIL = (
+    '</i></P></ARTICLE><DIV ID="share"><A HREF="/s/t">Tweet</A> '
+    '<A HREF="/s/f">Share</A> <A HREF="/s/l">Link</A></DIV></BODY></HTML>'
+)
+
+_G4_PRE = (
+    '<!DOCTYPE html><html lang="en"><head><meta charset="utf-8">'
+    '<meta property="og:title" content="A &gt; B article">'
+    '<script type="application/ld+json">'
+    '{"@type":"Article","headline":"<h1>fake</h1>","x":"</div>"}</script><title>'
+)
+_G4_MID = (
+    '</title></head><body class="theme-light wide">'
+    '<div class="wrap"><div class="row"><div class="col col-12">'
+    '<header class="site"><div class="brand">Example</div>'
+    '<nav class="menu"><a href="/">Home</a><a href="/blog">Blog</a>'
+    '<a href="/shop">Shop</a><a href="/cart">Cart (0)</a></nav></header>'
+    '<div class="share-bar"><a href="/sh/tw">Tweet</a><a href="/sh/fb">Like</a>'
+    '<a href="/sh/in">Post</a></div>'
+    '<div class="content-area"><article class="post"><h1 class="post-title">'
+)
+_G4_MID2 = '</h1><div class="post-body"><p>'
+_G4_TAIL = (
+    "</p></div></article></div>"
+    '<aside class="sidebar"><h3>Trending</h3><ul>'
+    '<li><a href="/p/1">One weird trick</a></li>'
+    '<li><a href="/p/2">Top 10 lists</a></li></ul></aside></div></div>'
+    '<footer class="site"><p>示例公司 &middot; 2026 &middot; Alle Rechte '
+    "vorbehalten &middot; جميع الحقوق محفوظة</p></footer></body></html>"
+)
+
+_G5_PRE = (
+    "\ufeff<!DOCTYPE html><html><head>"
+    '<meta http-equiv="Content-Type" content="text/html; charset=utf-8"><title>'
+)
+_G5_MID = (
+    '</title></head><body><body class="dup">'
+    '<noscript><img src="/px.gif" width=1 height=1 alt="">'
+    "JavaScript is disabled in your browser.</noscript>"
+    '<header><nav><a href="/">Start</a><a href="/help">Help</a></nav></header>'
+    "</div></div><article><h1>"
+)
+_G5_MID2 = '</h1><p id="c1">'
+_G5_TAIL = (
+    '</p></article><footer><p><a href="/imprint">Imprint</a> '
+    '<a href="/privacy">Privacy</a></p></footer></body></html>'
+    '<div class="srv">cache hit 0.003s</div>'
+)
+
+GNARLY_PARTS = [
+    (_G0_PRE, _G0_MID, _G0_MID2, _G0_TAIL),
+    (_G1_PRE, _G1_MID, _G1_MID2, _G1_TAIL),
+    (_G2_PRE, _G2_MID, _G2_MID2, _G2_TAIL),
+    (_G3_PRE, _G3_MID, _G3_MID2, _G3_TAIL),
+    (_G4_PRE, _G4_MID, _G4_MID2, _G4_TAIL),
+    (_G5_PRE, _G5_MID, _G5_MID2, _G5_TAIL),
+]
+
+
+def synth_pages_gnarly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-markup pages, template rotated by ``doc_id % 6``. Expected
+    text for EVERY row is the flagship closed form
+    ``'Doc '||doc_id||'\\n'||norm(text)`` — the mess must be invisible."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    k = (F.col("doc_id") % len(GNARLY_PARTS) + 1).cast("int")
+    part = lambda i: F.element_at(  # noqa: E731
+        F.array(*[F.lit(p[i]) for p in GNARLY_PARTS]), k
+    )
+    html = F.concat(part(0), did, part(1), did, part(2), esc, part(3))
+    return docs.select(*_assemble(html))
+
+
 def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataFrame:
     """Deterministic text-PDF per document → (url, pdf). Same
     generate-input-from-expected-output trick as the HTML pages: the PDF

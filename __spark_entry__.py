@@ -98,6 +98,17 @@ def q_extract_gnarly(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_gnarly(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_charset_edge(spark: SparkSession, sf: str) -> DataFrame:
+    """WHATWG charset prescan edge rotation (webx/synth.py
+    synth_pages_charset_edge): meta-in-comment, BOM-less UTF-16LE,
+    latin1→cp1252 registry mapping, x-user-defined, UTF-16 pragma on
+    ASCII bytes. Each case distinguishes the spec prescan from a naive
+    charset= substring sniff."""
+    return run_extraction(
+        _par(synth.synth_pages_charset_edge(spark, sf), spark), CFG
+    ).select("url", "text")
+
+
 def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end through the WARC container: flagship pages serialized
     into WARC files (deterministic fixture, cached per sf dir), read back
@@ -273,9 +284,12 @@ def q_extract_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_extract_pdf(spark: SparkSession, sf: str) -> DataFrame:
     """PDF lane of the two-stage extractor (webx/pdf.py): deterministic
-    Flate-compressed text PDFs built from the documents table, parsed
-    back via xref walk → text-object detect → sequential decode — must
-    reproduce the SAME closed-form golden text as the HTML flagship."""
+    text PDFs built from the documents table rotating every parser lane
+    (classic xref / xref streams ± predictor / CID fonts) and every
+    stream filter (Flate, LZW with both EarlyChange values, the
+    ASCII85-over-Flate chain, ASCIIHex, raw), parsed back via xref walk
+    → text-object detect → sequential decode — must reproduce the SAME
+    closed-form golden text as the HTML flagship."""
     from webx.pdf import extract_pdf
 
     pdfs = _par(synth.synth_pdfs(spark, sf), spark)
@@ -5224,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_gnarly": q_extract_gnarly,
+        "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
@@ -5742,6 +5757,14 @@ def oracle_sql() -> dict[str, str]:
         # gnarly rotation: mess is chrome-only by construction, so the
         # expected text is the flagship closed form for every template
         "q_extract_gnarly": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # charset edge rotation: flagship golden + per-case suffix
+        # (0xA3 under x-user-defined decodes to U+F7A3 = 63395)
+        "q_extract_charset_edge": (
+            f"SELECT {URL} AS url, ({GOLDEN} || CASE doc_id % 5 "
+            "WHEN 2 THEN ' ' || chr(8364) || '1999' "
+            "WHEN 3 THEN ' key ' || chr(63395) "
+            "ELSE ' caf' || chr(233) END) AS text FROM documents"
+        ),
         "q_extract_multispan": (
             f"SELECT {URL} AS url, "
             f"({DID} || {NL} || {NORM} || {NL} || 'Notes' || {NL} || upper({NORM})) AS text "

@@ -193,11 +193,14 @@ def test_http_charset_hint_precedence():
     texts = dict(zip(out["url"], out["text"]))
     assert "“q”" in texts["hinted"]       # header beat the meta
     assert "“q”" in texts["bom"]          # BOM beat the header
-    assert "\x93q\x94" in texts["badhint"]          # unknown → meta sniff
-    assert "\x93q\x94" in texts["nohint"]           # no hint → meta sniff
+    # unknown hint / no hint → meta sniff; the iso-8859-1 label resolves
+    # to cp1252 under the WHATWG registry, so the smart quotes decode
+    # (the lying meta is corrected by the registry, not the header)
+    assert "“q”" in texts["badhint"]
+    assert "“q”" in texts["nohint"]
     # and without the hint column at all, behavior is unchanged
     out2 = extract_batch(pdf[["url", "html"]], cfg)
-    assert "\x93q\x94" in dict(zip(out2["url"], out2["text"]))["hinted"]
+    assert "“q”" in dict(zip(out2["url"], out2["text"]))["hinted"]
 
 
 def test_parse_warc_meta_charset():

@@ -64,7 +64,8 @@ def test_status_and_meta(spark):
 def test_latin1_pages(spark):
     out = run_extraction(synth.synth_pages_latin1(spark, SF_SMALL), CFG)
     rows = out.select("text", "meta.charset").collect()
-    assert all(r["charset"] == "latin-1" for r in rows)
+    # WHATWG registry: the iso-8859-1 label resolves to windows-1252
+    assert all(r["charset"] == "cp1252" for r in rows)
     assert all(r["text"].endswith(" café") for r in rows)
 
 

@@ -65,12 +65,37 @@ def test_crlf_normalized():
 # ---- charset sniffing ----
 
 def test_sniff_meta_charset():
-    assert sniff_charset(b'<meta charset="ISO-8859-1">') == "latin-1"
+    # WHATWG registry: the iso-8859-1/latin1/ascii label family IS
+    # windows-1252 on the web
+    assert sniff_charset(b'<meta charset="ISO-8859-1">') == "cp1252"
+    assert sniff_charset(b"<meta charset=latin1>") == "cp1252"
+    assert sniff_charset(b"<meta charset=ascii>") == "cp1252"
     assert sniff_charset(b"<meta charset=gb2312>") == "gbk"
+    assert sniff_charset(b"<meta charset=sjis>") == "cp932"
+    assert sniff_charset(b"<meta charset=euc-kr>") == "cp949"
     assert (
         sniff_charset(b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">')
         == "cp1252"
     )
+
+
+def test_sniff_whatwg_prescan_rules():
+    # a charset decl inside a comment never counts
+    assert (
+        sniff_charset(b'<!-- <meta charset="koi8-r"> --><meta charset="utf-8">')
+        == "utf-8"
+    )
+    assert sniff_charset(b'<!-- <meta charset="koi8-r"> --><p>x</p>') == "utf-8"
+    # an unterminated comment hides everything after it
+    assert sniff_charset(b'<!-- oops <meta charset="koi8-r">') == "utf-8"
+    # content= form requires the http-equiv=content-type pragma
+    assert sniff_charset(b'<meta content="text/html; charset=koi8-r">') == "utf-8"
+    # a declared UTF-16 on ASCII-shaped bytes resolves to UTF-8 (spec 9.4)
+    assert sniff_charset(b'<meta charset="utf-16le">') == "utf-8"
+    # charset= in a non-meta tag never counts
+    assert sniff_charset(b'<a href="/x?charset=koi8-r">k</a>') == "utf-8"
+    # x-user-defined is a real label
+    assert sniff_charset(b'<meta charset="x-user-defined">') == "x-user-defined"
 
 
 def test_sniff_default_and_unknown():

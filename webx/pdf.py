@@ -14,7 +14,10 @@ DBNet detect → CRNN decode split):
 
 Honest bounds (stated, not hidden): classic xref tables AND PDF 1.5+
 xref streams / object streams (/Prev incremental-update chains, TIFF +
-all five per-row PNG predictors), FlateDecode only. Show-string decode
+all five per-row PNG predictors); stream filters FlateDecode, LZWDecode
+(EarlyChange 0/1, table-clear cycles), ASCII85Decode, ASCIIHexDecode,
+and /Filter arrays chaining them (image-only filters DCT/JPX/CCITT/RLE
+carry no text and stay unsupported). Show-string decode
 goes through font maps: /ToUnicode CMaps (codespacerange + bfchar +
 both bfrange forms — the composite/CID-font layout modern subsetted
 writers emit) and simple-font /Encoding with /Differences (WinAnsi /
@@ -45,10 +48,17 @@ def _esc(s: bytes) -> bytes:
     return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def write_pdf(title: str, body: str, compress: bool = True) -> bytes:
+def write_pdf(
+    title: str, body: str, compress: bool = True, stream_filter: "str | None" = None
+) -> bytes:
     """Deterministic single-page text PDF showing ``title`` then ``body``
     (generate-input-from-expected-output: extracting it must yield
-    ``title + "\\n" + body`` byte-identically)."""
+    ``title + "\\n" + body`` byte-identically). ``stream_filter`` picks
+    the /Contents encoding lane: flate | raw | lzw | lzw0 (EarlyChange 0)
+    | a85flate (ASCII85-over-Flate chain) | ahx (ASCIIHex); default
+    follows ``compress``."""
+    import base64
+
     content = (
         b"BT /F1 12 Tf 72 720 Td ("
         + _esc(title.encode("utf-8"))
@@ -56,12 +66,29 @@ def write_pdf(title: str, body: str, compress: bool = True) -> bytes:
         + _esc(body.encode("utf-8"))
         + b") Tj ET"
     )
-    if compress:
+    if stream_filter is None:
+        stream_filter = "flate" if compress else "raw"
+    if stream_filter == "flate":
         data = zlib.compress(content)
-        stream_dict = b"<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
-    else:
+        fdecl = b" /Filter /FlateDecode"
+    elif stream_filter == "raw":
         data = content
-        stream_dict = b"<< /Length " + str(len(data)).encode() + b" >>"
+        fdecl = b""
+    elif stream_filter == "lzw":
+        data = _lzw_encode(content)
+        fdecl = b" /Filter /LZWDecode"
+    elif stream_filter == "lzw0":
+        data = _lzw_encode(content, early=0)
+        fdecl = b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>"
+    elif stream_filter == "a85flate":
+        data = base64.a85encode(zlib.compress(content)) + b"~>"
+        fdecl = b" /Filter [ /ASCII85Decode /FlateDecode ]"
+    elif stream_filter == "ahx":
+        data = content.hex().encode("ascii") + b">"
+        fdecl = b" /Filter /ASCIIHexDecode"
+    else:
+        raise ValueError(f"unknown stream_filter {stream_filter!r}")
+    stream_dict = b"<< /Length " + str(len(data)).encode() + fdecl + b" >>"
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -487,6 +514,171 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
     raise ValueError(f"unsupported predictor {pred}")
 
 
+# ----------------------------------------------------------- stream filters
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4; TIFF-variant LZW): variable 9→12-bit
+    MSB-first codes, 256=clear-table, 257=EOD, /EarlyChange (default 1)
+    widens the code one entry early."""
+    out = bytearray()
+    prev: bytes | None = None
+    next_code = 258
+    width = 9
+    table: dict = {}
+    bitbuf = 0
+    bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (bitbuf >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table.clear()
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # the decoder's next_code lags the encoder by one at
+                # read time, so its width bump fires one entry earlier
+                # than the encoder's post-add check
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)  # tolerated: EOD-less stream ends at data end
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side LZW encoder. Two phases: (1) the dictionary walk
+    produces the code sequence; (2) the bit packer assigns each code the
+    width a STANDARD decoder (pdf.js-style: add entry per data code read
+    after the first, bump when next_code + EarlyChange reaches the width
+    limit) expects at that point. Driving the width schedule off the
+    decoder simulation — not the encoder's own table — is what keeps the
+    two sides aligned at the boundary where the decoder performs its
+    final (unused) add."""
+    base = {bytes([i]): i for i in range(256)}
+
+    # phase 1: code sequence
+    codes: List[int] = [256]
+    table = dict(base)
+    next_code = 258
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        codes.append(table[w])
+        if next_code >= 4096:  # 12-bit codes: 4095 is the last entry
+            codes.append(256)
+            table = dict(base)
+            next_code = 258
+        else:
+            table[wc] = next_code
+            next_code += 1
+        w = ch
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+
+    # phase 2: pack, simulating the decoder's width schedule
+    outbits = bytearray()
+    bitbuf = 0
+    bits = 0
+    width = 9
+    dec_next = 258
+    seen_data = False  # decoder's prev != None (a data code read since clear)
+    for code in codes:
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            outbits.append((bitbuf >> bits) & 0xFF)
+        if code == 256:
+            width = 9
+            dec_next = 258
+            seen_data = False
+        elif code != 257:
+            if seen_data:  # decoder adds an entry while processing this code
+                dec_next += 1
+                if dec_next + early >= (1 << width) and width < 12:
+                    width += 1
+            seen_data = True
+    if bits:
+        outbits.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(outbits)
+
+
+_A85_WS = b" \t\r\n\f\v"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = bytes(b for b in data if b not in _A85_WS)
+    return base64.a85decode(data)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    data = bytes(b for b in data if b not in _A85_WS)
+    if len(data) % 2:
+        data += b"0"  # odd final digit implies trailing 0 (spec)
+    return bytes.fromhex(data.decode("ascii"))
+
+
+def _decode_stream(data: bytes, filt, parms) -> bytes:
+    """Apply a /Filter chain (name or array) with per-filter /DecodeParms.
+    Supported: FlateDecode, LZWDecode, ASCII85Decode, ASCIIHexDecode —
+    the text-bearing filters of real web PDFs. Predictors apply to the
+    Flate/LZW stages."""
+    if filt is None:
+        return data
+    filters = filt if isinstance(filt, list) else [filt]
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    for f, pm in zip(filters, parms_list):
+        name = f[1] if isinstance(f, tuple) and f[0] == "name" else None
+        if name == "FlateDecode":
+            data = zlib.decompress(data)
+        elif name == "LZWDecode":
+            early = 1
+            if isinstance(pm, dict):
+                ec = pm.get("EarlyChange", 1)
+                early = int(ec) if isinstance(ec, (int, float)) else 1
+            data = _lzw_decode(data, early)
+        elif name == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif name == "ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        else:
+            raise ValueError(f"unsupported filter {f}")
+        if isinstance(pm, dict) and name in ("FlateDecode", "LZWDecode"):
+            data = _apply_predictor(data, pm)
+    return data
+
+
 def _parse_xref_stream(raw: bytes, pos: int, offsets: dict) -> dict:
     """PDF 1.5 cross-reference STREAM at pos: binary (type, f2, f3) rows
     with /W field widths; type 1 = byte offset, type 2 = (object stream,
@@ -510,14 +702,7 @@ def _parse_xref_stream(raw: bytes, pos: int, offsets: dict) -> dict:
     if not isinstance(length, (int, float)):
         raise ValueError("xref stream /Length must be direct")
     data = raw[p : p + int(length)]
-    filt = val.get("Filter")
-    if filt == ("name", "FlateDecode"):
-        data = zlib.decompress(data)
-    elif filt is not None:
-        raise ValueError(f"unsupported filter {filt}")
-    parms = val.get("DecodeParms")
-    if isinstance(parms, dict):
-        data = _apply_predictor(data, parms)
+    data = _decode_stream(data, val.get("Filter"), val.get("DecodeParms"))
     w = [int(x) for x in val.get("W", [])]
     if len(w) != 3:
         raise ValueError("bad /W")
@@ -700,14 +885,10 @@ def _load_obj(raw: bytes, offsets: dict, num: int):
         if isinstance(length, tuple) and length[0] == "ref":
             length = _load_obj(raw, offsets, length[1])[0]
         stream = raw[p : p + int(length)]
-        filt = val.get("Filter") if isinstance(val, dict) else None
-        if filt == ("name", "FlateDecode"):
-            stream = zlib.decompress(stream)
-        elif filt is not None:
-            raise ValueError(f"unsupported filter {filt}")
-        parms = val.get("DecodeParms") if isinstance(val, dict) else None
-        if isinstance(parms, dict):
-            stream = _apply_predictor(stream, parms)
+        if isinstance(val, dict):
+            stream = _decode_stream(
+                stream, val.get("Filter"), val.get("DecodeParms")
+            )
     return val, stream
 
 

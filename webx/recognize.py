@@ -72,10 +72,15 @@ def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
     the markup-removal kernel (python or C — resolved once per batch by
     webx.extract.resolve_strip)."""
     raw = strip(raw)
-    try:
-        text = raw.decode(charset, errors="replace")
-    except LookupError:
-        text = raw.decode("utf-8", errors="replace")
+    if charset == "x-user-defined":
+        from webx.charset import _XUD_TABLE
+
+        text = raw.decode("latin-1").translate(_XUD_TABLE)
+    else:
+        try:
+            text = raw.decode(charset, errors="replace")
+        except LookupError:
+            text = raw.decode("utf-8", errors="replace")
     text = unescape(text)
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [ln.strip() for ln in _collapse_hws(text).split("\n")]

@@ -375,6 +375,104 @@ def synth_pages_gnarly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(*_assemble(html))
 
 
+# ------------------------------------------------ charset edge rotation
+# Each case distinguishes the WHATWG prescan (webx/charset.py) from a
+# naive "first charset= substring" sniff; expected text is the flagship
+# closed form plus a per-case suffix (closed-form oracle).
+
+_CS_COMMENT_HEAD = (
+    '<!DOCTYPE html><html><head>'
+    '<!-- legacy served <meta charset="koi8-r"> until 2009 -->'
+    '<meta charset="utf-8"><title>'
+)
+_CS_LATIN1_HEAD = "<!DOCTYPE html><html><head><meta charset=latin1><title>"
+_CS_XUD_HEAD = (
+    '<!DOCTYPE html><html><head><meta charset="x-user-defined"><title>'
+)
+_CS_U16_PRAGMA_HEAD = (
+    '<!DOCTYPE html><html><head>'
+    '<meta http-equiv="Content-Type" content="text/html; charset=utf-16"><title>'
+)
+CS_SUFFIX_CAFE = " café"
+CS_SUFFIX_EURO = " €1999"
+CS_SUFFIX_KEY = " key "  # followed by raw byte 0xA3 → U+F7A3 (x-user-defined)
+
+
+def synth_pages_charset_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset edge cases rotated by ``doc_id % 5``:
+
+    0. lying ``koi8-r`` meta inside a comment + real utf-8 meta — the
+       prescan must skip the comment (a substring sniff decodes mojibake);
+    1. whole page BOM-less UTF-16LE — detected from the NUL interleave
+       of the leading ``<`` and transcoded before tokenization;
+    2. ``<meta charset=latin1>`` on windows-1252 bytes containing € (0x80)
+       — the WHATWG registry maps the latin1 label to cp1252;
+    3. ``x-user-defined`` page with byte 0xA3 → U+F7A3 (private use);
+    4. pragma-declared ``charset=utf-16`` on utf-8 bytes — per spec a
+       UTF-16 label on ASCII-shaped bytes resolves to utf-8.
+
+    Expected text: flagship closed form + per-case suffix."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    k = F.col("doc_id") % 5
+    tail_ascii = (
+        "</p></article><footer><p>(c) 2026 Example Corp.</p></footer></body></html>"
+    )
+
+    def body(head: str, suffix) -> "F.Column":
+        return F.concat(
+            F.lit(head), did, F.lit(P_CHROME), did, F.lit(P_MID), esc,
+            suffix, F.lit(tail_ascii),
+        )
+
+    cafe = F.lit(CS_SUFFIX_CAFE)
+    html = (
+        F.when(k == 0, F.encode(body(_CS_COMMENT_HEAD, cafe), "UTF-8"))
+        .when(k == 1, F.encode(body(P_HEAD_UTF8, cafe), "UTF-16LE"))
+        .when(
+            k == 2,
+            # cp1252 page: document text is pure ASCII (== cp1252 bytes);
+            # € is the one non-ASCII byte, spliced in as raw 0x80 (Spark's
+            # encode() has no windows-1252)
+            F.concat(
+                F.encode(
+                    F.concat(
+                        F.lit(_CS_LATIN1_HEAD), did, F.lit(P_CHROME), did,
+                        F.lit(P_MID), esc, F.lit(" "),
+                    ),
+                    "UTF-8",
+                ),
+                F.lit(bytes([0x80])),
+                F.encode(F.lit("1999" + tail_ascii), "UTF-8"),
+            ),
+        )
+        .when(
+            k == 3,
+            # the 0xA3 byte sits INSIDE the paragraph, right after the
+            # " key " suffix, so it is part of the extracted span
+            F.concat(
+                F.encode(
+                    F.concat(
+                        F.lit(_CS_XUD_HEAD), did, F.lit(P_CHROME), did,
+                        F.lit(P_MID), esc, F.lit(CS_SUFFIX_KEY),
+                    ),
+                    "UTF-8",
+                ),
+                F.lit(bytes([0xA3])),
+                F.encode(F.lit(tail_ascii), "UTF-8"),
+            ),
+        )
+        .otherwise(F.encode(body(_CS_U16_PRAGMA_HEAD, cafe), "UTF-8"))
+    )
+    return docs.select(
+        _url().alias("url"),
+        _warc_ts().alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataFrame:
     """Deterministic text-PDF per document → (url, pdf). Same
     generate-input-from-expected-output trick as the HTML pages: the PDF
@@ -406,15 +504,21 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
             # deterministic layout mix so every parser lane is exercised:
-            # even docs → classic xref table, doc%8==1 → xref stream with
-            # the PNG-Up predictor, doc%8==5 → xref stream unpredicted,
-            # doc%8∈{3,7} → composite-font (CID hex strings + ToUnicode)
+            # doc%16 ∈ {0,8} → classic xref + Flate, {2,10} → LZWDecode
+            # (10: EarlyChange=0), {4,12} → ASCII85-over-Flate chain /
+            # ASCIIHex, {6,14} → raw, %8==1 → xref stream with the
+            # PNG-Up predictor, %8==5 → xref stream unpredicted,
+            # %8∈{3,7} → composite-font (CID hex strings + ToUnicode)
+            even_lane = {
+                0: "flate", 2: "lzw", 4: "a85flate", 6: "raw",
+                8: "flate", 10: "lzw0", 12: "ahx", 14: "raw",
+            }
             pdfs = []
             for d, t, b in zip(p["doc_id"], p["title"], p["body"]):
                 if layout == "cid":
                     pdfs.append(write_pdf_cid(t, b))
                 elif d % 2 == 0:
-                    pdfs.append(write_pdf(t, b, compress=True))
+                    pdfs.append(write_pdf(t, b, stream_filter=even_lane[d % 16]))
                 elif d % 4 == 3:
                     pdfs.append(write_pdf_cid(t, b))
                 else:

@@ -4440,6 +4440,199 @@ def _keep_best_oracle_sql() -> str:
     )
 
 
+def _curate_corpus_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline input corpus: flagship pages ∪ exact mirrors (doc%3==0,
+    same content on mirror.example.net) ∪ near-dup variants (doc%7==1,
+    body minus its last word on alt.example.org) — the duplicate mix a
+    real crawl snapshot carries."""
+    docs = synth.load_documents(spark, sf)
+    base = synth.flagship_pages_from_docs(docs)
+    dnum = F.regexp_extract("url", r"doc/(\d+)$", 1)
+    mirror = synth.flagship_pages_from_docs(
+        docs.filter(F.col("doc_id") % 3 == 0)
+    ).withColumn("url", F.concat(F.lit("https://mirror.example.net/doc/"), dnum))
+    norm = F.trim(F.regexp_replace("text", synth.WS_CLASS, " "))
+    altdocs = docs.filter(F.col("doc_id") % 7 == 1).withColumn(
+        "text", F.regexp_replace(norm, r" \S+$", "")
+    )
+    alt = synth.flagship_pages_from_docs(altdocs).withColumn(
+        "url", F.concat(F.lit("https://alt.example.org/doc/"), dnum)
+    )
+    return base.unionByName(mirror).unionByName(alt)
+
+
+def q_curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed end-to-end curation DAG a 100 TB user actually runs
+    (jobs/curate.py stage order, each stage the already-oracle-gated
+    library operator): extract → Gopher quality gate → exact dedup (keep
+    min-url) → MinHash near-dup + keep-longest → 13-gram test-set
+    decontamination → per-host cap → greedy sequence packing. ONE oracle
+    replays the whole funnel (the minhash XXH64 SQL port runs over the
+    mid-pipeline survivor set via its corpus_cte injection point)."""
+    from pyspark.sql import Window
+
+    from webx.curate import cap_per_host, contaminated_ids, pack_sequences
+    from webx.dedup import keep_best, minhash_neardup
+    from webx.textstats import quality_filter
+
+    pages = _par(_curate_corpus_pages(spark, sf), spark)
+    ext = run_extraction(pages, CFG).select("url", "text")
+    d = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+    ids = ext.select(
+        (
+            d
+            + F.when(F.col("url").startswith("https://alt."), F.lit(1_000_000))
+            .otherwise(F.lit(0))
+        ).alias("doc_id"),
+        "url",
+        "text",
+    )
+    qf = quality_filter(ids.select("doc_id", "text"), min_tokens=30)
+    q = ids.join(qf.filter("keep").select("doc_id"), "doc_id")
+    w = Window.partitionBy("text").orderBy("url")
+    survivors = (
+        q.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+    # the survivor set feeds four independent downstream branches
+    # (signatures, keep-best join, decontam corpus + bench, packing) —
+    # persist the boundary or the extractor re-runs once per branch
+    survivors = survivors.persist()
+    pairs = minhash_neardup(
+        survivors.select("doc_id", "text"), threshold=0.6
+    ).select("id_a", "id_b")
+    kb = keep_best(
+        survivors.select("doc_id", F.octet_length("text").alias("score")), pairs
+    )
+    nd = survivors.join(kb.filter("keep = 1").select("doc_id"), "doc_id")
+    bench = nd.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000))
+    clean = nd.join(contaminated_ids(nd, bench, n=13), "doc_id", "left_anti")
+    hosted = clean.withColumn("host", F.regexp_extract("url", r"//([^/]+)", 1))
+    capped = cap_per_host(hosted, max_per_host=40, order_col="doc_id")
+    packed = pack_sequences(
+        capped, max_tokens=512, group_col="host", order_col="doc_id"
+    )
+    return packed.select(
+        "doc_id", F.col("grp").alias("host"), "n_tokens", "bin"
+    )
+
+
+def _curate_pipeline_oracle_sql() -> str:
+    """Full-funnel DuckDB replay: every stage is the SQL mirror of its
+    already-gated sibling oracle (quality = q_quality_filter's gates at
+    min_tokens=30, exact = min-url window, near-dup = the XXH64 minhash
+    port injected over the survivor CTE, keep-best = q_keep_best's
+    closure+argmax, decontam = q_decontaminate's 13-gram semi-join, cap
+    = q_host_cap's window, pack = a recursive-CTE greedy walk)."""
+    from webx import oracles as _o
+
+    inner = _o.minhash_oracle_sql(
+        threshold=0.6,
+        corpus_cte="corpus AS (SELECT doc_id, text FROM exact_kept)",
+    )
+    assert inner.startswith(_o.XXH64_MACROS)
+    mh_body = inner[len(_o.XXH64_MACROS):]
+    return _o.XXH64_MACROS + f"""
+WITH RECURSIVE
+gold AS (
+  SELECT doc_id AS d, {URL} AS url, {GOLDEN} AS text, {NORM} AS nrm
+  FROM documents),
+corpus0 AS (
+  SELECT d AS id, url, text FROM gold
+  UNION ALL
+  SELECT d, 'https://mirror.example.net/doc/' || CAST(d AS VARCHAR), text
+  FROM gold WHERE d % 3 = 0
+  UNION ALL
+  SELECT d + 1000000, 'https://alt.example.org/doc/' || CAST(d AS VARCHAR),
+         ('Doc ' || CAST(d AS VARCHAR) || chr(10)
+          || regexp_replace(nrm, ' \\S+$', ''))
+  FROM gold WHERE d % 7 = 1),
+qtok AS (
+  SELECT id, url, text,
+         regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS toks
+  FROM corpus0),
+qstat AS (
+  SELECT id, url, text, CAST(len(toks) AS INT) AS n_tokens,
+    list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+    len(list_filter(toks, w -> w IN ('#','...',chr(8230))
+        OR starts_with(w, '#'))) AS n_sym,
+    len(list_filter(toks, w -> list_contains({STOP_SQL}, lower(w)))) AS n_stop
+  FROM qtok),
+qkept AS (
+  SELECT id, url, text, n_tokens FROM qstat
+  WHERE (n_tokens >= 30 AND n_tokens <= 100000)
+    AND (sum_len / CAST(greatest(n_tokens, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0)
+    AND (n_sym / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 0.1)
+    AND (n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) >= 0.03)),
+exact_kept AS MATERIALIZED (
+  SELECT id AS doc_id, url, text, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY url) AS rn
+    FROM qkept) WHERE rn = 1),
+pairs AS MATERIALIZED ({mh_body}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cid FROM reach GROUP BY node),
+scored AS (
+  SELECT e.doc_id, e.url, e.text, e.n_tokens,
+         COALESCE(cl.cid, e.doc_id) AS cid,
+         octet_length(encode(e.text)) AS s
+  FROM exact_kept e LEFT JOIN clusters cl USING (doc_id)),
+best AS (
+  SELECT cid, doc_id AS best_id FROM (
+    SELECT cid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY s DESC, doc_id) AS rn
+    FROM scored) WHERE rn = 1),
+nd_kept AS MATERIALIZED (
+  SELECT f.doc_id, f.url, f.text, f.n_tokens
+  FROM scored f JOIN best b USING (cid) WHERE f.doc_id = b.best_id),
+dtok AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+'),
+                   w -> lower(w)) AS t
+  FROM nd_kept),
+dgrams AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 13 THEN
+      list_distinct(list_transform(generate_series(1, len(t) - 12),
+                                   i -> array_to_string(t[i:i+12], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS gs
+  FROM dtok),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS ng FROM dgrams
+  WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM
+    (SELECT doc_id, unnest(gs) AS ng FROM dgrams)
+  WHERE ng IN (SELECT ng FROM bench)),
+hosted AS (
+  SELECT doc_id, regexp_extract(url, '//([^/]+)', 1) AS host, n_tokens
+  FROM nd_kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+capped AS (
+  SELECT doc_id, host, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+    FROM hosted) WHERE rk <= 40),
+ranked AS (
+  SELECT host, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM capped),
+packw AS (
+  SELECT host, doc_id, n_tokens, rn,
+         0::BIGINT AS bin, CAST(n_tokens AS BIGINT) AS acc
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.host, r.doc_id, r.n_tokens, r.rn,
+    CASE WHEN p.acc + r.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+    CASE WHEN p.acc + r.n_tokens > 512 THEN CAST(r.n_tokens AS BIGINT)
+         ELSE p.acc + r.n_tokens END
+  FROM packw p JOIN ranked r ON r.host = p.host AND r.rn = p.rn + 1)
+SELECT doc_id, host, n_tokens, bin FROM packw
+"""
+
+
 def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured extraction: typed field pull from the JSON
     ``props`` column via ``from_json`` with an explicit schema — the
@@ -5398,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changed_captures": q_changed_captures,
         "q_budget_allocation": q_budget_allocation,
         "q_keep_best": q_keep_best,
+        "q_curate_pipeline": q_curate_pipeline,
         "q_json_extract": q_json_extract,
         "q_url_params": q_url_params,
         "q_delete_propagation": q_delete_propagation,
@@ -6695,6 +6889,7 @@ def oracle_sql() -> dict[str, str]:
         "q_changed_captures": _changed_captures_oracle_sql(),
         "q_budget_allocation": _budget_allocation_oracle_sql(),
         "q_keep_best": _keep_best_oracle_sql(),
+        "q_curate_pipeline": _curate_pipeline_oracle_sql(),
         "q_json_extract": _json_extract_oracle_sql(),
         "q_url_params": _url_params_oracle_sql(),
         "q_delete_propagation": _delete_propagation_oracle_sql(),

@@ -133,6 +133,16 @@ def main() -> None:
     bdt = time.perf_counter() - t0
     big.unpersist()
 
+    # ---- composed curation pipeline throughput (docs/s through the
+    # full funnel: extract → quality → exact+near dedup → decontam →
+    # host cap → pack) — the number a 100 TB curation user sizes with
+    from __spark_entry__ import _curate_corpus_pages
+
+    n_curate = _curate_corpus_pages(spark, SF_DIR).count()
+    t0 = time.perf_counter()
+    _noop(queries["q_curate_pipeline"](spark, SF_DIR))
+    curate_dt = time.perf_counter() - t0
+
     total = round(sum(timings.values()), 3)
 
     # The driver captures only the last ~2000 chars of stdout; a 185-entry
@@ -178,6 +188,9 @@ def main() -> None:
         "extract_big_sec": round(bdt, 3),
         "extract_big_docs_per_sec": round(bn / bdt, 1),
         "extract_big_mb_per_sec": round(bb / bdt / 1e6, 2),
+        "curate_docs": n_curate,
+        "curate_sec": round(curate_dt, 3),
+        "curate_docs_per_sec": round(n_curate / curate_dt, 1),
     }
     line = json.dumps(summary)
     assert len(line) <= 1900, f"bench summary line too long: {len(line)}"

@@ -691,3 +691,30 @@ def test_url_templates_and_traps(spark):
         (False, False, True, True),
         (False, False, False, False),
     ]
+
+
+def test_curate_pipeline_funnel_invariants(spark):
+    """End-to-end composed funnel (q_curate_pipeline): stage effects are
+    visible in the output — mirrors collapsed at exact dedup (no
+    mirror.example.net host), near-dup variants lose to their longer
+    base (no alt host whose base survived), the host cap holds, packing
+    respects max_tokens with each host's bins dense from 0."""
+    import __spark_entry__ as E
+
+    out = E.q_curate_pipeline(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert "mirror.example.net" not in set(out["host"])
+    per_host = out.groupby("host").size()
+    assert (per_host <= 40).all()
+    # alt survivors (doc_id >= 1e6) only exist when their base is absent
+    alts = set(out[out.doc_id >= 1_000_000].doc_id - 1_000_000)
+    bases = set(out[out.doc_id < 1_000_000].doc_id)
+    assert not (alts & bases)
+    # packing: per (host, bin) token totals fit 512 unless a single doc
+    # overflows alone; bins are dense starting at 0
+    g = out.groupby(["host", "bin"])["n_tokens"].agg(["sum", "count"])
+    over = g[(g["sum"] > 512) & (g["count"] > 1)]
+    assert over.empty
+    for h, grp in out.groupby("host"):
+        bins = sorted(grp["bin"].unique())
+        assert bins == list(range(len(bins)))

@@ -202,8 +202,8 @@ def _fmix_steps(src: str, p: str) -> list[tuple[str, str]]:
 # Shared front half of the dedup oracles: corpus → tokens (with position
 # and multiplicity) → DISTINCT token vocabulary string-hashed once via
 # the byte-level XXH64 CTE chain → hashes joined back per occurrence.
-def _token_hash_ctes() -> str:
-    return f"""{CORPUS_CTE},
+def _token_hash_ctes(corpus_cte: str = CORPUS_CTE) -> str:
+    return f"""{corpus_cte},
 tok AS (
   SELECT doc_id, regexp_split_to_array(trim(text), {WS}) AS toks FROM corpus),
 tokr AS (
@@ -222,12 +222,16 @@ def minhash_oracle_sql(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    corpus_cte: str = CORPUS_CTE,
 ) -> str:
     """Exact mirror of webx.dedup.minhash_neardup: token-hash-fold
     signatures → banded LSH buckets → candidate pairs → n-gram Jaccard
     verify. Returns (id_a, id_b) — must equal the Spark pipeline's
     output bit-for-bit. The hot per-(shingle, slot) stage runs as
-    flattened vectorized column arithmetic (see ``_chain``)."""
+    flattened vectorized column arithmetic (see ``_chain``).
+    ``corpus_cte`` overrides the (doc_id, text) source — composed
+    oracles (q_curate_pipeline) inject their own surviving-docs CTE
+    reference here."""
     rpb = n_hashes // bands
     k = shingle_k
     k1 = k - 1  # duckdb list slice is inclusive: toks[i:i+k-1]
@@ -270,7 +274,7 @@ def minhash_oracle_sql(
         prev_seed = f"{p}hh"
     band_steps += _hash_int_steps("band", prev_seed, "e")
     return XXH64_MACROS + f"""
-WITH {_token_hash_ctes()},
+WITH {_token_hash_ctes(corpus_cte)},
 thl AS (
   SELECT doc_id, list(h ORDER BY pos) AS th, count(*) AS n
   FROM thr GROUP BY doc_id),

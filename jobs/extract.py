@@ -47,8 +47,13 @@ def parse_args(argv):
     p.add_argument("--max-chunks", type=int, default=None)
     p.add_argument("--repartition", type=int, default=None,
                    help="explicit url-hash+salt exchange width (skew mitigation)")
-    p.add_argument("--size-gears", action="store_true",
-                   help="add log2(html size) bucket to the partition key")
+    p.add_argument("--size-gears", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="add log2(html size) bucket to the partition key; "
+                        "DEFAULT ON for WARC input (giant pages are the "
+                        "rule in raw crawl containers — PLANS.md 'WARC "
+                        "size gears'), off otherwise; --no-size-gears "
+                        "forces off")
     p.add_argument("--limit-side-len", type=int, default=4_000_000)
     p.add_argument("--http-charset", action="store_true",
                    help="WARC input only: surface the HTTP Content-Type "
@@ -59,6 +64,16 @@ def parse_args(argv):
                         "individual CLI knobs; goldens are reproducible "
                         "from this file alone)")
     return p.parse_args(argv)
+
+
+def effective_size_gears(args) -> bool:
+    """size_gears policy: explicit flag wins; unset defaults ON for WARC
+    input (raw crawl containers carry the giant-page tail that skews
+    uniform url-hash partitions — PLANS.md 'WARC size gears'), off for
+    already-columnar inputs."""
+    if args.size_gears is not None:
+        return args.size_gears
+    return args.input_format == "warc"
 
 
 def main(argv=None) -> int:
@@ -115,7 +130,7 @@ def main(argv=None) -> int:
     else:
         cfg = ExtractConfig(
             repartition=args.repartition,
-            size_gears=args.size_gears,
+            size_gears=effective_size_gears(args),
             limit_side_len=args.limit_side_len,
         )
     store = CheckpointStore(args.checkpoint)

@@ -155,3 +155,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_extract_job_size_gears_default_policy():
+    """WARC input defaults size_gears ON (giant-page tail), columnar
+    inputs OFF; explicit --size-gears/--no-size-gears always wins."""
+    from jobs.extract import effective_size_gears, parse_args
+
+    base = [
+        "--output", "/tmp/o", "--checkpoint", "/tmp/c", "--input", "/tmp/i",
+        "--run-id", "r1",
+    ]
+    assert effective_size_gears(
+        parse_args(base + ["--input-format", "warc"])) is True
+    assert effective_size_gears(
+        parse_args(base + ["--input-format", "parquet"])) is False
+    assert effective_size_gears(
+        parse_args(base + ["--input-format", "warc", "--no-size-gears"])) is False
+    assert effective_size_gears(
+        parse_args(base + ["--input-format", "parquet", "--size-gears"])) is True

@@ -70,6 +70,7 @@ def cosine_neardup_pairs(
     n_planes: int = 16,
     seed: int = 42,
     max_bucket: int | None = None,  # None -> webx.dedup.DEFAULT_MAX_BUCKET
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     id_a < id_b and cos >= threshold.
@@ -94,7 +95,10 @@ def cosine_neardup_pairs(
     is collected and broadcast once as a normalized numpy matrix and
     each Arrow batch computes one BLAS gemm against it. Exact, and fast
     to ~10^6 × 64-dim fp32 (~256 MB broadcast); beyond that the driver
-    materialization is the bottleneck — use the LSH path."""
+    materialization is the bottleneck — use the LSH path. The bound is
+    ENFORCED: a corpus above ``max_exact_rows`` raises before any
+    driver materialization (nobody reaches 100 TB through this path by
+    accident)."""
     if method == "lsh":
         return _cosine_neardup_lsh(
             emb, threshold, n_tables, n_planes, seed, max_bucket
@@ -103,6 +107,16 @@ def cosine_neardup_pairs(
     from pyspark.sql import types as T
 
     spark = emb.sparkSession
+    # fence BEFORE toPandas: a limit-probe (bounded scan, stops at
+    # max_exact_rows + 1) instead of a full count
+    probe = emb.select(F.lit(1).alias("one")).limit(max_exact_rows + 1).count()
+    if probe > max_exact_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs(method='exact') collects the corpus on "
+            f"the driver and is bounded to {max_exact_rows} rows (corpus "
+            f"has more); use method='lsh' (the scale path) or raise "
+            f"max_exact_rows explicitly."
+        )
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -308,6 +322,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    corpus_count: "int | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into inverted lists; each query probes its
@@ -327,12 +342,20 @@ def ivf_topk(
     # Train the coarse quantizer on a bounded sample: KMeans iterations scan
     # the training set repeatedly, so at 10^9 vectors fitting the full corpus
     # is the dominant cost. ~100x n_centroids rows is plenty for 16-256
-    # centroids; the sample fraction is derived from a cheap count.
-    n = corpus.count()
+    # centroids. A caller-supplied ``corpus_count`` (catalogs know it)
+    # derives the sample fraction; without one, a deterministic
+    # hash-ordered top-``target`` (per-partition top-k + merge, ONE pass,
+    # no extra count job) replaces the old count()+sample double scan —
+    # A/B in PLANS.md.
     target = max(1000, 100 * n_centroids)
-    train = corpus
-    if n > target:
-        train = corpus.sample(fraction=min(1.0, target / n), seed=seed)
+    if corpus_count is not None and corpus_count > target:
+        train = corpus.sample(fraction=min(1.0, target / corpus_count), seed=seed)
+    elif corpus_count is not None:
+        train = corpus
+    else:
+        train = corpus.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed))).limit(
+            target
+        )
     train = train.select(array_to_vector("embedding").alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])

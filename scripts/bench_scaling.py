@@ -202,13 +202,14 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(args.out, "w") as f:
+    # Append a run section — never overwrite the historical record.
+    with open(args.out, "a") as f:
         f.write(
-            f"""# BENCH_SCALING — throughput at N vs 4N parallelism
+            f"""
 
-The north rule's two-cluster-size criterion, evidenced in-sandbox by the
-identical extraction job at `local[{args.n}]` vs `local[{args.xn}]` on the
-identical materialized input (synth flagship pages from `{args.sf}`
+## Run: `local[{args.n}]` vs `local[{args.xn}]` (appended by bench_scaling.py)
+
+Identical materialized input (synth flagship pages from `{args.sf}`
 replicated ×{args.repl}, paragraph×{args.page_repeat};
 {rn['docs']:,} documents, {rn['mb']} MB of HTML).
 Method: one warm-up pass then best-of-2 timed full materializations
@@ -223,7 +224,7 @@ Method: one warm-up pass then best-of-2 timed full materializations
 **Speedup {args.n}→{args.xn} cores: {speedup:.2f}× — raw scaling
 efficiency {eff:.3f}** (target ≥ 0.8).
 
-## Host capacity calibration
+### Host capacity calibration
 
 This sandbox is a virtualized single box, not a cluster: a pure-CPU
 calibration (N spinning processes, no Spark) measures how much parallel

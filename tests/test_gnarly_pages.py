@@ -147,3 +147,27 @@ def test_fixture_corpus_is_messy():
         b"<p>The first paragraph simply never closes",
     ):
         assert marker in blob, marker
+
+
+def test_cjk_legacy_charset_decodes():
+    """WHATWG registry labels route real legacy CJK bytes: sjis → cp932
+    (Windows superset), euc-kr → cp949, gb2312 → gbk. Each page's body
+    is encoded in the actual legacy codec and must decode byte-exact."""
+    cases = [
+        ("sjis", "cp932", "見出しです",
+         "日本語のテキスト抽出は正しく動作します、句読点も含めて確認。"),
+        ("euc-kr", "cp949", "제목입니다",
+         "한국어 텍스트 추출이 올바르게 작동하는지 확인하는 문장입니다."),
+        ("gb2312", "gbk", "这是标题",
+         "中文文本抽取在遗留编码下也必须逐字节正确地工作。"),
+    ]
+    for label, codec, head, body in cases:
+        html = (
+            f'<html><head><meta charset="{label}"><title>t</title></head>'
+            f"<body><nav><a href=\"/\">top</a></nav>"
+            f"<article><h1>{head}</h1><p>{body} {body}</p></article>"
+            f"</body></html>"
+        ).encode(codec)
+        out = _extract(html)
+        assert body in out, (label, out[:80])
+        assert out.startswith(head), (label, out[:40])

@@ -183,10 +183,11 @@ def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     resolves to UTF-8 (spec step 9.4 — ASCII-shaped bytes can't be
     UTF-16). Unknown/unresolvable labels fall through to ``default``."""
     head = html[:1024]
-    head = _COMMENT_B_RE.sub(b" ", head)
-    cut = head.find(b"<!--")  # unterminated comment swallows the rest
-    if cut >= 0:
-        head = head[:cut]
+    if b"<!--" in head:  # comment stripping only when comments exist
+        head = _COMMENT_B_RE.sub(b" ", head)
+        cut = head.find(b"<!--")  # unterminated comment swallows the rest
+        if cut >= 0:
+            head = head[:cut]
     for m in _META_B_RE.finditer(head):
         attrs = _meta_attrs(m.group(1))
         label: bytes | None = None

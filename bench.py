@@ -157,7 +157,9 @@ def main() -> None:
         if (m := __import__("re").match(r"BENCH_r(\d+)\.json$", f))
     ]
     rnd = (max(existing) + 1) if existing else 1
-    detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+    # A narrowed iteration run must not clobber the round's full record.
+    suffix = ".partial" if os.environ.get("SPARK_GRAFT_BENCH_ONLY") else ""
+    detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json{suffix}")
     detail = {
         "metric": "total_headline_queries_sec",
         "value": total,

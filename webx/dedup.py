@@ -567,19 +567,18 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("nl").alias("minn"))
             .select(F.col("a").alias("node"), "minn")
         )
-        new_labels = labels.join(neigh, "node").select(
-            "node", F.least("label", "minn").alias("label")
-        )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old")), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint()
-        if changed == 0:
+        # Checkpoint FIRST with the previous label carried along, then
+        # derive the convergence check from the materialized frame —
+        # one job per iteration instead of two (the old changed-count
+        # recomputed the whole new-label DAG the checkpoint was about
+        # to run again).
+        stepped = labels.join(neigh, "node").select(
+            "node",
+            F.least("label", "minn").alias("label"),
+            F.col("label").alias("prev"),
+        ).localCheckpoint()
+        labels = stepped.select("node", "label")
+        if stepped.filter(F.col("label") != F.col("prev")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

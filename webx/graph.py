@@ -29,6 +29,12 @@ def pagerank_hosts(
     """Weighted PageRank over (src_host, dst_host, n_links) edges →
     (host, rank), Σ rank = 1. Self-loops participate like any edge;
     dangling hosts (no out-edges) redistribute their mass uniformly."""
+    # Materialize the edge table ONCE. The upstream plan is typically the
+    # full HTML link extraction (webx.urls.extract_links over the corpus);
+    # every iteration's DAG references `edges`, so without this checkpoint
+    # the parse re-runs once per iteration inside each checkpoint window —
+    # at crawl scale that is `iterations` extra corpus scans.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))
@@ -37,6 +43,14 @@ def pagerank_hosts(
     )
     n = nodes.count()
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    # Fold the out-degree join into the edge table once: the per-iteration
+    # plan becomes ONE join (ranks) + ONE aggregation instead of re-running
+    # the degree shuffle + a second join every iteration.
+    norm_edges = (
+        edges.join(out_w, "src_host")
+        .select("src_host", "dst_host", "n_links", "out_total")
+        .localCheckpoint()
+    )
 
     # the dangling SET (hosts without out-edges) is a static property of
     # the graph — compute it once; only its rank MASS changes per
@@ -49,17 +63,13 @@ def pagerank_hosts(
     has_dangling = bool(dangling_nodes.head(1))
 
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    if has_dangling:
+        # the per-iteration mass probe is an ACTION on ranks; keep ranks
+        # materialized every iteration so the probe scans checkpointed rows
+        # instead of replaying the whole window's iteration lineage
+        # (the webx/dedup.py label-propagation discipline)
+        ranks = ranks.localCheckpoint()
     for i in range(iterations):
-        contribs = (
-            edges.join(out_w, "src_host")
-            .join(ranks.withColumnRenamed("host", "src_host"), "src_host")
-            .select(
-                F.col("dst_host").alias("host"),
-                (F.col("rank") * F.col("n_links") / F.col("out_total")).alias("c"),
-            )
-            .groupBy("host")
-            .agg(F.sum("c").alias("in_mass"))
-        )
         if has_dangling:  # dangling mass redistributes uniformly
             dangling = (
                 ranks.join(dangling_nodes, "host", "left_semi")
@@ -69,6 +79,15 @@ def pagerank_hosts(
         else:
             dangling = 0.0
         base = (1.0 - damping) / n + damping * dangling / n
+        contribs = (
+            norm_edges.join(ranks.withColumnRenamed("host", "src_host"), "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("rank") * F.col("n_links") / F.col("out_total")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
         ranks = (
             nodes.join(contribs, "host", "left")
             .select(
@@ -78,6 +97,6 @@ def pagerank_hosts(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if has_dangling or (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks

@@ -435,6 +435,37 @@ def q_convert_det_labels(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_convert_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk JSON-lines interchange round trip (webx/convert.py
+    jsonl_pages — the reference's SynthTextDataset bulk-annotation read
+    recast, data_converters/synthtext.py: one monolithic dump consumed
+    fully distributed): flagship pages serialized to {url, ts, html_b64}
+    JSONL (distributed write, one file per task), converted back through
+    the registry, extracted — text must equal the golden closed form
+    byte-for-byte, proving the interchange encode/decode is lossless on
+    binary html."""
+    import os
+
+    from webx.convert import convert
+
+    d, done = _fixture_dir(sf, "jsonlq")
+    if not done:
+        lines = synth.synth_pages(spark, sf).select(
+            F.to_json(
+                F.struct(
+                    F.col("url"),
+                    F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    F.base64("html").alias("html_b64"),
+                )
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(os.path.join(d, "pages"))
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = convert(spark, "jsonl_pages", os.path.join(d, "pages"))
+    return run_extraction(pages, CFG).select("url", "text")
+
+
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
@@ -5440,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_pdf_cid": q_extract_pdf_cid,
         "q_keyed_store": q_keyed_store,
         "q_convert_det_labels": q_convert_det_labels,
+        "q_convert_jsonl": q_convert_jsonl,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -5990,6 +6022,7 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_convert_jsonl": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_convert_det_labels": (
             f"SELECT {URL} AS url, 1 AS n_spans, "
             f"CAST({span_start} AS BIGINT) AS start, "

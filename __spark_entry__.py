@@ -466,6 +466,21 @@ def q_convert_jsonl(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_publish_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Publication-date fallback chain (webx/metadata.py publish_dates —
+    the htmldate/trafilatura dating discipline, public): the dated
+    fixture rotates lane availability by doc_id % 5 and plants a
+    DIFFERENT date in every lane, so the oracle catches both missed
+    lanes and precedence violations as value mismatches. Pure JVM
+    codegen fused into the html scan — zero Python, zero shuffle."""
+    from webx.metadata import publish_dates
+
+    pages = _par(synth.synth_pages_dated(spark, sf), spark)
+    return publish_dates(pages).select(
+        "url", "publish_date", "publish_date_source"
+    )
+
+
 def q_spans_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = run_detect(_par(synth.synth_pages_edge(spark, sf), spark), CFG)
     return out.select("url", F.size("spans").alias("n_spans"))
@@ -5472,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyed_store": q_keyed_store,
         "q_convert_det_labels": q_convert_det_labels,
         "q_convert_jsonl": q_convert_jsonl,
+        "q_publish_dates": q_publish_dates,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -6023,6 +6039,17 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_convert_jsonl": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_publish_dates": (
+            f"SELECT CASE WHEN doc_id % 5 <= 3 THEN {URL} || '/' || "
+            "strftime(DATE '2024-01-01' + CAST(doc_id % 300 AS INT) + 3, "
+            f"'%Y/%m/%d') || '/post' ELSE {URL} END AS url, "
+            "CASE WHEN doc_id % 5 = 4 THEN '' ELSE "
+            "strftime(DATE '2024-01-01' + CAST(doc_id % 300 AS INT) "
+            "+ CAST(doc_id % 5 AS INT), '%Y-%m-%d') END AS publish_date, "
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'meta' "
+            "WHEN 1 THEN 'jsonld' WHEN 2 THEN 'time' WHEN 3 THEN 'url' "
+            "ELSE '' END AS publish_date_source FROM documents"
+        ),
         "q_convert_det_labels": (
             f"SELECT {URL} AS url, 1 AS n_spans, "
             f"CAST({span_start} AS BIGINT) AS start, "

@@ -205,3 +205,43 @@ def test_template_fingerprint_content_independent(spark):
     assert got["a"] == got["b"] == got["c"]
     assert got["d"] != got["a"]
     assert got["a"][1] == 6 and got["d"][1] == 8
+
+
+def test_publish_dates_lanes_and_precedence(spark):
+    """Every lane wins when higher lanes are absent; a malformed
+    higher-priority value falls THROUGH instead of blanking the row;
+    both meta attribute orders parse; 1-digit URL months zero-pad."""
+    from webx.metadata import publish_dates
+
+    meta = b'<meta property="article:published_time" content="2024-03-05T08:00:00Z">'
+    meta_rev = b'<meta content="2024-03-06" property="article:published_time">'
+    jsonld = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Article","datePublished":"2024-04-07T00:00:00Z"}</script>'
+    )
+    tme = b'<time datetime="2024-05-09">x</time>'
+    bad_meta = b'<meta property="article:published_time" content="yesterday">'
+    wrap = lambda *parts: b"<html><body>" + b"".join(parts) + b"</body></html>"
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", wrap(meta, jsonld, tme)),
+            ("https://a/2", wrap(meta_rev)),
+            ("https://a/3", wrap(jsonld, tme)),
+            ("https://a/4", wrap(tme)),
+            ("https://a/2023/7/4/post", wrap()),
+            ("https://a/6", wrap(bad_meta, jsonld)),  # malformed falls through
+            ("https://a/7", wrap()),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        r["url"]: (r["publish_date"], r["publish_date_source"])
+        for r in publish_dates(pages).collect()
+    }
+    assert got["https://a/1"] == ("2024-03-05", "meta")
+    assert got["https://a/2"] == ("2024-03-06", "meta")
+    assert got["https://a/3"] == ("2024-04-07", "jsonld")
+    assert got["https://a/4"] == ("2024-05-09", "time")
+    assert got["https://a/2023/7/4/post"] == ("2023-07-04", "url")
+    assert got["https://a/6"] == ("2024-04-07", "jsonld")
+    assert got["https://a/7"] == ("", "")

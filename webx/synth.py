@@ -226,6 +226,65 @@ def synth_pages_latin1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pages_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pages with publication-date markers rotating by
+    doc_id % 5 to exercise every lane AND the precedence chain of
+    webx.metadata.publish_dates (each lane carries a DIFFERENT date, so
+    a precedence violation is a value mismatch, not just a source one):
+
+    * k=0: meta + JSON-LD + <time> + URL date → 'meta' wins (base+0)
+    * k=1: JSON-LD + <time> + URL date       → 'jsonld' wins (base+1)
+    * k=2: <time> + URL date                 → 'time' wins (base+2)
+    * k=3: URL date only                     → 'url' wins (base+3)
+    * k=4: no date anywhere                  → ('', '')
+
+    base = 2024-01-01 + (doc_id % 300) days — closed-form for the DuckDB
+    oracle. URL-dated rows get '/<yyyy/MM/dd>/post' appended to the
+    flagship URL."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    k = F.col("doc_id") % 5
+    base = F.date_add(
+        F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 300).cast("int")
+    )
+    d = lambda off: F.date_format(F.date_add(base, off), "yyyy-MM-dd")  # noqa: E731
+    meta_tag = F.concat(
+        F.lit('<meta property="article:published_time" content="'),
+        d(0),
+        F.lit('T08:30:00Z">'),
+    )
+    jsonld_tag = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article","datePublished":"'),
+        d(1),
+        F.lit('T00:00:00Z"}</script>'),
+    )
+    time_tag = F.concat(F.lit('<time datetime="'), d(2), F.lit('">posted</time>'))
+    markers = F.concat(
+        F.when(k == 0, meta_tag).otherwise(F.lit("")),
+        F.when(k <= 1, jsonld_tag).otherwise(F.lit("")),
+        F.when(k <= 2, time_tag).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc,
+        markers, F.lit(P_TAIL),
+    )
+    url = F.when(
+        k <= 3,
+        F.concat(
+            _url(), F.lit("/"), F.date_format(F.date_add(base, 3), "yyyy/MM/dd"),
+            F.lit("/post"),
+        ),
+    ).otherwise(_url())
+    return docs.select(
+        url.alias("url"),
+        _warc_ts().alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 # -------------------------------------------------- gnarly template family
 # Messy-real-web markup (the paste-real-data system-test discipline of the
 # reference, tests/st/test_train_eval_dummy.py:22-100, applied to HTML):

@@ -1808,6 +1808,30 @@ def q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_hosts(edges, iterations=6).orderBy("host")
 
 
+def q_pagerank_hosts_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank twin (webx/graph.py pagerank_hosts_int):
+    same planted graph as q_pagerank_hosts, but rank is an integer mass
+    and every step is floor-division + integer sums — order-independent,
+    so this one has a FULL value oracle (6 iterations unrolled as DuckDB
+    CTEs, the kmeans-oracle precedent applied to the float-unfriendly
+    iterative graph category that was previously rows-only)."""
+    from webx.graph import pagerank_hosts_int
+    from webx.urls import extract_links, host_link_graph
+
+    self_edges = host_link_graph(extract_links(_pages(spark, sf)))
+    docs = synth.load_documents(spark, sf)
+    hostname = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".example.com"))
+    ring = docs.groupBy((F.col("doc_id") % 7).alias("k")).agg(
+        F.count("*").alias("n_links")
+    ).select(
+        hostname(F.col("k")).alias("src_host"),
+        hostname((F.col("k") + 1) % 7).alias("dst_host"),
+        "n_links",
+    )
+    edges = self_edges.unionByName(ring)
+    return pagerank_hosts_int(edges, iterations=6)
+
+
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup (the crawl-frontier UF discipline): every doc
     appears under two surface forms that normalize identically; group on
@@ -5488,6 +5512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_convert_det_labels": q_convert_det_labels,
         "q_convert_jsonl": q_convert_jsonl,
         "q_publish_dates": q_publish_dates,
+        "q_pagerank_hosts_exact": q_pagerank_hosts_exact,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -5991,6 +6016,8 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from webx.graph import pagerank_int_oracle_sql
+
     c = _C
     span_start = f"{c['head_utf8']} + length({DID}) + {c['chrome']}"
     esc_len = f"length({ESC})"
@@ -6603,6 +6630,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
             "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "
             "CAST(10 * count(*) AS BIGINT) AS n_links FROM documents GROUP BY doc_id % 7"
+        ),
+        "q_pagerank_hosts_exact": pagerank_int_oracle_sql(
+            "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
+            "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "
+            "CAST(10 * count(*) AS BIGINT) AS n_links FROM documents GROUP BY doc_id % 7 "
+            "UNION ALL "
+            "SELECT 'h' || CAST(k AS VARCHAR) || '.example.com', "
+            "'h' || CAST((k + 1) % 7 AS VARCHAR) || '.example.com', n FROM "
+            "(SELECT doc_id % 7 AS k, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY doc_id % 7)",
+            iterations=6,
         ),
         "q_url_dedup": (
             "SELECT (CASE doc_id % 3 "

@@ -50,3 +50,41 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     got = {r["host"]: r["rank"] for r in pagerank_hosts(df, iterations=12).collect()}
     for v in got.values():
         assert abs(v - 1.0 / 3) < 1e-12
+
+
+def test_pagerank_int_matches_float_twin(spark):
+    """rank/mass of the integer-exact twin tracks the float power
+    iteration to ~1/mass-scale error, including dangling handling."""
+    from webx.graph import pagerank_hosts_int
+
+    edges = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+        ("c", "a", 1), ("d", "a", 3), ("a", "e", 1),  # e dangling
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    mass = 10**11
+    got = {
+        r["host"]: r["rank"] / mass
+        for r in pagerank_hosts_int(df, iterations=10, mass=mass).collect()
+    }
+    want = _numpy_pagerank(edges, iters=10)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-6, h
+
+
+def test_pagerank_int_partition_independent(spark):
+    """The integer ranks are bit-identical under different partitionings
+    — the property that makes the DuckDB oracle possible."""
+    from webx.graph import pagerank_hosts_int
+
+    edges = [("a", "b", 3), ("b", "a", 1), ("b", "c", 2), ("c", "a", 5)]
+    one = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    ).coalesce(1)
+    many = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    ).repartition(16)
+    r1 = {r["host"]: r["rank"] for r in pagerank_hosts_int(one, 8).collect()}
+    r2 = {r["host"]: r["rank"] for r in pagerank_hosts_int(many, 8).collect()}
+    assert r1 == r2

@@ -100,3 +100,130 @@ def pagerank_hosts(
         if has_dangling or (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def pagerank_hosts_int(
+    edges: DataFrame,
+    iterations: int = 6,
+    mass: int = 10**11,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer-exact PageRank → (host, rank: bigint), engine-exact.
+
+    The float power iteration is not oracle-checkable (sum order flips
+    the last ulp); this twin applies the webx/kmeans.py quantization
+    discipline to the iterative graph algorithm: rank is an integer
+    MASS (Σ r_0 = ``mass``), every step is floor division + integer
+    sums — both order-independent — so the (host, rank) table after any
+    number of iterations is identical on any partitioning, cluster
+    size, or engine, and a DuckDB oracle replays all iterations as
+    unrolled CTEs. Mass leaks a few units per step to the floors
+    (deterministically); rank/mass ≈ the float PageRank to ~1/mass.
+
+    Per iteration: edge contribution ``(r(u) * w) DIV out(u)`` (requires
+    max rank × max edge weight < 2^63 — at mass=10^11 that allows edge
+    weights to ~9×10^7), damped in-sum ``(damp_num * Σc) DIV damp_den``,
+    uniform base ``((damp_den-damp_num) * mass) DIV (damp_den * n)``,
+    dangling share ``(damp_num * (D DIV n)) DIV damp_den``. Same
+    one-shuffle-per-iteration shape as :func:`pagerank_hosts`."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    norm_edges = (
+        edges.join(out_w, "src_host")
+        .select("src_host", "dst_host", "n_links", "out_total")
+        .localCheckpoint()
+    )
+    dangling_nodes = nodes.join(
+        out_w.withColumnRenamed("src_host", "host"), "host", "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.head(1))
+
+    base = ((damp_den - damp_num) * mass) // (damp_den * n)
+    ranks = nodes.select("host", F.lit(mass // n).cast("long").alias("rank"))
+    if has_dangling:
+        ranks = ranks.localCheckpoint()
+    for i in range(iterations):
+        if has_dangling:
+            d_total = (
+                ranks.join(dangling_nodes, "host", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+                .first()[0]
+            )
+        else:
+            d_total = 0
+        dang_share = (damp_num * (int(d_total) // n)) // damp_den
+        contribs = (
+            norm_edges.join(ranks.withColumnRenamed("host", "src_host"), "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(rank * n_links) DIV out_total").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.lit(base).cast("long")
+                + F.lit(dang_share).cast("long")
+                + F.expr(
+                    f"({damp_num} * coalesce(in_mass, 0L)) DIV {damp_den}"
+                )
+            ).alias("rank"),
+        )
+        if has_dangling or (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_int_oracle_sql(
+    edges_sql: str,
+    iterations: int = 6,
+    mass: int = 10**11,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """DuckDB replay of :func:`pagerank_hosts_int`: ``edges_sql`` must
+    select (src_host, dst_host, n_links); iterations unroll as CTEs
+    (the webx/kmeans.py oracle precedent for iterative algorithms)."""
+    parts = [
+        f"WITH e AS ({edges_sql}), ",
+        "outd AS (SELECT src_host, SUM(n_links) AS o FROM e GROUP BY src_host), ",
+        "nodes AS (SELECT src_host AS host FROM e "
+        "UNION SELECT dst_host FROM e), ",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), ",
+        f"r0 AS (SELECT host, {mass} // n AS r FROM nodes CROSS JOIN nn), ",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"c{t} AS (SELECT e.dst_host AS host, "
+            f"SUM((r.r * e.n_links) // outd.o) AS im "
+            f"FROM e JOIN outd USING (src_host) "
+            f"JOIN r{t} r ON r.host = e.src_host GROUP BY e.dst_host), "
+        )
+        parts.append(
+            f"d{t} AS (SELECT COALESCE(SUM(r.r), 0) AS dt FROM r{t} r "
+            "LEFT JOIN outd ON r.host = outd.src_host "
+            "WHERE outd.src_host IS NULL), "
+        )
+        parts.append(
+            f"r{t+1} AS (SELECT nodes.host, "
+            f"(({damp_den} - {damp_num}) * {mass}) // ({damp_den} * n) "
+            f"+ ({damp_num} * (dt // n)) // {damp_den} "
+            f"+ ({damp_num} * COALESCE(c{t}.im, 0)) // {damp_den} AS r "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{t} "
+            f"LEFT JOIN c{t} ON c{t}.host = nodes.host), "
+        )
+    # strip the trailing comma-space from the last CTE
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(f"SELECT host, CAST(r AS BIGINT) AS rank FROM r{iterations}")
+    return "".join(parts)

@@ -642,8 +642,11 @@ def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
     # branch is a cheap pruned parquet re-scan + narrow ops — measured
     # 2.2x faster than a localCheckpoint materialization barrier at
     # sf0.1, and re-scanning (not materializing the corpus) is also the
-    # only sane plan at crawl scale.
-    return _par(docs.unionByName(planted), spark)
+    # only sane plan at crawl scale. No second _par around the union:
+    # both branches are already split (32 + 32 partitions) and the
+    # extra full-corpus exchange cost ~0.6s per scan pass ×2-3 passes
+    # per dedup query (A/B at sf0.1: 0.90 -> 0.32s warm per pass).
+    return docs.unionByName(planted)
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:

@@ -1835,6 +1835,64 @@ def q_pagerank_hosts_exact(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_hosts_int(edges, iterations=6)
 
 
+def q_redirect_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP 3xx chain resolution by pointer doubling (webx/graph.py
+    resolve_redirect_chains — O(log chain) shuffles, the crawl-graph op
+    that collapses fetch-log redirects onto terminal URLs). Fixture:
+    every doc plants a chain of 1 + doc_id%4 hops ending at its flagship
+    URL; every 97th doc plants a 2-cycle (must come back unresolved).
+    The oracle replays the SAME walk as a recursive CTE with the same
+    hop cap — full value gate on final_url, hop counts, and loop
+    detection."""
+    from webx.graph import resolve_redirect_chains
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    flagship = F.concat(base, F.lit("/doc/"), i)
+    hops = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("j"),
+    )
+    j = F.col("j").cast("string")
+    chain_base = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    chain = hops.select(
+        F.concat(chain_base, F.lit("/r/"), i, F.lit("/"), j).alias("url"),
+        F.when(
+            F.col("j") < F.col("doc_id") % 4,
+            F.concat(
+                chain_base, F.lit("/r/"), i, F.lit("/"),
+                (F.col("j") + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(chain_base, F.lit("/doc/"), i))
+        .alias("location"),
+    )
+    la = F.concat(base, F.lit("/loop/"), i, F.lit("/a"))
+    lb = F.concat(base, F.lit("/loop/"), i, F.lit("/b"))
+    loops = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(la.alias("url"), lb.alias("location")),
+                    F.struct(lb.alias("url"), la.alias("location")),
+                )
+            ).alias("e")
+        )
+        .select("e.url", "e.location")
+    )
+    return resolve_redirect_chains(chain.unionByName(loops), rounds=3)
+
+
 def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-URL dedup (the crawl-frontier UF discipline): every doc
     appears under two surface forms that normalize identically; group on
@@ -5516,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_convert_jsonl": q_convert_jsonl,
         "q_publish_dates": q_publish_dates,
         "q_pagerank_hosts_exact": q_pagerank_hosts_exact,
+        "q_redirect_chains": q_redirect_chains,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
         "q_rec_metric": q_rec_metric,
@@ -6019,9 +6078,28 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from webx.graph import pagerank_int_oracle_sql
+    from webx.graph import pagerank_int_oracle_sql, redirect_oracle_sql
 
     c = _C
+    _rbase = "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')"
+    _rid = "CAST(doc_id AS VARCHAR)"
+    redirect_edges_sql = (
+        f"SELECT ({_rbase} || '/r/' || {_rid} || '/' || CAST(u.i AS VARCHAR)) "
+        "AS url, "
+        f"CASE WHEN u.i < doc_id % 4 THEN ({_rbase} || '/r/' || {_rid} || '/' "
+        "|| CAST(u.i + 1 AS VARCHAR)) "
+        f"ELSE ({_rbase} || '/doc/' || {_rid}) END AS location "
+        "FROM documents CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(i) "
+        "WHERE u.i <= doc_id % 4 "
+        "UNION ALL "
+        f"SELECT ({_rbase} || '/loop/' || {_rid} || '/a'), "
+        f"({_rbase} || '/loop/' || {_rid} || '/b') "
+        "FROM documents WHERE doc_id % 97 = 0 "
+        "UNION ALL "
+        f"SELECT ({_rbase} || '/loop/' || {_rid} || '/b'), "
+        f"({_rbase} || '/loop/' || {_rid} || '/a') "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
     span_start = f"{c['head_utf8']} + length({DID}) + {c['chrome']}"
     esc_len = f"length({ESC})"
     return {
@@ -6645,6 +6723,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY doc_id % 7)",
             iterations=6,
         ),
+        "q_redirect_chains": redirect_oracle_sql(redirect_edges_sql, rounds=3),
         "q_url_dedup": (
             "SELECT (CASE doc_id % 3 "
             "WHEN 0 THEN 'http://user@h' || CAST(doc_id % 7 AS VARCHAR) || "

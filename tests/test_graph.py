@@ -88,3 +88,31 @@ def test_pagerank_int_partition_independent(spark):
     r1 = {r["host"]: r["rank"] for r in pagerank_hosts_int(one, 8).collect()}
     r2 = {r["host"]: r["rank"] for r in pagerank_hosts_int(many, 8).collect()}
     assert r1 == r2
+
+
+def test_redirect_chains_pointer_doubling(spark):
+    """Chain of exactly 2**rounds hops resolves; one hop longer does
+    not; 2-cycles and self-loops come back unresolved; hops are exact."""
+    from webx.graph import resolve_redirect_chains
+
+    edges = []
+    # chain c0 -> c1 -> ... -> c8 (8 hops, == cap at rounds=3)
+    edges += [(f"c{i}", f"c{i+1}") for i in range(8)]
+    # chain d0 -> ... -> d9 (9 hops, over cap)
+    edges += [(f"d{i}", f"d{i+1}") for i in range(9)]
+    edges += [("x", "y"), ("y", "x")]  # 2-cycle
+    edges += [("z", "z")]  # self-loop
+    edges += [("a", "t")]  # single hop
+    df = spark.createDataFrame(edges, "url string, location string")
+    got = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in resolve_redirect_chains(df, rounds=3).collect()
+    }
+    assert len(got) == len(edges)
+    assert got["c0"] == ("c8", 8, 1)
+    assert got["c5"] == ("c8", 3, 1)
+    assert got["d0"] == ("", 0, 0)  # 9 hops > 2**3
+    assert got["d1"] == ("d9", 8, 1)  # but d1 is only 8 away
+    for u in ("x", "y", "z"):
+        assert got[u] == ("", 0, 0), u
+    assert got["a"] == ("t", 1, 1)

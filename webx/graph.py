@@ -185,6 +185,85 @@ def pagerank_hosts_int(
     return ranks
 
 
+def resolve_redirect_chains(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """HTTP 3xx redirect chains → terminal targets by pointer doubling.
+
+    ``edges``: (url, location) — one outgoing redirect per source url
+    (an HTTP response carries exactly one Location). Returns one row
+    per source: (url, final_url, hops, resolved) where ``final_url`` is
+    the first non-redirecting target reached within ``2**rounds`` hops
+    and ``hops`` counts edges traversed; redirect LOOPS and chains
+    longer than the cap come back (``''``, 0, resolved=0) — a crawler
+    treats both as dead ends.
+
+    Pointer doubling: each round composes the partial-resolution map
+    with itself (f ← f∘f), so chains of length ≤ 2^rounds resolve in
+    ``rounds`` self-joins — O(log chain) shuffles instead of the O(chain)
+    a hop-at-a-time walk pays; the map is checkpointed per round because
+    BOTH join sides reference it (without that the lineage doubles every
+    round). At crawl scale the edge table is the 3xx slice of the fetch
+    log — tiny next to the corpus — and every join here is on its key."""
+    e = edges.select("url", "location").localCheckpoint()
+    sources = e.select("url").distinct().localCheckpoint()
+    f = e.select(
+        "url",
+        F.col("location").alias("next"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(rounds):
+        g = f.select(
+            F.col("url").alias("g_url"),
+            F.col("next").alias("g_next"),
+            F.col("hops").alias("g_hops"),
+        )
+        f = (
+            f.join(g, f["next"] == g["g_url"], "left")
+            .select(
+                "url",
+                F.coalesce("g_next", "next").alias("next"),
+                (F.col("hops") + F.coalesce("g_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    live = sources.select(F.col("url").alias("next"), F.lit(1).alias("live"))
+    return f.join(live, "next", "left").select(
+        "url",
+        F.when(F.col("live").isNull(), F.col("next")).otherwise(F.lit("")).alias(
+            "final_url"
+        ),
+        F.when(F.col("live").isNull(), F.col("hops"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hops"),
+        F.when(F.col("live").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "resolved"
+        ),
+    )
+
+
+def redirect_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB replay of :func:`resolve_redirect_chains`: a recursive CTE
+    walks each chain hop-at-a-time up to the same ``2**rounds`` cap; the
+    first terminal row per source wins, sources with none (loops,
+    over-length chains) come back ('', 0, 0)."""
+    cap = 2**rounds
+    return (
+        f"WITH RECURSIVE e AS ({edges_sql}), "
+        "walk(url, cur, hops) AS ("
+        "SELECT url, location, 1 FROM e "
+        "UNION ALL SELECT w.url, e2.location, w.hops + 1 FROM walk w "
+        f"JOIN e e2 ON w.cur = e2.url WHERE w.hops < {cap}), "
+        "term AS (SELECT url, cur, hops, "
+        "ROW_NUMBER() OVER (PARTITION BY url ORDER BY hops) AS rn "
+        "FROM walk WHERE cur NOT IN (SELECT url FROM e)) "
+        "SELECT s.url, COALESCE(t.cur, '') AS final_url, "
+        "CAST(COALESCE(t.hops, 0) AS BIGINT) AS hops, "
+        "CASE WHEN t.url IS NULL THEN 0 ELSE 1 END AS resolved "
+        "FROM (SELECT DISTINCT url FROM e) s "
+        "LEFT JOIN term t ON t.url = s.url AND t.rn = 1"
+    )
+
+
 def pagerank_int_oracle_sql(
     edges_sql: str,
     iterations: int = 6,

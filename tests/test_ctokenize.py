@@ -252,7 +252,7 @@ def test_detect_fused_gap_mode_falls_back(monkeypatch):
     def boom(mode):
         raise AssertionError("fused kernel consulted despite merge_gap > 0")
 
-    monkeypatch.setattr(ex, "resolve_detect_table", boom)
+    monkeypatch.setattr(ex, "resolve_detect_final", boom)
     _, spans_gap, _ = ex._extract_doc_stage1(html, cfg_gap)
     monkeypatch.undo()
 
@@ -264,3 +264,120 @@ def test_detect_fused_gap_mode_falls_back(monkeypatch):
     cfg_gap_off = ExtractConfig(merge_gap=2, ckernels="off")
     _, spans_ref, _ = ex._extract_doc_stage1(html, cfg_gap_off)
     assert spans_gap == spans_ref
+
+
+# ---- fully-fused stage-1 (wx_detect_final): + finalize/expand/validate
+
+
+def _stage1_final_ref(html: bytes, cfg):
+    """Reference: Python finalize + expand + validate over the Python
+    stage-1 composition — exactly the ckernels='off' span list."""
+    from webx.detect import expand_spans, validate_spans
+
+    return validate_spans(
+        expand_spans(html, _stage1_py(html, cfg), cfg.expand_ratio), len(html)
+    )
+
+
+def _stage1_final_c(html: bytes, cfg):
+    """The routing under test: _extract_doc_stage1's fused branch."""
+    import webx.extract as ex
+
+    _, spans, _ = ex._extract_doc_stage1(html, cfg)
+    return spans
+
+
+@pytest.mark.parametrize("html", CORNERS, ids=range(len(CORNERS)))
+def test_detect_final_corners_identical(html):
+    from webx.config import ExtractConfig
+
+    for cfg in (ExtractConfig(), ExtractConfig(expand_ratio=0.4)):
+        assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, max_size=40))
+def test_detect_final_fuzz_differential(parts):
+    """Span lists from the FULLY-fused kernel (finalize + expand +
+    validate in C for runs <= 2 blocks, scalar dot proven sequential)
+    must equal the pure-Python reference bitwise — scores included."""
+    from webx.config import ExtractConfig
+
+    html = b"".join(parts)
+    for cfg in (ExtractConfig(), ExtractConfig(expand_ratio=0.4)):
+        assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_detect_final_fuzz_raw_bytes(html):
+    from webx.config import ExtractConfig
+
+    cfg = ExtractConfig()
+    assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
+
+
+def test_detect_final_long_run_falls_back_to_raw():
+    """A candidate run of >= 3 blocks must return mode='raw' (np.dot's
+    vectorized accumulation differs from the sequential scalar dot from
+    n = 3 — measured, not assumed), and the routed result still equals
+    the Python reference."""
+    from webx.config import ExtractConfig
+    from webx.ctokenize import detect_final
+
+    cfg = ExtractConfig()
+    seg = b"lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    html = (b"<div>" + seg + b"</div>") * 4  # 4 adjacent candidate blocks
+    res = detect_final(
+        html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars,
+        cfg.box_thresh, cfg.min_span_chars, cfg.max_candidates,
+        cfg.expand_ratio,
+    )
+    assert res[0] == "raw"
+    assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
+
+
+def test_detect_final_single_and_pair_runs_finalize_in_c():
+    """The synth flagship shape (runs of length 1 and 2) takes the C
+    finalization path (mode='final')."""
+    from webx.config import ExtractConfig
+    from webx.ctokenize import detect_final
+
+    cfg = ExtractConfig()
+    html = (b"<p>" + b"alpha beta gamma delta epsilon zeta " * 3 + b"</p>"
+            b"<nav><a href='/'>menu item</a></nav>"  # boiler: splits runs
+            b"<h2>a heading line here</h2><p>"
+            + b"eta theta iota kappa lambda mu " * 3 + b"</p>")
+    res = detect_final(
+        html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars,
+        cfg.box_thresh, cfg.min_span_chars, cfg.max_candidates,
+        cfg.expand_ratio,
+    )
+    assert res[0] == "final" and len(res[2]) >= 1
+    assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 1, allow_nan=False, width=64),
+            st.integers(1, 100000),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_scalar_dot_matches_npdot_for_n_le_2(pairs):
+    """The bit-identity premise of the C finalization: for n <= 2,
+    sequential scalar mul/add equals np.dot (BLAS ddot) exactly. (From
+    n = 3 ddot's accumulation order diverges — that is why longer runs
+    fall back to the Python np.dot path.)"""
+    import numpy as np
+
+    sc = np.array([p[0] for p in pairs], dtype=np.float64)
+    w = np.array([float(p[1]) for p in pairs], dtype=np.float64)
+    acc = 0.0
+    for i in range(len(pairs)):
+        acc += float(sc[i]) * float(w[i])
+    assert acc == np.dot(sc, w)

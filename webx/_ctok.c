@@ -402,6 +402,136 @@ int64_t* wx_detect(const uint8_t* html, long n,
 }
 
 /* ====================================================================
+ * Fully-fused stage-1: wx_detect + per-run score finalization +
+ * whitespace expansion + span validation in ONE call — the remaining
+ * per-document Python cost of the fused path collapses to one ctypes
+ * call and one buffer copy. The scalar 2-term dot below is
+ * bit-identical to np.dot ONLY for runs of length <= 2 (BLAS ddot
+ * accumulates sequentially at n <= 2 but vectorizes from n = 3 —
+ * differential-fuzzed in tests/test_ctokenize.py; the build pins
+ * -ffp-contract=off so gcc cannot fuse the mul+add either). Documents
+ * containing any longer candidate run return the UNMODIFIED wx_detect
+ * layout with *mode = 1 and Python finalizes exactly as before, so
+ * behavior is invariant for every input.
+ *
+ * ABI:
+ *   int64_t* wx_detect_final(const uint8_t* html, long n,
+ *       double tag_weight, double binary_thresh, long min_block_chars,
+ *       double box_thresh, long min_span_chars, long max_candidates,
+ *       double expand_ratio, long* out_len, long* mode);
+ *     mode = 1: buffer/out_len are exactly wx_detect's (fallback).
+ *     mode = 0: finalized spans, packed:
+ *       [0]           m (span count)
+ *       [1]           k (block count, for extraction metadata)
+ *       [2 .. 2+5m)   span columns start, end, first, last, head_all
+ *       [.. +m)       span scores, double bit patterns
+ *     NULL only on malloc failure. Free with wx_free.
+ * ==================================================================== */
+
+int64_t* wx_detect_final(const uint8_t* html, long n,
+                         double tag_weight, double binary_thresh,
+                         long min_block_chars,
+                         double box_thresh, long min_span_chars,
+                         long max_candidates, double expand_ratio,
+                         long* out_len, long* mode) {
+    *mode = 1;
+    int64_t* buf = wx_detect(html, n, tag_weight, binary_thresh,
+                             min_block_chars, out_len);
+    if (!buf) return NULL;
+    long k = buf[0];
+    long r = buf[1];
+    const int64_t* col_start = buf + 2;
+    const int64_t* col_end = col_start + k;
+    const int64_t* col_tlen = col_end + k;
+    const int64_t* col_head = col_tlen + k;
+    const int64_t* runs = col_head + k;
+    const double* scores = (const double*)(runs + 2 * r);
+    for (long j = 0; j < r; j++) {
+        if (runs[j * 2 + 1] - runs[j * 2] > 1) return buf; /* mode=1 */
+    }
+    long cap = r < max_candidates ? r : max_candidates;
+    long flen = 2 + 6 * (cap > 0 ? cap : 1);
+    int64_t* fin = (int64_t*)malloc((size_t)flen * sizeof(int64_t));
+    if (!fin) { free(buf); *out_len = 0; return NULL; }
+    long m = 0;
+    /* finalize (webx/detect.py _finalize_runs, len<=2 runs only) */
+    long* f_start = (long*)(fin + 2);
+    for (long j = 0; j < r && m < max_candidates; j++) {
+        long i = runs[j * 2], last = runs[j * 2 + 1];
+        double sc;
+        long span_tlen;
+        int head_all;
+        if (last == i) {
+            double w1 = (double)col_tlen[i];
+            sc = scores[i] * w1 / (w1 > 1.0 ? w1 : 1.0);
+            span_tlen = (long)w1;
+            head_all = col_head[i] != 0;
+        } else { /* last == i + 1 */
+            double w0 = (double)col_tlen[i], w1 = (double)col_tlen[last];
+            double ws = w0 + w1;
+            double dot = scores[i] * w0 + scores[last] * w1;
+            sc = dot / (ws > 1.0 ? ws : 1.0);
+            span_tlen = (long)ws;
+            head_all = col_head[i] && col_head[last];
+        }
+        if (sc >= box_thresh && span_tlen >= min_span_chars) {
+            f_start[m] = col_start[i];
+            f_start[cap + m] = col_end[last];
+            f_start[2 * cap + m] = i;
+            f_start[3 * cap + m] = last;
+            f_start[4 * cap + m] = head_all;
+            ((double*)(f_start + 5 * cap))[m] = sc;
+            m++;
+        }
+    }
+    /* expand into surrounding whitespace (webx/detect.py expand_spans):
+     * budget per side, never past the previous EXPANDED end or the next
+     * span's ORIGINAL start */
+    if (expand_ratio > 0.0 && m > 0) {
+        long prev_end = 0;
+        long orig_next_start;
+        for (long j = 0; j < m; j++) {
+            long s0 = f_start[j], e0 = f_start[cap + j];
+            long budget = (long)((double)(e0 - s0) * expand_ratio);
+            orig_next_start = (j + 1 < m) ? f_start[j + 1] : n;
+            long s = s0, e = e0, b = budget;
+            while (s > prev_end && b > 0 && is_ws(html[s - 1])) { s--; b--; }
+            long hi = orig_next_start;
+            b = budget;
+            while (e < hi && b > 0 && is_ws(html[e])) { e++; b--; }
+            f_start[j] = s;
+            f_start[cap + j] = e;
+            prev_end = e;
+        }
+    }
+    /* validate: clip to [0, n), drop empty/inverted
+     * (webx/detect.py validate_spans) */
+    long w = 0;
+    for (long j = 0; j < m; j++) {
+        long s = f_start[j], e = f_start[cap + j];
+        if (s < 0) s = 0; if (s > n) s = n;
+        if (e < 0) e = 0; if (e > n) e = n;
+        if (e > s) {
+            f_start[w] = s;
+            f_start[cap + w] = e;
+            f_start[2 * cap + w] = f_start[2 * cap + j];
+            f_start[3 * cap + w] = f_start[3 * cap + j];
+            f_start[4 * cap + w] = f_start[4 * cap + j];
+            ((double*)(f_start + 5 * cap))[w] =
+                ((double*)(f_start + 5 * cap))[j];
+            w++;
+        }
+    }
+    m = w;
+    free(buf);
+    fin[0] = m;
+    fin[1] = k;
+    *out_len = flen;
+    *mode = 0;
+    return fin;
+}
+
+/* ====================================================================
  * Aho-Corasick scan: the automaton inner loop of webx/match.py's
  * dictionary-scale multi-pattern matcher. The automaton is built ONCE
  * in Python (webx.match.CompiledAC flattens goto/fail/out into arrays,

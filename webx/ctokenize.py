@@ -36,7 +36,10 @@ _SO = os.path.join(_DIR, "_ctok.so")
 def _compile(src: str, so: str) -> str:
     tmp = f"{so}.tmp.{os.getpid()}"
     subprocess.run(
-        ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, src],
+        # -ffp-contract=off pins a*b+c*d to mulsd/addsd (no FMA fusion):
+        # wx_detect_final's 2-term dot must reproduce BLAS ddot's exact
+        # rounding (verified sequential for n<=2, tests/test_ctokenize.py)
+        ["gcc", "-O2", "-ffp-contract=off", "-fPIC", "-shared", "-o", tmp, src],
         check=True,
         capture_output=True,
     )
@@ -102,6 +105,20 @@ try:
         ctypes.c_double,
         ctypes.c_double,
         ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    _lib.wx_detect_final.restype = ctypes.POINTER(ctypes.c_int64)
+    _lib.wx_detect_final.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_long,
+        ctypes.c_double,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long),
     ]
     _i32p = ctypes.POINTER(ctypes.c_int32)
@@ -210,6 +227,71 @@ def detect_table(
     runs = a[2 + 4 * k : 2 + 4 * k + 2 * r].reshape(r, 2)
     scores = a[2 + 4 * k + 2 * r :].view(np.float64)
     return start, end, tlen, heading, scores, runs
+
+
+def detect_final(
+    html: bytes,
+    tag_weight: float,
+    binary_thresh: float,
+    min_block_chars: int,
+    box_thresh: float,
+    min_span_chars: int,
+    max_candidates: int,
+    expand_ratio: float,
+):
+    """FULLY-fused stage-1 (wx_detect_final): detect + finalize +
+    expand + validate in one C call when every candidate run has
+    length <= 2 (the only shapes whose np.dot is sequential — see the
+    kernel comment). Returns either
+
+      ("final", n_blocks, start, end, first, last, head_all, score)
+        — finalized span columns (numpy views over one copied buffer)
+
+      ("raw", (start, end, tlen, heading, scores, runs))
+        — exactly detect_table's output; the caller finalizes in
+          Python (webx.detect._finalize_runs), preserving np.dot's
+          summation order for runs of length >= 3."""
+    import numpy as np
+
+    out_len = ctypes.c_long()
+    mode = ctypes.c_long()
+    ptr = _lib.wx_detect_final(
+        html, len(html), tag_weight, binary_thresh, min_block_chars,
+        box_thresh, min_span_chars, max_candidates, expand_ratio,
+        ctypes.byref(out_len), ctypes.byref(mode),
+    )
+    if not ptr:
+        raise MemoryError("wx_detect_final allocation failure")
+    try:
+        a = np.frombuffer(
+            ctypes.string_at(ptr, out_len.value * 8), dtype=np.int64
+        )
+    finally:
+        _lib.wx_free(ptr)
+    if mode.value == 1:  # wx_detect layout: unpack like detect_table
+        k = int(a[0])
+        r = int(a[1])
+        start = a[2 : 2 + k]
+        end = a[2 + k : 2 + 2 * k]
+        tlen = a[2 + 2 * k : 2 + 3 * k]
+        heading = a[2 + 3 * k : 2 + 4 * k] != 0
+        runs = a[2 + 4 * k : 2 + 4 * k + 2 * r].reshape(r, 2)
+        scores = a[2 + 4 * k + 2 * r :].view(np.float64)
+        return "raw", (start, end, tlen, heading, scores, runs)
+    m = int(a[0])
+    n_blocks = int(a[1])
+    cap = (out_len.value - 2) // 6  # column stride (>= m)
+    cols = a[2:]
+    return (
+        "final",
+        n_blocks,
+        cols[:m],
+        cols[cap : cap + m],
+        cols[2 * cap : 2 * cap + m],
+        cols[3 * cap : 3 * cap + m],
+        cols[4 * cap : 4 * cap + m] != 0,
+        cols[5 * cap : 5 * cap + m].view(np.float64),
+    )
 
 
 def strip_markup_c(raw: bytes) -> bytes:

@@ -98,6 +98,20 @@ def resolve_strip(mode: str):
 
 
 @lru_cache(maxsize=4)
+def resolve_detect_final(mode: str):
+    """The FULLY-fused stage-1 kernel (tokenize + scores + runs +
+    finalize + expand + validate in one C call) or None. Only documents
+    whose candidate runs all have length <= 2 finalize in C — the
+    kernel itself falls back to the raw detect layout otherwise, and
+    the caller runs the reference Python finalization (np.dot order
+    preserved for longer runs). No Python twin: None routes to the
+    decomposed reference composition."""
+    if mode == "off":
+        return None
+    return _resolve_kernel(mode, None, "detect_final")
+
+
+@lru_cache(maxsize=4)
 def resolve_detect_table(mode: str):
     """The FUSED stage-1 kernel (tokenize + scores + candidate runs in
     one C call) or None for the decomposed path. Unlike the other
@@ -124,26 +138,49 @@ def _extract_doc_stage1(
         html = html[: cfg.limit_side_len]
         truncated = True
     charset = sniff_charset(html, cfg.default_charset)
-    fused = resolve_detect_table(cfg.ckernels) if cfg.merge_gap == 0 else None
+    fused = resolve_detect_final(cfg.ckernels) if cfg.merge_gap == 0 else None
     if fused is not None:
-        # one C call: tokenize + elementwise scores + candidate runs;
-        # only the per-run np.dot finalization stays Python-side
-        start, end, tlen, heading, scores, runs = fused(
-            html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars
+        # one C call: tokenize + scores + runs + (when every run is
+        # <= 2 blocks) finalize + expand + validate — the whole stage
+        res = fused(
+            html,
+            cfg.tag_weight,
+            cfg.binary_thresh,
+            cfg.min_block_chars,
+            cfg.box_thresh,
+            cfg.min_span_chars,
+            cfg.max_candidates,
+            cfg.expand_ratio,
         )
-        n_blocks = len(tlen)
-        spans = (
-            validate_spans(
-                expand_spans(
-                    html,
-                    _finalize_runs(start, end, tlen, heading, scores, runs, cfg),
-                    cfg.expand_ratio,
-                ),
-                len(html),
+        if res[0] == "final":
+            _, n_blocks, f_start, f_end, f_first, f_last, f_head, f_sc = res
+            spans = [
+                Span(s, e, sc, "heading" if h else "content", fi, la)
+                for s, e, sc, h, fi, la in zip(
+                    f_start.tolist(),
+                    f_end.tolist(),
+                    f_sc.tolist(),
+                    f_head.tolist(),
+                    f_first.tolist(),
+                    f_last.tolist(),
+                )
+            ]
+        else:
+            # a run of >= 3 blocks: reference finalization (np.dot order)
+            start, end, tlen, heading, scores, runs = res[1]
+            n_blocks = len(tlen)
+            spans = (
+                validate_spans(
+                    expand_spans(
+                        html,
+                        _finalize_runs(start, end, tlen, heading, scores, runs, cfg),
+                        cfg.expand_ratio,
+                    ),
+                    len(html),
+                )
+                if n_blocks
+                else []
             )
-            if n_blocks
-            else []
-        )
     else:
         # columnar block table straight from the tokenizer (the C kernel
         # fills numpy columns directly; the Python path transposes once)

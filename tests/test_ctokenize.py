@@ -381,3 +381,110 @@ def test_scalar_dot_matches_npdot_for_n_le_2(pairs):
     for i in range(len(pairs)):
         acc += float(sc[i]) * float(w[i])
     assert acc == np.dot(sc, w)
+
+
+# ---- fused stage-2 strip+normalize (wx_strip_norm)
+
+
+_SN_CHARSETS = ["utf-8", "ascii", "latin-1", "windows-1252", "shift_jis"]
+
+
+def _assert_strip_norm_equiv(raw: bytes):
+    from webx.ctokenize import strip_norm_c
+    from webx.recognize import decode_span, decode_stripped, strip_markup
+
+    out, done = strip_norm_c(raw)
+    if done:
+        # out IS the final text: must match decode_span under EVERY
+        # ASCII-compatible charset (the kernel's commutation claim)
+        text = out.decode("ascii")
+        for cs in _SN_CHARSETS:
+            assert text == decode_span(raw, cs), cs
+    else:
+        # fallback contract: out is exactly strip_markup's output, and
+        # finishing in Python reproduces decode_span
+        assert out == strip_markup(raw)
+        for cs in _SN_CHARSETS:
+            assert decode_stripped(out, cs) == decode_span(raw, cs), cs
+
+
+_SN_CORNERS = [
+    b"",
+    b"plain words only",
+    b"a  b   c    d",                      # double-space collapse
+    b"x" * 6 + b"  tail",                  # pair at the word-scan seam
+    b"x" * 7 + b"  tail",
+    b"x" * 8 + b"  tail",
+    b"x" * 9 + b"  tail",
+    b" lead and trail ",
+    b"\x1c\x1dmid\x1c line\x1e\x1f",        # CPython strip-set edges
+    b"a\tb\fc\vd",                          # rare HWS bytes
+    b"a\r\nb\rc",                           # CR normalization
+    b"line1\n\n\nline2\n",                  # empty-line drop
+    b"ends with &amp; entity",              # '&' -> fallback
+    b"caf\xc3\xa9 non-ascii",               # >= 0x80 -> fallback
+    b"<p>one</p><p>two  spaced</p>",
+    b"<script>raw  text</script>kept",
+    b"\n\n  \n\t\n",                        # whitespace-only
+    b" " * 40,
+    b"a" + b" " * 17 + b"b",
+]
+
+
+@pytest.mark.parametrize("raw", _SN_CORNERS, ids=range(len(_SN_CORNERS)))
+def test_strip_norm_corners(raw):
+    _assert_strip_norm_equiv(raw)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, max_size=40))
+def test_strip_norm_fuzz_differential(parts):
+    _assert_strip_norm_equiv(b"".join(parts))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_strip_norm_fuzz_raw_bytes(html):
+    _assert_strip_norm_equiv(html)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" \t\f\v\r\n\x1c\x1d\x1e\x1fab&.", max_size=120))
+def test_strip_norm_fuzz_whitespace_soup(txt):
+    """Dense whitespace/control soup targets the collapse + line-trim
+    word-scan seams specifically."""
+    _assert_strip_norm_equiv(txt.encode("ascii"))
+
+
+def test_is_ascii_compatible_probe():
+    """Stateful/shifting codecs whose ASCII bytes change meaning must
+    be rejected; plain ASCII-supersets accepted; x-user-defined is
+    ASCII passthrough by definition."""
+    from webx.recognize import is_ascii_compatible
+
+    for cs in _SN_CHARSETS + ["x-user-defined", "euc_jp", "gbk", "big5",
+                              "koi8-r", "tis-620", "gb18030", "utf_8_sig"]:
+        assert is_ascii_compatible(cs), cs
+    # every CPython codec family that reinterprets ASCII byte sequences
+    for cs in ["utf-16", "utf-16le", "utf-16be", "utf-32", "utf-7",
+               "iso2022_jp", "iso2022_kr", "hz", "unicode_escape",
+               "raw_unicode_escape", "punycode", "idna", "cp037",
+               "no-such-charset"]:
+        assert not is_ascii_compatible(cs), cs
+
+
+def test_decode_spans_fallback_charsets(spark):
+    """Pages whose effective codec is NOT ASCII-compatible (and pages
+    full of entities / non-ASCII) must route around the fused kernel
+    and still match the pure-Python pipeline — covered corpus-wide by
+    the extract_batch equality below."""
+    from webx import synth
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    for gen in (synth.synth_pages_latin1, synth.synth_pages_entities,
+                synth.synth_pages_charset_edge):
+        pdf = gen(spark, "/root/testdata/sf0.001").select("url", "html").toPandas()
+        a = extract_batch(pdf, ExtractConfig())
+        b = extract_batch(pdf, ExtractConfig(ckernels="off"))
+        assert a.equals(b)

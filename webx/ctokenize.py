@@ -107,6 +107,13 @@ try:
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    _lib.wx_strip_norm.restype = ctypes.POINTER(ctypes.c_uint8)
+    _lib.wx_strip_norm.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+    ]
     _lib.wx_detect_final.restype = ctypes.POINTER(ctypes.c_int64)
     _lib.wx_detect_final.argtypes = [
         ctypes.c_char_p,
@@ -292,6 +299,24 @@ def detect_final(
         cols[4 * cap : 4 * cap + m] != 0,
         cols[5 * cap : 5 * cap + m].view(np.float64),
     )
+
+
+def strip_norm_c(raw: bytes):
+    """Fused stage-2 strip + full text normalization (wx_strip_norm).
+    Returns (out_bytes, ok): ok=True means out_bytes IS the final
+    normalized text (pure-ASCII, entity-free span — decode with any
+    ASCII-compatible charset and you have decode_span's result); ok=False
+    means out_bytes is exactly strip_markup's output and the caller
+    finishes with the reference Python normalization."""
+    out_n = ctypes.c_long()
+    ok = ctypes.c_long()
+    ptr = _lib.wx_strip_norm(raw, len(raw), ctypes.byref(out_n), ctypes.byref(ok))
+    if not ptr:
+        raise MemoryError("wx_strip_norm allocation failure")
+    try:
+        return ctypes.string_at(ptr, out_n.value), bool(ok.value)
+    finally:
+        _lib.wx_free_bytes(ptr)
 
 
 def strip_markup_c(raw: bytes) -> bytes:

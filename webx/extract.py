@@ -36,7 +36,7 @@ from webx.detect import (
     merge_runs_table,
     validate_spans,
 )
-from webx.recognize import decode_span
+from webx.recognize import decode_span, decode_stripped, is_ascii_compatible
 from webx.tokenize import Block, tokenize
 
 
@@ -109,6 +109,18 @@ def resolve_detect_final(mode: str):
     if mode == "off":
         return None
     return _resolve_kernel(mode, None, "detect_final")
+
+
+@lru_cache(maxsize=4)
+def resolve_strip_norm(mode: str):
+    """Fused stage-2 strip + normalize kernel (wx_strip_norm) or None.
+    Only pure-ASCII, entity-free spans normalize fully in C (the byte
+    ops commute with any ASCII-compatible decode); other spans come
+    back merely stripped with ok=False and finish on the reference
+    Python path (webx.recognize.decode_stripped). No Python twin."""
+    if mode == "off":
+        return None
+    return _resolve_kernel(mode, None, "strip_norm_c")
 
 
 @lru_cache(maxsize=4)
@@ -218,12 +230,24 @@ def _decode_spans(
     status = "ok"
     rows: List[dict] = []
     weights: List[int] = []
-    strip = resolve_strip(cfg.ckernels)
+    strip_norm = (
+        resolve_strip_norm(cfg.ckernels) if is_ascii_compatible(charset) else None
+    )
+    strip = resolve_strip(cfg.ckernels) if strip_norm is None else None
     for s in spans:
         if s.score < cfg.drop_score:  # drop_score filter (predict_system.py:92-100)
             continue
         raw = html[s.start : s.end]
-        text = decode_span(raw, charset, strip)
+        if strip_norm is not None:
+            out, done = strip_norm(raw)
+            # done: out IS the normalized text — pure-ASCII bytes, and
+            # the charset passed the ASCII-compatibility probe, so
+            # decoding as ASCII is exact (also covers x-user-defined,
+            # which has no stdlib codec); else out is the stripped
+            # bytes — finish on the reference Python path
+            text = out.decode("ascii") if done else decode_stripped(out, charset)
+        else:
+            text = decode_span(raw, charset, strip)
         if not text:
             continue
         rows.append(

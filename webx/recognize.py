@@ -72,11 +72,9 @@ def strip_markup(raw: bytes) -> bytes:
     return _ANYTAG_RE.sub(b"", raw)
 
 
-def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
-    """Decode one span's raw bytes into normalized text. ``strip`` is
-    the markup-removal kernel (python or C — resolved once per batch by
-    webx.extract.resolve_strip)."""
-    raw = strip(raw)
+def decode_stripped(raw: bytes, charset: str) -> str:
+    """Steps 3-6 over already-markup-stripped bytes: charset decode,
+    entities, CR normalize, whitespace collapse, line trim/join."""
     if charset == "x-user-defined":
         from webx.charset import _XUD_TABLE
 
@@ -91,6 +89,52 @@ def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
         text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [ln.strip() for ln in _collapse_hws(text).split("\n")]
     return "\n".join(ln for ln in lines if ln)
+
+
+def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
+    """Decode one span's raw bytes into normalized text. ``strip`` is
+    the markup-removal kernel (python or C — resolved once per batch by
+    webx.extract.resolve_strip)."""
+    return decode_stripped(strip(raw), charset)
+
+
+_ASCII_PROBE = bytes(range(128))
+# Adversarial shift/escape sequences: every CPython codec that
+# reinterprets pure-ASCII byte sequences is tripped by one of these —
+# iso2022_* ("\x1b$B...\x1b(B" shifts charsets), utf-7 ("+ADw-" is
+# base64 for "<"), hz ("~{" shifts to GB), unicode_escape ("\n" the
+# two-byte sequence becomes one LF), raw_unicode_escape ("A").
+# idna ("xn--" punycode labels decode to non-ASCII). A codec that
+# decodes BOTH probes exactly like ASCII treats every ASCII byte as
+# itself, statelessly.
+_ASCII_PROBE2 = b"\x1b$B@\x1b(B +ADw- ~{x}~ \\n \\u0041 ~\nq.xn--nxasmq6b.x"
+_ASCII_COMPAT_MEMO: dict = {}
+
+
+def is_ascii_compatible(charset: str) -> bool:
+    """True when ``charset`` decodes every pure-ASCII byte string
+    exactly like ASCII — the precondition for the fused byte-level
+    normalization kernel (webx/_ctok.c wx_strip_norm). Probed by
+    strict-decoding all 128 ASCII bytes plus an adversarial string of
+    shift/escape sequences (see _ASCII_PROBE2): stateful or escape-
+    interpreting codecs either raise or produce different text and are
+    excluded. Memoized per charset label."""
+    hit = _ASCII_COMPAT_MEMO.get(charset)
+    if hit is not None:
+        return hit
+    if charset == "x-user-defined":
+        ok = True  # ASCII passthrough by definition (only >= 0x80 remap)
+    else:
+        try:
+            ok = (
+                _ASCII_PROBE.decode(charset) == _ASCII_PROBE.decode("ascii")
+                and _ASCII_PROBE2.decode(charset)
+                == _ASCII_PROBE2.decode("ascii")
+            )
+        except Exception:
+            ok = False
+    _ASCII_COMPAT_MEMO[charset] = ok
+    return ok
 
 
 def truncate_at_sentinel(col, sentinel: str):

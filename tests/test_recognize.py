@@ -3,6 +3,8 @@ modeled on the reference's rec_postprocess.py:252-267 inline asserts)."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
+
 from webx.charset import decode_bytes, sniff_charset
 from webx.entities import unescape
 from webx.recognize import decode_span
@@ -123,3 +125,44 @@ def test_html5_entity_coverage():
     assert unescape("&ouml;&Uuml;&szlig;") == "öÜß"
     assert unescape("&alpha;&Omega;&rarr;&infin;") == "αΩ→∞"
     assert unescape("&NonBreakingSpace;") == " "  # policy override
+
+
+# ---- sniff_charset fast paths vs the full WHATWG prescan
+
+
+_META_FRAGS = st.sampled_from(
+    [
+        b'<meta charset="utf-8">', b'<meta charset="utf-8"/>',
+        b'<meta charset="utf-8" >', b"<meta charset=utf-8>",
+        b'<meta charset="UTF-8">', b'<META CHARSET="utf-8">',
+        b'<meta charset="iso-8859-1">', b'<meta charset="utf-16le">',
+        b'<meta http-equiv="content-type" content="text/html; charset=koi8-r">',
+        b'<meta name="viewport" content="width=device-width">',
+        b"<!--", b"-->", b"<!-- <meta charset=\"gbk\"> -->",
+        b"<head>", b"</head>", b"<title>t</title>", b" ", b"\n",
+        b"<meta", b">", b'"', b"'", b"/>", b"x" * 40,
+        b'<meta charset="utf-8" x="unterminated',
+    ]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_META_FRAGS, max_size=12))
+def test_sniff_fast_path_differential(parts):
+    """sniff_charset (with fast paths) must equal the raw WHATWG
+    prescan on meta/comment soup, for both default charsets."""
+    from webx.charset import _sniff_prescan, sniff_charset
+
+    html = b"".join(parts)
+    for default in ("utf-8", "cp1252"):
+        assert sniff_charset(html, default) == _sniff_prescan(
+            html[:1024], default
+        )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_sniff_fast_path_raw_bytes(html):
+    from webx.charset import _sniff_prescan, sniff_charset
+
+    assert sniff_charset(html) == _sniff_prescan(html[:1024], "utf-8")

@@ -174,6 +174,9 @@ def _meta_attrs(raw: bytes) -> dict:
     return out
 
 
+_FAST_META = b'<meta charset="utf-8"'
+
+
 def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     """WHATWG prescan over the first 1024 bytes: comments are skipped
     (a ``<meta charset>`` inside ``<!-- -->`` never counts, an
@@ -181,8 +184,31 @@ def sniff_charset(html: bytes, default: str = "utf-8") -> str:
     attributes are inspected, the ``content=`` form requires the
     ``http-equiv=content-type`` pragma, and a declared UTF-16 label
     resolves to UTF-8 (spec step 9.4 — ASCII-shaped bytes can't be
-    UTF-16). Unknown/unresolvable labels fall through to ``default``."""
+    UTF-16). Unknown/unresolvable labels fall through to ``default``.
+
+    Fast paths (behavior-identical, differential-fuzzed): no ``<meta``
+    in the head at all -> ``default`` without running the regex; the
+    FIRST meta is the canonical ``<meta charset="utf-8">`` (or its
+    ``/>`` XHTML form) with no ``<!--`` before it -> utf-8 directly
+    (a comment can only hide the meta by STARTING before it; later
+    comments are substituted away without touching the earlier match).
+    The immediate ``>`` makes the regex match guaranteed; anything
+    else takes the full prescan."""
     head = html[:1024]
+    hl = head.lower()
+    q = hl.find(b"<meta")
+    if q == -1:
+        return default  # _META_B_RE cannot match; comments irrelevant
+    if hl.find(b"<!--", 0, q) == -1 and hl[q : q + 21] == _FAST_META:
+        tail = hl[q + 21 : q + 23]
+        if tail[:1] == b">" or tail == b"/>":
+            return "utf-8"
+    return _sniff_prescan(head, default)
+
+
+def _sniff_prescan(head: bytes, default: str) -> str:
+    """The full WHATWG prescan (reference path; the fast paths above
+    are differential-fuzzed against calling this directly)."""
     if b"<!--" in head:  # comment stripping only when comments exist
         head = _COMMENT_B_RE.sub(b" ", head)
         cut = head.find(b"<!--")  # unterminated comment swallows the rest

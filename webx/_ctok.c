@@ -28,6 +28,44 @@
 static inline int is_ws(uint8_t c) {
     return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == '\v';
 }
+
+/* word-at-a-time byte scanning (unaligned 8-byte loads + the classic
+ * zero-byte trick): scans run at memchr-class speed instead of
+ * ~1 byte/branch. Used by the tokenizer's text-segment counting and
+ * the stage-2 normalization kernel. */
+#define WX_ONES 0x0101010101010101ULL
+#define WX_HIGH 0x8080808080808080ULL
+
+static inline uint64_t wx_load64(const uint8_t* p) {
+    uint64_t w;
+    memcpy(&w, p, 8);
+    return w;
+}
+
+/* high bit set at EXACTLY the byte positions equal to b. The textbook
+ * (x - ONES) & ~x & HIGH form is detection-only: borrow propagation
+ * from a true zero byte can flag neighboring nonzero bytes (false
+ * positives, never false negatives). This is the exact variant —
+ * required wherever the mask is popcounted or positionally decoded. */
+static inline uint64_t wx_eqmask(uint64_t w, uint8_t b) {
+    uint64_t x = w ^ (WX_ONES * b);
+    uint64_t y = (x & ~WX_HIGH) + ~WX_HIGH;
+    return ~(y | x | ~WX_HIGH);
+}
+
+/* count of non-whitespace bytes in s[a:b] (is_ws set). The branchless
+ * byte loop + per-function vectorization lets gcc emit SIMD
+ * compare/accumulate (pcmpeqb + psadbw) — measured faster than both
+ * the plain -O2 byte loop and a hand-rolled 64-bit mask/popcount. */
+__attribute__((optimize("O3", "tree-vectorize")))
+static long wx_count_nonws(const uint8_t* s, long a, long b) {
+    long ws = 0;
+    for (long i = a; i < b; i++) {
+        uint8_t c = s[i];
+        ws += (c == ' ') | ((c >= 0x09) & (c <= 0x0d));
+    }
+    return (b - a) - ws;
+}
 static inline int is_alpha(uint8_t c) {
     return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
 }
@@ -239,10 +277,7 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
             if (lead < seg_end) { /* stripped non-empty */
                 long trail = seg_end;
                 while (trail > lead && is_ws(html[trail - 1])) trail--;
-                int64_t tl = 0;
-                for (long i = lead; i < trail; i++) {
-                    if (!is_ws(html[i])) tl++;
-                }
+                int64_t tl = wx_count_nonws(html, lead, trail);
                 if (b_start < 0) b_start = lead;
                 b_end = trail;
                 b_tlen += tl;
@@ -303,10 +338,7 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
         if (lead < n) {
             long trail = n;
             while (trail > lead && is_ws(html[trail - 1])) trail--;
-            int64_t tl = 0;
-            for (long i = lead; i < trail; i++) {
-                if (!is_ws(html[i])) tl++;
-            }
+            int64_t tl = wx_count_nonws(html, lead, trail);
             if (b_start < 0) b_start = lead;
             b_end = trail;
             b_tlen += tl;
@@ -844,25 +876,8 @@ static inline int is_pystrip_ws(uint8_t c) {
     return (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f) || c == ' ';
 }
 
-/* word-at-a-time byte scanning (unaligned 8-byte loads + the classic
- * zero-byte trick): the scans below run at memchr-class speed instead
- * of ~1 byte/branch — measured 4x on 10 KB spans. */
-#define WX_ONES 0x0101010101010101ULL
-#define WX_HIGH 0x8080808080808080ULL
-
-static inline uint64_t wx_load64(const uint8_t* p) {
-    uint64_t w;
-    memcpy(&w, p, 8);
-    return w;
-}
-
-/* high bit set at every byte position equal to b */
-static inline uint64_t wx_eqmask(uint64_t w, uint8_t b) {
-    uint64_t x = w ^ (WX_ONES * b);
-    return (x - WX_ONES) & ~x & WX_HIGH;
-}
-
-/* first index >= i of a "  " pair, or m when none */
+/* first index >= i of a "  " pair, or m when none (word helpers are
+ * defined at the top of the file) */
 static long wx_find_dblspace(const uint8_t* s, long i, long m) {
     while (i + 9 <= m) { /* pairs starting at i..i+6 live in this word */
         uint64_t sp = wx_eqmask(wx_load64(s + i), ' ');

@@ -257,9 +257,12 @@ def detect_final(
       ("raw", (start, end, tlen, heading, scores, runs))
         — exactly detect_table's output; the caller finalizes in
           Python (webx.detect._finalize_runs), preserving np.dot's
-          summation order for runs of length >= 3."""
-    import numpy as np
+          summation order for runs of length >= 3.
 
+    The "final" columns are plain Python lists (spans per document are
+    few — ctypes bulk slicing beats a bytes->numpy round trip by ~4 µs
+    per call); the "raw" fallback unpacks through numpy exactly like
+    detect_table."""
     out_len = ctypes.c_long()
     mode = ctypes.c_long()
     ptr = _lib.wx_detect_final(
@@ -269,13 +272,15 @@ def detect_final(
     )
     if not ptr:
         raise MemoryError("wx_detect_final allocation failure")
-    try:
-        a = np.frombuffer(
-            ctypes.string_at(ptr, out_len.value * 8), dtype=np.int64
-        )
-    finally:
-        _lib.wx_free(ptr)
     if mode.value == 1:  # wx_detect layout: unpack like detect_table
+        import numpy as np
+
+        try:
+            a = np.frombuffer(
+                ctypes.string_at(ptr, out_len.value * 8), dtype=np.int64
+            )
+        finally:
+            _lib.wx_free(ptr)
         k = int(a[0])
         r = int(a[1])
         start = a[2 : 2 + k]
@@ -285,10 +290,18 @@ def detect_final(
         runs = a[2 + 4 * k : 2 + 4 * k + 2 * r].reshape(r, 2)
         scores = a[2 + 4 * k + 2 * r :].view(np.float64)
         return "raw", (start, end, tlen, heading, scores, runs)
-    m = int(a[0])
-    n_blocks = int(a[1])
-    cap = (out_len.value - 2) // 6  # column stride (>= m)
-    cols = a[2:]
+    try:
+        m = ptr[0]
+        n_blocks = ptr[1]
+        if m == 0:
+            return "final", n_blocks, (), (), (), (), (), ()
+        cap = (out_len.value - 2) // 6  # column stride (>= m)
+        cols = ptr[2 : 2 + 5 * cap]  # one bulk int read of 5 columns
+        scores = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_double))[
+            2 + 5 * cap : 2 + 5 * cap + m
+        ]
+    finally:
+        _lib.wx_free(ptr)
     return (
         "final",
         n_blocks,
@@ -296,8 +309,8 @@ def detect_final(
         cols[cap : cap + m],
         cols[2 * cap : 2 * cap + m],
         cols[3 * cap : 3 * cap + m],
-        cols[4 * cap : 4 * cap + m] != 0,
-        cols[5 * cap : 5 * cap + m].view(np.float64),
+        cols[4 * cap : 4 * cap + m],
+        scores,
     )
 
 

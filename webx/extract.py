@@ -165,16 +165,12 @@ def _extract_doc_stage1(
             cfg.expand_ratio,
         )
         if res[0] == "final":
+            # plain-list span columns (see ctokenize.detect_final)
             _, n_blocks, f_start, f_end, f_first, f_last, f_head, f_sc = res
             spans = [
                 Span(s, e, sc, "heading" if h else "content", fi, la)
                 for s, e, sc, h, fi, la in zip(
-                    f_start.tolist(),
-                    f_end.tolist(),
-                    f_sc.tolist(),
-                    f_head.tolist(),
-                    f_first.tolist(),
-                    f_last.tolist(),
+                    f_start, f_end, f_sc, f_head, f_first, f_last
                 )
             ]
         else:

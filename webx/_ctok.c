@@ -107,13 +107,34 @@ static const tagent TAGS[] = {
     {NULL, 0},
 };
 
+/* first-letter buckets over TAGS (lazy-built; idempotent writes, so a
+ * racing second thread is benign). Unknown names — the majority on
+ * real pages: span/img/meta/em/strong/... — scan only their letter's
+ * few entries instead of the whole table. */
+static signed char tag_bucket[26][12];
+static int tag_bucket_built = 0;
+
+static void build_tag_buckets(void) {
+    for (int c = 0; c < 26; c++) {
+        int k = 0;
+        for (int t = 0; TAGS[t].name; t++) {
+            if (TAGS[t].name[0] == 'a' + c) tag_bucket[c][k++] = (signed char)t;
+        }
+        tag_bucket[c][k] = -1;
+    }
+    tag_bucket_built = 1;
+}
+
 static int classify(const uint8_t* name, long len) {
     if (len <= 0 || len > 10) return 0;
     char buf[12];
     for (long i = 0; i < len; i++) buf[i] = (char)lo(name[i]);
     buf[len] = 0;
-    for (const tagent* t = TAGS; t->name; t++) {
-        if (t->name[0] == buf[0] && strcmp(t->name, buf) == 0) return t->flags;
+    if (buf[0] < 'a' || buf[0] > 'z') return 0;
+    if (!tag_bucket_built) build_tag_buckets();
+    for (const signed char* ip = tag_bucket[buf[0] - 'a']; *ip >= 0; ip++) {
+        const tagent* t = &TAGS[(int)*ip];
+        if (strcmp(t->name, buf) == 0) return t->flags;
     }
     return 0;
 }

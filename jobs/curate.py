@@ -99,6 +99,11 @@ def main(argv=None) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # bound Python-worker memory on crawl-sized pages: Arrow batches
+        # materialize fully before the UDF runs, and Spark's only cap is
+        # row-count — 1024 rows x ~64 KB average page ~= 64 MB/batch
+        # (the 10000 default is ~1 GB/worker); --conf still overrides
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -42,6 +42,12 @@ def parse_args(argv):
                         "Default: derived from the local input's data-file "
                         "listing (lineage.snapshot_id_for_path) so a "
                         "regenerated input reads as a NEW snapshot")
+    p.add_argument("--arrow-batch-rows", type=int, default=1024,
+                   help="Arrow records per mapInPandas batch. Spark has "
+                        "no byte-based cap, so this bounds Python-worker "
+                        "memory BY ROW COUNT: size it to ~64 MB of html "
+                        "per batch (1024 rows x ~64 KB average page; the "
+                        "default 10000 is ~1 GB/worker on crawl data)")
     p.add_argument("--n-partitions", type=int, default=64)
     p.add_argument("--chunk-size", type=int, default=16)
     p.add_argument("--max-chunks", type=int, default=None)
@@ -107,6 +113,13 @@ def main(argv=None) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # bound Python-worker memory: an Arrow batch is fully
+        # materialized before the UDF sees it, so the cap must be set
+        # here, not inside the UDF (see --arrow-batch-rows help)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(args.arrow_batch_rows),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -341,3 +341,34 @@ def test_resolve_revisits_across_files(spark, tmp_path):
         ("http://a.com/orig", body),
         ("http://b.com/copy", body),
     ]
+
+
+def test_warc_truncated_tail_member_keeps_prior_records():
+    """A shard whose LAST gzip member is cut mid-stream (routine on
+    real crawl transfers) must still yield every record from the
+    complete members — not drop the whole file."""
+    import gzip as _gz
+
+    good = _gz.compress(write_warc(records(3)))
+    tail = _gz.compress(write_warc(records(2)))
+    blob = good + tail[: len(tail) // 2]
+    from webx.sources import _warc_walk
+
+    n = sum(1 for _ in _warc_walk(blob))
+    assert n == sum(1 for _ in _warc_walk(_gz.compress(write_warc(records(3)))))
+    assert n >= 3
+
+
+def test_warc_corrupt_middle_member_keeps_prefix():
+    """A corrupt member ends the scan at the member boundary; records
+    before it survive."""
+    import gzip as _gz
+
+    from webx.sources import _warc_walk
+
+    good = _gz.compress(write_warc(records(2)))
+    bad = bytearray(_gz.compress(write_warc(records(2))))
+    bad[12] ^= 0xFF  # corrupt the deflate body
+    n_all = sum(1 for _ in _warc_walk(good + bytes(bad)))
+    n_good = sum(1 for _ in _warc_walk(good))
+    assert n_all >= n_good

@@ -124,12 +124,26 @@ def _warc_walk(raw: bytes):
     the gzipped (concatenated-member) layout; malformed trailing bytes
     end the scan (never raise)."""
     if raw[:2] == b"\x1f\x8b":  # gzipped warc (members concatenated)
-        try:
-            raw = gzip.decompress(raw)
-        except (OSError, EOFError, zlib.error):
-            # EOFError: truncated member; zlib.error: corrupt body.
-            # Both routine in crawl archives — end the scan, never raise.
+        # member-by-member, keeping every member that decodes cleanly:
+        # a truncated or corrupt member — routine at the tail of real
+        # crawl shards — must cost only the records it held, not the
+        # whole file (gzip.decompress would drop everything).
+        out = bytearray()
+        pos = 0
+        n_raw = len(raw)
+        while pos < n_raw and raw[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                out += d.decompress(raw[pos:])
+            except zlib.error:
+                break  # corrupt member: keep prior members' records
+            if not d.eof:
+                break  # truncated final member: its partial output
+                # still ends in an incomplete record the walk skips
+            pos = n_raw - len(d.unused_data)
+        if not out:
             return
+        raw = bytes(out)
     pos, n = 0, len(raw)
     while pos < n:
         if raw[pos : pos + 5] != b"WARC/":

@@ -166,6 +166,72 @@ def q_extract_warc(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_extract_warc_damaged(spark: SparkSession, sf: str) -> DataFrame:
+    """Damage tolerance through the gzipped WARC container: every shard
+    is Common-Crawl-layout (one gzip member per record) and every shard
+    ENDS in damage — even shards a mid-stream-truncated junk member,
+    odd shards a bit-corrupted junk member. The reader must keep every
+    record from the intact members (webx/sources.py member-wise
+    decompression; gzip.decompress of the whole shard would return
+    nothing), so the result is byte-identical to q_extract's oracle."""
+    import gzip as _gz
+    import hashlib
+    import os
+
+    from webx.sources import read_warc, write_warc
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:dmg1".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/webx_warcdmg_{key}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        import datetime as _dt
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, t.to_pydatetime(), bytes(h))
+                    for u, t, h in zip(p["url"], p["warc_ts"], p["html"])
+                )
+            pid = TaskContext.get().partitionId()
+            junk = [(
+                "http://junk.invalid/x",
+                _dt.datetime(2026, 1, 1),
+                b"<p>sacrificial record in the damaged member</p>",
+            )]
+            body = b"".join(_gz.compress(write_warc([r])) for r in recs)
+            tail = _gz.compress(write_warc(junk))
+            if pid % 2 == 0:
+                tail = tail[: len(tail) // 2]  # truncated mid-member
+            else:
+                tail = bytearray(tail)
+                tail[12] ^= 0xFF  # corrupt deflate body
+                tail = bytes(tail)
+            path = os.path.join(d, f"part-{pid}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(body + tail)
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            synth.synth_pages(spark, sf)
+            .select("url", "warc_ts", "html")
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    pages = read_warc(spark, os.path.join(d, "part-*.warc.gz"))
+    return run_extraction(pages, CFG).select("url", "text")
+
+
 def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset precedence through the WARC lane: pages whose
     bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
@@ -5564,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
+        "q_extract_warc_damaged": q_extract_warc_damaged,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
@@ -6133,6 +6200,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents WHERE doc_id % 5 <> 0"
         ),
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_warc_damaged": (
+            f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents"
+        ),
         "q_extract_warc_charset": (
             f"SELECT {URL} AS url, ({DID} || {NL} || {NORM} || ' ' || chr(8220) "
             "|| 'q' || CAST(doc_id AS VARCHAR) || chr(8221)) AS text FROM documents"

@@ -399,6 +399,40 @@ def q_extract_wet(spark: SparkSession, sf: str) -> DataFrame:
     return read_wet(spark, os.path.join(d, "part-*.wet")).select("url", "text")
 
 
+def q_wat_links(spark: SparkSession, sf: str) -> DataFrame:
+    """The third Common-Crawl container format, WAT (per-capture JSON
+    metadata envelopes in a WARC wrapper), completing the family next to
+    q_extract_warc / q_extract_wet: flagship pages → ordered raw-href
+    lists (the same regex lane extract_links uses) + <title> → a
+    distributed WAT sink in the CC physical layout (one gzip member per
+    metadata record) → the distributed WAT source → posexplode + href
+    resolution. Output (url, href, resolved) must equal q_extract_links'
+    closed-form oracle — link extraction survives a round-trip through
+    the interchange format."""
+    import os
+
+    from webx.sources import read_wat, write_wat_dir
+    from webx.urls import _HREF_RE, _lossy_utf8, resolve_href
+
+    d, done = _fixture_dir(sf, "watq")
+    if not done:
+        txt = _lossy_utf8("html")
+        wat_rows = _pages(spark, sf).select(
+            "url",
+            F.to_timestamp(F.lit("2026-03-01 12:00:00")).alias("wat_ts"),
+            F.regexp_extract(txt, r"(?is)<title[^>]*>([^<]*)", 1).alias("title"),
+            F.regexp_extract_all(txt, F.lit(_HREF_RE), 1).alias("links"),
+        )
+        write_wat_dir(wat_rows.repartition(8), d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    wat = read_wat(spark, os.path.join(d, "part-*.wat.gz"))
+    out = wat.select("url", F.explode("links").alias("href"))
+    return out.select(
+        "url", "href", resolve_href(F.col("url"), F.col("href")).alias("resolved")
+    )
+
+
 def _fixture_dir(sf: str, tag: str) -> tuple:
     """Content-keyed /tmp fixture dir (mtime+size of the source parquet):
     regenerated testdata at the same path must not reuse a stale fixture.
@@ -5634,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
+        "q_wat_links": q_wat_links,
         "q_extract_pdf": q_extract_pdf,
         "q_extract_pdf_cid": q_extract_pdf_cid,
         "q_keyed_store": q_keyed_store,
@@ -6213,6 +6248,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "q_extract_wet": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_wat_links": (
+            "WITH h(href) AS (VALUES ('/'),('/products'),('/pricing'),('/about'),('/contact'),('/r/1'),('/r/2'),('/r/3'),('/terms'),('/privacy')) "
+            f"SELECT {URL} AS url, h.href AS href, "
+            "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' || h.href) "
+            "AS resolved FROM documents CROSS JOIN h"
+        ),
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",

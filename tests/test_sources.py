@@ -372,3 +372,96 @@ def test_warc_corrupt_middle_member_keeps_prefix():
     n_all = sum(1 for _ in _warc_walk(good + bytes(bad)))
     n_good = sum(1 for _ in _warc_walk(good))
     assert n_all >= n_good
+
+
+# ---- WAT (metadata-envelope container) ----
+
+
+def wat_records(n=3):
+    return [
+        (
+            f"https://ex.com/{i}",
+            TS,
+            f"Title {i}",
+            ["/", "/products", f"/r/{i}"],
+        )
+        for i in range(n)
+    ]
+
+
+def test_wat_roundtrip_pure():
+    from webx.sources import parse_wat, write_wat
+
+    raw = b"".join(write_wat(wat_records()))
+    got = parse_wat(raw)
+    assert len(got) == 3
+    for i, (url, ts, title, links) in enumerate(got):
+        assert url == f"https://ex.com/{i}"
+        assert ts == TS
+        assert title == f"Title {i}"
+        assert links == ["/", "/products", f"/r/{i}"]  # document order kept
+
+
+def test_wat_gzip_members_and_damage():
+    from webx.sources import parse_wat, write_wat
+
+    recs = write_wat(wat_records(4))
+    # CC layout: one gzip member per record; a corrupt tail member
+    # costs only its own record (shared _warc_walk damage policy).
+    tail = bytearray(gzip.compress(recs[3]))
+    tail[12] ^= 0xFF
+    raw = b"".join(gzip.compress(r) for r in recs[:3]) + bytes(tail)
+    got = parse_wat(raw)
+    assert [u for u, *_ in got] == [f"https://ex.com/{i}" for i in range(3)]
+    # truncated mid-member tail: same outcome
+    t2 = gzip.compress(recs[3])
+    raw2 = b"".join(gzip.compress(r) for r in recs[:3]) + t2[: len(t2) // 2]
+    assert len(parse_wat(raw2)) == 3
+
+
+def test_wat_skips_warcinfo_and_bad_json():
+    from webx.sources import parse_wat, write_wat
+
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    bad_body = b"{not json"
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://ex.com/bad\r\n"
+        b"Content-Length: " + str(len(bad_body)).encode() + b"\r\n\r\n"
+        + bad_body + b"\r\n\r\n"
+    )
+    raw = info + bad + b"".join(write_wat(wat_records(1)))
+    got = parse_wat(raw)
+    assert len(got) == 1 and got[0][0] == "https://ex.com/0"
+
+
+def test_read_wat_distributed(spark, tmp_path):
+    from webx.sources import read_wat, write_wat
+
+    for f, n in (("a.wat.gz", 3), ("b.wat.gz", 2)):
+        recs = write_wat(wat_records(n))
+        (tmp_path / f).write_bytes(b"".join(gzip.compress(r) for r in recs))
+    df = read_wat(spark, str(tmp_path / "*.wat.gz"))
+    rows = df.orderBy("url").collect()
+    assert len(rows) == 5
+    assert rows[0].links == ["/", "/products", "/r/0"]
+    assert rows[0].title == "Title 0"
+    assert rows[0].wat_ts == TS.replace(tzinfo=None)
+
+
+def test_write_wat_dir_roundtrip(spark, tmp_path):
+    from webx.sources import read_wat, write_wat_dir
+
+    df = spark.createDataFrame(
+        [(u, t.replace(tzinfo=None), ti, ls) for u, t, ti, ls in wat_records(6)],
+        "url string, wat_ts timestamp, title string, links array<string>",
+    )
+    shards = write_wat_dir(df.repartition(3), str(tmp_path / "wat"))
+    assert sum(n for _, n in shards) == 6
+    back = read_wat(spark, str(tmp_path / "wat" / "part-*.wat.gz"))
+    got = {r.url: (r.title, list(r.links)) for r in back.collect()}
+    assert got == {
+        u: (ti, ls) for u, _, ti, ls in wat_records(6)
+    }

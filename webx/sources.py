@@ -784,3 +784,166 @@ def write_wet_dir(df: DataFrame, out_dir: str) -> "List[Tuple[str, int]]":
         (r.path, r.n)
         for r in df.mapInPandas(fn, "path string, n long").collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# WAT — the third Common-Crawl container format (WARC `metadata` records
+# whose JSON payload is the per-capture envelope: HTML head metadata +
+# the full outlink list). Completing the family next to read_warc /
+# read_wet mirrors the reference's one-reader-per-container-layout
+# discipline (mindocr/data/det_dataset.py vs rec_lmdb_dataset.py: same
+# record model, distinct physical layouts).
+# ---------------------------------------------------------------------------
+
+WAT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("wat_ts", T.TimestampType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def write_wat(
+    records: "List[Tuple[str, datetime, str, List[str]]]",
+) -> List[bytes]:
+    """Serialize (url, ts, title, hrefs) into WAT records — one WARC/1.0
+    ``metadata`` record per capture whose body is the Common-Crawl WAT
+    JSON envelope (``Envelope.Payload-Metadata.HTTP-Response-Metadata.
+    HTML-Metadata`` carrying ``Head.Title`` and the ordered ``Links``
+    list of raw hrefs). Returns one UNCOMPRESSED record per input so the
+    sink can apply the CC physical layout (one gzip member per record);
+    ``b"".join`` of the list is the plain-``.wat`` stream."""
+    import json as _json
+
+    out: List[bytes] = []
+    for url, ts, title, hrefs in records:
+        env = {
+            "Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": url,
+                    "WARC-Type": "response",
+                    "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                },
+                "Payload-Metadata": {
+                    "Actual-Content-Type": "application/http; msgtype=response",
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": title},
+                            "Links": [
+                                {"path": "A@/href", "url": h} for h in hrefs
+                            ],
+                        }
+                    },
+                },
+            }
+        }
+        body = _json.dumps(env, sort_keys=True, separators=(",", ":")).encode(
+            "utf-8"
+        )
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            b"Content-Type: application/json\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        )
+        out.append(header + b"\r\n" + body + b"\r\n\r\n")
+    return out
+
+
+def parse_wat(
+    raw: bytes,
+) -> "List[Tuple[str, Optional[datetime], str, List[str]]]":
+    """Walk a WAT stream → (url, ts, title, hrefs) from ``metadata``
+    records. Shares _warc_walk, so the gzip layout (concatenated
+    members) and damage policy (a truncated/corrupt member costs only
+    its own records) are identical to parse_warc. Records whose JSON
+    does not parse, and non-metadata records (warcinfo), are skipped —
+    the same fail-soft bad-row policy as every reader here."""
+    import json as _json
+
+    out: "List[Tuple[str, Optional[datetime], str, List[str]]]" = []
+    for header, body in _warc_walk(raw):
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"metadata":
+            continue
+        url, ts = _warc_url_ts(header)
+        if url is None:
+            continue
+        try:
+            env = _json.loads(body.decode("utf-8"))["Envelope"]
+        except (ValueError, KeyError, UnicodeDecodeError):
+            continue
+        pm = env.get("Payload-Metadata", {})
+        hm = pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata", {})
+        title = hm.get("Head", {}).get("Title", "") or ""
+        links = [
+            link["url"]
+            for link in hm.get("Links", [])
+            if isinstance(link, dict) and "url" in link
+        ]
+        out.append((url, ts, title, links))
+    return out
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """WAT shard(s) → (url, wat_ts, title, links). One file per
+    binaryFile row, parsing distributed in mapInPandas — same plan
+    shape as read_warc/read_wet."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "wat_ts": [], "title": [], "links": []}
+            for content in pdf["content"]:
+                for url, ts, title, links in parse_wat(bytes(content)):
+                    rows["url"].append(url)
+                    rows["wat_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+                    rows["title"].append(title)
+                    rows["links"].append(links)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=WAT_SCHEMA)
+
+
+def write_wat_dir(df: DataFrame, out_dir: str) -> "List[Tuple[str, int]]":
+    """Distributed WAT sink in the Common-Crawl physical layout: each
+    task serializes its partition of (url, ts, title, links) into one
+    ``part-NNNNN.wat.gz`` shard, ONE GZIP MEMBER PER RECORD (the layout
+    that lets a reader seek to any record; also what _warc_walk's
+    member-wise damage policy is built for). Driver gets only
+    (path, record_count) per shard."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        recs: "List[Tuple[str, datetime, str, List[str]]]" = []
+        for pdf in batches:
+            for u, t, ti, ls in zip(
+                pdf[cols[0]], pdf[cols[1]], pdf[cols[2]], pdf[cols[3]]
+            ):
+                recs.append((u, t.to_pydatetime(), ti, list(ls)))
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.wat.gz")
+        if recs:
+            with open(path, "wb") as f:
+                for rec in write_wat(recs):
+                    f.write(gzip.compress(rec))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+        else:
+            yield pd.DataFrame({"path": [], "n": []})
+
+    return [
+        (r.path, r.n)
+        for r in df.mapInPandas(fn, "path string, n long").collect()
+    ]

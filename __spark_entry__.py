@@ -4560,6 +4560,37 @@ def q_changed_captures(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "cap_idx")
 
 
+def q_recrawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl scheduling from capture history (webx/cdx.py
+    change_rate_schedule): the Cho & Garcia-Molina bias-corrected
+    change-frequency estimator lambda = -ln((n-X+0.5)/(n+0.5))/I over
+    an 8-capture series per url, revisit period = 1/lambda. Corpus:
+    page doc_id changes every p = 1 + doc_id%4 captures (body carries
+    version floor(c/p)), so X = floor(7/p) closed-form — the oracle
+    states the estimator directly while Spark detects the changes by
+    hash-lag. One window + one same-key agg."""
+    from webx.cdx import change_rate_schedule
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    caps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("cap_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "cap_idx",
+        F.concat(
+            F.col("text"),
+            F.lit("<!--v"),
+            F.floor(
+                F.col("cap_idx") / (F.lit(1) + F.col("doc_id") % 4)
+            ).cast("long"),
+            F.lit("-->"),
+        ).alias("body"),
+    )
+    return change_rate_schedule(caps)
+
+
 def q_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
     """Proportional-fair crawl-budget apportionment: split a global
     fetch budget of 1000 slots across hosts proportional to pending-URL
@@ -5826,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_join": q_bloom_join,
         "q_blocklist_gate": q_blocklist_gate,
         "q_changed_captures": q_changed_captures,
+        "q_recrawl_schedule": q_recrawl_schedule,
         "q_budget_allocation": q_budget_allocation,
         "q_keep_best": q_keep_best,
         "q_curate_pipeline": q_curate_pipeline,
@@ -7178,6 +7210,13 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_join": _bloom_join_oracle_sql(),
         "q_blocklist_gate": _blocklist_gate_oracle_sql(),
         "q_changed_captures": _changed_captures_oracle_sql(),
+        "q_recrawl_schedule": (
+            "WITH x AS (SELECT doc_id, CAST(FLOOR(7 / (1 + doc_id % 4)) AS BIGINT) AS n_changes FROM documents) "
+            "SELECT doc_id, n_changes, "
+            "ROUND(-LN((7 - n_changes + 0.5) / 7.5), 6) AS change_rate, "
+            "ROUND(1.0 / (-LN((7 - n_changes + 0.5) / 7.5)), 6) AS recrawl_days "
+            "FROM x"
+        ),
         "q_budget_allocation": _budget_allocation_oracle_sql(),
         "q_keep_best": _keep_best_oracle_sql(),
         "q_curate_pipeline": _curate_pipeline_oracle_sql(),

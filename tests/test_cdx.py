@@ -67,3 +67,32 @@ def test_same_second_digest_tiebreak(spark):
     for order in ([a, b], [b, a]):
         r = latest_captures(parse_cdx(_df(spark, order))).collect()[0]
         assert r["digest"] == "ZZZ"  # deterministic regardless of input order
+
+
+def test_change_rate_schedule_estimator(spark):
+    import math
+
+    from webx.cdx import change_rate_schedule
+
+    # url A: body changes at every capture (X=3 of n=3 comparisons);
+    # url B: never changes (X=0); url C: changes once (X=1).
+    rows = [
+        ("A", 0, "a0"), ("A", 1, "a1"), ("A", 2, "a2"), ("A", 3, "a3"),
+        ("B", 0, "b"), ("B", 1, "b"), ("B", 2, "b"), ("B", 3, "b"),
+        ("C", 0, "c"), ("C", 1, "c"), ("C", 2, "c2"), ("C", 3, "c2"),
+    ]
+    caps = spark.createDataFrame(rows, "doc_id string, cap_idx int, body string")
+    got = {
+        r.doc_id: (r.n_changes, r.change_rate, r.recrawl_days)
+        for r in change_rate_schedule(caps.repartition(5)).collect()
+    }
+    for key, x in (("A", 3), ("C", 1)):
+        lam = -math.log((3 - x + 0.5) / 3.5)
+        assert got[key][0] == x
+        assert got[key][1] == round(lam, 6)
+        assert got[key][2] == round(1.0 / lam, 6)
+    # bias-corrected: the always-changing page gets a FINITE rate
+    # (naive X/n would saturate); the never-changing page collapses to
+    # rate 0 with recrawl_days NULL ("never recrawl", not a div/0).
+    assert got["B"] == (0, 0.0, None)
+    assert 0 == got["B"][1] < got["C"][1] < got["A"][1]

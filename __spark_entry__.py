@@ -232,6 +232,126 @@ def q_extract_warc_damaged(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(pages, CFG).select("url", "text")
 
 
+def q_xrobots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP-layer robots exclusion: X-Robots-Tag applies to any payload
+    type and OUTRANKS in-document meta for non-HTML captures, so a
+    compliant corpus builder must gate on it at the header level (the
+    meta-robots sibling is q_robots_meta). Every 4th page's capture
+    carries ``X-Robots-Tag: noindex, nofollow``; the rest a benign
+    Cache-Control. read_warc_http surfaces the header as a column, the
+    gate drops noindex captures BEFORE extraction, and survivors must be
+    byte-identical to the flagship oracle restricted to doc_id%4<>0."""
+    import os
+
+    from webx.sources import read_warc_http, write_warc
+
+    d, done = _fixture_dir(sf, "xrobots")
+    if not done:
+        os.makedirs(d, exist_ok=True)
+        import pandas as pd
+        from pyspark import TaskContext
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, t.to_pydatetime(), bytes(h))
+                    for u, t, h in zip(p["url"], p["warc_ts"], p["html"])
+                )
+
+            def hdrs(i, url):
+                did = int(url.rsplit("/", 1)[1])
+                if did % 4 == 0:
+                    return [("X-Robots-Tag", "noindex, nofollow")]
+                return [("Cache-Control", "max-age=3600")]
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc")
+            with open(path, "wb") as f:
+                f.write(write_warc(recs, headers_fn=hdrs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            synth.synth_pages(spark, sf)
+            .select("url", "warc_ts", "html")
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    caps = read_warc_http(
+        spark, os.path.join(d, "part-*.warc"), names=("x-robots-tag",)
+    )
+    keep = caps.filter(
+        ~F.lower(F.col("x_robots_tag")).rlike("noindex")
+    ).select("url", "warc_ts", "html")
+    return run_extraction(keep, CFG).select("url", "text")
+
+
+def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host politeness audit over the fetch log — WARC ``request``
+    records (the capture side CC stores next to each response) → host →
+    inter-request gaps → (n_requests, min/avg gap). The fixture fetches
+    doc_id at base + 13·doc_id seconds, so host h{doc_id%7} sees a
+    uniform 91-second cadence the oracle states closed-form. One window
+    shuffle on host + same-key agg; 12 bytes per request row."""
+    import os
+
+    from pyspark.sql import Window
+
+    from webx.sources import read_warc_requests, write_warc_requests
+
+    d, done = _fixture_dir(sf, "polreq")
+    if not done:
+        os.makedirs(d, exist_ok=True)
+        import datetime as _dt
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        base = _dt.datetime(2026, 3, 1)
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                for u in p["url"]:
+                    did = int(u.rsplit("/", 1)[1])
+                    recs.append((u, base + _dt.timedelta(seconds=13 * did)))
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc.gz")
+            import gzip as _gz
+
+            with open(path, "wb") as f:
+                f.write(_gz.compress(write_warc_requests(recs)))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            synth.synth_pages(spark, sf)
+            .select("url")
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    reqs = read_warc_requests(spark, os.path.join(d, "part-*.warc.gz"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy("req_ts")
+    gaps = reqs.select(host.alias("host"), F.col("req_ts")).select(
+        "host",
+        (
+            F.col("req_ts").cast("long")
+            - F.lag(F.col("req_ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").alias("n_requests"),
+        F.min("gap_s").cast("double").alias("min_gap_s"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+    )
+
+
 def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset precedence through the WARC lane: pages whose
     bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
@@ -5696,6 +5816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_damaged": q_extract_warc_damaged,
+        "q_xrobots_gate": q_xrobots_gate,
+        "q_politeness_audit": q_politeness_audit,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
@@ -6269,6 +6391,16 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_warc": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_warc_damaged": (
             f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents"
+        ),
+        "q_xrobots_gate": (
+            f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents "
+            "WHERE doc_id % 4 <> 0"
+        ),
+        "q_politeness_audit": (
+            "SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host, "
+            "COUNT(*) AS n_requests, CAST(91 AS DOUBLE) AS min_gap_s, "
+            "CAST(91 AS DOUBLE) AS avg_gap_s "
+            "FROM documents GROUP BY doc_id % 7"
         ),
         "q_extract_warc_charset": (
             f"SELECT {URL} AS url, ({DID} || {NL} || {NORM} || ' ' || chr(8220) "

@@ -465,3 +465,76 @@ def test_write_wat_dir_roundtrip(spark, tmp_path):
     assert got == {
         u: (ti, ls) for u, _, ti, ls in wat_records(6)
     }
+
+
+# ---- HTTP header surfacing + request records ----
+
+
+def test_parse_warc_http_headers():
+    from webx.sources import parse_warc_http, write_warc
+
+    def hdrs(i, url):
+        if i == 0:
+            return [("X-Robots-Tag", "noindex, nofollow")]
+        if i == 1:
+            return [("Last-Modified", "Wed, 01 Jan 2026 00:00:00 GMT")]
+        return []
+
+    raw = write_warc(records(3), headers_fn=hdrs)
+    got = parse_warc_http(raw, ("x-robots-tag", "last-modified"))
+    assert [(v[0], v[1]) for _, _, _, v in got] == [
+        ("noindex, nofollow", ""),
+        ("", "Wed, 01 Jan 2026 00:00:00 GMT"),
+        ("", ""),
+    ]
+    # payloads unharmed by the extra headers
+    assert all(h == PAGE + b"<!--%d-->" % i for i, (_, _, h, _) in enumerate(got))
+
+
+def test_warc_headers_survive_content_encoding():
+    from webx.sources import parse_warc_http, write_warc
+
+    raw = write_warc(
+        records(3),
+        content_encoding="mixed",
+        headers_fn=lambda i, url: [("X-Robots-Tag", f"tag{i}")],
+    )
+    got = parse_warc_http(raw, ("x-robots-tag",))
+    assert [v[0] for *_, v in got] == ["tag0", "tag1", "tag2"]
+    # gzip (i=1) and deflate (i=2) payloads still decode
+    assert all(h == PAGE + b"<!--%d-->" % i for i, (_, _, h, _) in enumerate(got))
+
+
+def test_read_warc_http_distributed(spark, tmp_path):
+    from webx.sources import read_warc_http, write_warc
+
+    raw = write_warc(
+        records(4),
+        headers_fn=lambda i, u: [("X-Robots-Tag", "noindex")] if i % 2 else [],
+    )
+    (tmp_path / "a.warc").write_bytes(raw)
+    df = read_warc_http(spark, str(tmp_path / "a.warc"), names=("x-robots-tag",))
+    rows = df.orderBy("url").collect()
+    assert [r.x_robots_tag for r in rows] == ["", "noindex", "", "noindex"]
+
+
+def test_warc_requests_roundtrip(spark, tmp_path):
+    from webx.sources import (
+        parse_warc_requests,
+        read_warc_requests,
+        write_warc_requests,
+    )
+
+    reqs = [(f"https://ex.com/{i}", TS) for i in range(5)]
+    raw = write_warc_requests(reqs)
+    assert [u for u, _ in parse_warc_requests(raw)] == [u for u, _ in reqs]
+    # request records are invisible to the response readers and vice versa
+    from webx.sources import parse_warc
+
+    assert parse_warc(raw) == []
+    mixed = raw + write_warc(records(2))
+    assert len(parse_warc_requests(mixed)) == 5
+    assert len(parse_warc(mixed)) == 2
+    (tmp_path / "r.warc.gz").write_bytes(gzip.compress(raw))
+    got = read_warc_requests(spark, str(tmp_path / "r.warc.gz")).collect()
+    assert len(got) == 5 and got[0].req_ts == TS.replace(tzinfo=None)

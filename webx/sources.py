@@ -181,6 +181,14 @@ def _http_payload_meta(body: bytes) -> "Tuple[bytes, str]":
     header — per the WHATWG precedence it OUTRANKS any in-document
     ``<meta charset>`` (BOM > HTTP header > meta), and for the common
     header-only server configurations it is the only declaration."""
+    html, charset, _hdr = _http_payload_full(body)
+    return html, charset
+
+
+def _http_payload_full(body: bytes) -> "Tuple[bytes, str, bytes]":
+    """_http_payload_meta plus the raw HTTP header block itself, for
+    readers that surface arbitrary response headers (X-Robots-Tag,
+    Last-Modified, ...)."""
     http_end = body.find(b"\r\n\r\n")
     if http_end >= 0:
         http_hdr, html = body[:http_end], body[http_end + 4 :]
@@ -198,7 +206,7 @@ def _http_payload_meta(body: bytes) -> "Tuple[bytes, str]":
         cm = _HTTP_CHARSET_RE.search(http_hdr)
         if cm is not None:
             charset = cm.group(1).decode("ascii", "replace").lower()
-    return html, charset
+    return html, charset, http_hdr
 
 
 def _http_payload(body: bytes) -> bytes:
@@ -424,6 +432,7 @@ def write_warc(
     records: List[Tuple[str, datetime, bytes]],
     content_encoding: str = "none",
     charset: str = "",
+    headers_fn=None,
 ) -> bytes:
     """Serialize (url, ts, html) to a WARC/1.0 byte stream (test fixture
     generator — the generate-input-from-expected-output trick applied to
@@ -432,22 +441,35 @@ def write_warc(
     matching HTTP header (as real crawls capture them); the reader must
     reverse both so extraction stays byte-identical. ``charset`` adds a
     ``; charset=…`` parameter to the HTTP Content-Type — the
-    header-declared encoding read_warc(with_charset=True) surfaces."""
+    header-declared encoding read_warc(with_charset=True) surfaces.
+    ``headers_fn(i, url) -> [(name, value), ...]`` appends extra HTTP
+    response headers per record (e.g. ``X-Robots-Tag``)."""
     ctype = b"text/html" + (f"; charset={charset}".encode() if charset else b"")
     chunks: List[bytes] = []
     for i, (url, ts, html) in enumerate(records):
+        extra = b""
+        if headers_fn is not None:
+            extra = b"".join(
+                name.encode() + b": " + value.encode() + b"\r\n"
+                for name, value in headers_fn(i, url)
+            )
         if content_encoding == "mixed" and i % 3 == 1:
             http = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
-                b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+                + extra
+                + b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
             )
         elif content_encoding == "mixed" and i % 3 == 2:
             http = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
-                b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(html)
+                + extra
+                + b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(html)
             )
         else:
-            http = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + html
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+                + extra + b"\r\n" + html
+            )
         header = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
@@ -947,3 +969,142 @@ def write_wat_dir(df: DataFrame, out_dir: str) -> "List[Tuple[str, int]]":
         (r.path, r.n)
         for r in df.mapInPandas(fn, "path string, n long").collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# HTTP response-header surfacing + request-record politeness auditing —
+# the remaining WARC record semantics a crawl pipeline consumes.
+# ---------------------------------------------------------------------------
+
+
+def parse_warc_http(
+    raw: bytes, names: "Tuple[str, ...]"
+) -> "List[Tuple[str, Optional[datetime], bytes, List[str]]]":
+    """parse_warc plus the values of the requested HTTP response
+    headers per record ('' when absent), matched case-insensitively —
+    the lane for header-level crawl directives: ``X-Robots-Tag``
+    (robots exclusion at the HTTP layer, which per Google's public
+    robots documentation applies to any file type, not just HTML),
+    ``Last-Modified`` (recrawl scheduling input), cache-control, etc.
+    """
+    pats = [
+        re.compile(
+            rb"^" + re.escape(n.encode()) + rb":\s*([^\r\n]*)", re.I | re.M
+        )
+        for n in names
+    ]
+    out: "List[Tuple[str, Optional[datetime], bytes, List[str]]]" = []
+    for header, body in _warc_walk(raw):
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"response":
+            continue
+        url, ts = _warc_url_ts(header)
+        if url is None:
+            continue
+        html, _cs, http_hdr = _http_payload_full(body)
+        vals = []
+        for p in pats:
+            m = p.search(http_hdr)
+            vals.append(
+                m.group(1).decode("utf-8", "replace").strip() if m else ""
+            )
+        out.append((url, ts, html, vals))
+    return out
+
+
+def read_warc_http(
+    spark: SparkSession, path: str, names: "Tuple[str, ...]" = ("x-robots-tag",)
+) -> DataFrame:
+    """WARC archive(s) → (url, warc_ts, html, <one string column per
+    requested HTTP header>, lowercased with dashes → underscores; ''
+    when the capture lacks the header). Distributed like read_warc."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    cols = [n.lower().replace("-", "_") for n in names]
+    schema = T.StructType(
+        [
+            *WARC_PAGES_SCHEMA.fields,
+            *(T.StructField(c, T.StringType()) for c in cols),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": []}
+            rows.update({c: [] for c in cols})
+            for content in pdf["content"]:
+                for url, ts, html, vals in parse_warc_http(
+                    bytes(content), names
+                ):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+                    rows["html"].append(html)
+                    for c, v in zip(cols, vals):
+                        rows[c].append(v)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=schema)
+
+
+def write_warc_requests(
+    records: "List[Tuple[str, datetime]]",
+) -> bytes:
+    """Serialize (url, ts) into WARC ``request`` records (the capture
+    side CC stores alongside each response: a GET line + Host header,
+    Content-Length exact) — fixture generator for the politeness
+    audit."""
+    chunks: List[bytes] = []
+    for url, ts in records:
+        m = re.match(r"https?://([^/]+)(/.*)?$", url)
+        host = m.group(1) if m else url
+        pth = (m.group(2) or "/") if m else "/"
+        body = (
+            f"GET {pth} HTTP/1.1\r\nHost: {host}\r\n\r\n"
+        ).encode()
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: request\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + b"\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        )
+        chunks.append(header + b"\r\n" + body + b"\r\n\r\n")
+    return b"".join(chunks)
+
+
+def parse_warc_requests(
+    raw: bytes,
+) -> "List[Tuple[str, Optional[datetime]]]":
+    """Walk a WARC stream → (url, ts) of every ``request`` record —
+    the fetch log. Same _warc_walk damage policy as every reader."""
+    out: "List[Tuple[str, Optional[datetime]]]" = []
+    for header, _body in _warc_walk(raw):
+        t = _TYPE_RE.search(header)
+        if t is None or t.group(1).lower() != b"request":
+            continue
+        url, ts = _warc_url_ts(header)
+        if url is None:
+            continue
+        out.append((url, ts))
+    return out
+
+
+def read_warc_requests(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → (url, req_ts) from request records,
+    distributed — the input to politeness auditing (per-host
+    inter-request gaps)."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "req_ts": []}
+            for content in pdf["content"]:
+                for url, ts in parse_warc_requests(bytes(content)):
+                    rows["url"].append(url)
+                    rows["req_ts"].append(
+                        None if ts is None else ts.replace(tzinfo=None)
+                    )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema="url string, req_ts timestamp")

@@ -352,6 +352,32 @@ def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mime_route(spark: SparkSession, sf: str) -> DataFrame:
+    """Payload routing by magic bytes (webx/sources.sniff_mime, the
+    WHATWG MIME-sniffing byte-pattern table): a mixed corpus where each
+    capture's bytes are HTML / PDF / PNG / GIF / JPEG / ZIP / gzip /
+    plain text by residue class must route to the lane the BYTES say,
+    regardless of what a Content-Type header would claim. Pure codegen
+    CASE over binary prefixes — fuses into the scan, zero Python."""
+    from webx.sources import sniff_mime
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    r = F.col("doc_id") % 8
+    body = F.encode(F.col("text"), "utf-8")
+    payload = (
+        F.when(r == 0, F.concat(F.lit(b"<!DOCTYPE html><p>"), body))
+        .when(r == 1, F.concat(F.lit(b"%PDF-1.4\n"), body))
+        .when(r == 2, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), body))
+        .when(r == 3, F.concat(F.lit(b"GIF89a"), body))
+        .when(r == 4, F.concat(F.lit(b"\xff\xd8\xff\xe0"), body))
+        .when(r == 5, F.concat(F.lit(b"PK\x03\x04"), body))
+        .when(r == 6, F.concat(F.lit(b"\x1f\x8b\x08"), body))
+        .otherwise(body)
+    )
+    pages = docs.select("doc_id", payload.alias("html"))
+    return pages.select("doc_id", sniff_mime("html").alias("mime"))
+
+
 def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset precedence through the WARC lane: pages whose
     bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
@@ -5818,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_warc_damaged": q_extract_warc_damaged,
         "q_xrobots_gate": q_xrobots_gate,
         "q_politeness_audit": q_politeness_audit,
+        "q_mime_route": q_mime_route,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
@@ -6401,6 +6428,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_requests, CAST(91 AS DOUBLE) AS min_gap_s, "
             "CAST(91 AS DOUBLE) AS avg_gap_s "
             "FROM documents GROUP BY doc_id % 7"
+        ),
+        "q_mime_route": (
+            "SELECT doc_id, CASE doc_id % 8 "
+            "WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf' "
+            "WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/gif' "
+            "WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/zip' "
+            "WHEN 6 THEN 'application/gzip' ELSE 'text/plain' END AS mime "
+            "FROM documents"
         ),
         "q_extract_warc_charset": (
             f"SELECT {URL} AS url, ({DID} || {NL} || {NORM} || ' ' || chr(8220) "

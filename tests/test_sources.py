@@ -538,3 +538,31 @@ def test_warc_requests_roundtrip(spark, tmp_path):
     (tmp_path / "r.warc.gz").write_bytes(gzip.compress(raw))
     got = read_warc_requests(spark, str(tmp_path / "r.warc.gz")).collect()
     assert len(got) == 5 and got[0].req_ts == TS.replace(tzinfo=None)
+
+
+def test_sniff_mime_edges(spark):
+    from webx.sources import sniff_mime
+
+    cases = [
+        (b"\xef\xbb\xbf  \t\n<HtMl><body>", "text/html"),  # BOM + ws + case
+        (b"<!-- hello --><p>x", "text/html"),
+        (b"<p>paragraph", "text/html"),
+        (b"%PDF-1.7 <html>", "application/pdf"),  # magic outranks tag
+        (b"%!PS-Adobe-3.0", "application/postscript"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "application/octet-stream"),
+        (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (b"OggS\x00\x02", "application/ogg"),
+        (b"BM\x3a\x00", "image/bmp"),
+        (b"just some readme text\nsecond line", "text/plain"),
+        (b"binary \x00 data", "application/octet-stream"),
+        # not a recognized tag -> falls through to the ASCII-text check
+        (b"<plaintext but not an html tag", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "i int, html binary",
+    )
+    got = {r.i: r.mime for r in df.select("i", sniff_mime().alias("mime")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)

@@ -1108,3 +1108,60 @@ def read_warc_requests(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema="url string, req_ts timestamp")
+
+
+def sniff_mime(html_col: str = "html") -> "F.Column":
+    """Payload MIME routing by magic bytes — the WHATWG MIME-sniffing
+    table's byte-pattern core (public spec, mimesniff.spec.whatwg.org),
+    for the corpus reality that HTTP Content-Type lies: route each
+    capture to the html / pdf / image / archive lane by what the bytes
+    ARE. Pure codegen (binary substring compares against hex literals +
+    one case-insensitive tag regex over the lossily-decoded head), so it
+    fuses into the scan with zero Python and zero shuffle.
+
+    Order matters and follows the spec: exact binary magics first
+    (a PDF that starts ``%PDF-`` is a PDF even if it contains ``<html``
+    later), then the BOM/whitespace-tolerant HTML tag check, then the
+    printable-ASCII → text/plain vs application/octet-stream fallback
+    over the first 64 bytes."""
+    b = F.col(html_col)
+
+    def pre(k: int) -> "F.Column":
+        return F.expr(f"substring({html_col}, 1, {k})")
+
+    def is_magic(magic: bytes) -> "F.Column":
+        return pre(len(magic)) == F.lit(magic)
+
+    txt = F.make_valid_utf8(pre(256).cast("string"))
+    html_tag = txt.rlike(
+        r"(?is)^﻿?[ \t\r\n]*<(!doctype html|html|head|script|iframe"
+        r"|h1|div|font|table|a|style|title|b|body|br|p|!--)[ >\t\r\n/]"
+    )
+    ascii_text = F.make_valid_utf8(pre(64).cast("string")).rlike(
+        r"^[\x20-\x7e\t\r\n\f]*$"
+    )
+    return (
+        F.when(is_magic(b"%PDF-"), F.lit("application/pdf"))
+        .when(is_magic(b"%!PS-"), F.lit("application/postscript"))
+        .when(is_magic(b"\x89PNG\r\n\x1a\n"), F.lit("image/png"))
+        .when(
+            is_magic(b"GIF87a") | is_magic(b"GIF89a"), F.lit("image/gif")
+        )
+        .when(is_magic(b"\xff\xd8\xff"), F.lit("image/jpeg"))
+        .when(is_magic(b"BM"), F.lit("image/bmp"))
+        .when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.expr(f"substring({html_col}, 9, 4)") == F.lit(b"WEBP")),
+            F.lit("image/webp"),
+        )
+        .when(is_magic(b"PK\x03\x04"), F.lit("application/zip"))
+        .when(is_magic(b"\x1f\x8b"), F.lit("application/gzip"))
+        .when(is_magic(b"OggS"), F.lit("application/ogg"))
+        .when(
+            F.expr(f"substring({html_col}, 5, 4)") == F.lit(b"ftyp"),
+            F.lit("video/mp4"),
+        )
+        .when(html_tag, F.lit("text/html"))
+        .when(ascii_text, F.lit("text/plain"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

@@ -378,6 +378,33 @@ def q_mime_route(spark: SparkSession, sf: str) -> DataFrame:
     return pages.select("doc_id", sniff_mime("html").alias("mime"))
 
 
+def q_idn_homograph(spark: SparkSession, sf: str) -> DataFrame:
+    """IDN homograph audit (webx/urls.idn_homograph_audit): hosts
+    rotate ASCII / mixed-Latin-Cyrillic punycode (the classic
+    pаypal.com spoof) / all-Cyrillic punycode (ordinary IDN — must NOT
+    flag) / Latin-diacritic punycode (bücher.com — must NOT flag); the
+    oracle states the decoded Unicode hosts and both flags closed-form.
+    Decode is the one Arrow-batched Python step; flags are codegen."""
+    from webx.urls import idn_homograph_audit
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id"), spark)
+    r = F.col("doc_id") % 4
+    host = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .when(r == 1, F.lit("xn--pypal-4ve.com"))
+        .when(r == 2, F.lit("xn--h1ahn.com"))
+        .otherwise(F.lit("xn--bcher-kva.com"))
+    )
+    return idn_homograph_audit(docs.select("doc_id", host.alias("host")))
+
+
 def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset precedence through the WARC lane: pages whose
     bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
@@ -5845,6 +5872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xrobots_gate": q_xrobots_gate,
         "q_politeness_audit": q_politeness_audit,
         "q_mime_route": q_mime_route,
+        "q_idn_homograph": q_idn_homograph,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
@@ -6435,6 +6463,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/gif' "
             "WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/zip' "
             "WHEN 6 THEN 'application/gzip' ELSE 'text/plain' END AS mime "
+            "FROM documents"
+        ),
+        "q_idn_homograph": (
+            "SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' "
+            "WHEN 1 THEN 'xn--pypal-4ve.com' WHEN 2 THEN 'xn--h1ahn.com' "
+            "ELSE 'xn--bcher-kva.com' END AS host, "
+            "CASE doc_id % 4 WHEN 0 THEN 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' "
+            "WHEN 1 THEN 'pаypal.com' WHEN 2 THEN 'мир.com' "
+            "ELSE 'bücher.com' END AS decoded_host, "
+            "(doc_id % 4 <> 0) AS is_punycode, "
+            "(doc_id % 4 = 1) AS mixed_script "
             "FROM documents"
         ),
         "q_extract_warc_charset": (

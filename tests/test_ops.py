@@ -521,3 +521,27 @@ def test_lang_id_paragraphs(spark):
         (2, 0): "fr", (2, 1): "und", (2, 2): "es",
         (3, 0): "und",
     }
+
+
+def test_idn_homograph_audit(spark):
+    from webx.urls import idn_homograph_audit
+
+    rows = [
+        (0, "plain.example.com"),
+        (1, "xn--pypal-4ve.com"),       # p + CYRILLIC a -> mixed spoof
+        (2, "xn--h1ahn.com"),           # all-Cyrillic IDN -> NOT flagged
+        (3, "xn--bcher-kva.com"),       # Latin diacritic -> NOT flagged
+        (4, "xn--!!bad!!.com"),         # undecodable ACE -> kept, fail-soft
+        (5, "sub.xn--h1ahn.example"),   # non-first label decodes too
+    ]
+    df = spark.createDataFrame(rows, "i int, host string")
+    got = {
+        r.i: (r.decoded_host, r.is_punycode, r.mixed_script)
+        for r in idn_homograph_audit(df).collect()
+    }
+    assert got[0] == ("plain.example.com", False, False)
+    assert got[1] == ("pаypal.com", True, True)
+    assert got[2] == ("мир.com", True, False)
+    assert got[3] == ("bücher.com", True, False)
+    assert got[4] == ("xn--!!bad!!.com", True, False)
+    assert got[5] == ("sub.мир.example", True, False)

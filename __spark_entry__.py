@@ -405,6 +405,17 @@ def q_idn_homograph(spark: SparkSession, sf: str) -> DataFrame:
     return idn_homograph_audit(docs.select("doc_id", host.alias("host")))
 
 
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon character entropy per document (webx/textstats.
+    char_entropy) — the gibberish/encrypted-content gate. Exact oracle:
+    DuckDB replays the same log2(n) - sum(c·log2 c)/n form over the
+    same 4096-char prefix. Zero shuffle — pure codegen HOFs."""
+    from webx.textstats import char_entropy
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return docs.select("doc_id", char_entropy("text").alias("entropy"))
+
+
 def q_extract_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset precedence through the WARC lane: pages whose
     bytes are cp1252 (smart quotes in 0x80-0x9F), whose in-document
@@ -5873,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness_audit": q_politeness_audit,
         "q_mime_route": q_mime_route,
         "q_idn_homograph": q_idn_homograph,
+        "q_char_entropy": q_char_entropy,
         "q_extract_warc_charset": q_extract_warc_charset,
         "q_extract_warc_revisit": q_extract_warc_revisit,
         "q_extract_wet": q_extract_wet,
@@ -6476,6 +6488,14 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id % 4 <> 0) AS is_punycode, "
             "(doc_id % 4 = 1) AS mixed_script "
             "FROM documents"
+        ),
+        "q_char_entropy": (
+            "WITH pre AS (SELECT doc_id, SUBSTRING(text, 1, 4096) AS t FROM documents), "
+            "cnt AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS c FROM "
+            "(SELECT doc_id, UNNEST(string_split(t, '')) AS ch FROM pre) GROUP BY doc_id, ch) "
+            "SELECT pre.doc_id, "
+            "ROUND(LOG2(LENGTH(pre.t)) - SUM(cnt.c * LOG2(cnt.c)) / LENGTH(pre.t), 6) AS entropy "
+            "FROM pre JOIN cnt ON pre.doc_id = cnt.doc_id GROUP BY pre.doc_id, pre.t"
         ),
         "q_extract_warc_charset": (
             f"SELECT {URL} AS url, ({DID} || {NL} || {NORM} || ' ' || chr(8220) "

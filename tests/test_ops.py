@@ -545,3 +545,27 @@ def test_idn_homograph_audit(spark):
     assert got[3] == ("bücher.com", True, False)
     assert got[4] == ("xn--!!bad!!.com", True, False)
     assert got[5] == ("sub.мир.example", True, False)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from webx.textstats import char_entropy
+
+    rows = [
+        (0, "abca"),      # H = 1.5 exactly
+        (1, "aaaa"),      # single symbol -> 0
+        (2, ""),          # empty -> 0 (guard, not -inf)
+        (3, None),        # null -> 0
+        (4, "ααββ"),      # multi-byte chars count as chars: H = 1
+        (5, "abcdefgh"),  # uniform 8 symbols -> 3 bits
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r.i: r.e for r in df.select("i", char_entropy("text").alias("e")).collect()}
+    assert got[0] == 1.5
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert got[4] == 1.0
+    assert got[5] == 3.0
+    # prefix bound: entropy of the first k chars only
+    long = spark.createDataFrame([(0, "ab" * 4096)], "i int, text string")
+    assert long.select(char_entropy("text", prefix_chars=4).alias("e")).first().e == 1.0

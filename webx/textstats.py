@@ -687,3 +687,32 @@ def blocklist_gate(
         hit.alias("blocked_term"),
         hit.isNull().cast("int").alias("keep"),
     )
+
+
+def char_entropy(col, prefix_chars: int = 4096):
+    """Per-document Shannon character entropy in bits — the
+    gibberish/encrypted-payload quality gate (near-random bytes ≈ 6-8
+    bits/char; natural language ≈ 3.5-4.5; single-char spam → 0).
+    Computed within-row by pure codegen higher-order functions over the
+    first ``prefix_chars`` characters (entropy stabilizes long before
+    that; the bound keeps per-row cost O(prefix·alphabet) and the op
+    shuffle-free at any corpus size), in the algebraic form
+
+        H = log2(n) - (1/n) * sum_c count(c) * log2(count(c))
+
+    which an oracle can replay term-for-term. NULL/empty → 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    cs = F.split(F.substring(c, 1, prefix_chars), "")
+    n = F.size(cs).cast("double")
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda ch: F.size(F.filter(cs, lambda x: x == ch)).cast("double"),
+    )
+    sum_clog = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + k * F.log2(k),
+    )
+    return F.when(
+        n > 0, F.round(F.log2(n) - sum_clog / n, 6)
+    ).otherwise(F.lit(0.0))

@@ -79,3 +79,63 @@ def test_pdf_content_decode_never_raises(raw):
     # bytes (a hostile FlateDecode payload): it must never raise
     out = decode_text_object(b"BT " + raw + b" ET")
     assert isinstance(out, str)
+
+
+# ---- round-4 final parsers: WAT, HTTP headers, request records ----
+
+from webx.sources import (  # noqa: E402
+    parse_warc_http,
+    parse_warc_requests,
+    parse_wat,
+    write_wat,
+    write_warc_requests,
+)
+
+VALID_WAT = b"".join(
+    write_wat(
+        [
+            ("http://e.com/a", TS, "Title A", ["/x", "/y"]),
+            ("http://e.com/b", TS, "", []),
+        ]
+    )
+)
+VALID_REQS = write_warc_requests([("http://e.com/a", TS), ("http://e.com/b", TS)])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_parse_wat_never_raises_on_random_bytes(raw):
+    out = parse_wat(raw)
+    assert isinstance(out, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, len(VALID_WAT) - 1), st.binary(min_size=1, max_size=8))
+def test_parse_wat_never_raises_on_mutations(pos, junk):
+    mutated = VALID_WAT[:pos] + junk + VALID_WAT[pos + len(junk):]
+    out = parse_wat(mutated)
+    assert isinstance(out, list)
+    for url, _ts, title, links in out:
+        assert isinstance(url, str) and isinstance(title, str)
+        assert all(isinstance(x, str) for x in links)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, len(VALID_WARC) - 1), st.binary(min_size=1, max_size=8))
+def test_parse_warc_http_never_raises_on_mutations(pos, junk):
+    mutated = VALID_WARC[:pos] + junk + VALID_WARC[pos + len(junk):]
+    out = parse_warc_http(mutated, ("x-robots-tag", "last-modified"))
+    assert isinstance(out, list)
+    for url, _ts, html, vals in out:
+        assert isinstance(url, str) and isinstance(html, bytes)
+        assert len(vals) == 2 and all(isinstance(v, str) for v in vals)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, len(VALID_REQS) - 1), st.binary(min_size=1, max_size=8))
+def test_parse_warc_requests_never_raises_on_mutations(pos, junk):
+    mutated = VALID_REQS[:pos] + junk + VALID_REQS[pos + len(junk):]
+    out = parse_warc_requests(mutated)
+    assert isinstance(out, list)
+    for url, _ts in out:
+        assert isinstance(url, str)

@@ -5862,6 +5862,170 @@ def _k_anonymity_oracle_sql() -> str:
     )
 
 
+def q_crawl_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS crawl depth (webx/graph.py bfs_depth) over a
+    planted de-Bruijn-style doc graph: i → 2i mod N and i → 2i+1 mod N
+    (frontier doubles per level — the realistic BFS stress: every level
+    is a join whose output ~2× the frontier until saturation), seeds =
+    every 97th doc. depth is an exact integer (first-visit level =
+    shortest hop count) so the iterative loop carries a FULL value
+    oracle: a recursive-CTE min-depth replay, the pagerank_hosts_int /
+    q_kmeans discipline applied to traversal."""
+    from webx.graph import bfs_depth
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 2) % n).alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 2 + 1) % n).alias("dst")
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_depth(_par(edges, spark), seeds, max_depth=12)
+
+
+def _crawl_depth_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 2) % (SELECT n FROM nn) AS dst "
+        "FROM documents UNION ALL "
+        "SELECT doc_id, (doc_id * 2 + 1) % (SELECT n FROM nn) FROM documents), "
+        "r(node, depth) AS ("
+        "SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0 "
+        "UNION "
+        "SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node "
+        "WHERE r.depth < 12) "
+        "SELECT CAST(node AS BIGINT) AS node, CAST(min(depth) AS INT) AS depth "
+        "FROM r GROUP BY node"
+    )
+
+
+BM25_QUERY = ("spark", "merge", "window")
+
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 retrieval (webx/textstats.py bm25_topk) for the
+    fixed 3-term query — corpus search / seed-expansion mining. Gated
+    columns are the exact integers (rank, doc_id, n_hit, tf_sum, dl);
+    the score is float but its per-term addends fold in FIXED query
+    order on both engines (see bm25_topk), so rank ties are stable;
+    pytest re-derives the score itself."""
+    from webx.textstats import bm25_topk
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return bm25_topk(docs, list(BM25_QUERY), k=10).select(
+        "rank", "doc_id", "n_hit", "tf_sum", "dl"
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b = 1.2, 0.75
+    score_terms = []
+    for i, t in enumerate(BM25_QUERY):
+        score_terms.append(f"COALESCE(s{i}.s, 0.0)")
+    fixed_sum = "0.0"
+    for st in score_terms:
+        fixed_sum = f"({fixed_sum} + {st})"
+    per_term_join = " ".join(
+        f"LEFT JOIN scored s{i} ON s{i}.doc_id = d.doc_id AND s{i}.term = '{t}'"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, lower(t.w) AS term FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), "
+        f"{WS_SPLIT_SQL})) AS w FROM documents) t "
+        f"WHERE lower(t.w) IN ({terms_list})), "
+        "dl AS (SELECT doc_id, len(regexp_split_to_array(trim(coalesce(text, '')), "
+        f"{WS_SPLIT_SQL})) AS dl FROM documents), "
+        "nn AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl, "
+        "ln(1.0 + (CAST((SELECT n FROM nn) AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5)) "
+        f"* (tf.tf * ({k1} + 1.0)) / (tf.tf + {k1} * ((1.0 - {b}) + {b} * dl.dl / "
+        "CAST((SELECT avgdl FROM nn) AS DOUBLE))) AS s "
+        "FROM tf JOIN dft USING (term) JOIN dl ON dl.doc_id = tf.doc_id), "
+        "per_doc AS (SELECT d.doc_id, "
+        "CAST(count(*) AS INT) AS n_hit, CAST(sum(d.tf) AS BIGINT) AS tf_sum, "
+        "CAST(max(d.dl) AS BIGINT) AS dl FROM scored d GROUP BY d.doc_id), "
+        f"with_score AS (SELECT d.*, {fixed_sum} AS score FROM per_doc d "
+        f"{per_term_join}), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS rank FROM with_score) "
+        "SELECT CAST(rank AS INT) AS rank, doc_id, n_hit, tf_sum, dl "
+        "FROM ranked WHERE rank <= 10"
+    )
+
+
+def q_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog register table per event_type (webx/sketch.py
+    hll_registers, p=6): the mergeable sketch form — elementwise max
+    across shards/days IS the union — with every column an exact
+    integer derived from the shared XXH64, so the "engine-specific
+    sketch" excuse dies here too: the oracle recomputes register and
+    rho from the same hash bits. The float estimate stays in pytest
+    (hll_estimate)."""
+    from webx.sketch import hll_registers
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_registers(ev, "user_id", ("event_type",), p=6)
+
+
+def _hll_oracle_sql() -> str:
+    # register = low 6 hash bits; rho = 1 + trailing zeros of
+    # (h >>> 6) | 2^57 — lowbit isolated via x & -x on HUGEINT,
+    # log2 of an exact power of two rounds cleanly in both engines.
+    return _oracles.XXH64_MACROS + (
+        "WITH h AS (SELECT event_type, "
+        "xhash_long(xunsigned(user_id), 42::HUGEINT) AS hu FROM events), "
+        "rr AS (SELECT event_type, "
+        "CAST(hu % 64 AS INT) AS register, "
+        "((hu // 64) | 144115188075855872::HUGEINT) AS rest FROM h), "
+        "rh AS (SELECT event_type, register, "
+        "CAST(round(log2(CAST((rest & (-rest)) AS DOUBLE))) AS INT) + 1 AS rho "
+        "FROM rr) "
+        "SELECT event_type, register, CAST(max(rho) AS INT) AS rho "
+        "FROM rh GROUP BY event_type, register"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (webx/sampling.py weighted_sample_topk): top-50 docs by ln(u)/w
+    with u hash-derived (reproducible across cluster sizes/engines,
+    unlike partition-seeded df.sample) and w = 1 + doc_id % 10. The
+    gate covers (rank, key, weight) — rank order is float-keyed but u
+    is recovered with the single-rounding decimal discipline and the
+    key is one ln + one divide from it."""
+    from webx.sampling import weighted_sample_topk
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id"), spark)
+    weighted = docs.select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 10).alias("w")
+    )
+    return weighted_sample_topk(weighted, "doc_id", "w", k=50)
+
+
+def _weighted_sample_oracle_sql() -> str:
+    return _oracles.XXH64_MACROS + (
+        "WITH h AS (SELECT doc_id, 1 + doc_id % 10 AS w, "
+        "xhash_long(xunsigned(doc_id), 42::HUGEINT) AS hu FROM documents), "
+        "k AS (SELECT doc_id, w, "
+        "ln((CAST(hu AS DOUBLE) + 1.0) / 18446744073709551616.0) / "
+        "CAST(w AS DOUBLE) AS skey FROM h), "
+        "r AS (SELECT doc_id, w, row_number() OVER "
+        "(ORDER BY skey DESC, doc_id ASC) AS rank FROM k) "
+        "SELECT CAST(rank AS INT) AS rank, doc_id AS key, "
+        "CAST(w AS BIGINT) AS weight FROM r WHERE rank <= 50"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6032,6 +6196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_join_size": q_cms_join_size,
         "q_salted_join": q_salted_join,
         "q_zorder": q_zorder,
+        "q_crawl_depth": q_crawl_depth,
+        "q_bm25": q_bm25,
+        "q_hll_registers": q_hll_registers,
+        "q_weighted_sample": q_weighted_sample,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7423,6 +7591,10 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_join_size": _cms_join_size_oracle_sql(),
         "q_salted_join": _salted_join_oracle_sql(),
         "q_zorder": _zorder_oracle_sql(),
+        "q_crawl_depth": _crawl_depth_oracle_sql(),
+        "q_bm25": _bm25_oracle_sql(),
+        "q_hll_registers": _hll_oracle_sql(),
+        "q_weighted_sample": _weighted_sample_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

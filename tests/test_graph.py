@@ -116,3 +116,35 @@ def test_redirect_chains_pointer_doubling(spark):
     for u in ("x", "y", "z"):
         assert got[u] == ("", 0, 0), u
     assert got["a"] == ("t", 1, 1)
+
+
+def test_bfs_depth_min_over_multiple_seeds(spark):
+    from webx.graph import bfs_depth
+
+    # chain 0->1->2->3->4, seed at 0 AND 3; 9 unreachable; 5<->6 cycle
+    # reachable only through 4->5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 5)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    got = {r["node"]: r["depth"] for r in bfs_depth(edges, seeds).collect()}
+    # node 4 is 4 hops from seed 0 but ONE from seed 3 -> min wins
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 1, 5: 2, 6: 3}
+    assert 9 not in got  # unreachable nodes absent, not depth-null
+
+
+def test_bfs_depth_cap_and_partition_independence(spark):
+    from webx.graph import bfs_depth
+
+    # long chain: cap cuts traversal at max_depth
+    n = 30
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    capped = bfs_depth(edges, seeds, max_depth=7)
+    assert capped.count() == 8  # depths 0..7
+    assert capped.agg({"depth": "max"}).first()[0] == 7
+    # same result on 1 vs 16 partitions
+    a = sorted(map(tuple, bfs_depth(edges.coalesce(1), seeds).collect()))
+    b = sorted(map(tuple, bfs_depth(edges.repartition(16), seeds).collect()))
+    assert a == b

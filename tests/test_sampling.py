@@ -68,3 +68,54 @@ def test_bucket_range(spark):
         .first()
     )
     assert 0 <= row["lo"] and row["hi"] < 1_000_000
+
+
+def test_weighted_sample_partition_independence_and_rank(spark):
+    from webx.sampling import weighted_sample_topk
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (1 + F.col("id") % 10).alias("w")
+    )
+    a = [tuple(r) for r in weighted_sample_topk(docs.coalesce(1), "doc_id", "w", k=40).collect()]
+    b = [tuple(r) for r in weighted_sample_topk(docs.repartition(16), "doc_id", "w", k=40).collect()]
+    assert a == b
+    assert [r[0] for r in a] == list(range(1, 41))  # dense ranks 1..k
+
+
+def test_weighted_sample_key_matches_python_derivation(spark):
+    """The ln(u)/w sort key re-derived row-by-row in Python from the
+    shared XXH64 must reproduce the exact Spark sample membership and
+    order (the single-rounding decimal discipline)."""
+    import math
+
+    from webx import xxh64 as X
+    from webx.sampling import weighted_sample_topk
+
+    n, k = 500, 25
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), (1 + F.col("id") % 7).alias("w")
+    )
+    got = [(r["rank"], r["key"], r["weight"]) for r in
+           weighted_sample_topk(docs, "doc_id", "w", k=k).collect()]
+    keyed = []
+    for i in range(n):
+        w = 1 + i % 7
+        u = (float(X.to_unsigned(X.hash_long(i))) + 1.0) / 2.0**64
+        keyed.append((math.log(u) / w, -i, i, w))
+    keyed.sort(reverse=True)
+    want = [(r + 1, doc, w) for r, (_, _, doc, w) in enumerate(keyed[:k])]
+    assert got == want
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Statistical sanity: with weights 1 vs 10 in equal numbers, the
+    heavy class should dominate the sample (A-ES inclusion ∝ weight)."""
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10).otherwise(1).alias("w"),
+    )
+    from webx.sampling import weighted_sample_topk
+
+    top = weighted_sample_topk(docs, "doc_id", "w", k=200)
+    heavy = top.filter(F.col("weight") == 10).count()
+    assert heavy > 150  # E[heavy] ≈ 182 of 200; 150 is ~5 sigma slack

@@ -132,3 +132,48 @@ def test_cms_join_size_never_undercounts_exact_when_wide(spark):
         cms_build(b, "k", width=4096, depth=3),
     ).collect()[0]["join_size_est"]
     assert est_wide == true
+
+
+def test_hll_registers_match_python_reference(spark):
+    from webx.sketch import hll_registers
+    from webx import xxh64 as X
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 700).alias("v")
+    )
+    got = {
+        (r["g"], r["register"]): r["rho"]
+        for r in hll_registers(df, "v", ("g",), p=6).collect()
+    }
+    # independent python replay over the same values
+    want: dict = {}
+    for i in range(3000):
+        g, v = str(i % 3), i % 700
+        hu = X.to_unsigned(X.hash_long(v))
+        reg = hu & 63
+        rest = (hu >> 6) | (1 << 57)
+        rho = (rest & -rest).bit_length()  # tz + 1
+        k = (g, reg)
+        want[k] = max(want.get(k, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from webx.sketch import hll_registers, hll_estimate
+
+    df = spark.range(20000).select(
+        F.lit("a").alias("g"), (F.col("id") % 5000).alias("v")
+    )
+    regs = hll_registers(df, "v", ("g",), p=6).collect()
+    dense = [0] * 64
+    for r in regs:
+        dense[r["register"]] = r["rho"]
+    est = hll_estimate(dense, p=6)
+    assert abs(est / 5000 - 1) < 0.35  # ~2.6 sigma at m=64 (1.04/8 = 13%)
+    # mergeability: registers of two halves fold by elementwise max
+    lo = hll_registers(df.filter(F.col("v") < 2500), "v", ("g",), p=6).collect()
+    hi = hll_registers(df.filter(F.col("v") >= 2500), "v", ("g",), p=6).collect()
+    merged = [0] * 64
+    for r in list(lo) + list(hi):
+        merged[r["register"]] = max(merged[r["register"]], r["rho"])
+    assert merged == dense

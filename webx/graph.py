@@ -306,3 +306,57 @@ def pagerank_int_oracle_sql(
     parts[-1] = parts[-1][:-2] + " "
     parts.append(f"SELECT host, CAST(r AS BIGINT) AS rank FROM r{iterations}")
     return "".join(parts)
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Multi-source BFS over directed (src, dst) edges → (node, depth)
+    with depth = the MINIMUM hop count from any seed; unreached nodes
+    are absent. The crawl-depth audit: how many link hops separate each
+    page/host from the seed list — the frontier-scheduling signal
+    (depth caps, politeness budgets per ring) and the classic
+    "19 clicks of separation" web-structure measurement.
+
+    Level-synchronous frontier expansion (Pregel-style, the
+    ``pagerank_hosts`` driver-loop discipline): each level is ONE join
+    frontier⋈edges + an anti-join against the visited set — both
+    shuffles on the node key, so successive levels reuse the same
+    hash partitioning. ``localCheckpoint`` per level keeps the lineage
+    linear; the loop exits as soon as a frontier comes back empty
+    (diameter-bounded, not cap-bounded, on connected graphs). Depth is
+    an exact integer — first-visit level IS the shortest distance in an
+    unweighted graph — so the whole result carries a full value oracle
+    (recursive-CTE min-depth replay), unlike float graph scores.
+
+    Reference analogy: mindocr walks its dataset roots breadth-first to
+    enumerate samples (mindocr/data/utils/get_image_paths); here the
+    breadth-first walk IS the analytic output.
+    """
+    visited = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("depth"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).cast("int").alias("depth"))
+        ).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

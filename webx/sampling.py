@@ -137,3 +137,55 @@ def temperature_sample(
         * F.col("w_l").cast(d38)
     )
     return df.join(rates, lang_col).filter(lhs < rhs).select(*df.columns)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement, the
+    Efraimidis-Spirakis A-ES scheme (2006): each row draws
+    u = hash(key)/2^64 ∈ (0,1] and the sample is the top-k rows by
+    key ``ln(u)/w`` (monotone-equivalent to u^(1/w); inclusion
+    probability ∝ weight). The curation use: draw a quality-weighted
+    corpus subsample — or a per-shard audit sample — that is
+    REPRODUCIBLE across cluster sizes, re-runs, and engines, which
+    ``df.sample`` (partition-seeded Bernoulli) cannot give.
+
+    Determinism discipline: u is recovered from the signed xxhash64 in
+    decimal(38,0) first so the double conversion rounds ONCE (the
+    kmv_distinct precedent); ln and one divide are the only float ops,
+    computed identically from identical doubles; ties break on the key
+    then doc order. Plan: one narrow projection + TakeOrdered(k) —
+    per-partition top-k partials, no full sort, no window over an
+    unpartitioned frame; the k-row result gets ranks in a trivially
+    small final window.
+    """
+    from pyspark.sql import Window
+
+    # signed hash → true u64: sign-bit flip yields (hu - 2^63) as a
+    # signed long for ANY hu, so the decimal +2^63 recovers hu exactly
+    # (the kmv_distinct reconstruction); the double cast then rounds
+    # ONCE, bit-identical to the oracle's HUGEINT::DOUBLE.
+    u64 = (
+        F.xxhash64(F.col(key_col))
+        .bitwiseXOR(F.lit(-(1 << 63)))
+        .cast("decimal(38,0)")
+        + F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
+    ).cast("double")
+    # +1 in the numerator keeps u > 0 (ln(0) = -inf would still order
+    # correctly but poisons the gated float derivation in pytest)
+    u = (u64 + F.lit(1.0)) / F.lit(float(1 << 64))
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        skey.alias("skey"),
+    )
+    top = ranked.orderBy(F.desc("skey"), F.asc("key")).limit(k)
+    w = Window.orderBy(F.desc("skey"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "key", "weight"
+    )

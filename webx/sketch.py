@@ -216,3 +216,62 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
     )
     return prod.agg(F.min("ip").alias("join_size_est"))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog register table → (``group_cols``…,
+    register, rho): register = the low ``p`` bits of the 64-bit hash,
+    rho = 1 + the number of trailing zero bits of the remaining 58
+    bits (sentinel-capped). Flajolet et al. 2007, with the
+    register/rho split taken from the LOW end so the signed JVM hash
+    and the oracle's unsigned HUGEINT agree without sign gymnastics.
+
+    This is the sketch the KMV docstring said "could only be checked
+    rows-only" — untrue once the registers themselves are the output:
+    every column is an exact integer, a pure function of the shared
+    XXH64, so the full value-hash gate applies. Registers are also the
+    MERGEABLE form (elementwise max across shards/streams) — at crawl
+    scale you persist this table per partition/day and fold, never the
+    raw values. The float cardinality estimate is a driver-side
+    function of the 2^p integers (see ``hll_estimate``), kept OUT of
+    the gated frame (its 2^p-term float sum is fold-order-dependent).
+
+    Plan: one narrow hash projection + one groupBy (group, register)
+    max — map-side partials shrink each task's output to ≤ groups·2^p
+    rows. Pure codegen, no Python.
+    """
+    gcols = list(group_cols)
+    m_mask = (1 << p) - 1
+    sentinel = 1 << (64 - p - 1)  # caps rho at 64-p when the rest is 0
+    h = F.xxhash64(F.col(value_col))
+    rest = F.shiftrightunsigned(h, p).bitwiseOR(F.lit(sentinel))
+    lowbit = rest.bitwiseAND(rest * F.lit(-1))
+    rho = (F.round(F.log2(lowbit)).cast("int") + F.lit(1)).alias("rho")
+    regs = df.select(
+        *gcols,
+        h.bitwiseAND(F.lit(m_mask)).cast("int").alias("register"),
+        rho,
+    )
+    return regs.groupBy(*gcols, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: "list[int]", p: int = 6) -> float:
+    """Driver-side HLL estimate from a dense register list (absent
+    registers = 0): alpha_m · m² / Σ 2^-M_j with the small-range
+    linear-counting correction — the pytest anchor for
+    ``hll_registers`` (the gated frame stays integer-only)."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    dense = list(registers) + [0] * (m - len(registers))
+    raw = alpha * m * m / sum(2.0 ** -r for r in dense[:m])
+    zeros = sum(1 for r in dense[:m] if r == 0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw

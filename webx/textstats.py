@@ -716,3 +716,87 @@ def char_entropy(col, prefix_chars: int = 4096):
     return F.when(
         n > 0, F.round(F.log2(n) - sum_clog / n, 6)
     ).otherwise(F.lit(0.0))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for one multi-term query →
+    top-k (rank, doc_id, n_hit, tf_sum, dl, score): Robertson-Sparck
+    Jones idf in the Lucene non-negative form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, per-term saturation
+    ``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``, summed over query
+    terms. The mining op behind corpus search / seed-document
+    expansion in curation loops (find docs like the quality seeds).
+
+    Deterministic: ties break (score desc, doc_id asc); the driver-
+    gated columns are the exact integers (rank, n_hit, tf_sum, dl) —
+    the float score is a pure function of them plus (df, N, avgdl)
+    that pytest re-derives. Plan shape: term explode filtered to the
+    tiny query vocabulary BEFORE any shuffle (the filter is a literal
+    isin — predicate on the exploded generator output, so only
+    query-term tokens survive), one groupBy (doc, term), a broadcast
+    of the ≤|query| df rows, and a global TakeOrdered(k) — no window
+    over an unpartitioned frame, no full sort. dl/avgdl come from a
+    narrow ``size(split(...))`` projection, zero extra scans of text.
+    """
+    n_docs = docs.count()
+    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).first()[0] or 0.0
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(), lambda t: F.lower(t))).alias("term"),
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+    )
+    # fixed-order summation: Σ over terms folds in the QUERY's term
+    # order via one conditional max per term (each (doc, term) has one
+    # row, so max == the value) — a groupBy float SUM would fold in
+    # partition order and two engines (or two runs) could disagree in
+    # the last ulp on 3+-term matches, flipping rank ties.
+    term_slots = [
+        F.max(F.when(F.col("term") == t.lower(), F.col("s"))).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_hit"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+        F.first("dl").alias("dl"),
+        *term_slots,
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    per_doc = per_doc.withColumn("score", score)
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "n_hit", "tf_sum", "dl", "score"
+    )

@@ -324,8 +324,12 @@ def bfs_depth(
     ``pagerank_hosts`` driver-loop discipline): each level is ONE join
     frontier⋈edges + an anti-join against the visited set — both
     shuffles on the node key, so successive levels reuse the same
-    hash partitioning. ``localCheckpoint`` per level keeps the lineage
-    linear; the loop exits as soon as a frontier comes back empty
+    hash partitioning. Exactly ONE eager job per level (the frontier's
+    ``localCheckpoint``; the emptiness probe reads the already-
+    materialized checkpoint): the visited set is kept as a LAZY union
+    of the per-level checkpoints, never re-materialized, so per-level
+    driver cost is one job and the anti-join scans ≤ depth tiny cached
+    frames. The loop exits as soon as a frontier comes back empty
     (diameter-bounded, not cap-bounded, on connected graphs). Depth is
     an exact integer — first-visit level IS the shortest distance in an
     unweighted graph — so the whole result carries a full value oracle
@@ -335,13 +339,14 @@ def bfs_depth(
     enumerate samples (mindocr/data/utils/get_image_paths); here the
     breadth-first walk IS the analytic output.
     """
-    visited = (
+    seeds0 = (
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
-        .select("node", F.lit(0).cast("int").alias("depth"))
         .localCheckpoint()
     )
-    frontier = visited.select("node")
+    levels = [seeds0.select("node", F.lit(0).cast("int").alias("depth"))]
+    frontier = seeds0
+    visited_nodes = seeds0
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
@@ -350,13 +355,15 @@ def bfs_depth(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .localCheckpoint()
         )
         if not nxt.head(1):
             break
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(d).cast("int").alias("depth"))
-        ).localCheckpoint()
-        frontier = nxt.select("node")
-    return visited
+        levels.append(nxt.select("node", F.lit(d).cast("int").alias("depth")))
+        visited_nodes = visited_nodes.unionByName(nxt)  # lazy: checkpointed parts
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -6026,6 +6026,98 @@ def _weighted_sample_oracle_sql() -> str:
     )
 
 
+def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language A-ES weighted sampling (webx/sampling.py
+    weighted_sample_per_group): top-5 docs per lang by ln(u)/w — the
+    stratified audit sample a global top-k would starve small langs
+    out of. Plan shape distinct from q_weighted_sample: a partitioned
+    rank-filtered window (WindowGroupLimit) instead of TakeOrdered."""
+    from webx.sampling import weighted_sample_per_group
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "lang"), spark)
+    weighted = docs.select(
+        "lang", "doc_id", (F.lit(1) + F.col("doc_id") % 10).alias("w")
+    )
+    return weighted_sample_per_group(weighted, "lang", "doc_id", "w", k=5)
+
+
+def _group_sample_oracle_sql() -> str:
+    return _oracles.XXH64_MACROS + (
+        "WITH h AS (SELECT lang, doc_id, 1 + doc_id % 10 AS w, "
+        "xhash_long(xunsigned(doc_id), 42::HUGEINT) AS hu FROM documents), "
+        "k AS (SELECT lang, doc_id, w, "
+        "ln((CAST(hu AS DOUBLE) + 1.0) / 18446744073709551616.0) / "
+        "CAST(w AS DOUBLE) AS skey FROM h), "
+        "r AS (SELECT lang, doc_id, w, row_number() OVER "
+        "(PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rank FROM k) "
+        "SELECT lang AS grp, CAST(rank AS INT) AS rank, doc_id AS key, "
+        "CAST(w AS BIGINT) AS weight FROM r WHERE rank <= 5"
+    )
+
+
+def q_corpus_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (webx/sampling.py
+    corpus_shard): the training-export final step — shard = low 4 hash
+    bits, pos = unsigned-hash rank within shard. Reproducible on any
+    engine/cluster size (oracle replays every (shard, pos) exactly);
+    one exchange + per-shard sort, the writer's
+    repartition().sortWithinPartitions shape."""
+    from webx.sampling import corpus_shard
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id"), spark)
+    return corpus_shard(docs, "doc_id", n_shards=16)
+
+
+def _corpus_shard_oracle_sql() -> str:
+    return _oracles.XXH64_MACROS + (
+        "WITH h AS (SELECT doc_id, "
+        "xhash_long(xunsigned(doc_id), 42::HUGEINT) AS hu FROM documents) "
+        "SELECT CAST(hu % 16 AS INT) AS shard, "
+        "CAST(row_number() OVER (PARTITION BY hu % 16 "
+        "ORDER BY hu ASC, doc_id ASC) AS INT) AS pos, "
+        "doc_id AS key FROM h"
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-operation estimates between two snapshot samples
+    (webx/sketch.py kmv_set_ops): A = docs with id ≢ 0 (mod 3), B =
+    id ≢ 0 (mod 2) — true Jaccard 0.4 — estimated from one size-64
+    union sketch without ever joining the corpora. Deterministic hash
+    ⇒ the floats replay exactly in the oracle (kmv_distinct
+    discipline)."""
+    from webx.sketch import kmv_set_ops
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id"), spark)
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 2 != 0)
+    return kmv_set_ops(a, b, "doc_id", k=64)
+
+
+def _kmv_set_ops_oracle_sql() -> str:
+    return _oracles.XXH64_MACROS + (
+        "WITH ha AS (SELECT DISTINCT xhash_long(xunsigned(doc_id), 42::HUGEINT) "
+        "AS hu FROM documents WHERE doc_id % 3 <> 0), "
+        "hb AS (SELECT DISTINCT xhash_long(xunsigned(doc_id), 42::HUGEINT) "
+        "AS hu FROM documents WHERE doc_id % 2 <> 0), "
+        "sk AS (SELECT hu FROM (SELECT hu FROM ha UNION SELECT hu FROM hb) "
+        "ORDER BY hu ASC LIMIT 64), "
+        "st AS (SELECT count(*) AS n_seen, max(hu) AS maxh FROM sk), "
+        "nb AS (SELECT count(*) AS n_both FROM sk "
+        "WHERE hu IN (SELECT hu FROM ha) AND hu IN (SELECT hu FROM hb)) "
+        "SELECT CAST(n_seen AS BIGINT) AS n_seen, "
+        "CAST(n_both AS BIGINT) AS n_both, "
+        "CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE) "
+        "ELSE 63.0 / (CAST(maxh AS DOUBLE) / 18446744073709551616.0) END "
+        "AS union_est, "
+        "CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE) AS jaccard, "
+        "(CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE)) * "
+        "(CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE) "
+        "ELSE 63.0 / (CAST(maxh AS DOUBLE) / 18446744073709551616.0) END) "
+        "AS intersect_est FROM st, nb"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6200,6 +6292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": q_bm25,
         "q_hll_registers": q_hll_registers,
         "q_weighted_sample": q_weighted_sample,
+        "q_group_sample": q_group_sample,
+        "q_corpus_shard": q_corpus_shard,
+        "q_kmv_set_ops": q_kmv_set_ops,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7595,6 +7690,9 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),
         "q_weighted_sample": _weighted_sample_oracle_sql(),
+        "q_group_sample": _group_sample_oracle_sql(),
+        "q_corpus_shard": _corpus_shard_oracle_sql(),
+        "q_kmv_set_ops": _kmv_set_ops_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

@@ -119,3 +119,78 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     top = weighted_sample_topk(docs, "doc_id", "w", k=200)
     heavy = top.filter(F.col("weight") == 10).count()
     assert heavy > 150  # E[heavy] ≈ 182 of 200; 150 is ~5 sigma slack
+
+
+def test_group_sample_every_stratum_represented(spark):
+    from webx.sampling import weighted_sample_per_group
+
+    docs = _docs(spark, 3000).select(
+        "lang", "doc_id", (1 + F.col("doc_id") % 10).alias("w")
+    )
+    out = weighted_sample_per_group(docs, "lang", "doc_id", "w", k=5).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["rank"])
+    assert set(by_grp) == {"en", "de", "fr"}
+    for g, ranks in by_grp.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], g
+    # partition independence
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample_per_group(
+                docs.repartition(16), "lang", "doc_id", "w", k=5
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_group_sample_uses_window_group_limit(spark):
+    """rank<=k over a partitioned window must compile to the partial
+    top-k pushdown (WindowGroupLimit), not a full per-group sort of all
+    members shipped through the exchange."""
+    from webx.sampling import weighted_sample_per_group
+
+    docs = _docs(spark, 100).select(
+        "lang", "doc_id", (1 + F.col("doc_id") % 10).alias("w")
+    )
+    plan = weighted_sample_per_group(docs, "lang", "doc_id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_shard_balance_and_replay(spark):
+    import math
+
+    from webx import xxh64 as X
+    from webx.sampling import corpus_shard
+
+    n = 2000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = [(r["shard"], r["pos"], r["key"]) for r in corpus_shard(docs, "doc_id").collect()]
+    # python replay: shard = low 4 bits, pos = unsigned-hash order in shard
+    rows = []
+    for i in range(n):
+        hu = X.to_unsigned(X.hash_long(i))
+        rows.append((hu & 15, hu, i))
+    want = []
+    for s in range(16):
+        members = sorted((hu, key) for sh, hu, key in rows if sh == s)
+        want.extend((s, p + 1, key) for p, (_, key) in enumerate(members))
+    assert sorted(got) == sorted(want)
+    # hash balance: no shard more than ~2x the mean at n=2000
+    sizes = [sum(1 for s, _, _ in got if s == sh) for sh in range(16)]
+    assert max(sizes) < 2 * (n / 16) and min(sizes) > 0.4 * (n / 16)
+    # partition independence
+    again = [
+        (r["shard"], r["pos"], r["key"])
+        for r in corpus_shard(docs.repartition(13), "doc_id").collect()
+    ]
+    assert sorted(again) == sorted(got)
+    # non-power-of-two rejected
+    try:
+        corpus_shard(docs, "doc_id", n_shards=10)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -177,3 +177,35 @@ def test_hll_estimate_accuracy_and_merge(spark):
     for r in list(lo) + list(hi):
         merged[r["register"]] = max(merged[r["register"]], r["rho"])
     assert merged == dense
+
+
+def test_kmv_set_ops_estimates_track_truth(spark):
+    from webx.sketch import kmv_set_ops
+
+    n = 6000
+    ids = spark.range(n).select(F.col("id").alias("v"))
+    a = ids.filter(F.col("v") % 3 != 0)  # 2/3 n
+    b = ids.filter(F.col("v") % 2 != 0)  # 1/2 n
+    # union = ids not divisible by 6 missing only multiples of 6: 5/6 n
+    # intersection = odd non-multiples of 3: 1/3 n; jaccard = 0.4
+    row = kmv_set_ops(a, b, "v", k=256).first()
+    assert row["n_seen"] == 256
+    assert abs(row["union_est"] / (5 * n / 6) - 1) < 0.2
+    assert abs(row["jaccard"] - 0.4) < 0.12
+    assert abs(row["intersect_est"] / (n / 3) - 1) < 0.3
+    # partition independence (deterministic hash, not sampling luck)
+    again = kmv_set_ops(a.repartition(16), b.coalesce(1), "v", k=256).first()
+    assert tuple(row) == tuple(again)
+
+
+def test_kmv_set_ops_exact_below_capacity(spark):
+    from webx.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], ["v"])
+    row = kmv_set_ops(a, b, "v", k=64).first()
+    # 15 distinct in the union, 5 shared -> sketch holds everything
+    assert row["n_seen"] == 15 and row["n_both"] == 5
+    assert row["union_est"] == 15.0
+    assert abs(row["jaccard"] - 5 / 15) < 1e-12
+    assert abs(row["intersect_est"] - 5.0) < 1e-9

@@ -165,27 +165,108 @@ def weighted_sample_topk(
     """
     from pyspark.sql import Window
 
-    # signed hash → true u64: sign-bit flip yields (hu - 2^63) as a
-    # signed long for ANY hu, so the decimal +2^63 recovers hu exactly
-    # (the kmv_distinct reconstruction); the double cast then rounds
-    # ONCE, bit-identical to the oracle's HUGEINT::DOUBLE.
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        _aes_skey(key_col, weight_col).alias("skey"),
+    )
+    top = ranked.orderBy(F.desc("skey"), F.asc("key")).limit(k)
+    w = Window.orderBy(F.desc("skey"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "key", "weight"
+    )
+
+
+def _aes_skey(key_col: str, weight_col: str):
+    """The Efraimidis-Spirakis sort key ln(u)/w with u hash-derived.
+
+    Signed hash → true u64: the sign-bit flip yields (hu - 2^63) as a
+    signed long for ANY hu, so the decimal +2^63 recovers hu exactly
+    (the kmv_distinct reconstruction); the double cast then rounds
+    ONCE, bit-identical to the oracle's HUGEINT::DOUBLE. +1 in the
+    numerator keeps u > 0 (ln(0) = -inf would still order correctly
+    but poisons the gated float derivation in pytest)."""
     u64 = (
         F.xxhash64(F.col(key_col))
         .bitwiseXOR(F.lit(-(1 << 63)))
         .cast("decimal(38,0)")
         + F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
     ).cast("double")
-    # +1 in the numerator keeps u > 0 (ln(0) = -inf would still order
-    # correctly but poisons the gated float derivation in pytest)
     u = (u64 + F.lit(1.0)) / F.lit(float(1 << 64))
-    skey = F.log(u) / F.col(weight_col).cast("double")
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group A-ES weighted sampling without replacement → (group,
+    rank, key, weight): the top-k rows BY GROUP under the same ln(u)/w
+    key as ``weighted_sample_topk``. The curation use: a per-language
+    (or per-host, per-source) quality-weighted audit sample where every
+    stratum is represented — the global top-k would starve small
+    groups.
+
+    Plan: one narrow projection + ONE shuffle on the group key into a
+    rank-filtered window — Spark rewrites ``rank <= k`` over a
+    partitioned window into WindowGroupLimit (per-partition partial
+    top-k BEFORE the exchange), so each task ships at most k rows per
+    group, never the group's full membership. Same determinism
+    discipline as the global variant.
+    """
+    from pyspark.sql import Window
+
     ranked = df.select(
+        F.col(group_col).alias("grp"),
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("weight"),
-        skey.alias("skey"),
+        _aes_skey(key_col, weight_col).alias("skey"),
     )
-    top = ranked.orderBy(F.desc("skey"), F.asc("key")).limit(k)
-    w = Window.orderBy(F.desc("skey"), F.asc("key"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
-        "rank", "key", "weight"
+    w = Window.partitionBy("grp").orderBy(F.desc("skey"), F.asc("key"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "key", "weight")
+    )
+
+
+def corpus_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding → (shard, pos,
+    key): the training-export final step. shard = the low log2(n)
+    bits of xxhash64(key) (n_shards MUST be a power of two so the
+    signed low-bit mask, the unsigned modulus, and the oracle's
+    HUGEINT % n all agree); pos = the row's rank within its shard in
+    unsigned-hash order. Hash-ordering IS the shuffle: adjacent input
+    rows (same host, same crawl segment) land in different shards at
+    uncorrelated positions, every engine/cluster-size/run reproduces
+    the exact same order, and a resumed export rewrites byte-identical
+    shards — none of which ``orderBy(rand())`` can give.
+
+    Plan: one narrow hash projection + ONE exchange on shard + a
+    per-shard sort (the window's sort IS the writer's
+    ``repartition(shard).sortWithinPartitions`` — no global sort, no
+    single-partition window; shards are hash-balanced so no skew).
+    """
+    if n_shards & (n_shards - 1):
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(key_col))
+    # low bits of the signed two's-complement long == unsigned % 2^b
+    shard = h.bitwiseAND(F.lit(n_shards - 1)).cast("int")
+    okey = h.bitwiseXOR(F.lit(-(1 << 63)))  # unsigned comparison order
+    w = Window.partitionBy("shard").orderBy("okey", "key")
+    return (
+        df.select(
+            F.col(key_col).alias("key"), shard.alias("shard"), okey.alias("okey")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("shard", "pos", "key")
     )

@@ -275,3 +275,55 @@ def hll_estimate(registers: "list[int]", p: int = 6) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """KMV set-operation estimates between two corpora/snapshots → one
+    row (n_seen, n_both, union_est, jaccard, intersect_est): build the
+    size-k union sketch (k smallest distinct unsigned hashes over
+    A ∪ B), count how many of its members appear in BOTH sides, and
+    derive |A ∪ B| ≈ (k-1)/u, J ≈ n_both/n_seen, |A ∩ B| ≈ J·|A ∪ B|
+    (Beyer et al. 2007, "On synopses for distinct-value estimation").
+    The crawl analytic: how much does today's snapshot overlap
+    yesterday's — distinct-URL churn, shared-content mass — WITHOUT
+    joining the corpora (the exact join is the thing you can't afford
+    at 10^12 rows).
+
+    Deterministic under the fixed hash ⇒ every output column including
+    the float estimates is oracle-replayable exactly (the kmv_distinct
+    argument). Plan: two narrow distinct-hash projections; the union
+    sketch via TakeOrdered(k) — per-partition partials, no global
+    window; membership = each side semi-joined against the BROADCAST
+    k-row sketch (the corpora are never joined to each other, never
+    collected, never reshuffled)."""
+    minlong = F.lit(-(1 << 63))
+    ha = (
+        a.select(F.xxhash64(F.col(value_col)).bitwiseXOR(minlong).alias("h"))
+        .distinct()
+    )
+    hb = (
+        b.select(F.xxhash64(F.col(value_col)).bitwiseXOR(minlong).alias("h"))
+        .distinct()
+    )
+    sketch = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    in_a = ha.join(F.broadcast(sketch), "h", "leftsemi")
+    both = in_a.join(F.broadcast(hb.join(F.broadcast(sketch), "h", "leftsemi")), "h", "leftsemi")
+    stats = sketch.agg(
+        F.count("*").cast("long").alias("n_seen"), F.max("h").alias("max_h")
+    )
+    nb = both.agg(F.count("*").cast("long").alias("n_both"))
+    u64d = (
+        F.col("max_h").cast("decimal(38,0)")
+        + F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
+    ).cast("double")
+    union_est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (u64d / F.lit(TWO64)))
+    jacc = F.col("n_both").cast("double") / F.col("n_seen").cast("double")
+    return (
+        stats.crossJoin(nb)
+        .withColumn("union_est", union_est)
+        .withColumn("jaccard", jacc)
+        .withColumn("intersect_est", F.col("jaccard") * F.col("union_est"))
+        .select("n_seen", "n_both", "union_est", "jaccard", "intersect_est")
+    )

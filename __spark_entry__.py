@@ -6118,6 +6118,36 @@ def _kmv_set_ops_oracle_sql() -> str:
     )
 
 
+def q_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-of-sketches rollup (webx/sketch.py hll_merge): per-DAY
+    HLL register tables folded by elementwise max into the all-time
+    distinct-user sketch. The gate IS the mergeability theorem — Spark
+    never computes a global sketch (it builds daily sketches and folds
+    them); the oracle computes the global registers from the raw rows
+    directly. Bit-equality proves fold(daily) == global, the property
+    that lets a lakehouse keep pre-aggregated daily sketch tables."""
+    from webx.sketch import hll_merge, hll_registers
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_registers(ev, "user_id", ("day",), p=6)
+    return hll_merge(daily)
+
+
+def _hll_union_oracle_sql() -> str:
+    return _oracles.XXH64_MACROS + (
+        "WITH h AS (SELECT xhash_long(xunsigned(user_id), 42::HUGEINT) AS hu "
+        "FROM events), "
+        "rr AS (SELECT CAST(hu % 64 AS INT) AS register, "
+        "((hu // 64) | 144115188075855872::HUGEINT) AS rest FROM h), "
+        "rh AS (SELECT register, "
+        "CAST(round(log2(CAST((rest & (-rest)) AS DOUBLE))) AS INT) + 1 AS rho "
+        "FROM rr) "
+        "SELECT register, CAST(max(rho) AS INT) AS rho FROM rh GROUP BY register"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6295,6 +6325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_sample": q_group_sample,
         "q_corpus_shard": q_corpus_shard,
         "q_kmv_set_ops": q_kmv_set_ops,
+        "q_hll_union": q_hll_union,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7693,6 +7724,7 @@ def oracle_sql() -> dict[str, str]:
         "q_group_sample": _group_sample_oracle_sql(),
         "q_corpus_shard": _corpus_shard_oracle_sql(),
         "q_kmv_set_ops": _kmv_set_ops_oracle_sql(),
+        "q_hll_union": _hll_union_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

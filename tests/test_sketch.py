@@ -209,3 +209,27 @@ def test_kmv_set_ops_exact_below_capacity(spark):
     assert row["union_est"] == 15.0
     assert abs(row["jaccard"] - 5 / 15) < 1e-12
     assert abs(row["intersect_est"] - 5.0) < 1e-9
+
+
+def test_hll_merge_equals_global_sketch(spark):
+    from webx.sketch import hll_merge, hll_registers
+
+    df = spark.range(8000).select(
+        (F.col("id") % 7).alias("day"), (F.col("id") % 1500).alias("v")
+    )
+    daily = hll_registers(df, "v", ("day",), p=6)
+    folded = {
+        (r["register"],): r["rho"] for r in hll_merge(daily).collect()
+    }
+    direct = {
+        (r["register"],): r["rho"] for r in hll_registers(df, "v", p=6).collect()
+    }
+    assert folded == direct
+    # grouped fold: keep a coarser slice (day % 2) and still match
+    halves = hll_merge(
+        daily.withColumn("half", (F.col("day") % 2).cast("int")), ("half",)
+    )
+    refolded = {
+        (r["register"],): r["rho"] for r in hll_merge(halves).collect()
+    }
+    assert refolded == direct

@@ -327,3 +327,19 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, k: int = 64) -> Data
         .withColumn("intersect_est", F.col("jaccard") * F.col("union_est"))
         .select("n_seen", "n_both", "union_est", "jaccard", "intersect_est")
     )
+
+
+def hll_merge(registers: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Fold HLL register tables → (``group_cols``…, register, rho):
+    elementwise max across whatever dimension the input is still
+    sliced by (day, shard, snapshot). THE point of keeping sketches in
+    register form: a year of daily distinct-user sketches folds into
+    the all-time sketch with one tiny groupBy — no rescan of the raw
+    events — and the result is bit-identical to computing the sketch
+    over the raw union (the q_hll_union oracle gates exactly that
+    equivalence: Spark folds daily sketches, DuckDB computes the
+    global registers from scratch). Plan: one groupBy over ≤
+    slices·2^p rows; map-side partials make each task's output ≤
+    groups·2^p."""
+    gcols = list(group_cols)
+    return registers.groupBy(*gcols, "register").agg(F.max("rho").alias("rho"))

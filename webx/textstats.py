@@ -742,11 +742,13 @@ def bm25_topk(
     query-term tokens survive), one groupBy (doc, term), a broadcast
     of the ≤|query| df rows, and a global TakeOrdered(k) — no window
     over an unpartitioned frame, no full sort. dl/avgdl come from a
-    narrow ``size(split(...))`` projection, zero extra scans of text.
+    narrow ``size(split(...))`` projection; N and avgdl are two
+    scalars from ONE driver action over that projection (not a
+    count() plus a separate avg() — one scan, not two).
     """
-    n_docs = docs.count()
     dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
-    avgdl = dl.agg(F.avg("dl")).first()[0] or 0.0
+    n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).first()
+    avgdl = avgdl or 0.0
     terms = docs.select(
         "doc_id",
         F.explode(F.transform(_tokens(), lambda t: F.lower(t))).alias("term"),

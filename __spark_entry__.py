@@ -6148,6 +6148,54 @@ def _hll_union_oracle_sql() -> str:
     )
 
 
+UNIMAX_BUDGET, UNIMAX_EPOCHS = 50_000, 1
+
+
+def q_unimax(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax language-budget allocation (webx/sampling.py
+    unimax_allocation; Chung et al. 2023): water-fill a 50k-char budget
+    across languages under a 1-epoch cap — the multilingual
+    pretraining mixer that replaces temperature sampling's single
+    knob. All-integer closed form (running-AND capped prefix, integer
+    div + largest-remainder top-up) ⇒ full value oracle; zero corpus
+    shuffles (one count agg, then windows over the language frame)."""
+    from webx.sampling import unimax_allocation
+
+    counts = (
+        synth.load_documents(spark, sf)
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("size"))
+    )
+    return unimax_allocation(counts, UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS)
+
+
+def _unimax_oracle_sql() -> str:
+    b, e = UNIMAX_BUDGET, UNIMAX_EPOCHS
+    return (
+        "WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS size "
+        "FROM documents GROUP BY lang), "
+        f"bb AS (SELECT lang, size, CAST({e} * size AS BIGINT) AS cap FROM c), "
+        "r AS (SELECT *, row_number() OVER (ORDER BY cap ASC, lang ASC) AS i, "
+        "sum(cap) OVER (ORDER BY cap ASC, lang ASC) - cap AS precum, "
+        "count(*) OVER () AS n FROM bb), "
+        f"f AS (SELECT *, CASE WHEN cap * (n - i + 1) <= {b} - precum "
+        "THEN 1 ELSE 0 END AS flag FROM r), "
+        "g AS (SELECT *, min(flag) OVER (ORDER BY cap ASC, lang ASC) "
+        "AS cappedi FROM f), "
+        "h AS (SELECT *, coalesce(sum(CASE WHEN cappedi = 1 THEN cap END) "
+        f"OVER (), 0) AS capsum, "
+        "sum(CASE WHEN cappedi = 0 THEN 1 ELSE 0 END) OVER () AS m FROM g), "
+        "t AS (SELECT *, row_number() OVER (PARTITION BY cappedi "
+        "ORDER BY size DESC, lang ASC) AS tr, "
+        f"{b} - capsum AS rem FROM h) "
+        "SELECT lang, size, cap, cappedi = 1 AS capped, "
+        "CAST(CASE WHEN cappedi = 1 THEN cap "
+        "ELSE (rem // greatest(m, 1)) + "
+        "(CASE WHEN tr <= rem - (rem // greatest(m, 1)) * m THEN 1 ELSE 0 END) "
+        "END AS BIGINT) AS alloc FROM t"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6326,6 +6374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shard": q_corpus_shard,
         "q_kmv_set_ops": q_kmv_set_ops,
         "q_hll_union": q_hll_union,
+        "q_unimax": q_unimax,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7725,6 +7774,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_shard": _corpus_shard_oracle_sql(),
         "q_kmv_set_ops": _kmv_set_ops_oracle_sql(),
         "q_hll_union": _hll_union_oracle_sql(),
+        "q_unimax": _unimax_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

@@ -194,3 +194,60 @@ def test_corpus_shard_balance_and_replay(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def _unimax_py(sizes: dict, budget: int, e: int):
+    """Independent waterfill reference: iterate ascending by cap,
+    capping while cap <= remaining / remaining_langs."""
+    order = sorted(sizes, key=lambda l: (e * sizes[l], l))
+    rem, m = budget, len(order)
+    alloc = {}
+    uncapped = []
+    for lang in order:
+        cap = e * sizes[lang]
+        if cap * m <= rem:
+            alloc[lang] = cap
+            rem -= cap
+            m -= 1
+        else:
+            uncapped.append(lang)
+    if uncapped:
+        base, extra = divmod(rem, len(uncapped))
+        for r, lang in enumerate(
+            sorted(uncapped, key=lambda l: (-sizes[l], l)), start=1
+        ):
+            alloc[lang] = base + (1 if r <= extra else 0)
+    return alloc
+
+
+def test_unimax_matches_reference_and_sums_to_budget(spark):
+    from webx.sampling import unimax_allocation
+
+    sizes = {"en": 5000, "de": 800, "fr": 300, "sw": 20, "yo": 3, "mi": 3}
+    counts = spark.createDataFrame(list(sizes.items()), ["lang", "size"])
+    for budget in (100, 2000, 9000, 50000):
+        got = {
+            r["lang"]: (r["alloc"], r["capped"])
+            for r in unimax_allocation(counts, budget, max_epochs=4).collect()
+        }
+        want = _unimax_py(sizes, budget, 4)
+        assert {l: a for l, (a, _) in got.items()} == want, budget
+        ceiling = 4 * sum(sizes.values())
+        assert sum(a for a, _ in got.values()) == min(budget, ceiling), budget
+        # capped langs get exactly 4 epochs; uncapped stay under cap
+        for l, (a, capped) in got.items():
+            if capped:
+                assert a == 4 * sizes[l]
+            else:
+                assert a <= 4 * sizes[l]
+
+
+def test_unimax_all_capped_when_budget_exceeds_epoch_ceiling(spark):
+    from webx.sampling import unimax_allocation
+
+    sizes = {"a": 10, "b": 20}
+    counts = spark.createDataFrame(list(sizes.items()), ["lang", "size"])
+    got = {r["lang"]: r["alloc"] for r in
+           unimax_allocation(counts, budget=1000, max_epochs=2).collect()}
+    # ceiling = 2*(10+20) = 60 < 1000: everyone capped, surplus unassigned
+    assert got == {"a": 20, "b": 40}

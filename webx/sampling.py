@@ -270,3 +270,85 @@ def corpus_shard(
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("shard", "pos", "key")
     )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    size_col: str = "size",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, ICLR): split a
+    token budget across languages by WATER-FILLING under a per-language
+    epoch cap — every language gets an equal share of the remaining
+    budget unless max_epochs × its corpus size is smaller, in which
+    case it gets exactly its cap and the surplus flows to the rest.
+    The multilingual-pretraining allocator that replaces temperature
+    sampling's one-knob compromise (τ low → head langs dominate, τ high
+    → tail langs repeat for dozens of epochs).
+
+    All-integer closed form, so the whole result carries a full value
+    oracle: sort ascending by cap c = max_epochs·size; a language is
+    capped iff c_i·(n-i+1) ≤ B − Σ_{j<i} c_j AND every smaller language
+    is capped (the capped set is a prefix of the ascending order — the
+    rowwise inequality alone misreads rows after the first uncapped
+    one, hence the running AND); uncapped languages split the remaining
+    budget by floor + largest-remainder top-up (shares are equal, so
+    the top-up tie-breaks by size desc then lang asc), making
+    Σ alloc = budget exact by construction.
+
+    Plan: one aggregate to per-lang counts upstream of this function;
+    here only windows over the ≤few-hundred-language frame — zero
+    corpus shuffles. Returns (lang, size, cap, capped, alloc).
+    """
+    from pyspark.sql import Window
+
+    n = F.count("*").over(Window.partitionBy())
+    asc = Window.orderBy(F.asc("cap"), F.asc("lang"))
+    base = counts.select(
+        F.col(lang_col).alias("lang"),
+        F.col(size_col).cast("long").alias("size"),
+        (F.lit(max_epochs) * F.col(size_col)).cast("long").alias("cap"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(asc).alias("i"),
+        (F.sum("cap").over(asc) - F.col("cap")).alias("precum"),
+        n.alias("n"),
+    )
+    flag = (F.col("cap") * (F.col("n") - F.col("i") + 1)) <= (
+        F.lit(budget) - F.col("precum")
+    )
+    flagged = ranked.withColumn("flag", flag.cast("int")).withColumn(
+        "capped", (F.min("flag").over(asc) == 1)
+    )
+    # scalars of the tiny frame: K capped langs consuming capsum
+    agg = Window.partitionBy()
+    flagged = flagged.withColumn(
+        "capsum",
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))).over(agg), F.lit(0)),
+    ).withColumn("m", F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(agg))
+    flagged = flagged.withColumn("rem", F.lit(budget) - F.col("capsum"))
+    # integer `div`, not float `/` (long/long is DOUBLE in Spark — a
+    # 2^53 hazard at real token budgets); greatest(m,1): when every
+    # language is capped the otherwise-branch is dead but ANSI mode
+    # would still raise on the 0 divisor
+    share = F.expr("rem div greatest(m, CAST(1 AS BIGINT))")
+    extras = F.col("rem") - share * F.col("m")  # == rem % m, m > 0
+    topup_rank = F.row_number().over(
+        Window.partitionBy("capped").orderBy(F.desc("size"), F.asc("lang"))
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        share + F.when(F.col("tr") <= extras, 1).otherwise(0)
+    )
+    return (
+        flagged.withColumn("tr", topup_rank)
+        .select(
+            "lang",
+            "size",
+            "cap",
+            "capped",
+            alloc.cast("long").alias("alloc"),
+        )
+    )

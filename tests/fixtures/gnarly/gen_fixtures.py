@@ -244,6 +244,34 @@ page("24_kitchen_sink", """﻿<!DOCTYPE html><!--[if lt IE 9]><script src="/shim
 <div>rendered in 3ms</div>""")
 
 
+page("25_frameset_noframes", """<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Frameset//EN"><html><head>
+<title>Portal</title></head>
+<frameset cols="20%,80%">
+<frame src="menu.html" name="menu"><frame src="main.html" name="main">
+<noframes><body>
+<p>Your browser does not support frames. The station timetable moved to the
+main page; the winter schedule starts on the first Sunday of December and
+adds two late services on weekdays.</p>
+<a href="main.html">Continue to the main page</a>
+</body></noframes>
+</frameset></html>""")
+
+page("26_mso_email", """<html xmlns:v="urn:schemas-microsoft-com:vml" xmlns:o="urn:schemas-microsoft-com:office:office"><head>
+<meta http-equiv=Content-Type content="text/html; charset=windows-1252">
+<!--[if gte mso 9]><xml><o:OfficeDocumentSettings><o:PixelsPerInch>96</o:PixelsPerInch></o:OfficeDocumentSettings></xml><![endif]-->
+<style><!-- p.MsoNormal {margin:0cm; font-size:11.0pt} --></style></head>
+<body lang=EN-GB style='word-wrap:break-word'>
+<div class=WordSection1>
+<p class=MsoNormal>Hi team,<o:p></o:p></p>
+<p class=MsoNormal>The quarterly crawl report is attached – headline numbers
+below. Coverage grew nine percent and the dedup ratio held steady.<o:p></o:p></p>
+<!--[if mso]><v:rect style='width:120pt;height:30pt'><v:textbox><center>ghost button</center></v:textbox></v:rect><![endif]-->
+<p class=MsoNormal>Regards,<br>Ana<o:p></o:p></p>
+</div></body></html>""".encode("windows-1252"))
+
+page("27_minified_oneline", b"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>Min</title><script>window.g={a:1,b:"</div>"}</script></head><body><nav><a href="/">x</a><a href="/y">y</a></nav><article><h1>Minified but meaningful</h1><p>Build pipelines strip every newline, so the whole document arrives as one line; the extractor must segment blocks from tags alone.</p><p>A stray NUL\x00 byte and a vertical\x0btab hide in this sentence.</p></article><footer><a href="/f">f</a></footer></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

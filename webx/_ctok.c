@@ -919,7 +919,7 @@ uint8_t* wx_strip_norm(const uint8_t* in, long n, long* out_n, long* ok) {
     if (!s) return NULL;
     long m = *out_n;
     /* one word-scan: bail on >= 0x80 / '&' (Python path), flag the
-     * rare normalization bytes (\r \t \f \v) and double spaces */
+     * rare normalization bytes (\r \t \f \v \0) and double spaces */
     int rare = 0, dbl = 0;
     {
         uint64_t prev_sp7 = 0; /* byte 7 of the previous word was ' ' */
@@ -932,12 +932,14 @@ uint8_t* wx_strip_norm(const uint8_t* in, long n, long* out_n, long* ok) {
             if ((sp & (sp >> 8)) || (prev_sp7 && (sp & 0x80ULL))) dbl = 1;
             prev_sp7 = sp & 0x8000000000000000ULL;
             if (wx_eqmask(w, '\r') | wx_eqmask(w, '\t') |
-                wx_eqmask(w, '\f') | wx_eqmask(w, 0x0b)) rare = 1;
+                wx_eqmask(w, '\f') | wx_eqmask(w, 0x0b) |
+                wx_eqmask(w, 0x00)) rare = 1;
         }
         for (; i < m; i++) {
             uint8_t c = s[i];
             if (c >= 0x80 || c == '&') return s;
-            if (c == '\r' || c == '\t' || c == '\f' || c == 0x0b) rare = 1;
+            if (c == '\r' || c == '\t' || c == '\f' || c == 0x0b ||
+                c == 0x00) rare = 1;
             if (c == ' ' && i > 0 && s[i - 1] == ' ') dbl = 1;
         }
     }
@@ -951,10 +953,12 @@ uint8_t* wx_strip_norm(const uint8_t* in, long n, long* out_n, long* ok) {
             if (c == '\r') {
                 if (i + 1 < m && s[i + 1] == '\n') i++;
                 s[w++] = '\n';
-            } else if (c == ' ' || c == '\t' || c == '\f' || c == '\v') {
+            } else if (c == ' ' || c == '\t' || c == '\f' || c == '\v' ||
+                       c == 0x00) {
                 s[w++] = ' ';
                 while (i + 1 < m && (s[i + 1] == ' ' || s[i + 1] == '\t' ||
-                                     s[i + 1] == '\f' || s[i + 1] == '\v')) i++;
+                                     s[i + 1] == '\f' || s[i + 1] == '\v' ||
+                                     s[i + 1] == 0x00)) i++;
             } else {
                 s[w++] = c;
             }

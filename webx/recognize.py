@@ -41,8 +41,9 @@ _ANYTAG_RE = re.compile(
     rb"<(?:[!?][^>]*|/?[a-zA-Z][a-zA-Z0-9:_-]*(?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
 )
 
-# horizontal whitespace (plus NBSP) collapsed within a line
-_HWS_RE = re.compile(r"[ \t\f\v ]+")
+# horizontal whitespace (plus NBSP, plus NUL: a raw \x00 must never
+# reach training text) collapsed within a line
+_HWS_RE = re.compile(r"[ \t\f\v \x00]+")
 # A line needs the collapse regex only if it holds a non-space class
 # member or a double space -- single spaces map to themselves. The
 # probes are UNROLLED `in` scans (memchr speed, no genexpr frames);
@@ -57,6 +58,7 @@ def _collapse_hws(text: str) -> str:
         or "\t" in text
         or "\f" in text
         or "\v" in text
+        or "\x00" in text
     ):
         return _HWS_RE.sub(" ", text)
     return text

@@ -6196,6 +6196,52 @@ def _unimax_oracle_sql() -> str:
     )
 
 
+def q_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based bitext mining (webx/similarity.py margin_bitext;
+    Artetxe & Schwenk 2019) between the even- and odd-id halves of the
+    embedding table: per-source best target with the k=4 ratio-margin
+    hubness correction, mutual-best flagged. Complements q_bitext_pairs
+    (hreflang reciprocity — the URL signal) with the embedding signal.
+    Floats are fixed-fold throughout ⇒ full value oracle."""
+    from webx.similarity import margin_bitext
+
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return margin_bitext(a, b, k=4, threshold=1.0)
+
+
+def _bitext_margin_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    cos = _o._cos("a.ae", "b.be")
+    k = 4
+    pslots = " + ".join(
+        f"max(CASE WHEN {{r}} = {i} THEN cos END)" for i in range(1, k + 1)
+    )
+    return (
+        "WITH a AS (SELECT vec_id AS src_id, embedding AS ae FROM embeddings "
+        "WHERE vec_id % 2 = 0), "
+        "b AS (SELECT vec_id AS tgt_id, embedding AS be FROM embeddings "
+        "WHERE vec_id % 2 = 1), "
+        f"s AS (SELECT src_id, tgt_id, {cos} AS cos FROM a, b), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY src_id "
+        "ORDER BY cos DESC, tgt_id) AS rf, "
+        "row_number() OVER (PARTITION BY tgt_id "
+        "ORDER BY cos DESC, src_id) AS rb FROM s), "
+        f"pa AS (SELECT src_id, ({pslots.format(r='rf')}) / {float(k)} AS pen_a "
+        f"FROM r WHERE rf <= {k} GROUP BY src_id), "
+        f"pb AS (SELECT tgt_id, ({pslots.format(r='rb')}) / {float(k)} AS pen_b "
+        f"FROM r WHERE rb <= {k} GROUP BY tgt_id), "
+        "best AS (SELECT src_id, tgt_id, cos, rb = 1 AS mutual FROM r "
+        "WHERE rf = 1) "
+        "SELECT best.src_id, best.tgt_id, mutual, "
+        "cos / ((pen_a + pen_b) / 2.0) AS margin "
+        "FROM best JOIN pa USING (src_id) JOIN pb USING (tgt_id) "
+        "WHERE cos / ((pen_a + pen_b) / 2.0) >= 1.0"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6375,6 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_set_ops": q_kmv_set_ops,
         "q_hll_union": q_hll_union,
         "q_unimax": q_unimax,
+        "q_bitext_margin": q_bitext_margin,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7775,6 +7822,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_set_ops": _kmv_set_ops_oracle_sql(),
         "q_hll_union": _hll_union_oracle_sql(),
         "q_unimax": _unimax_oracle_sql(),
+        "q_bitext_margin": _bitext_margin_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

@@ -592,3 +592,62 @@ def embedding_decontaminate(
         "max_cos",
         (F.col("max_cos") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+def margin_bitext(
+    a: DataFrame, b: DataFrame, k: int = 4, threshold: float = 1.0
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, ACL): for
+    every source embedding, its best target by cosine, scored by the
+    RATIO margin cos(x,y) / ((pen_x + pen_y)/2) where pen_v is the mean
+    cosine of v's k nearest neighbors on the OTHER side — the
+    hubness correction that absolute-threshold mining lacks (a hub
+    vector close to everything gets a high penalty and stops matching
+    everything). → (src_id, tgt_id, mutual, margin) for margin ≥
+    threshold; ``mutual`` marks pairs that are also the target's best
+    source (the strictest published acceptance rule, left as a flag so
+    callers pick their operating point).
+
+    Determinism: cosines use the fixed-fold dot (oracle's _dot_ff
+    shape); the k-neighbor penalty folds in RANK order via k fixed
+    slots (max-of-one-row each), not a groupBy float sum, so two
+    engines agree to the last ulp and the threshold cut is stable.
+    Plan: one broadcast cross-join per direction is avoided — BOTH
+    rank directions come from the same scored frame via two windows;
+    this exact path is the ≲10^6-vector-side baseline (mirrors
+    cosine_topk); at corpus scale swap the scored frame for lsh_topk
+    candidates and keep everything downstream unchanged.
+    """
+    aa = a.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("ae"))
+    bb = b.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("be"))
+    cos = (_dot("ae", "be") / (_norm("ae") * _norm("be"))).alias("cos")
+    scored = aa.crossJoin(F.broadcast(bb)).select("src_id", "tgt_id", cos)
+    wf = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    r = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rb", F.row_number().over(wb))
+    )
+    def _pen(rank_col, id_col, name):
+        slots = [
+            F.max(F.when(F.col(rank_col) == i, F.col("cos"))).alias(f"_p{i}")
+            for i in range(1, k + 1)
+        ]
+        g = r.filter(F.col(rank_col) <= k).groupBy(id_col).agg(*slots)
+        s = F.col("_p1")
+        for i in range(2, k + 1):
+            s = s + F.col(f"_p{i}")
+        return g.select(id_col, (s / F.lit(float(k))).alias(name))
+    pa = _pen("rf", "src_id", "pen_a")
+    pb = _pen("rb", "tgt_id", "pen_b")
+    best = r.filter(F.col("rf") == 1).select(
+        "src_id", "tgt_id", "cos", (F.col("rb") == 1).alias("mutual")
+    )
+    margin = F.col("cos") / ((F.col("pen_a") + F.col("pen_b")) / F.lit(2.0))
+    return (
+        best.join(pa, "src_id")
+        .join(pb, "tgt_id")
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "tgt_id", "mutual", "margin")
+    )

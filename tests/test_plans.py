@@ -253,3 +253,56 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_shard_single_exchange_per_shard_sort(spark, queries):
+    """writer shape: one hash exchange on shard, window sort within —
+    no global sort, no second shuffle."""
+    plan = plan_of(queries["q_corpus_shard"](spark, SF))
+    # the _par round-robin + the shard hash partitioning
+    assert nodes(plan, "Exchange") == 2
+    assert "hashpartitioning(shard" in plan
+    assert nodes(plan, "Window") == 1
+
+
+def test_kmv_set_ops_never_joins_the_corpora(spark, queries):
+    """membership = broadcast semi-joins of the k-row sketch against
+    each side; the two corpora must not hash-join each other."""
+    plan = plan_of(queries["q_kmv_set_ops"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # union sketch: partial top-k
+
+
+def test_weighted_sample_global_is_take_ordered(spark, queries):
+    """A-ES top-k must compile to TakeOrdered partials, not a full
+    sort or a single-partition window over the corpus."""
+    plan = plan_of(queries["q_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_df_table_broadcasts(spark, queries):
+    """the <=|query|-row document-frequency table must broadcast; the
+    final top-k is TakeOrdered partials."""
+    plan = plan_of(queries["q_bm25"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_union_two_level_aggregate_only(spark, queries):
+    """sketch-of-sketches: scan → partial/final agg (daily registers)
+    → partial/final agg (fold) — no joins, no windows."""
+    plan = plan_of(queries["q_hll_union"](spark, SF))
+    assert nodes(plan, "HashAggregate") == 4  # two partial+final pairs
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_unimax_zero_corpus_shuffles_after_count_agg(spark, queries):
+    """windows run over the per-language frame only: exactly the count
+    aggregate's exchange pair plus single-partition window exchanges —
+    no corpus-wide window."""
+    plan = plan_of(queries["q_unimax"](spark, SF))
+    # the corpus appears once, in the count aggregate's scan
+    assert nodes(plan, "Scan parquet") == 1
+    assert nodes(plan, "HashAggregate") == 2  # one partial+final pair

@@ -6242,6 +6242,90 @@ def _bitext_margin_oracle_sql() -> str:
     )
 
 
+def q_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (webx/winnow.py; Schleimer et
+    al. 2003, the MOSS algorithm) over every 10th document: the full
+    selected set (doc_id, pos, h) — k=8 grams, w=4 windows, rightmost
+    minimum in unsigned hash order — replayed gram-for-gram by the
+    oracle via the XXH64 string CTE port."""
+    from webx.winnow import winnow_fingerprints
+
+    docs = _par(
+        synth.load_documents(spark, sf)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text"),
+        spark,
+    )
+    return winnow_fingerprints(docs)
+
+
+def _winnow_oracle_sql() -> str:
+    from webx.oracles import xxh64_str_ctes
+
+    k, w, pc = 8, 4, 256
+    return _oracles.XXH64_MACROS + (
+        "WITH src AS (SELECT doc_id, substr(regexp_replace(lower(text), "
+        f"'[^a-z0-9]', '', 'g'), 1, {pc}) AS s "
+        "FROM documents WHERE doc_id % 10 = 0), "
+        f"ok AS (SELECT doc_id, s, length(s) - {k - 1} AS n_grams FROM src "
+        f"WHERE length(s) >= {w + k - 1}), "
+        "g AS (SELECT doc_id, n_grams, "
+        "unnest(generate_series(1, n_grams)) AS pos, s FROM ok), "
+        f"g2 AS (SELECT doc_id, n_grams, pos, substr(s, pos, {k}) AS gram FROM g), "
+        + xxh64_str_ctes("g2", "doc_id, n_grams, pos", "gram", "gh")
+        + ", mem AS (SELECT doc_id, pos, h, "
+        f"unnest(generate_series(greatest(pos - {w - 1}, 1), "
+        f"least(pos, n_grams - {w - 1}))) AS win FROM gh), "
+        "r AS (SELECT doc_id, win, pos, h, row_number() OVER "
+        "(PARTITION BY doc_id, win ORDER BY h ASC, pos DESC) AS rn FROM mem) "
+        "SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, xsigned(h) AS h "
+        "FROM r WHERE rn = 1"
+    )
+
+
+def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style shared-passage pairs (webx/winnow.py winnow_matches)
+    over the planted near-dup corpus: every planted copy (doc minus its
+    last word) must surface against its original with a high shared-
+    fingerprint count — the POSITIONAL overlap witness MinHash's global
+    Jaccard cannot localize. Hash-equijoin on the 64-bit fingerprint;
+    id_a < id_b; n_shared >= 14 (the planted-pair floor at sf0.01:
+    short docs keep ~14 fingerprints in the 256-char prefix; the
+    template corpus has ~60k pairs sharing >= 2, so the cut keeps the
+    audit output passage-level, not vocabulary-level)."""
+    from webx.winnow import winnow_matches
+
+    return winnow_matches(_docs_with_neardups(spark, sf), min_shared=14)
+
+
+def _winnow_matches_oracle_sql() -> str:
+    from webx.oracles import CORPUS_CTE, xxh64_str_ctes
+
+    k, w, pc = 8, 4, 256
+    return _oracles.XXH64_MACROS + (
+        "WITH "
+        + CORPUS_CTE
+        + ", src AS (SELECT doc_id, substr(regexp_replace(lower(text), "
+        f"'[^a-z0-9]', '', 'g'), 1, {pc}) AS s FROM corpus), "
+        f"ok AS (SELECT doc_id, s, length(s) - {k - 1} AS n_grams FROM src "
+        f"WHERE length(s) >= {w + k - 1}), "
+        "g AS (SELECT doc_id, n_grams, "
+        "unnest(generate_series(1, n_grams)) AS pos, s FROM ok), "
+        f"g2 AS (SELECT doc_id, n_grams, pos, substr(s, pos, {k}) AS gram FROM g), "
+        + xxh64_str_ctes("g2", "doc_id, n_grams, pos", "gram", "gh")
+        + ", mem AS (SELECT doc_id, pos, h, "
+        f"unnest(generate_series(greatest(pos - {w - 1}, 1), "
+        f"least(pos, n_grams - {w - 1}))) AS win FROM gh), "
+        "r AS (SELECT doc_id, win, pos, h, row_number() OVER "
+        "(PARTITION BY doc_id, win ORDER BY h ASC, pos DESC) AS rn FROM mem), "
+        "fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rn = 1) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 14"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6422,6 +6506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_union": q_hll_union,
         "q_unimax": q_unimax,
         "q_bitext_margin": q_bitext_margin,
+        "q_winnow": q_winnow,
+        "q_winnow_matches": q_winnow_matches,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7823,6 +7909,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_union": _hll_union_oracle_sql(),
         "q_unimax": _unimax_oracle_sql(),
         "q_bitext_margin": _bitext_margin_oracle_sql(),
+        "q_winnow": _winnow_oracle_sql(),
+        "q_winnow_matches": _winnow_matches_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

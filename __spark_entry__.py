@@ -6326,6 +6326,48 @@ def _winnow_matches_oracle_sql() -> str:
     )
 
 
+# the cp1252 rendering of UTF-8 " café — ’naïve’…" — every byte of the
+# UTF-8 encoding is defined in cp1252, so the corruption round-trips
+MOJI_ORIG = " café — ’naïve’…"
+MOJI_SUFFIX = MOJI_ORIG.encode("utf-8").decode("cp1252")
+
+
+def q_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """Double-encoding (mojibake) detection (webx/textstats.py
+    mojibake_stats): per-doc count of UTF-8-read-as-cp1252 signatures —
+    the single most common real-crawl text corruption (the ftfy use
+    case). Docs with id%4==1 get a planted corrupted suffix (signature
+    count 5); detection is one literal-alternation regexp count, pure
+    codegen, replayed verbatim by the oracle. The charset-round-trip
+    REPAIR is not SQL-expressible; it is pytest-anchored
+    (tests/test_mojibake.py proves repair restores the original
+    bytes)."""
+    from webx.textstats import mojibake_stats
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 1, F.concat("text", F.lit(MOJI_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    return mojibake_stats(docs)
+
+
+def _mojibake_oracle_sql() -> str:
+    from webx.textstats import MOJIBAKE_RE
+
+    sfx = MOJI_SUFFIX.replace("'", "''")
+    pat = MOJIBAKE_RE.replace("'", "''")
+    return (
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 "
+        f"THEN text || '{sfx}' ELSE text END AS text FROM documents), "
+        f"n AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) "
+        "AS INT) AS n_moji FROM d) "
+        "SELECT doc_id, n_moji, n_moji > 0 AS moji FROM n"
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6508,6 +6550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_margin": q_bitext_margin,
         "q_winnow": q_winnow,
         "q_winnow_matches": q_winnow_matches,
+        "q_mojibake": q_mojibake,
         "q_kmeans": q_kmeans,
         "q_pivot": q_pivot,
         "q_unpivot": q_unpivot,
@@ -7911,6 +7954,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bitext_margin": _bitext_margin_oracle_sql(),
         "q_winnow": _winnow_oracle_sql(),
         "q_winnow_matches": _winnow_matches_oracle_sql(),
+        "q_mojibake": _mojibake_oracle_sql(),
         "q_kmeans": _kmeans_oracle_sql(),
         "q_pivot": _pivot_oracle_sql(),
         "q_unpivot": _unpivot_oracle_sql(),

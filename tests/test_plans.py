@@ -306,3 +306,12 @@ def test_unimax_zero_corpus_shuffles_after_count_agg(spark, queries):
     # the corpus appears once, in the count aggregate's scan
     assert nodes(plan, "Scan parquet") == 1
     assert nodes(plan, "HashAggregate") == 2  # one partial+final pair
+
+
+def test_bitext_margin_two_exchanges_one_broadcast(spark, queries):
+    """cross join broadcasts the target side; both rank directions and
+    both penalty slot-sets ride the SAME two hash exchanges (src, tgt)
+    — a groupBy+join formulation would add four more."""
+    plan = plan_of(queries["q_bitext_margin"](spark, SF))
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert nodes(plan, "Exchange") == 2

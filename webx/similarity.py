@@ -618,35 +618,50 @@ def margin_bitext(
     cosine_topk); at corpus scale swap the scored frame for lsh_topk
     candidates and keep everything downstream unchanged.
     """
-    aa = a.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("ae"))
-    bb = b.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("be"))
-    cos = (_dot("ae", "be") / (_norm("ae") * _norm("be"))).alias("cos")
+    # norms hoisted to one per VECTOR before the cross join — computing
+    # them per pair would triple the array-fold work on |A|·|B| rows
+    # (measured: the dominant cost). The per-vector double is the same
+    # value the oracle's per-pair sqrt(dot(v,v)) yields, so parity holds.
+    aa = a.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("ae"),
+        _norm("embedding").alias("na"),
+    )
+    bb = b.select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("be"),
+        _norm("embedding").alias("nb"),
+    )
+    cos = (_dot("ae", "be") / (F.col("na") * F.col("nb"))).alias("cos")
     scored = aa.crossJoin(F.broadcast(bb)).select("src_id", "tgt_id", cos)
     wf = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
-    r = (
-        scored.withColumn("rf", F.row_number().over(wf))
-        .withColumn("rb", F.row_number().over(wb))
-    )
-    def _pen(rank_col, id_col, name):
-        slots = [
-            F.max(F.when(F.col(rank_col) == i, F.col("cos"))).alias(f"_p{i}")
-            for i in range(1, k + 1)
-        ]
-        g = r.filter(F.col(rank_col) <= k).groupBy(id_col).agg(*slots)
-        s = F.col("_p1")
-        for i in range(2, k + 1):
-            s = s + F.col(f"_p{i}")
-        return g.select(id_col, (s / F.lit(float(k))).alias(name))
-    pa = _pen("rf", "src_id", "pen_a")
-    pb = _pen("rb", "tgt_id", "pen_b")
-    best = r.filter(F.col("rf") == 1).select(
-        "src_id", "tgt_id", "cos", (F.col("rb") == 1).alias("mutual")
-    )
-    margin = F.col("cos") / ((F.col("pen_a") + F.col("pen_b")) / F.lit(2.0))
+    # penalties as WINDOW aggregates over the rank windows' own
+    # partitioning — each side costs one exchange total (rank + k slot
+    # maxes in the same partitioned pass) where a groupBy + join back
+    # would re-shuffle the pair frame twice more per side
+    wsrc, wtgt = Window.partitionBy("src_id"), Window.partitionBy("tgt_id")
+    r = scored.withColumn("rf", F.row_number().over(wf))
+    for i in range(1, k + 1):
+        r = r.withColumn(
+            f"_pa{i}", F.max(F.when(F.col("rf") == i, F.col("cos"))).over(wsrc)
+        )
+    r = r.withColumn("rb", F.row_number().over(wb))
+    for i in range(1, k + 1):
+        r = r.withColumn(
+            f"_pb{i}", F.max(F.when(F.col("rb") == i, F.col("cos"))).over(wtgt)
+        )
+    pen_a = F.col("_pa1")
+    pen_b = F.col("_pb1")
+    for i in range(2, k + 1):
+        pen_a = pen_a + F.col(f"_pa{i}")
+        pen_b = pen_b + F.col(f"_pb{i}")
+    pen_a = pen_a / F.lit(float(k))
+    pen_b = pen_b / F.lit(float(k))
+    margin = F.col("cos") / ((pen_a + pen_b) / F.lit(2.0))
     return (
-        best.join(pa, "src_id")
-        .join(pb, "tgt_id")
+        r.filter(F.col("rf") == 1)
+        .withColumn("mutual", F.col("rb") == 1)
         .withColumn("margin", margin)
         .filter(F.col("margin") >= threshold)
         .select("src_id", "tgt_id", "mutual", "margin")

@@ -802,3 +802,82 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "doc_id", "n_hit", "tf_sum", "dl", "score"
     )
+
+
+# Common UTF-8-bytes-read-as-cp1252 signatures (the ftfy use case):
+# each is the cp1252 rendering of a frequent UTF-8 sequence — curly
+# quotes/dashes/ellipsis (â€™ â€œ â€“ â€” â€¦), accented Latin (Ã©
+# Ã¨ Ã¼ Ã¶ Ã¤ Ã± Ã§), guillemets/degree (Â« Â» Â°). Literal
+# alternation ONLY — no char classes — so Java regex (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte.
+MOJIBAKE_SIGS = (
+    "â€™", "â€œ", "â€“", "â€”", "â€¦",
+    "Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§",
+    "Â«", "Â»", "Â°",
+    # second-level (double-encoded) markers: cp1252 readings of the
+    # UTF-8 of the FIRST-level corruption ("Ãƒ" = twice-corrupted Ã...,
+    # "Ã¢â‚¬" = twice-corrupted â€ punctuation family)
+    "Ãƒ", "Ã¢â‚¬",
+)
+MOJIBAKE_RE = "|".join(MOJIBAKE_SIGS)
+
+
+def mojibake_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_moji, moji) — count of double-encoding signatures
+    (UTF-8 bytes decoded as cp1252 somewhere upstream: the single most
+    common real-crawl text corruption) and the per-doc flag. Detection
+    is pure codegen (one regexp count over a literal alternation, no
+    shuffle) and fuses into any scan; repair is the separate
+    Arrow-batched ``mojibake_repair`` (a charset round-trip is not
+    SQL-expressible, so the repair is pytest-anchored while THIS frame
+    carries the full value oracle)."""
+    n = F.regexp_count(F.col("text"), F.lit(MOJIBAKE_RE)).cast("int")
+    return docs.select(
+        "doc_id", n.alias("n_moji"), (n > 0).alias("moji")
+    )
+
+
+def mojibake_repair(docs: DataFrame, max_rounds: int = 2) -> DataFrame:
+    """Undo cp1252 double-encoding: rows whose text matches a
+    signature are round-tripped text.encode('cp1252').decode('utf-8')
+    up to ``max_rounds`` times (double-mojibake exists in real crawls);
+    a row that fails either leg (genuine cp1252 text that merely LOOKS
+    suspicious, or mixed corruption) keeps its original text — repair
+    must never destroy. Arrow-batched mapInPandas on the flagged
+    SUBSET only (the common path — clean text — never leaves the JVM).
+    """
+    import pandas as pd
+
+    flagged = docs.filter(F.regexp_count(F.col("text"), F.lit(MOJIBAKE_RE)) > 0)
+    clean = docs.filter(
+        F.regexp_count(F.col("text"), F.lit(MOJIBAKE_RE)) == 0
+    ).withColumn("repaired", F.lit(False))
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + ", repaired boolean"
+
+    def fix(batches):
+        import re as _re
+
+        sig = _re.compile(MOJIBAKE_RE)
+        for pdf in batches:
+            out_text, out_flag = [], []
+            for t in pdf["text"]:
+                cur, did = t, False
+                for _ in range(max_rounds):
+                    if not sig.search(cur):
+                        break
+                    try:
+                        nxt = cur.encode("cp1252").decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        break
+                    cur, did = nxt, True
+                out_text.append(cur)
+                out_flag.append(did)
+            pdf = pdf.copy()
+            pdf["text"] = out_text
+            pdf["repaired"] = out_flag
+            yield pdf
+
+    return flagged.mapInPandas(fix, schema).unionByName(clean)

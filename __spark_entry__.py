@@ -6289,13 +6289,16 @@ def q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
     last word) must surface against its original with a high shared-
     fingerprint count — the POSITIONAL overlap witness MinHash's global
     Jaccard cannot localize. Hash-equijoin on the 64-bit fingerprint;
-    id_a < id_b; n_shared >= 14 (the planted-pair floor at sf0.01:
-    short docs keep ~14 fingerprints in the 256-char prefix; the
-    template corpus has ~60k pairs sharing >= 2, so the cut keeps the
-    audit output passage-level, not vocabulary-level)."""
+    id_a < id_b; fingerprints in > 20 docs are dropped first (the
+    mega-bucket cap: template passages in this corpus reach 175 docs
+    and would dominate the pair expansion); n_shared >= 10 is the
+    capped planted-pair floor at sf0.01, keeping the audit output
+    passage-level, not vocabulary-level."""
     from webx.winnow import winnow_matches
 
-    return winnow_matches(_docs_with_neardups(spark, sf), min_shared=14)
+    return winnow_matches(
+        _docs_with_neardups(spark, sf), min_shared=10, max_hash_docs=20
+    )
 
 
 def _winnow_matches_oracle_sql() -> str:
@@ -6318,11 +6321,13 @@ def _winnow_matches_oracle_sql() -> str:
         f"least(pos, n_grams - {w - 1}))) AS win FROM gh), "
         "r AS (SELECT doc_id, win, pos, h, row_number() OVER "
         "(PARTITION BY doc_id, win ORDER BY h ASC, pos DESC) AS rn FROM mem), "
-        "fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rn = 1) "
+        "fp AS (SELECT DISTINCT doc_id, h FROM r WHERE rn = 1), "
+        "pop AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 20), "
+        "fp2 AS (SELECT fp.doc_id, fp.h FROM fp JOIN pop USING (h)) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(count(*) AS BIGINT) AS n_shared "
-        "FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id "
-        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 14"
+        "FROM fp2 a JOIN fp2 b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 10"
     )
 
 

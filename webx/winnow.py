@@ -103,18 +103,32 @@ def winnow_matches(
     k: int = K_GRAM,
     w: int = WINDOW,
     prefix_chars: int = PREFIX_CHARS,
+    max_hash_docs: int | None = 100,
 ) -> DataFrame:
     """MOSS-style local-overlap pairs → (id_a, id_b, n_shared): document
     pairs sharing ≥ min_shared selected fingerprints (same hash — the
     shared-passage witness; any common run of w+k-1 normalized chars
-    guarantees one). Self-join on the hash with id_a < id_b; the join
-    key is the 64-bit hash, so buckets are tiny and the pair expansion
-    is bounded by passage popularity, not corpus size (cap extremely
-    popular hashes upstream with the LSH mega-bucket discipline if a
-    boilerplate passage floods in)."""
+    guarantees one). Self-join on the hash with id_a < id_b.
+
+    ``max_hash_docs`` is the mega-bucket discipline (webx/dedup.py's
+    LSH cap applied to fingerprints): a hash held by d documents
+    expands to d·(d-1)/2 pairs, so ONE boilerplate passage shared by
+    10^9 docs would emit 10^18 pairs — fingerprints in more than
+    ``max_hash_docs`` docs are dropped BEFORE the pair join (they
+    witness boilerplate, not plagiarism-style reuse; one distinct-count
+    aggregate over the tiny fingerprint frame). None disables."""
     fp = winnow_fingerprints(docs, k=k, w=w, prefix_chars=prefix_chars)
-    a = fp.select(F.col("doc_id").alias("id_a"), "h").distinct()
-    b = fp.select(F.col("doc_id").alias("id_b"), "h").distinct()
+    fp = fp.select("doc_id", "h").distinct()
+    if max_hash_docs is not None:
+        keep = (
+            fp.groupBy("h")
+            .agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") <= max_hash_docs)
+            .select("h")
+        )
+        fp = fp.join(keep, "h", "leftsemi")
+    a = fp.select(F.col("doc_id").alias("id_a"), "h")
+    b = fp.select(F.col("doc_id").alias("id_b"), "h")
     pairs = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1052,6 +1052,34 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_verify(docs, pairs, shingle_k=3, threshold=0.0).orderBy("id_a")
 
 
+def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked Levenshtein self-join (webx/fuzzy.py): 24-char title keys
+    plus planted one-deletion typo twins for doc_id<30; all pairs within
+    edit distance 1 via the symmetric-deletion-neighborhood blocking
+    (SymSpell/FastSS), verified with codegen ``levenshtein``. The oracle
+    is the NAIVE all-pairs join with a (provably complete) length-band
+    prune — equality of the two is the blocking-completeness theorem,
+    re-proven on real keys every driver run. Same distance the reference
+    scores recognition with (mindocr/metrics/rec_metrics.py:119), here
+    as a join predicate."""
+    from webx.fuzzy import fuzzy_self_pairs
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    t24 = F.substring("text", 1, 24)
+    base = docs.select(F.col("doc_id").alias("id"), t24.alias("s"))
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000).alias("id"),
+        F.expr(
+            "concat(substring(substring(text, 1, 24), 1, doc_id % 20 + 1), "
+            "substring(substring(text, 1, 24), doc_id % 20 + 3))"
+        ).alias("s"),
+    )
+    keys = _par(base.unionByName(planted), spark)
+    return fuzzy_self_pairs(keys, "id", "s", max_dist=1).select(
+        "id_a", "id_b", "dist"
+    )
+
+
 def _emb_with_planted(spark, sf):
     emb = _emb(spark, sf).select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 20).select(
@@ -6433,6 +6461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_det_metric": q_det_metric,
         "q_rec_quality": q_rec_quality,
         "q_dedup_jaccard": q_dedup_jaccard,
+        "q_fuzzy_join": q_fuzzy_join,
         "q_neardup_embedding": q_neardup_embedding,
         "q_media_features": q_media_features,
         "q_orders_rollup": q_orders_rollup,
@@ -7193,6 +7222,21 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.sh, b.sh)) / "
             "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
             "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
+        ),
+        "q_fuzzy_join": (
+            # the NAIVE all-pairs edit-distance join; the length-band
+            # prune is complete (|len(a)-len(b)| <= ed(a,b)), so this is
+            # the exact truth the blocked Spark plan must reproduce
+            "WITH t AS (SELECT doc_id AS id, substr(text, 1, 24) AS s "
+            "FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, "
+            "substr(substr(text, 1, 24), 1, doc_id % 20 + 1) || "
+            "substr(substr(text, 1, 24), doc_id % 20 + 3) "
+            "FROM documents WHERE doc_id < 30) "
+            "SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist "
+            "FROM t a JOIN t b ON a.id < b.id "
+            "AND abs(length(a.s) - length(b.s)) <= 1 "
+            "WHERE levenshtein(a.s, b.s) <= 1"
         ),
         "q_neardup_embedding": (
             "WITH e AS (SELECT vec_id, embedding FROM embeddings "

@@ -315,3 +315,18 @@ def test_bitext_margin_two_exchanges_one_broadcast(spark, queries):
     plan = plan_of(queries["q_bitext_margin"](spark, SF))
     assert nodes(plan, "BroadcastNestedLoopJoin") == 1
     assert nodes(plan, "Exchange") == 2
+
+
+def test_fuzzy_join_hash_join_not_nested_loop(spark, queries):
+    """The whole point of deletion-neighborhood blocking: the distance
+    predicate must ride an equi (hash/SMJ) join on the variant key —
+    a theta-join plan (BroadcastNestedLoopJoin / CartesianProduct over
+    levenshtein) is the O(n²) formulation this operator exists to
+    avoid. levenshtein appears only as a post-join codegen Filter."""
+    plan = plan_of(queries["q_fuzzy_join"](spark, SF))
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "SortMergeJoin") + nodes(plan, "BroadcastHashJoin") + nodes(
+        plan, "ShuffledHashJoin"
+    ) >= 1
+    assert "levenshtein" in plan

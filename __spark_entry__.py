@@ -993,6 +993,32 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode (webx/similarity.py
+    pq_encode_deterministic): 64-dim vectors → 4 one-byte codes against
+    sampled-anchor codebooks — the compression that lets a 10^9-vector
+    corpus live in executor memory. All-integer output; the oracle
+    replays the identical pinned-fold subspace distances and (d, cid)
+    argmin in DuckDB."""
+    from webx.similarity import pq_encode_deterministic
+
+    emb = _par(_emb(spark, sf), spark)
+    return pq_encode_deterministic(emb, m=4, ksub=8, dim=64).select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3"
+    )
+
+
+def q_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: broadcast
+    per-query lookup tables, m map-side joins, one top-k window — the
+    IVFADC scan shape (Jégou et al.) with bit-stable ranks (explicit
+    left-associative ADC sum)."""
+    from webx.similarity import pq_adc_topk
+
+    emb = _par(_emb(spark, sf), spark)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 4), m=4, ksub=8, k=5)
+
+
 def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return ev.groupBy(
@@ -6456,6 +6482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_pq_codes": q_pq_codes,
+        "q_pq_adc": q_pq_adc,
         "q_events_window": q_events_window,
         "q_media_meta": q_media_meta,
         "q_det_metric": q_det_metric,
@@ -7712,6 +7740,8 @@ def oracle_sql() -> dict[str, str]:
             planes=_hyperplanes(_oracles.EMB_DIM, 6, 42), k=5
         ),
         "q_ann_ivf": _oracles.ann_ivf_oracle_sql(n_centroids=16, n_probe=4, k=5),
+        "q_pq_codes": _oracles.pq_codes_oracle_sql(m=4, ksub=8),
+        "q_pq_adc": _oracles.pq_adc_oracle_sql(m=4, ksub=8, k=5, n_queries=4),
         # PII: the oracle applies the IDENTICAL pattern strings (generated
         # from webx.pii.PII_PATTERNS — no drift possible) via RE2; the
         # patterns are written in the shared Java-regex/RE2 subset.

@@ -330,3 +330,19 @@ def test_fuzzy_join_hash_join_not_nested_loop(spark, queries):
         plan, "ShuffledHashJoin"
     ) >= 1
     assert "levenshtein" in plan
+
+
+def test_pq_encode_single_partial_final_aggregate(spark, queries):
+    """PQ encode = corpus × broadcast(anchors) → codegen distances →
+    ONE hash exchange for the vec_id aggregate, with a map-side partial
+    collapsing the ksub candidate rows per vector before the wire."""
+    plan = plan_of(queries["q_pq_codes"](spark, SF))
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 1  # ksub anchor rows
+    # struct-ordered min_by buffers force SortAggregate, but the partial
+    # MUST sit below the exchange (map-side combine): the wire carries
+    # one row per (vec_id, partition), not the ksub-expanded candidates.
+    assert nodes(plan, "SortAggregate") == 2
+    # detail sections print in execution order: the partial aggregate's
+    # detail must precede the ENSURE_REQUIREMENTS exchange feeding the
+    # final aggregate
+    assert plan.index("partial_min_by") < plan.index("ENSURE_REQUIREMENTS")

@@ -358,6 +358,76 @@ def _cos(a: str, b: str) -> str:
     return f"{_dot_ff(a, b)} / (sqrt({_dot_ff(a, a)}) * sqrt({_dot_ff(b, b)}))"
 
 
+def _l2_sub(a: str, b: str, off: int, dsub: int) -> str:
+    """``_l2_cols`` over a subvector window [off+1, off+dsub] — mirrors
+    webx.similarity's ``_l2_fold(slice(a, off+1, dsub), slice(b, off+1,
+    dsub))`` chain bit-for-bit."""
+    return "(0.0 + " + " + ".join(
+        f"(({a}[{off + i}]::DOUBLE - {b}[{off + i}]::DOUBLE) * "
+        f"({a}[{off + i}]::DOUBLE - {b}[{off + i}]::DOUBLE))"
+        for i in range(1, dsub + 1)
+    ) + ")"
+
+
+def _pq_ctes(m: int, ksub: int, dim: int) -> str:
+    """Shared CTE prefix for the PQ oracles: per-subspace distances of
+    every corpus vector to the ``ksub`` sampled-anchor codebooks, and
+    the argmin codes (ordered-aggregate ``first`` = min_by with the
+    same (d, cid) tie-break)."""
+    dsub = dim // m
+    dcols = ", ".join(
+        f"{_l2_sub('e.embedding', 'c.cemb', j * dsub, dsub)} AS d{j}"
+        for j in range(m)
+    )
+    codecols = ", ".join(
+        f"first(cid ORDER BY d{j}, cid) AS code_{j}" for j in range(m)
+    )
+    return f"""
+WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id < {ksub}),
+a AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {dcols}
+  FROM embeddings e CROSS JOIN cent c),
+codes AS (SELECT vec_id, {codecols} FROM a GROUP BY vec_id)"""
+
+
+def pq_codes_oracle_sql(m: int = 4, ksub: int = 8, dim: int = EMB_DIM) -> str:
+    """Exact mirror of webx.similarity.pq_encode_deterministic."""
+    cols = ", ".join(f"code_{j}" for j in range(m))
+    return f"{_pq_ctes(m, ksub, dim)} SELECT vec_id, {cols} FROM codes"
+
+
+def pq_adc_oracle_sql(
+    m: int = 4, ksub: int = 8, dim: int = EMB_DIM, k: int = 5, n_queries: int = 4
+) -> str:
+    """Exact mirror of webx.similarity.pq_adc_topk: per-query lookup
+    table of subspace distances, m equi-joins on the codes, ADC total as
+    the same left-associative double sum, (adc, neighbor_id) rank."""
+    dsub = dim // m
+    lutcols = ", ".join(
+        f"{_l2_sub('q.embedding', 'c.cemb', j * dsub, dsub)} AS dq{j}"
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN lut l{j} ON l{j}.cid = codes.code_{j} "
+        + ("" if j == 0 else f"AND l{j}.query_id = l0.query_id")
+        for j in range(m)
+    )
+    total = " + ".join(f"l{j}.dq{j}" for j in range(m))
+    return f"""{_pq_ctes(m, ksub, dim)},
+lut AS (SELECT q.vec_id AS query_id, c.cid, {lutcols}
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries}),
+s AS (SELECT l0.query_id, codes.vec_id AS neighbor_id, {total} AS adc
+      FROM codes {joins}
+      WHERE codes.vec_id <> l0.query_id)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
 def ann_lsh_oracle_sql(planes: list, k: int = 5, n_queries: int = 8) -> str:
     """Exact mirror of webx.similarity.lsh_topk: sign-bit bucket against
     the same hyperplane literals (passed in — generated by

@@ -456,6 +456,136 @@ def lsh_topk(
     )
 
 
+def pq_encode_deterministic(
+    corpus: DataFrame, m: int = 4, ksub: int = 8, dim: int = 64
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, the IVFADC
+    family): split each ``dim``-vector into ``m`` subvectors, assign
+    each to the nearest of ``ksub`` per-subspace codebook centroids —
+    the corpus compresses from dim×4 bytes to m×1 bytes per vector,
+    which is what makes 10^9-vector search fit in memory at all.
+
+    Codebooks here are sampled anchors (the subvectors of the first
+    ``ksub`` corpus vectors), the same deterministic quantizer-init
+    convention as ``ivf_topk_deterministic`` — so the whole encode is
+    exactly mirrorable in SQL. Distances use ``_l2_fold`` on
+    ``slice()``d subvectors (pinned left-associative double chain);
+    per-subspace argmin is a single ``min_by(cid, struct(d, cid))``
+    aggregate, so ties break to the lowest code in both engines.
+
+    Plan shape: corpus × broadcast(ksub anchor rows) → codegen distance
+    columns → ONE partial+final hash aggregate on vec_id (map-side
+    combine collapses the ksub candidate rows per vector before the
+    exchange). At 10^9 vectors, persist the output partitioned however
+    the downstream ADC scan reads it; the codes table is the compressed
+    corpus. Reference analog: the rec stage's charset codebook maps
+    dense features to a small discrete alphabet the same way
+    (mindocr/postprocess/rec_postprocess.py label decode).
+    """
+    if dim % m:
+        raise ValueError("dim must divide into m equal subspaces")
+    dsub = dim // m
+    cent = corpus.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cemb"),
+    )
+    joined = corpus.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
+    dists = [
+        _l2_fold(
+            F.slice("embedding", j * dsub + 1, dsub),
+            F.slice("cemb", j * dsub + 1, dsub),
+        ).alias(f"d{j}")
+        for j in range(m)
+    ]
+    scored = joined.select("vec_id", "cid", *dists)
+    return scored.groupBy("vec_id").agg(
+        *[
+            F.min_by("cid", F.struct(F.col(f"d{j}"), F.col("cid"))).alias(
+                f"code_{j}"
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    corpus vectors are their codes, and the scan cost per (query,
+    vector) is m table lookups + m-1 adds — the memory-bound inner loop
+    of every billion-scale ANN system.
+
+    The per-query lookup table (query_id × cid × per-subspace distance,
+    ``n_queries × ksub`` rows) is built once and broadcast; the codes
+    table then takes ``m`` broadcast hash joins (one per subspace — all
+    map-side, no exchange) and the only shuffle is the final per-query
+    top-k window. The ADC total is an explicit left-associative sum of
+    the m looked-up doubles, so ranks are bit-stable across engines.
+    """
+    codes = pq_encode_deterministic(corpus, m=m, ksub=ksub, dim=dim)
+    dsub = dim // m
+    cent = corpus.filter(F.col("vec_id") < ksub).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cemb"),
+    )
+    lut = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            *[
+                _l2_fold(
+                    F.slice("q_emb", j * dsub + 1, dsub),
+                    F.slice("cemb", j * dsub + 1, dsub),
+                ).alias(f"dq{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    out = codes.withColumnRenamed("vec_id", "neighbor_id").crossJoin(
+        F.broadcast(lut.select("query_id").distinct())
+    )
+    for j in range(m):
+        out = (
+            out.join(
+                F.broadcast(
+                    lut.select(
+                        F.col("query_id").alias(f"__q{j}"),
+                        F.col("cid").alias(f"__c{j}"),
+                        F.col(f"dq{j}").alias(f"adc_{j}"),
+                    )
+                ),
+                on=[
+                    F.col("query_id") == F.col(f"__q{j}"),
+                    F.col(f"code_{j}") == F.col(f"__c{j}"),
+                ],
+            )
+            .drop(f"__q{j}")
+            .drop(f"__c{j}")
+        )
+    total = F.col("adc_0")
+    for j in range(1, m):
+        total = total + F.col(f"adc_{j}")
+    scored = out.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", total.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     centroids: list,

@@ -1106,6 +1106,50 @@ def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_with_shifted_twins(spark, sf):
+    """documents ∪ prefix-shifted twins: doc_id%10==0 gets a copy with
+    14 bytes inserted at the front — the edit that breaks fixed-size
+    blocking (every block boundary after the insertion shifts) but that
+    content-defined chunking absorbs at the first content boundary."""
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("edited prefix "), F.col("text")).alias("text"),
+    )
+    return _par(docs.unionByName(twins), spark)
+
+
+_CDC_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, 'edited prefix ' || text "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (webx/cdc.py): gear rolling hash over a
+    64-byte window, boundary where the top 6 bits vanish (expected
+    64-byte chunks). Integer-only output; the oracle replays every hash
+    from the same 256 gear literals in HUGEINT mod-2^64 arithmetic."""
+    from webx.cdc import cdc_chunks
+
+    return cdc_chunks(_docs_with_shifted_twins(spark, sf), nbits=6).select(
+        "doc_id", "chunk_idx", "start", "length"
+    )
+
+
+def q_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level dedup over the CDC chunks: per document, how many
+    chunks (and bytes) also occur in OTHER documents. The planted
+    prefix-shifted twins prove the shift-robustness claim — their tails
+    dedupe despite every byte offset moving by 14. Spark groups on
+    xxhash64(chunk) (the 8-byte wire key used at crawl scale); the
+    oracle groups on chunk content (equal barring 64-bit collision)."""
+    from webx.cdc import cdc_chunks, cdc_dedup_stats
+
+    return cdc_dedup_stats(cdc_chunks(_docs_with_shifted_twins(spark, sf), nbits=6))
+
+
 def _emb_with_planted(spark, sf):
     emb = _emb(spark, sf).select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 20).select(
@@ -6490,6 +6534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rec_quality": q_rec_quality,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_cdc_chunks": q_cdc_chunks,
+        "q_cdc_dedup": q_cdc_dedup,
         "q_neardup_embedding": q_neardup_embedding,
         "q_media_features": q_media_features,
         "q_orders_rollup": q_orders_rollup,
@@ -7741,6 +7787,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_ann_ivf": _oracles.ann_ivf_oracle_sql(n_centroids=16, n_probe=4, k=5),
         "q_pq_codes": _oracles.pq_codes_oracle_sql(m=4, ksub=8),
+        "q_cdc_chunks": _oracles.cdc_chunks_oracle_sql(_CDC_CORPUS_SQL, nbits=6),
+        "q_cdc_dedup": _oracles.cdc_dedup_oracle_sql(_CDC_CORPUS_SQL, nbits=6),
         "q_pq_adc": _oracles.pq_adc_oracle_sql(m=4, ksub=8, k=5, n_queries=4),
         # PII: the oracle applies the IDENTICAL pattern strings (generated
         # from webx.pii.PII_PATTERNS — no drift possible) via RE2; the

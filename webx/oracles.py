@@ -391,6 +391,70 @@ a AS MATERIALIZED (
 codes AS (SELECT vec_id, {codecols} FROM a GROUP BY vec_id)"""
 
 
+def _cdc_ctes(corpus_sql: str, nbits: int) -> str:
+    """Shared CTE prefix replaying webx/cdc.py's gear-hash chunking:
+    the 256-entry gear table as literals (deterministic — xxh64(byte),
+    same convention as the LSH hyperplane literals), position × offset
+    expansion, the mod-2^64 shifted sum in HUGEINT, boundary predicate,
+    and chunk reconstruction via lag over sorted cut positions."""
+    from webx.cdc import GEAR
+
+    gear_rows = ", ".join(f"({b}, {int(g)}::HUGEINT)" for b, g in enumerate(GEAR))
+    pw_rows = ", ".join(
+        f"({j}, {1 << j}::HUGEINT, {1 << (64 - j)}::HUGEINT)" for j in range(64)
+    )
+    thresh = 1 << (64 - nbits)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+gear(b, g) AS (VALUES {gear_rows}),
+pw(j, p2j, p2m) AS (VALUES {pw_rows}),
+pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+        FROM corpus),
+h AS (SELECT doc_id, p,
+             sum((g.g % pw.p2m) * pw.p2j) % {U} AS h
+      FROM pos
+      JOIN pw ON pw.j < pos.p
+      JOIN gear g ON g.b = ord(substr(pos.text, pos.p - pw.j, 1))
+      GROUP BY doc_id, p),
+ends AS (SELECT DISTINCT doc_id, e FROM (
+           SELECT doc_id, p AS e FROM h WHERE h < {thresh}::HUGEINT
+           UNION ALL
+           SELECT doc_id, length(text) FROM corpus)),
+chunks AS (SELECT doc_id,
+                  CAST(row_number() OVER w - 1 AS INT) AS chunk_idx,
+                  CAST(lag(e, 1, 0) OVER w AS INT) AS start,
+                  CAST(e - lag(e, 1, 0) OVER w AS INT) AS length,
+                  e
+           FROM ends WINDOW w AS (PARTITION BY doc_id ORDER BY e))"""
+
+
+def cdc_chunks_oracle_sql(corpus_sql: str, nbits: int = 6) -> str:
+    """Exact mirror of webx.cdc.cdc_chunks boundary placement."""
+    return (
+        f"{_cdc_ctes(corpus_sql, nbits)} "
+        "SELECT doc_id, chunk_idx, start, length FROM chunks"
+    )
+
+
+def cdc_dedup_oracle_sql(corpus_sql: str, nbits: int = 6) -> str:
+    """Mirror of webx.cdc.cdc_dedup_stats. Groups by chunk CONTENT
+    where Spark groups by xxhash64(chunk) — equal grouping barring a
+    64-bit collision between distinct chunks (see webx/cdc.py)."""
+    return f"""{_cdc_ctes(corpus_sql, nbits)},
+withtext AS (SELECT c.doc_id, c.length,
+                    substr(corpus.text, c.start + 1, c.length) AS chunk
+             FROM chunks c JOIN corpus USING (doc_id)),
+spread AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs
+           FROM withtext GROUP BY chunk)
+SELECT w.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_chunks,
+       sum(w.length)::BIGINT AS bytes,
+       sum(CASE WHEN s.n_docs > 1 THEN w.length ELSE 0 END)::BIGINT AS shared_bytes
+FROM withtext w JOIN spread s USING (chunk)
+GROUP BY w.doc_id"""
+
+
 def pq_codes_oracle_sql(m: int = 4, ksub: int = 8, dim: int = EMB_DIM) -> str:
     """Exact mirror of webx.similarity.pq_encode_deterministic."""
     cols = ", ".join(f"code_{j}" for j in range(m))

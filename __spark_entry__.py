@@ -6565,6 +6565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_bpe_learn": q_bpe_learn,
         "q_bpe_encode": q_bpe_encode,
+        "q_wordpiece": q_wordpiece,
         "q_decontaminate": q_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
@@ -6810,6 +6811,68 @@ def _bpe_vocab_chain_sql(n_merges: int) -> str:
             f"FROM v{i-1} v, m{i} m)"
         )
     return ", ".join(parts)
+
+
+def q_wordpiece(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization
+    (webx/wordpiece.py): distinct words tokenized once (Heaps' law —
+    the walk never touches the corpus row-by-row), broadcast-joined
+    back to positions. The oracle replays the greedy walk with a
+    10-stage unrolled CTE chain over the same literal vocabulary —
+    longest-match choices, ## continuations, and whole-word [UNK]
+    collapse included."""
+    from webx.wordpiece import wordpiece_encode
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return wordpiece_encode(docs)
+
+
+def _wordpiece_oracle_sql(steps: int = 10) -> str:
+    """Unrolled greedy longest-match: each stage consumes one piece
+    (pieces are >=1 char, corpus words are <=8 chars, so 10 stages fix
+    every word); bl = the longest L whose (##-prefixed when mid-word)
+    substring is in the vocab literal; NULL bl collapses the word to
+    ['[UNK]'] — BERT semantics, identical to wordpiece_word."""
+    from webx.wordpiece import VOCAB
+
+    vl = "[" + ",".join(f"'{p}'" for p in VOCAB) + "]"
+    stages = []
+    for i in range(1, steps + 1):
+        stages.append(
+            f"s{i} AS (SELECT word, "
+            "CASE WHEN fin THEN start WHEN bl IS NULL THEN length(word) + 1 "
+            "ELSE start + bl END AS start, "
+            "CASE WHEN fin THEN pieces WHEN bl IS NULL THEN ['[UNK]'] "
+            "ELSE list_append(pieces, CASE WHEN start = 1 "
+            "THEN substr(word, start, CAST(bl AS INT)) "
+            "ELSE '##' || substr(word, start, CAST(bl AS INT)) END) END AS pieces, "
+            "CASE WHEN fin THEN unk WHEN bl IS NULL THEN true ELSE unk END AS unk "
+            "FROM (SELECT word, start, pieces, unk, "
+            "(unk OR start > length(word)) AS fin, "
+            "CASE WHEN unk OR start > length(word) THEN NULL "
+            "ELSE list_max(list_filter(generate_series(1, length(word) - start + 1), "
+            f"L -> list_contains({vl}, CASE WHEN start = 1 "
+            "THEN substr(word, start, CAST(L AS INT)) "
+            "ELSE '##' || substr(word, start, CAST(L AS INT)) END))) END AS bl "
+            f"FROM s{i - 1}))"
+        )
+    chain = ", ".join(stages)
+    return (
+        "WITH dw AS (SELECT doc_id, word, CAST(idx - 1 AS INT) AS word_idx "
+        "FROM (SELECT doc_id, "
+        f"unnest(regexp_split_to_array(trim(text), {WS_SPLIT_SQL})) AS word, "
+        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL})))) AS idx FROM documents) WHERE word <> ''), "
+        "words AS (SELECT DISTINCT word FROM dw), "
+        "s0 AS (SELECT word, 1 AS start, CAST([] AS VARCHAR[]) AS pieces, "
+        f"false AS unk FROM words), {chain}, "
+        f"outp AS (SELECT word, unnest(pieces) AS piece, "
+        f"CAST(unnest(generate_series(1, len(pieces))) - 1 AS INT) AS piece_idx "
+        f"FROM s{steps}) "
+        "SELECT dw.doc_id, dw.word_idx, o.piece_idx, o.piece, "
+        f"CAST(list_position({vl}, o.piece) - 1 AS INT) AS piece_id "
+        "FROM dw JOIN outp o USING (word)"
+    )
 
 
 def _bpe_oracle_sql(kind: str, n_merges: int) -> str:
@@ -7502,6 +7565,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pairs": _bpe_oracle_sql("pairs", BPE_MERGES),
         "q_bpe_learn": _bpe_oracle_sql("learn", BPE_MERGES),
         "q_bpe_encode": _bpe_oracle_sql("encode", BPE_MERGES),
+        "q_wordpiece": _wordpiece_oracle_sql(steps=10),
         "q_dedup_clusters": _dedup_clusters_oracle_sql(),
         "q_decontaminate": (
             "WITH toks AS (SELECT doc_id, list_transform(regexp_split_to_array("

@@ -6303,7 +6303,9 @@ def q_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
     Floats are fixed-fold throughout ⇒ full value oracle."""
     from webx.similarity import margin_bitext
 
-    emb = _emb(spark, sf).select("vec_id", "embedding")
+    # _par on the SOURCE side: the sf tables are one parquet file = one
+    # split, and the |A|·|B| scoring pass parallelizes at the scan
+    emb = _par(_emb(spark, sf).select("vec_id", "embedding"), spark)
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     return margin_bitext(a, b, k=4, threshold=1.0)

@@ -308,13 +308,18 @@ def test_unimax_zero_corpus_shuffles_after_count_agg(spark, queries):
     assert nodes(plan, "HashAggregate") == 2  # one partial+final pair
 
 
-def test_bitext_margin_two_exchanges_one_broadcast(spark, queries):
-    """cross join broadcasts the target side; both rank directions and
-    both penalty slot-sets ride the SAME two hash exchanges (src, tgt)
-    — a groupBy+join formulation would add four more."""
+def test_bitext_margin_rank_limit_prunes_pair_frame(spark, queries):
+    """cross join broadcasts the target side; each rank direction's
+    filter rf/rb <= k sits directly above row_number so the pair frame
+    is WindowGroupLimit-pruned map-side BEFORE its exchange — the full
+    |A|·|B| frame is never sorted or shuffled. Penalties/best rows then
+    join at k·|keys| scale."""
     plan = plan_of(queries["q_bitext_margin"](spark, SF))
-    assert nodes(plan, "BroadcastNestedLoopJoin") == 1
-    assert nodes(plan, "Exchange") == 2
+    # one broadcast cross join per rank direction (penalty + best row
+    # come out of ONE aggregate each, so the scored subtree is planned
+    # exactly twice, never four times)
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 2
+    assert nodes(plan, "WindowGroupLimit") >= 2  # partial+final, both sides
 
 
 def test_fuzzy_join_hash_join_not_nested_loop(spark, queries):

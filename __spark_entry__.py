@@ -956,7 +956,11 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _emb(spark, sf):
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    # one parquet file = one split: without the round-robin split every
+    # per-vector pass (centroid assignment, scoring cross joins)
+    # downstream of this scan runs on a single core — the q_bitext_margin
+    # lesson applied to the whole embedding family
+    return _par(spark.read.parquet(f"{sf}/embeddings.parquet"), spark)
 
 
 def q_ann_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -1002,7 +1006,7 @@ def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     argmin in DuckDB."""
     from webx.similarity import pq_encode_deterministic
 
-    emb = _par(_emb(spark, sf), spark)
+    emb = _emb(spark, sf)
     return pq_encode_deterministic(emb, m=4, ksub=8, dim=64).select(
         "vec_id", "code_0", "code_1", "code_2", "code_3"
     )
@@ -1015,7 +1019,7 @@ def q_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     left-associative ADC sum)."""
     from webx.similarity import pq_adc_topk
 
-    emb = _par(_emb(spark, sf), spark)
+    emb = _emb(spark, sf)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 4), m=4, ksub=8, k=5)
 
 
@@ -1156,9 +1160,9 @@ def _emb_with_planted(spark, sf):
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    # single-file parquet -> single split; the interpreted hyperplane
-    # folds in the LSH bucket pass want the session's full parallelism
-    return _par(emb.unionByName(planted), spark)
+    # both branches are already split (_emb repartitions the one-file
+    # scan), so the union needs no further exchange
+    return emb.unionByName(planted)
 
 
 def q_neardup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -2528,7 +2532,7 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     dup = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    corpus = _par(emb.unionByName(dup), spark)
+    corpus = emb.unionByName(dup)  # both branches already split by _emb
     cents = [
         list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
@@ -6303,9 +6307,7 @@ def q_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
     Floats are fixed-fold throughout ⇒ full value oracle."""
     from webx.similarity import margin_bitext
 
-    # _par on the SOURCE side: the sf tables are one parquet file = one
-    # split, and the |A|·|B| scoring pass parallelizes at the scan
-    emb = _par(_emb(spark, sf).select("vec_id", "embedding"), spark)
+    emb = _emb(spark, sf).select("vec_id", "embedding")
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     return margin_bitext(a, b, k=4, threshold=1.0)

@@ -1130,6 +1130,25 @@ _CDC_CORPUS_SQL = (
 )
 
 
+def q_rendezvous(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous/HRW sharding (webx/sampling.py rendezvous_assign) at
+    8 and 9 shards side by side: the moved flag demonstrates — and the
+    oracle verifies row-by-row — that adding a shard moves only the
+    keys the new shard wins (~1/9), where modulo sharding would move
+    ~8/9. Pure scan-side codegen, zero shuffle."""
+    from webx.sampling import rendezvous_assign
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    a = rendezvous_assign(docs, "doc_id", range(8), out_col="shard_a")
+    both = rendezvous_assign(a, "doc_id", range(9), out_col="shard_b")
+    return both.select(
+        "doc_id",
+        "shard_a",
+        "shard_b",
+        (F.col("shard_a") != F.col("shard_b")).alias("moved"),
+    )
+
+
 def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (webx/cdc.py): gear rolling hash over a
     64-byte window, boundary where the top 6 bits vanish (expected
@@ -6538,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rec_quality": q_rec_quality,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_rendezvous": q_rendezvous,
         "q_cdc_chunks": q_cdc_chunks,
         "q_cdc_dedup": q_cdc_dedup,
         "q_neardup_embedding": q_neardup_embedding,
@@ -7855,6 +7875,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_ann_ivf": _oracles.ann_ivf_oracle_sql(n_centroids=16, n_probe=4, k=5),
         "q_pq_codes": _oracles.pq_codes_oracle_sql(m=4, ksub=8),
+        "q_rendezvous": _oracles.rendezvous_oracle_sql(n_a=8, n_b=9),
         "q_cdc_chunks": _oracles.cdc_chunks_oracle_sql(_CDC_CORPUS_SQL, nbits=6),
         "q_cdc_dedup": _oracles.cdc_dedup_oracle_sql(_CDC_CORPUS_SQL, nbits=6),
         "q_pq_adc": _oracles.pq_adc_oracle_sql(m=4, ksub=8, k=5, n_queries=4),

@@ -391,6 +391,34 @@ a AS MATERIALIZED (
 codes AS (SELECT vec_id, {codecols} FROM a GROUP BY vec_id)"""
 
 
+def rendezvous_oracle_sql(n_a: int = 8, n_b: int = 9) -> str:
+    """Mirror of webx.sampling.rendezvous_assign run at two shard
+    counts: per-shard weight = the Spark xxhash64(long, int) fold
+    (xhash_int(s, xhash_long(key, 42))), winner = max weight with
+    larger-shard tie-break (ordered-first = greatest's struct order)."""
+    w = (
+        "xsigned(xhash_int(s::HUGEINT, "
+        "xhash_long(xunsigned(doc_id), 42::HUGEINT)))"
+    )
+
+    def side(n: int, name: str) -> str:
+        vals = ", ".join(f"({i})" for i in range(n))
+        return (
+            f"{name}_sh(s) AS (VALUES {vals}), "
+            f"{name}_w AS (SELECT d.doc_id, s, {w} AS w "
+            f"FROM documents d CROSS JOIN {name}_sh), "
+            f"{name} AS (SELECT doc_id, CAST(first(s ORDER BY w DESC, s DESC) "
+            f"AS INT) AS shard FROM {name}_w GROUP BY doc_id)"
+        )
+
+    return XXH64_MACROS + (
+        f"WITH {side(n_a, 'a')}, {side(n_b, 'b')} "
+        "SELECT a.doc_id, a.shard AS shard_a, b.shard AS shard_b, "
+        "a.shard <> b.shard AS moved "
+        "FROM a JOIN b USING (doc_id)"
+    )
+
+
 def _cdc_ctes(corpus_sql: str, nbits: int) -> str:
     """Shared CTE prefix replaying webx/cdc.py's gear-hash chunking:
     the 256-entry gear table as literals (deterministic — xxh64(byte),

@@ -233,6 +233,40 @@ def weighted_sample_per_group(
     )
 
 
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shard_ids,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to ``argmax_s xxhash64(key, s)`` over the shard id list —
+    Thaler & Ravishankar's HRW hashing, the assignment rule behind
+    consistent cache/shard routing. Its defining property (pinned by
+    test + the two-shard-list driver query): when a shard is ADDED,
+    the only keys that move are those whose new shard wins — an
+    expected 1/(n+1) of the corpus — while modulo sharding
+    (``corpus_shard``) reshuffles nearly everything. Use it when shard
+    count changes at runtime (cache tiers, incremental re-export);
+    ``corpus_shard`` stays the right tool for one-shot balanced writes.
+
+    Zero shuffle, zero Python: n_shards xxhash64 calls + one
+    ``greatest`` over (weight, shard) structs per row, all codegen;
+    ties (a 2^-64 event) break to the larger shard id via the struct
+    order. Same fold the oracle's XXH64 port replays
+    (xhash_int(s, xhash_long(key, 42)))."""
+    pairs = [
+        F.struct(
+            F.xxhash64(F.col(key_col), F.lit(int(s))).alias("w"),
+            F.lit(int(s)).alias("s"),
+        )
+        for s in shard_ids
+    ]
+    if len(pairs) < 2:
+        return df.withColumn(out_col, F.lit(int(list(shard_ids)[0])))
+    return df.withColumn(out_col, F.greatest(*pairs).getField("s"))
+
+
 def corpus_shard(
     df: DataFrame,
     key_col: str,

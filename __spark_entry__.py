@@ -3898,6 +3898,60 @@ def _quality_model_oracle_sql() -> str:
     )
 
 
+def q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source ROC-AUC of the hashed-bigram classifier score
+    against an is-English label (webx/metrics.py auc_by_group): the
+    Mann-Whitney rank form with tie-corrected DOUBLED ranks so
+    everything except one final division is integer arithmetic. The
+    corpus collapses to (source, score) histogram rows before any
+    window — AUC over 10^12 docs sorts score histograms, not
+    documents. Oracle: XXH64-port score replay + the same rank
+    algebra."""
+    from webx.classifier import hashed_ngram_score
+    from webx.metrics import auc_by_group
+
+    docs = _par(synth.load_documents(spark, sf), spark)
+    scored = hashed_ngram_score(docs, _QM_WEIGHTS, bias=_QM_BIAS)
+    lab = scored.select(
+        "source", "score", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return auc_by_group(lab, "score", "label", "source")
+
+
+def _auc_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    w_lit = "[" + ", ".join(str(w) for w in _QM_WEIGHTS) + "]"
+    return _o.XXH64_MACROS + (
+        "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+        f"{WS_SPLIT_SQL}) AS toks FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1])) AS t "
+        "FROM tok WHERE len(toks) >= 2), "
+        "vocab AS (SELECT DISTINCT t FROM g), "
+        + _o.xxh64_str_ctes("vocab", "t", "t", "vh")
+        + ", gw AS (SELECT g.doc_id, "
+        f"({w_lit})[(vh.h % 64)::INT + 1] AS w FROM g JOIN vh USING (t)), "
+        "sc AS (SELECT doc_id, SUM(w) AS s FROM gw GROUP BY doc_id), "
+        "scored AS (SELECT d.source, "
+        f"CAST({_QM_BIAS} + COALESCE(sc.s, 0) AS BIGINT) AS score, "
+        "CAST(d.lang = 'en' AS INT) AS label "
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id), "
+        "hist AS (SELECT source, score, COUNT(*) AS c, SUM(label) AS p "
+        "FROM scored GROUP BY 1, 2), "
+        "r AS (SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY score) "
+        "AS cum FROM hist), "
+        "per AS (SELECT source, SUM(p) AS n_pos, SUM(c) - SUM(p) AS n_neg, "
+        "SUM(p * (2 * (cum - c) + c + 1)) AS u2 FROM r GROUP BY source) "
+        "SELECT source, CAST(n_pos AS BIGINT) AS n_pos, "
+        "CAST(n_neg AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2, "
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / "
+        "CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc FROM per"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time (as-of) join: every purchase event matched to the
     user's latest view event at-or-before it (webx/joins.py union-tag
@@ -6658,6 +6712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_soft404": q_soft404,
         "q_quality_model": q_quality_model,
+        "q_auc": q_auc,
         "q_frontier_schedule": q_frontier_schedule,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -8096,6 +8151,7 @@ def oracle_sql() -> dict[str, str]:
             "AS INT) AS soft404 FROM s"
         ),
         "q_quality_model": _quality_model_oracle_sql(),
+        "q_auc": _auc_oracle_sql(),
         # funnel replay: capture survivors (q_cdx_latest residues) ∩
         # robots-allowed (q_robots_gate verdicts), then the same
         # per-host ROW_NUMBER politeness window (h0 delay 2s, else 1s)

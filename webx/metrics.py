@@ -223,3 +223,58 @@ def token_f1(pred: DataFrame, golden: DataFrame) -> DataFrame:
         ov.alias("n_overlap"),
         f1.alias("f1"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank form, with
+    tie-corrected (average-rank) handling kept in INTEGERS so two
+    engines cannot disagree: the only float op is one final division.
+
+    Derivation: rank all of a group's rows ascending by score; a tie
+    group occupying ranks [a, b] gives each member average rank
+    (a+b)/2, so DOUBLED ranks stay integral: 2·avg = 2·(preceding
+    count) + (tie count) + 1. With U2 = Σ doubled ranks over positives,
+        AUC = (U2 − 2·Σ_{i=1..n_pos} i) / (2·n_pos·n_neg)
+            = (U2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg).
+
+    Scale shape: ONE aggregate collapses the corpus to (group, score)
+    rows — distinct scores, not documents — then a per-group window
+    over that collapsed frame and a final per-group aggregate. A naive
+    row-level rank window would sort the whole corpus inside each
+    group; this sorts score histograms. AUC is NULL for a group with
+    no positives or no negatives. The accuracy/Levenshtein rollup the
+    reference reports per epoch (mindocr/metrics/rec_metrics.py:149)
+    is this operator's fixed-threshold sibling; AUC sweeps every
+    threshold at once.
+    """
+    g = df.groupBy(group_col, score_col).agg(
+        F.count("*").cast("long").alias("_c"),
+        F.sum(F.col(label_col).cast("long")).alias("_p"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = g.withColumn("_cum", F.sum("_c").over(w))
+    # doubled average rank of this score's tie block: 2·(cum−c) + c + 1
+    rank2 = F.lit(2) * (F.col("_cum") - F.col("_c")) + F.col("_c") + F.lit(1)
+    per = ranked.groupBy(group_col).agg(
+        F.sum("_p").alias("n_pos"),
+        (F.sum("_c") - F.sum("_p")).alias("n_neg"),
+        F.sum(F.col("_p") * rank2).alias("u2"),
+    )
+    num = F.col("u2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return per.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.col("u2").cast("long").alias("u2"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("auc"),
+    )

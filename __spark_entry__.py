@@ -2240,6 +2240,33 @@ def q_pagerank_hosts_exact(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_hosts_int(edges, iterations=6)
 
 
+_TRUST_SEEDS = ["h0.example.com", "h3.example.com"]
+
+
+def q_trustrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact TrustRank (webx/graph.py trustrank_int; Gyöngyi et
+    al. 2004): PageRank's teleport restricted to two trusted seed hosts
+    over the same planted self-loop + ring host graph — the crawl
+    link-spam demotion signal (hosts only earn trust reachable from the
+    vetted seeds). Same quantization discipline as
+    q_pagerank_hosts_exact ⇒ full 6-iteration unrolled-CTE oracle."""
+    from webx.graph import trustrank_int
+    from webx.urls import extract_links, host_link_graph
+
+    self_edges = host_link_graph(extract_links(_pages(spark, sf)))
+    docs = synth.load_documents(spark, sf)
+    hostname = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".example.com"))
+    ring = docs.groupBy((F.col("doc_id") % 7).alias("k")).agg(
+        F.count("*").alias("n_links")
+    ).select(
+        hostname(F.col("k")).alias("src_host"),
+        hostname((F.col("k") + 1) % 7).alias("dst_host"),
+        "n_links",
+    )
+    edges = self_edges.unionByName(ring)
+    return trustrank_int(edges, _TRUST_SEEDS, iterations=6)
+
+
 def q_redirect_chains(spark: SparkSession, sf: str) -> DataFrame:
     """HTTP 3xx chain resolution by pointer doubling (webx/graph.py
     resolve_redirect_chains — O(log chain) shuffles, the crawl-graph op
@@ -6582,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_convert_jsonl": q_convert_jsonl,
         "q_publish_dates": q_publish_dates,
         "q_pagerank_hosts_exact": q_pagerank_hosts_exact,
+        "q_trustrank": q_trustrank,
         "q_redirect_chains": q_redirect_chains,
         "q_spans_stats": q_spans_stats,
         "q_golden_spans": q_golden_spans,
@@ -7170,7 +7198,11 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from webx.graph import pagerank_int_oracle_sql, redirect_oracle_sql
+    from webx.graph import (
+        pagerank_int_oracle_sql,
+        redirect_oracle_sql,
+        trustrank_int_oracle_sql,
+    )
 
     c = _C
     _rbase = "('https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')"
@@ -7876,6 +7908,18 @@ def oracle_sql() -> dict[str, str]:
             "'h' || CAST((k + 1) % 7 AS VARCHAR) || '.example.com', n FROM "
             "(SELECT doc_id % 7 AS k, CAST(count(*) AS BIGINT) AS n "
             "FROM documents GROUP BY doc_id % 7)",
+            iterations=6,
+        ),
+        "q_trustrank": trustrank_int_oracle_sql(
+            "SELECT ('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS src_host, "
+            "('h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com') AS dst_host, "
+            "CAST(10 * count(*) AS BIGINT) AS n_links FROM documents GROUP BY doc_id % 7 "
+            "UNION ALL "
+            "SELECT 'h' || CAST(k AS VARCHAR) || '.example.com', "
+            "'h' || CAST((k + 1) % 7 AS VARCHAR) || '.example.com', n FROM "
+            "(SELECT doc_id % 7 AS k, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY doc_id % 7)",
+            _TRUST_SEEDS,
             iterations=6,
         ),
         "q_redirect_chains": redirect_oracle_sql(redirect_edges_sql, rounds=3),

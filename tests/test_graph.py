@@ -148,3 +148,57 @@ def test_bfs_depth_cap_and_partition_independence(spark):
     a = sorted(map(tuple, bfs_depth(edges.coalesce(1), seeds).collect()))
     b = sorted(map(tuple, bfs_depth(edges.repartition(16), seeds).collect()))
     assert a == b
+
+
+def _numpy_trustrank(edge_list, seeds, iters=6, d=0.85):
+    hosts = sorted({a for a, _, _ in edge_list} | {b for _, b, _ in edge_list} | set(seeds))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n, s = len(hosts), len(seeds)
+    W = np.zeros((n, n))
+    for a, b, w in edge_list:
+        W[idx[a], idx[b]] += w
+    out = W.sum(axis=1)
+    t = np.zeros(n)
+    for h in seeds:
+        t[idx[h]] = 1.0 / s
+    tele = np.zeros(n)
+    for h in seeds:
+        tele[idx[h]] = 1.0 / s
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += t[i] * W[i] / out[i]
+        dangling = t[out == 0].sum()
+        t = (1 - d) * tele + d * dangling * tele + d * contrib
+    return {h: t[idx[h]] for h in hosts}
+
+
+def test_trustrank_int_matches_float_reference(spark):
+    from webx.graph import trustrank_int
+
+    edges = [
+        ("seed", "good", 2), ("good", "better", 1), ("better", "seed", 1),
+        ("spam1", "spam2", 5), ("spam2", "spam1", 5),  # spam ring, unreachable
+        ("good", "sink", 1),  # sink is dangling
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    mass = 10**11
+    got = {r["host"]: r["trust"] for r in trustrank_int(df, ["seed"], iterations=6, mass=mass).collect()}
+    want = _numpy_trustrank(edges, ["seed"], iters=6)
+    for h, w in want.items():
+        assert abs(got[h] / mass - w) < 1e-8, h
+    # THE TrustRank property: the spam ring inherits nothing
+    assert got["spam1"] == 0 and got["spam2"] == 0
+    assert got["seed"] > 0 and got["good"] > 0 and got["better"] > 0
+
+
+def test_trustrank_requires_seeds(spark):
+    from webx.graph import trustrank_int
+
+    df = spark.createDataFrame([("a", "b", 1)], "src_host string, dst_host string, n_links long")
+    try:
+        trustrank_int(df, [])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -185,6 +185,146 @@ def pagerank_hosts_int(
     return ranks
 
 
+def trustrank_int(
+    edges: DataFrame,
+    seeds: list,
+    iterations: int = 6,
+    mass: int = 10**11,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004)
+    → (host, trust: bigint): PageRank with the teleport vector
+    restricted to a TRUSTED seed set — trust flows outward from
+    hand-vetted hosts, so link farms that bootstrap each other inherit
+    ~none of it. The standard crawl-frontier spam demotion signal; the
+    gap pagerank alone leaves (spam rings rank themselves up).
+
+    Same quantization discipline as :func:`pagerank_hosts_int` (integer
+    mass, floor division, order-independent sums ⇒ engine-exact,
+    unrolled-CTE oracle): initial mass and all teleports (the (1-d)
+    base AND the dangling redistribution) go uniformly to the |S| seeds
+    instead of all n nodes; every other step is identical. Same
+    one-shuffle-per-iteration shape."""
+    seeds = sorted(set(seeds))
+    s = len(seeds)
+    if not s:
+        raise ValueError("TrustRank needs at least one trusted seed")
+    spark = edges.sparkSession
+    edges = edges.localCheckpoint()
+    seed_df = spark.createDataFrame([(h,) for h in seeds], "host string")
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .unionByName(seed_df)
+        .distinct()
+        .localCheckpoint()
+    )
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    norm_edges = (
+        edges.join(out_w, "src_host")
+        .select("src_host", "dst_host", "n_links", "out_total")
+        .localCheckpoint()
+    )
+    dangling_nodes = nodes.join(
+        out_w.withColumnRenamed("src_host", "host"), "host", "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.head(1))
+
+    is_seed = F.col("host").isin(seeds)
+    base = ((damp_den - damp_num) * mass) // (damp_den * s)
+    ranks = nodes.select(
+        "host",
+        F.when(is_seed, F.lit(mass // s)).otherwise(F.lit(0)).cast("long").alias(
+            "trust"
+        ),
+    )
+    if has_dangling:
+        ranks = ranks.localCheckpoint()
+    for i in range(iterations):
+        if has_dangling:
+            d_total = (
+                ranks.join(dangling_nodes, "host", "left_semi")
+                .agg(F.coalesce(F.sum("trust"), F.lit(0)))
+                .first()[0]
+            )
+        else:
+            d_total = 0
+        dang_share = (damp_num * (int(d_total) // s)) // damp_den
+        contribs = (
+            norm_edges.join(
+                ranks.withColumnRenamed("host", "src_host"), "src_host"
+            )
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(trust * n_links) DIV out_total").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.when(is_seed, F.lit(base + dang_share)).otherwise(F.lit(0))
+                + F.expr(f"({damp_num} * coalesce(in_mass, 0L)) DIV {damp_den}")
+            ).cast("long").alias("trust"),
+        )
+        if has_dangling or (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def trustrank_int_oracle_sql(
+    edges_sql: str,
+    seeds: list,
+    iterations: int = 6,
+    mass: int = 10**11,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """DuckDB replay of :func:`trustrank_int` — the pagerank_int oracle
+    with the teleport terms gated on seed membership."""
+    seeds = sorted(set(seeds))
+    s = len(seeds)
+    seed_vals = ", ".join(f"('{h}')" for h in seeds)
+    base = ((damp_den - damp_num) * mass) // (damp_den * s)
+    parts = [
+        f"WITH e AS ({edges_sql}), ",
+        f"seeds(host) AS (VALUES {seed_vals}), ",
+        "outd AS (SELECT src_host, SUM(n_links) AS o FROM e GROUP BY src_host), ",
+        "nodes AS (SELECT src_host AS host FROM e "
+        "UNION SELECT dst_host FROM e UNION SELECT host FROM seeds), ",
+        f"r0 AS (SELECT nodes.host, CASE WHEN seeds.host IS NULL THEN 0 "
+        f"ELSE {mass} // {s} END AS r FROM nodes "
+        "LEFT JOIN seeds ON seeds.host = nodes.host), ",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"c{t} AS (SELECT e.dst_host AS host, "
+            f"SUM((r.r * e.n_links) // outd.o) AS im "
+            f"FROM e JOIN outd USING (src_host) "
+            f"JOIN r{t} r ON r.host = e.src_host GROUP BY e.dst_host), "
+        )
+        parts.append(
+            f"d{t} AS (SELECT COALESCE(SUM(r.r), 0) AS dt FROM r{t} r "
+            "LEFT JOIN outd ON r.host = outd.src_host "
+            "WHERE outd.src_host IS NULL), "
+        )
+        parts.append(
+            f"r{t+1} AS (SELECT nodes.host, "
+            f"CASE WHEN seeds.host IS NULL THEN 0 ELSE "
+            f"{base} + ({damp_num} * (dt // {s})) // {damp_den} END "
+            f"+ ({damp_num} * COALESCE(c{t}.im, 0)) // {damp_den} AS r "
+            f"FROM nodes CROSS JOIN d{t} "
+            f"LEFT JOIN seeds ON seeds.host = nodes.host "
+            f"LEFT JOIN c{t} ON c{t}.host = nodes.host), "
+        )
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(f"SELECT host, CAST(r AS BIGINT) AS trust FROM r{iterations}")
+    return "".join(parts)
+
+
 def resolve_redirect_chains(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """HTTP 3xx redirect chains → terminal targets by pointer doubling.
 

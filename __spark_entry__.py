@@ -1082,6 +1082,43 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_verify(docs, pairs, shingle_k=3, threshold=0.0).orderBy("id_a")
 
 
+def q_jaccard_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity self-join via AllPairs/PPJoin prefix
+    filtering (webx/dedup.py jaccard_join): every pair with 3-gram
+    Jaccard ≥ 0.5, recall 1 by theorem — the oracle is the naive
+    all-pairs join, so driver equality re-proves prefix-filter
+    completeness on real keys. Complements q_dedup_minhash (the
+    recall<1 LSH path) and q_dedup_jaccard (verify of GIVEN pairs)."""
+    from webx.dedup import jaccard_join
+
+    docs = _docs_with_neardups(spark, sf).filter(
+        (F.col("doc_id") < 150) | (F.col("doc_id") >= 1_000_000)
+    )
+    return jaccard_join(docs, threshold=0.5, shingle_k=3)
+
+
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    complement — an equivalence class whose members all share one
+    sensitive value leaks it even at k≥5. Same quasi-identifier classes
+    as q_k_anonymity, sensitive attribute = source; violation when the
+    class carries < 3 distinct sensitive values. One hash aggregate."""
+    docs = synth.load_documents(spark, sf)
+    classes = docs.groupBy(
+        "lang", (F.col("n_chars") / 100).cast("int").alias("len_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("source").alias("n_sensitive"),
+    )
+    return classes.select(
+        "lang",
+        "len_bucket",
+        "n",
+        "n_sensitive",
+        (F.col("n_sensitive") < 3).cast("int").alias("l_violation"),
+    )
+
+
 def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked Levenshtein self-join (webx/fuzzy.py): 24-char title keys
     plus planted one-deletion typo twins for doc_id<30; all pairs within
@@ -6639,6 +6676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rec_quality": q_rec_quality,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_jaccard_join": q_jaccard_join,
+        "q_l_diversity": q_l_diversity,
         "q_rendezvous": q_rendezvous,
         "q_cdc_chunks": q_cdc_chunks,
         "q_cdc_dedup": q_cdc_dedup,
@@ -7470,6 +7509,31 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.sh, b.sh)) / "
             "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
             "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
+        ),
+        "q_jaccard_join": (
+            # the NAIVE all-pairs Jaccard join — equality with the
+            # prefix-filtered Spark plan is the completeness theorem
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150), "
+            "p AS (SELECT doc_id + 1000000 AS doc_id, "
+            "regexp_replace(text, '\\s+\\S+$', '') AS text "
+            "FROM documents WHERE doc_id < 20), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, greatest(len(toks) - 2, 1)), "
+            "i -> array_to_string(toks[i:i+2], ' '))) AS sh "
+            f"FROM (SELECT doc_id, regexp_split_to_array(trim(text), {WS_SPLIT_SQL}) AS toks "
+            "FROM (SELECT * FROM d UNION ALL SELECT * FROM p))) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh)) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
+        "q_l_diversity": (
+            "SELECT lang, CAST(n_chars // 100 AS INT) AS len_bucket, "
+            "count(*) AS n, count(DISTINCT source) AS n_sensitive, "
+            "CAST(count(DISTINCT source) < 3 AS INT) AS l_violation "
+            "FROM documents GROUP BY 1, 2"
         ),
         "q_fuzzy_join": (
             # the NAIVE all-pairs edit-distance join; the length-band

@@ -359,6 +359,57 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filter;
+    Bayardo et al. 2007, Xiao et al. 2008): all pairs with shingle
+    Jaccard ≥ ``threshold``, found WITHOUT the all-pairs comparison.
+    MinHash+LSH (``minhash_neardup``) trades recall for speed; this is
+    the recall-1 sibling for when "≥ t, exactly" is the contract
+    (legal dedup guarantees, eval-set construction).
+
+    Prefix filter: order every document's shingles by one GLOBAL order
+    (ascending document frequency, rarest first — the order that makes
+    prefixes selective; ties broken by the shingle string). If
+    J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ ceil(t·|A|), and the globally
+    SMALLEST common shingle must sit within the first
+    |A| − ceil(t·|A|) + 1 shingles of A (everything after it includes
+    the other ≥ ceil(t·|A|) − 1 common shingles) — and likewise for B.
+    So an equi-join restricted to both sides' prefixes is a COMPLETE
+    candidate generator; candidates then get exact ``jaccard_verify``.
+
+    Plan: one df-count aggregate (shingle → document frequency), one
+    per-doc rank window, the prefix equi-join (hash join on the shingle
+    key, AQE-skew-splittable — and prefixes hold the RAREST shingles,
+    so hot keys are structurally absent), then verify on the candidate
+    set only. The oracle is the naive all-pairs Jaccard — equality is
+    the prefix-filter completeness theorem re-proven per driver run."""
+    sized = docs.select(
+        "doc_id", _shingles(k=shingle_k).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    tok = sized.select("doc_id", "sz", F.explode("sh").alias("g"))
+    freq = tok.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("df", "g")
+    pos = tok.join(freq, "g").withColumn("r", F.row_number().over(w))
+    prefix = pos.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).select("doc_id", "g")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(docs, cand, shingle_k=shingle_k, threshold=threshold)
+
+
 def minhash_neardup(
     docs: DataFrame,
     n_hashes: int = 64,

@@ -4438,6 +4438,39 @@ def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hilbert(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve layout key (webx/layout.py with_hilbert_key) over
+    (user_id, event second) — Z-order's better-locality sibling:
+    consecutive indices are always grid-adjacent, so file min/max stats
+    come out tighter than Morton for the same file count. 16 narrow
+    codegen steps (the 4-state automaton materialized per bit level),
+    zero shuffle; the oracle replays identical integer CASE/mask/shift
+    arithmetic."""
+    from webx.layout import with_hilbert_key
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("hx_in"),
+        F.unix_timestamp("ts").alias("hy_in"),
+    )
+    return with_hilbert_key(ev, "hx_in", "hy_in", bits=16).select(
+        "event_id", "hval"
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    from webx.layout import hilbert_key_sql
+
+    return hilbert_key_sql(
+        "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets "
+        "FROM events",
+        "user_id",
+        "ets",
+        bits=16,
+        keep="event_id",
+    )
+
+
 def _salted_join_oracle_sql() -> str:
     return (
         "SELECT e.event_id, e.user_id, e.value, c.c_mktsegment "
@@ -6793,6 +6826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_join_size": q_cms_join_size,
         "q_salted_join": q_salted_join,
         "q_zorder": q_zorder,
+        "q_hilbert": q_hilbert,
         "q_crawl_depth": q_crawl_depth,
         "q_bm25": q_bm25,
         "q_hll_registers": q_hll_registers,
@@ -8322,6 +8356,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_join_size": _cms_join_size_oracle_sql(),
         "q_salted_join": _salted_join_oracle_sql(),
         "q_zorder": _zorder_oracle_sql(),
+        "q_hilbert": _hilbert_oracle_sql(),
         "q_crawl_depth": _crawl_depth_oracle_sql(),
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),

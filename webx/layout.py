@@ -61,6 +61,122 @@ def zorder_key_sql(a_expr: str, b_expr: str, bits: int = 31) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def hilbert_ref(order: int, x: int, y: int) -> int:
+    """Reference Hilbert index (pure Python): consume one bit level per
+    step MSB-first; emit the quadrant digit (3·rx)⊕ry; mask the
+    consumed bit away and rotate/reflect the REMAINING subsquare so
+    coordinates provably stay in [0, s) — the overflow-free restatement
+    of the classic xy2d loop. Bijectivity + unit-step adjacency (what
+    makes it a Hilbert curve) are tested exhaustively in
+    tests/test_hilbert.py."""
+    d = 0
+    for lvl in range(order - 1, -1, -1):
+        s = 1 << lvl
+        rx = (x >> lvl) & 1
+        ry = (y >> lvl) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        x &= s - 1
+        y &= s - 1
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+def with_hilbert_key(
+    df: DataFrame, a, b, bits: int = 16, out_col: str = "hval"
+) -> DataFrame:
+    """Hilbert-curve layout key over the low ``bits`` bits of two
+    integer columns — Z-order's better-locality sibling: consecutive
+    Hilbert indices are always GRID-ADJACENT cells (Morton order jumps
+    across the plane at every power-of-two boundary), so range
+    predicates on either dimension touch fewer distinct key ranges and
+    file min/max stats come out tighter for the same file count. The
+    trade: no closed-form per-bit interleave — the index is a 4-state
+    automaton over bit pairs, so each level's (x, y, d) is materialized
+    as a projected column (16 narrow codegen steps, zero shuffle;
+    a single nested expression would double per level). Integer
+    CASE/mask/shift arithmetic only ⇒ the DuckDB oracle
+    (:func:`hilbert_key_sql`) replays it exactly. Feed to
+    ``repartitionByRange`` + ``sortWithinPartitions`` exactly like
+    :func:`cluster_by_zorder`."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    mask = (1 << bits) - 1
+    out = df.withColumn("_hx", a.cast("long").bitwiseAND(F.lit(mask)))
+    out = out.withColumn("_hy", b.cast("long").bitwiseAND(F.lit(mask)))
+    out = out.withColumn("_hd", F.lit(0).cast("long"))
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        m = s - 1
+        rx = F.shiftright(F.col("_hx"), lvl).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), lvl).bitwiseAND(F.lit(1))
+        digit = F.lit(3) * rx + ry - F.lit(2) * rx * ry  # (3·rx)⊕ry
+        xm = F.col("_hx").bitwiseAND(F.lit(m))
+        ym = F.col("_hy").bitwiseAND(F.lit(m))
+        nx = (
+            F.when(ry == 1, xm)
+            .when(rx == 1, F.lit(m) - ym)
+            .otherwise(ym)
+        )
+        ny = (
+            F.when(ry == 1, ym)
+            .when(rx == 1, F.lit(m) - xm)
+            .otherwise(xm)
+        )
+        out = (
+            out.withColumn("_hd2", F.col("_hd") + F.lit(s * s) * digit)
+            .withColumn("_hx2", nx)
+            .withColumn("_hy2", ny)
+            .drop("_hx", "_hy", "_hd")
+            .withColumnRenamed("_hx2", "_hx")
+            .withColumnRenamed("_hy2", "_hy")
+            .withColumnRenamed("_hd2", "_hd")
+        )
+    return out.withColumnRenamed("_hd", out_col).drop("_hx", "_hy")
+
+
+def hilbert_key_sql(
+    src_sql: str, a_expr: str, b_expr: str, bits: int = 16, keep: str = "*"
+) -> str:
+    """DuckDB mirror of :func:`with_hilbert_key`: the same per-level
+    (x, y, d) state as nested-subquery columns (the oracle _chain
+    discipline), identical integer CASE/mask/shift arithmetic."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in 1..31")
+    mask = (1 << bits) - 1
+    q = (
+        f"SELECT *, (CAST({a_expr} AS BIGINT) & {mask}) AS hx, "
+        f"(CAST({b_expr} AS BIGINT) & {mask}) AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM ({src_sql})"
+    )
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        m = s - 1
+        rx = f"((hx >> {lvl}) & 1)"
+        ry = f"((hy >> {lvl}) & 1)"
+        digit = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        xm, ym = f"(hx & {m})", f"(hy & {m})"
+        nx = (
+            f"CASE WHEN {ry} = 1 THEN {xm} "
+            f"WHEN {rx} = 1 THEN {m} - {ym} ELSE {ym} END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 1 THEN {ym} "
+            f"WHEN {rx} = 1 THEN {m} - {xm} ELSE {xm} END"
+        )
+        q = (
+            f"SELECT * EXCLUDE (hx, hy, hd), "
+            f"{nx} AS hx, {ny} AS hy, "
+            f"hd + {s * s} * {digit} AS hd FROM ({q})"
+        )
+    return f"SELECT {keep}, hd AS hval FROM ({q})"
+
+
 def cluster_by_zorder(
     df: DataFrame,
     a: str,

@@ -1082,6 +1082,56 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_verify(docs, pairs, shingle_k=3, threshold=0.0).orderBy("id_a")
 
 
+def q_rake(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (webx/textstats.py rake_keywords; Rose
+    et al. 2010): stopword-delimited candidate phrases, word score =
+    deg/freq, phrase score folded in phrase order — exact integers up
+    to one division per word plus a pinned-order double fold, so the
+    oracle reproduces every score bit-for-bit. Top-5 phrases per doc."""
+    from webx.textstats import rake_keywords
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return rake_keywords(docs, k=5)
+
+
+def _rake_oracle_sql(k: int = 5) -> str:
+    from webx.textstats import STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return (
+        "WITH tok AS (SELECT doc_id, w, pos FROM ("
+        "SELECT doc_id, unnest(toks) AS w, "
+        "unnest(generate_series(1, len(toks))) AS pos FROM ("
+        f"SELECT doc_id, regexp_split_to_array(trim(text), {WS_SPLIT_SQL}) "
+        "AS toks FROM documents)) WHERE w <> ''), "
+        f"mk AS (SELECT doc_id, pos, w, list_contains({sw}, w) AS is_stop "
+        "FROM tok), "
+        "ph AS (SELECT doc_id, pos, w, phrase_id FROM ("
+        "SELECT doc_id, pos, w, is_stop, "
+        "SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM mk) "
+        "WHERE NOT is_stop), "
+        "occ AS (SELECT doc_id, phrase_id, list(w ORDER BY pos) AS words, "
+        "COUNT(*) AS plen FROM ph GROUP BY 1, 2), "
+        "wocc AS (SELECT doc_id, plen, unnest(words) AS w FROM occ), "
+        "stats AS (SELECT w, SUM(plen) AS deg, COUNT(*) AS freq "
+        "FROM wocc GROUP BY w), "
+        "ws AS (SELECT w, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS s "
+        "FROM stats), "
+        "pw AS (SELECT o.doc_id, o.phrase_id, o.words, u.w, u.wpos FROM occ o, "
+        "LATERAL (SELECT unnest(o.words) AS w, "
+        "unnest(generate_series(1, len(o.words))) AS wpos) u), "
+        "psc AS (SELECT pw.doc_id, pw.phrase_id, "
+        "array_to_string(any_value(pw.words), ' ') AS phrase, "
+        "list_reduce(list(ws.s ORDER BY pw.wpos), (a, b) -> a + b) AS score "
+        "FROM pw JOIN ws ON ws.w = pw.w GROUP BY 1, 2) "
+        "SELECT doc_id, phrase, score, rank FROM ("
+        "SELECT doc_id, phrase, score, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, phrase) AS INT) AS rank "
+        f"FROM psc) WHERE rank <= {k}"
+    )
+
+
 def q_jaccard_join(spark: SparkSession, sf: str) -> DataFrame:
     """Exact set-similarity self-join via AllPairs/PPJoin prefix
     filtering (webx/dedup.py jaccard_join): every pair with 3-gram
@@ -6710,6 +6760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_fuzzy_join": q_fuzzy_join,
         "q_jaccard_join": q_jaccard_join,
+        "q_rake": q_rake,
         "q_l_diversity": q_l_diversity,
         "q_rendezvous": q_rendezvous,
         "q_cdc_chunks": q_cdc_chunks,
@@ -7544,6 +7595,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard "
             "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
         ),
+        "q_rake": _rake_oracle_sql(k=5),
         "q_jaccard_join": (
             # the NAIVE all-pairs Jaccard join — equality with the
             # prefix-filtered Spark plan is the completeness theorem

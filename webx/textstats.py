@@ -881,3 +881,82 @@ def mojibake_repair(docs: DataFrame, max_rounds: int = 2) -> DataFrame:
             yield pdf
 
     return flagged.mapInPandas(fix, schema).unionByName(clean)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: tuple = STOPWORDS,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; word score = deg/freq where
+    deg(w) sums the lengths of every candidate occurrence containing w
+    and freq(w) counts occurrences; a phrase scores the sum of its
+    words' scores. → (doc_id, phrase, score, rank), top-``k`` phrases
+    per document by (score DESC, phrase ASC).
+
+    Determinism across engines: deg and freq are exact integers; each
+    word score is ONE division; the phrase score folds word scores in
+    PHRASE ORDER (sorted-struct reassembly → left fold), so the DuckDB
+    oracle reproduces every double bit-for-bit. Plan: tokens + a
+    per-document cumulative-delimiter window assign phrase ids (one
+    exchange on doc_id), word stats are one corpus-wide aggregate on
+    the word key, and the final top-k rides a WindowGroupLimit-pruned
+    rank. Keyword extraction is the reference's per-crop dictionary
+    scoring generalized to phrases (mindocr rec postprocess scores
+    token sequences against a char dict)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    from pyspark.sql import Window as _W
+
+    wd = _W.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn("is_stop", F.array_contains(sw, F.col("w")))
+    phrased = marked.withColumn(
+        "phrase_id", F.sum(F.col("is_stop").cast("int")).over(wd)
+    ).filter(~F.col("is_stop"))
+    # phrase words in position order per (doc, phrase occurrence):
+    # sorted-struct reassembly makes collect_list order deterministic
+    occ = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("pw")
+    ).select(
+        "doc_id",
+        "phrase_id",
+        F.transform("pw", lambda s: s["w"]).alias("words"),
+        F.size("pw").alias("plen"),
+    )
+    word_occ = occ.select(
+        "doc_id", "plen", F.explode("words").alias("w")
+    )
+    stats = word_occ.groupBy("w").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count("*").cast("long").alias("freq"),
+    )
+    scored_words = stats.select(
+        "w", (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("ws")
+    )
+    # phrase score: rejoin word scores, fold in phrase order
+    pw = occ.select(
+        "doc_id", "phrase_id", "words", F.posexplode("words").alias("wpos", "w")
+    ).join(scored_words, "w")
+    phrase_scored = pw.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(" ", F.any_value("words")).alias("phrase"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "ws"))),
+                lambda s: s["ws"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    wr = _W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phrase_scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "phrase", "score", "rank")
+    )

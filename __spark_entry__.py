@@ -1082,6 +1082,93 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_verify(docs, pairs, shingle_k=3, threshold=0.0).orderBy("id_a")
 
 
+def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of corpus size from
+    two INDEPENDENT deterministic hash samples (salts 1 and 2, 10%
+    each): N̂ = ⌊n1·n2/m⌋ where m counts docs in both — the classic
+    web-index-size estimation trick (Lawrence & Giles 1998), here as
+    ONE narrow aggregate (no sample materialization, no shuffle beyond
+    the final scalar agg). All-integer output; true_n alongside so the
+    estimator's error is auditable per run."""
+    from webx.sampling import hash_bucket
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    in1 = (hash_bucket("doc_id", salt=1) < 100_000).cast("long")
+    in2 = (hash_bucket("doc_id", salt=2) < 100_000).cast("long")
+    agg = docs.agg(
+        F.sum(in1).alias("n1"),
+        F.sum(in2).alias("n2"),
+        F.sum(in1 * in2).alias("m"),
+        F.count("*").alias("true_n"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.when(
+            F.col("m") > 0, F.expr("(n1 * n2) DIV m")
+        ).otherwise(F.lit(None)).alias("n_hat"),
+        "true_n",
+    )
+
+
+def _capture_recapture_oracle_sql() -> str:
+    from webx import oracles as _o
+
+    b1 = _o.hash_bucket_sql("doc_id", 1)
+    b2 = _o.hash_bucket_sql("doc_id", 2)
+    return _o.XXH64_MACROS + (
+        f"WITH f AS (SELECT CASE WHEN {b1} < 100000 THEN 1 ELSE 0 END AS i1, "
+        f"CASE WHEN {b2} < 100000 THEN 1 ELSE 0 END AS i2 FROM documents), "
+        "a AS (SELECT SUM(i1) AS n1, SUM(i2) AS n2, SUM(i1 * i2) AS m, "
+        "COUNT(*) AS true_n FROM f) "
+        "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+        "CAST(m AS BIGINT) AS m, "
+        "CASE WHEN m > 0 THEN CAST((n1 * n2) // m AS BIGINT) END AS n_hat, "
+        "true_n FROM a"
+    )
+
+
+def q_texttiling(spark: SparkSession, sf: str) -> DataFrame:
+    """TextTiling topic segmentation (webx/textstats.py
+    texttiling_boundaries; Hearst 1997): gap cohesion between adjacent
+    10-token blocks, boundaries at strict local minima. Cosine is never
+    materialized — the minimum test is the integer cross-product
+    comparison, so every flag is BIGINT-exact in the oracle."""
+    from webx.textstats import texttiling_boundaries
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    return texttiling_boundaries(docs, block=10)
+
+
+def _texttiling_oracle_sql(block: int = 10) -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, w, pos FROM ("
+        "SELECT doc_id, unnest(toks) AS w, "
+        "unnest(generate_series(1, len(toks))) AS pos FROM ("
+        f"SELECT doc_id, regexp_split_to_array(trim(text), {WS_SPLIT_SQL}) "
+        "AS toks FROM documents)) WHERE w <> ''), "
+        f"cnt AS (SELECT doc_id, CAST((pos - 1) // {block} AS INT) AS b, w, "
+        "COUNT(*) AS c FROM tok GROUP BY 1, 2, 3), "
+        "nrm AS (SELECT doc_id, b, SUM(c * c) AS nrm FROM cnt GROUP BY 1, 2), "
+        "num AS (SELECT a.doc_id, a.b, SUM(a.c * x.c) AS num FROM cnt a "
+        "JOIN cnt x ON x.doc_id = a.doc_id AND x.b = a.b + 1 AND x.w = a.w "
+        "GROUP BY 1, 2), "
+        "gaps AS (SELECT n1.doc_id, n1.b AS gap_idx, "
+        "COALESCE(num.num, 0) AS num, n1.nrm * n2.nrm AS den "
+        "FROM nrm n1 JOIN nrm n2 ON n2.doc_id = n1.doc_id AND n2.b = n1.b + 1 "
+        "LEFT JOIN num ON num.doc_id = n1.doc_id AND num.b = n1.b), "
+        "g AS (SELECT *, lag(num) OVER w AS pn, lag(den) OVER w AS pd, "
+        "lead(num) OVER w AS nn, lead(den) OVER w AS nd FROM gaps "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY gap_idx)) "
+        "SELECT doc_id, gap_idx, CAST(num AS BIGINT) AS num, "
+        "CAST(den AS BIGINT) AS den, "
+        "CAST(CASE WHEN pn IS NULL OR nn IS NULL THEN false "
+        "ELSE num * num * pd < pn * pn * den "
+        "AND num * num * nd < nn * nn * den END AS INT) AS boundary FROM g"
+    )
+
+
 def q_rake(spark: SparkSession, sf: str) -> DataFrame:
     """RAKE keyword extraction (webx/textstats.py rake_keywords; Rose
     et al. 2010): stopword-delimited candidate phrases, word score =
@@ -6761,6 +6848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_jaccard_join": q_jaccard_join,
         "q_rake": q_rake,
+        "q_texttiling": q_texttiling,
+        "q_capture_recapture": q_capture_recapture,
         "q_l_diversity": q_l_diversity,
         "q_rendezvous": q_rendezvous,
         "q_cdc_chunks": q_cdc_chunks,
@@ -7596,6 +7685,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
         ),
         "q_rake": _rake_oracle_sql(k=5),
+        "q_texttiling": _texttiling_oracle_sql(block=10),
+        "q_capture_recapture": _capture_recapture_oracle_sql(),
         "q_jaccard_join": (
             # the NAIVE all-pairs Jaccard join — equality with the
             # prefix-filtered Spark plan is the completeness theorem

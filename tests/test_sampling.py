@@ -251,3 +251,24 @@ def test_unimax_all_capped_when_budget_exceeds_epoch_ceiling(spark):
            unimax_allocation(counts, budget=1000, max_epochs=2).collect()}
     # ceiling = 2*(10+20) = 60 < 1000: everyone capped, surplus unassigned
     assert got == {"a": 20, "b": 40}
+
+
+def test_capture_recapture_estimator(spark):
+    """Lincoln-Petersen over two independent 10% hash samples: the
+    estimate should land near the true count on a 20k corpus (m ~ 200,
+    relative s.e. ~ 1/sqrt(m) ~ 7%)."""
+    from pyspark.sql import functions as F
+    from webx.sampling import hash_bucket
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    in1 = (hash_bucket("doc_id", salt=1) < 100_000).cast("long")
+    in2 = (hash_bucket("doc_id", salt=2) < 100_000).cast("long")
+    r = docs.agg(
+        F.sum(in1).alias("n1"),
+        F.sum(in2).alias("n2"),
+        F.sum(in1 * in2).alias("m"),
+        F.count("*").alias("true_n"),
+    ).collect()[0]
+    assert r.m > 0
+    n_hat = (r.n1 * r.n2) // r.m
+    assert abs(n_hat - r.true_n) / r.true_n < 0.25

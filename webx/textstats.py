@@ -960,3 +960,82 @@ def rake_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "phrase", "score", "rank")
     )
+
+
+def texttiling_boundaries(
+    docs: DataFrame,
+    block: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997), exact-integer
+    variant: tokens group into ``block``-token pseudo-sentences; the
+    cohesion of each GAP between adjacent blocks is the cosine of their
+    term-count vectors; a topic boundary is a STRICT local minimum of
+    gap cohesion. → (doc_id, gap_idx, boundary) with gap_idx g between
+    blocks g and g+1.
+
+    Exactness across engines: cosine itself is never materialized —
+    cos_a < cos_b over non-negative integer vectors is decided by the
+    integer cross-product test  na²·db1·db2 < nb²·da1·da2  (sqrt is
+    monotone), so boundary flags are pure BIGINT arithmetic the DuckDB
+    oracle replays term for term. Magnitudes: n ≤ block², block-norms
+    ≤ block², so the products stay ≤ block⁸ ≈ 10⁸ ≪ 2^63.
+
+    Plan: one (doc, block, token) count aggregate; the gap numerator is
+    ONE self-join on (doc, token) between adjacent blocks; the
+    local-minimum test is lag/lead windows over the per-doc gap frame
+    (rows ≈ tokens/block, tiny next to the corpus). Segmentation is
+    the reference's detect stage in text space — region proposals from
+    local evidence valleys (DBNet threshold maps)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy(
+        "doc_id", (F.col("pos") / block).cast("int").alias("b"), "w"
+    ).agg(F.count("*").cast("long").alias("c"))
+    norms = counts.groupBy("doc_id", "b").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nrm")
+    )
+    nxt = counts.select(
+        "doc_id", (F.col("b") - 1).alias("b"), "w", F.col("c").alias("c2")
+    )
+    num = (
+        counts.join(nxt, ["doc_id", "b", "w"])
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("num"))
+    )
+    n2 = norms.select("doc_id", (F.col("b") - 1).alias("b"), F.col("nrm").alias("nrm2"))
+    gaps = (
+        norms.join(n2, ["doc_id", "b"])
+        .join(num, ["doc_id", "b"], "left")
+        .select(
+            "doc_id",
+            F.col("b").alias("gap_idx"),
+            F.coalesce("num", F.lit(0)).alias("num"),
+            (F.col("nrm") * F.col("nrm2")).alias("den"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("gap_idx")
+    g = (
+        gaps.withColumn("pn", F.lag("num").over(w))
+        .withColumn("pd", F.lag("den").over(w))
+        .withColumn("nn", F.lead("num").over(w))
+        .withColumn("nd", F.lead("den").over(w))
+    )
+    # cos_self < cos_prev  ⟺  num²·pd < pn²·den   (den, pd > 0)
+    lt_prev = F.col("num") * F.col("num") * F.col("pd") < F.col("pn") * F.col(
+        "pn"
+    ) * F.col("den")
+    lt_next = F.col("num") * F.col("num") * F.col("nd") < F.col("nn") * F.col(
+        "nn"
+    ) * F.col("den")
+    boundary = (
+        F.when(F.col("pn").isNull() | F.col("nn").isNull(), F.lit(False))
+        .otherwise(lt_prev & lt_next)
+        .cast("int")
+    )
+    return g.select("doc_id", "gap_idx", "num", "den", boundary.alias("boundary"))

@@ -116,9 +116,16 @@ def winnow_matches(
     10^9 docs would emit 10^18 pairs — fingerprints in more than
     ``max_hash_docs`` docs are dropped BEFORE the pair join (they
     witness boilerplate, not plagiarism-style reuse; one distinct-count
-    aggregate over the tiny fingerprint frame). None disables."""
+    aggregate over the tiny fingerprint frame). None disables.
+
+    The deduped fingerprint frame feeds THREE consumers (the cap
+    aggregate and both sides of the self-join); its lineage holds the
+    whole gram explosion + window-membership expansion, so it is
+    materialized once via ``localCheckpoint`` (the minhash_neardup
+    candidate-frame discipline, webx/dedup.py:437) instead of being
+    recomputed per consumer."""
     fp = winnow_fingerprints(docs, k=k, w=w, prefix_chars=prefix_chars)
-    fp = fp.select("doc_id", "h").distinct()
+    fp = fp.select("doc_id", "h").distinct().localCheckpoint(eager=False)
     if max_hash_docs is not None:
         keep = (
             fp.groupBy("h")

@@ -1284,6 +1284,42 @@ def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jw_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked Jaro-Winkler self-join (webx/jaro.py): variable-length
+    title keys (8..31 chars, so the byte-length-ratio prune does real
+    work) plus planted adjacent-transposition twins for doc_id<40 — the
+    edit Levenshtein-1 blocking treats as distance 2 but JW scores
+    ~0.96+. Candidates come from a log-banded byte-length equi-join
+    whose completeness is the theorem jw >= t  =>  min/max >= 5t-4;
+    the oracle is the NAIVE all-pairs join with DuckDB's NATIVE
+    jaro_winkler_similarity and no prune, so equality re-proves both
+    the blocking theorem and the byte-level scorer's bit-compatibility
+    (rapidfuzz formulation: bytes, window max//2-1, mismatches//2
+    transpositions, boost only when jaro > 0.7) on every driver run."""
+    from webx.jaro import jw_self_pairs
+
+    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    key = F.expr("substring(text, 1, 8 + doc_id % 24)")
+    base = docs.select(F.col("doc_id").alias("id"), key.alias("s"))
+    planted = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            key.alias("k"),
+            (F.col("doc_id") % 6 + 2).cast("int").alias("p"),
+        )
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("id"),
+            F.expr(
+                "concat(substring(k, 1, p - 1), substring(k, p + 1, 1), "
+                "substring(k, p, 1), substring(k, p + 2))"
+            ).alias("s"),
+        )
+    )
+    keys = _par(base.unionByName(planted), spark)
+    return jw_self_pairs(keys, "id", "s", threshold=0.94)
+
+
 def _docs_with_shifted_twins(spark, sf):
     """documents ∪ prefix-shifted twins: doc_id%10==0 gets a copy with
     14 bytes inserted at the front — the edit that breaks fixed-size
@@ -6846,6 +6882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rec_quality": q_rec_quality,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_jw_join": q_jw_join,
         "q_jaccard_join": q_jaccard_join,
         "q_rake": q_rake,
         "q_texttiling": q_texttiling,
@@ -7726,6 +7763,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM t a JOIN t b ON a.id < b.id "
             "AND abs(length(a.s) - length(b.s)) <= 1 "
             "WHERE levenshtein(a.s, b.s) <= 1"
+        ),
+        "q_jw_join": (
+            # the NAIVE all-pairs Jaro-Winkler join with DuckDB's NATIVE
+            # scorer and NO length prune; the Spark side's log-banded
+            # byte-length blocking is complete by jw>=t => min/max>=5t-4,
+            # so equality re-proves the theorem AND the byte-level
+            # scorer's bit-compatibility per driver run
+            "WITH b AS (SELECT doc_id AS id, "
+            "substr(text, 1, 8 + doc_id % 24) AS s FROM documents), "
+            "p AS (SELECT doc_id, substr(text, 1, 8 + doc_id % 24) AS k, "
+            "doc_id % 6 + 2 AS p FROM documents WHERE doc_id < 40), "
+            "t AS (SELECT id, s FROM b UNION ALL "
+            "SELECT doc_id + 1000000, "
+            "substr(k, 1, p - 1) || substr(k, p + 1, 1) || "
+            "substr(k, p, 1) || substr(k, p + 2) FROM p) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "jaro_winkler_similarity(a.s, b.s) AS jw "
+            "FROM t a JOIN t b ON a.id < b.id "
+            "WHERE jaro_winkler_similarity(a.s, b.s) >= 0.94"
         ),
         "q_neardup_embedding": (
             "WITH e AS (SELECT vec_id, embedding FROM embeddings "

@@ -4631,6 +4631,73 @@ def q_hilbert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map skipping estimator (webx/layout.py zonemap_skip_stats):
+    the measurement that justifies a layout rewrite BEFORE touching
+    100 TB. Events are packed into 200-row files under three layouts —
+    arrival order, single-column sort (user_id), and Z-order over
+    (user_id, 256-bucket time) — and a 2-D range predicate counts the
+    files whose per-file min/max zone maps cannot skip. rows_match (the
+    exact hit count, layout-invariant) calibrates: perfect layout reads
+    ceil(rows_match/200) files, hash-scatter reads all. Pure integer
+    arithmetic end-to-end (bucketing via DIV, Morton via
+    extract-and-multiply) ⇒ the oracle replays every step exactly."""
+    from webx.layout import zonemap_skip_stats, zorder_key
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ets")
+    )
+    g = ev.agg(F.min("ets").alias("tmin"), F.max("ets").alias("tmax"))
+    p = ev.crossJoin(F.broadcast(g)).select(
+        "event_id",
+        "user_id",
+        F.expr("(ets - tmin) * 256 DIV (tmax - tmin + 1)").alias("tb"),
+    )
+    p = p.withColumn("zkey", zorder_key(F.col("user_id"), F.col("tb"), bits=8))
+    layouts = {
+        "natural": [F.col("event_id")],
+        "single_sort": [F.col("user_id"), F.col("tb"), F.col("event_id")],
+        "zorder": [F.col("zkey"), F.col("event_id")],
+    }
+    return zonemap_skip_stats(
+        p, "user_id", "tb", layouts, capacity=200,
+        x_range=(20, 39), y_range=(64, 127),
+    )
+
+
+def _zonemap_prune_oracle_sql() -> str:
+    from webx.layout import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "tb", bits=8)
+    pred = "zxhi >= 20 AND zxlo <= 39 AND zyhi >= 64 AND zylo <= 127"
+    return (
+        "WITH b AS (SELECT event_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ets FROM events), "
+        "g AS (SELECT min(ets) AS tmin, max(ets) AS tmax FROM b), "
+        "p AS (SELECT event_id, user_id, "
+        "(ets - tmin) * 256 // (tmax - tmin + 1) AS tb FROM b, g), "
+        f"pz AS (SELECT *, {z} AS zkey FROM p), "
+        "lay AS ("
+        "SELECT 'natural' AS layout, user_id, tb, "
+        "row_number() OVER (ORDER BY event_id) AS rn FROM pz "
+        "UNION ALL SELECT 'single_sort', user_id, tb, "
+        "row_number() OVER (ORDER BY user_id, tb, event_id) FROM pz "
+        "UNION ALL SELECT 'zorder', user_id, tb, "
+        "row_number() OVER (ORDER BY zkey, event_id) FROM pz), "
+        "z AS (SELECT layout, (rn - 1) // 200 AS file_id, "
+        "min(user_id) AS zxlo, max(user_id) AS zxhi, "
+        "min(tb) AS zylo, max(tb) AS zyhi, count(*) AS nrows, "
+        "SUM(CASE WHEN user_id BETWEEN 20 AND 39 AND tb BETWEEN 64 AND 127 "
+        "THEN 1 ELSE 0 END) AS nhit "
+        "FROM lay GROUP BY 1, 2) "
+        "SELECT layout, CAST(count(*) AS BIGINT) AS n_files, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS files_read, "
+        f"CAST(SUM(CASE WHEN {pred} THEN nrows ELSE 0 END) AS BIGINT) AS rows_read, "
+        "CAST(SUM(nhit) AS BIGINT) AS rows_match "
+        "FROM z GROUP BY layout"
+    )
+
+
 def _hilbert_oracle_sql() -> str:
     from webx.layout import hilbert_key_sql
 
@@ -7004,6 +7071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_zorder": q_zorder,
         "q_hilbert": q_hilbert,
+        "q_zonemap_prune": q_zonemap_prune,
         "q_crawl_depth": q_crawl_depth,
         "q_bm25": q_bm25,
         "q_hll_registers": q_hll_registers,
@@ -8556,6 +8624,7 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_join": _salted_join_oracle_sql(),
         "q_zorder": _zorder_oracle_sql(),
         "q_hilbert": _hilbert_oracle_sql(),
+        "q_zonemap_prune": _zonemap_prune_oracle_sql(),
         "q_crawl_depth": _crawl_depth_oracle_sql(),
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),

@@ -154,3 +154,35 @@ def test_orc_roundtrip_matches_parquet(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(dfp).collect()))
     b = sorted(map(tuple, spark.read.orc(dfo).collect()))
     assert a == b
+
+
+def test_zonemap_skip_stats_invariants(spark):
+    """rows_match is layout-invariant; a perfect (x-sorted) layout hits
+    the ceil(rows_match/capacity) + 1-boundary bound; a hash-scattered
+    layout reads every file (min/max span the whole domain)."""
+    from webx.layout import zonemap_skip_stats
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 37 % 100).alias("x"),
+        (F.col("id") * 91 % 100).alias("y"),
+    )
+    layouts = {
+        "scatter": [F.xxhash64("rid")],
+        "by_x": [F.col("x"), F.col("y"), F.col("rid")],
+    }
+    out = {
+        r.layout: r
+        for r in zonemap_skip_stats(
+            df, "x", "y", layouts, capacity=50, x_range=(10, 19), y_range=(0, 99)
+        ).collect()
+    }
+    match = out["scatter"].rows_match
+    assert match == out["by_x"].rows_match == 100  # 10 x-values x 10 each
+    assert out["scatter"].n_files == out["by_x"].n_files == 20
+    # scatter: every 50-row file spans nearly the whole x domain -> no skip
+    assert out["scatter"].files_read == 20
+    # x-sorted: the 100 hits occupy 2 files, +1 for a straddled boundary
+    assert out["by_x"].files_read <= 3
+    assert out["by_x"].rows_read >= match

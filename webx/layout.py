@@ -274,3 +274,72 @@ def pruning_report(path: str, column: str, lo, hi) -> dict:
         "n_skipped": n_skipped,
         "skip_fraction": (n_skipped / len(files)) if files else 0.0,
     }
+
+
+def zonemap_skip_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    layouts: "dict[str, list]",
+    capacity: int,
+    x_range: "tuple[int, int]",
+    y_range: "tuple[int, int]",
+) -> DataFrame:
+    """Declarative zone-map skipping estimator — the measurement that
+    justifies a layout key BEFORE rewriting 100 TB. For each named
+    layout (an ordering-column list), rows are ranked and packed into
+    files of ``capacity`` rows, each file gets a (min, max) zone map on
+    ``x_col``/``y_col``, and a 2-D range predicate counts the files it
+    cannot skip → one row per layout:
+
+        (layout, n_files, files_read, rows_read, rows_match)
+
+    ``rows_match`` (the exact predicate hit count, identical across
+    layouts) calibrates the readings: a perfect layout reads
+    ``ceil(rows_match / capacity)`` files; a hash-scattered one reads
+    all of them. All arithmetic is integer ⇒ full DuckDB oracle.
+
+    The per-layout rank is a GLOBAL row_number (single-partition
+    window) — this is a layout *simulation* for estimation at
+    dimension/sample scale; the production write path is
+    ``cluster_by_zorder`` (repartitionByRange + sortWithinPartitions),
+    which realizes the same packing distributedly. Run the estimator on
+    a deterministic sample of a 10^12-row table, not the table."""
+    from pyspark.sql import Window
+
+    xlo, xhi = x_range
+    ylo, yhi = y_range
+    hit = (
+        (F.col("x") >= xlo) & (F.col("x") <= xhi)
+        & (F.col("y") >= ylo) & (F.col("y") <= yhi)
+    )
+    ranked = None
+    for name, keys in layouts.items():
+        w = Window.orderBy(*keys)
+        part = df.select(
+            F.lit(name).alias("layout"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+            ((F.row_number().over(w) - 1) / F.lit(capacity))
+            .cast("long")
+            .alias("file_id"),
+        )
+        ranked = part if ranked is None else ranked.unionByName(part)
+    zones = ranked.groupBy("layout", "file_id").agg(
+        F.min("x").alias("zxlo"),
+        F.max("x").alias("zxhi"),
+        F.min("y").alias("zylo"),
+        F.max("y").alias("zyhi"),
+        F.count("*").alias("nrows"),
+        F.sum(hit.cast("long")).alias("nhit"),
+    )
+    overlap = (
+        (F.col("zxhi") >= xlo) & (F.col("zxlo") <= xhi)
+        & (F.col("zyhi") >= ylo) & (F.col("zylo") <= yhi)
+    )
+    return zones.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum(overlap.cast("long")).alias("files_read"),
+        F.sum(F.when(overlap, F.col("nrows")).otherwise(F.lit(0))).alias("rows_read"),
+        F.sum("nhit").alias("rows_match"),
+    )

@@ -120,3 +120,37 @@ def test_lineage_snapshot_id_integration(spark, tmp_path):
     assert t.current_snapshot_id() == s1 == t.current_snapshot_id()
     s2 = t.commit_append(_mk(spark, [(2, "b")]))
     assert s2 != s1
+
+
+def test_checkpointed_extraction_over_snapshot_table(spark, tmp_path):
+    """End-to-end seam: pages live in a SnapshotTable, the resume key is
+    the manifest snapshot id. Same snapshot -> resume skips everything;
+    a new commit -> new id -> nothing is wrongly skipped."""
+    from tests.conftest import SF_SMALL
+    from webx import synth
+    from webx.config import ExtractConfig
+    from webx.lineage import CheckpointStore, run_checkpointed_extraction
+
+    t = SnapshotTable(str(tmp_path / "pages"))
+    s1 = t.commit_append(synth.synth_pages(spark, SF_SMALL))
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig()
+    done = run_checkpointed_extraction(
+        spark, t.read(spark, s1), out, store, "r", f"snap-{s1}", cfg,
+        n_partitions=4, chunk_size=4,
+    )
+    assert sorted(done) == [0, 1, 2, 3]
+    # same snapshot: fully resumed, zero work
+    assert run_checkpointed_extraction(
+        spark, t.read(spark, s1), out, store, "r", f"snap-{s1}", cfg,
+        n_partitions=4,
+    ) == []
+    # a new commit moves the snapshot id: the old lineage must NOT mask it
+    s2 = t.commit_append(synth.synth_pages(spark, SF_SMALL).limit(0))
+    assert s2 != s1
+    redo = run_checkpointed_extraction(
+        spark, t.read(spark, s2), out, store, "r", f"snap-{s2}", cfg,
+        n_partitions=4, chunk_size=4,
+    )
+    assert sorted(redo) == [0, 1, 2, 3]

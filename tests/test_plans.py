@@ -351,3 +351,40 @@ def test_pq_encode_single_partial_final_aggregate(spark, queries):
     # detail must precede the ENSURE_REQUIREMENTS exchange feeding the
     # final aggregate
     assert plan.index("partial_min_by") < plan.index("ENSURE_REQUIREMENTS")
+
+
+def test_jw_join_equi_band_join_python_only_on_candidates(spark, queries):
+    """The JW join's blocking contract: candidates come from an EQUI
+    join on the byte-length band (hash/SMJ — a nested-loop theta join
+    over jw() is the O(n²) plan the banding exists to avoid), and the
+    only Python stage (MapInPandas scorer) sits ABOVE the join, never
+    on the corpus-side scan."""
+    plan = plan_of(queries["q_jw_join"](spark, SF))
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "SortMergeJoin") + nodes(plan, "BroadcastHashJoin") + nodes(
+        plan, "ShuffledHashJoin"
+    ) >= 1
+    assert nodes(plan, "MapInPandas") == 1
+    # the scorer consumes the join output: it must appear before (above)
+    # the join node in the formatted tree ordering
+    tree = plan.splitlines()
+    mip = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
+    join = next(
+        i for i, l in enumerate(tree)
+        if any(j in l for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    )
+    assert mip < join
+
+
+def test_zonemap_prune_aggregates_have_map_side_partials(spark, queries):
+    """Layout simulation: three global rank windows (one per layout) is
+    the declared cost; both downstream aggregates (per-file zone maps,
+    per-layout rollup) must be partial+final hash aggregates, and the
+    time-bucket bounds come from a broadcast of the 1-row min/max
+    aggregate, not a second scan-side shuffle."""
+    plan = plan_of(queries["q_zonemap_prune"](spark, SF))
+    assert nodes(plan, "Window") == 3
+    assert nodes(plan, "HashAggregate") >= 4  # 2 aggs x (partial + final)
+    assert nodes(plan, "BroadcastExchange") >= 1
+    assert nodes(plan, "CartesianProduct") == 0

@@ -272,6 +272,55 @@ below. Coverage grew nine percent and the dedup ratio held steady.<o:p></o:p></p
 page("27_minified_oneline", b"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>Min</title><script>window.g={a:1,b:"</div>"}</script></head><body><nav><a href="/">x</a><a href="/y">y</a></nav><article><h1>Minified but meaningful</h1><p>Build pipelines strip every newline, so the whole document arrives as one line; the extractor must segment blocks from tags alone.</p><p>A stray NUL\x00 byte and a vertical\x0btab hide in this sentence.</p></article><footer><a href="/f">f</a></footer></body></html>""")
 
 
+page("28_cdata_xhtml", """<?xml version="1.0" encoding="UTF-8"?>
+<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">
+<html xmlns="http://www.w3.org/1999/xhtml"><head><title>CDATA</title>
+<script type="text/javascript">//<![CDATA[
+var cfg = {sel: "</p>", arrow: "->"};
+//]]></script></head><body>
+<div id="menu"><a href="/">Start</a> <a href="/archiv">Archiv</a></div>
+<div class="post"><h1>XHTML survivors</h1>
+<p>Strict-era pages shipped scripts inside CDATA blocks so validators would not choke on angle brackets.</p>
+<p>The payload text sits in ordinary paragraphs and must come through untouched.</p>
+</div><div id="footer"><a href="/impressum">Impressum</a></div></body></html>""")
+
+page("29_unterminated_comment", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Chopped</title></head><body>
+<nav><a href="/">home</a><a href="/tags">tags</a></nav>
+<article><h1>The visible part of the page</h1>
+<p>Everything up to the broken comment renders normally in every browser.</p>
+<p>This is the last paragraph a reader actually sees.</p>
+<!-- the editor pasted a comment and never closed it
+<p>Ghost paragraph swallowed by the open comment in spec-compliant parsers.</p>
+</article><footer><a href="/rss">rss</a></footer></body></html>""")
+
+page("30_xmp_plaintext", """<html><head><title>Legacy raw text</title></head><body>
+<div><a href="/">index</a> <a href="/old">old</a></div>
+<h1>Markup examples from 1996</h1>
+<p>The xmp element shows tags literally without entity encoding:</p>
+<xmp>Use <b>bold</b> &amp; <i>italic</i> like this.</xmp>
+<p>Text after the example keeps flowing as normal prose for the reader.</p>
+</body></html>""")
+
+page("31_cookie_overlay", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Consent</title></head><body>
+<div class="cookie-banner"><p>We value your privacy</p><a href="#accept">Accept all</a> <a href="#reject">Reject</a> <a href="/privacy">Cookie policy</a> <a href="/partners">847 partners</a></div>
+<header class="sticky"><a href="/">News</a><a href="/sport">Sport</a><a href="/weather">Weather</a><a href="/tv">TV</a></header>
+<main><article><h1>Reservoir levels recover after wet spring</h1>
+<p>Water authorities report storage at ninety-one percent of capacity, the highest
+reading for May in a decade and well above the drought threshold.</p>
+<p>Officials cautioned that a single wet season does not end the structural deficit,
+pointing to falling groundwater tables across the southern basins.</p>
+</article></main>
+<div class="newsletter"><p>Get our headlines in your inbox</p><a href="/signup">Sign up</a></div>
+<footer><a href="/about">About</a><a href="/contact">Contact</a></footer></body></html>""")
+
+page("32_bare_lt_math", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Inequalities</title></head><body>
+<nav><a href="/">home</a><a href="/math">math</a></nav>
+<article><h1>Common inequality notation</h1>
+<p>For positive reals we always have a<b whenever the ratio a/b stays below one, and clearly 1<2 holds.</p>
+<p>Writers who skip &amp;lt; leave a bare less-than sign that parsers must treat as text, not as a tag opener.</p>
+</article><footer><a href="/f">f</a></footer></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

@@ -171,3 +171,32 @@ def test_cjk_legacy_charset_decodes():
         out = _extract(html)
         assert body in out, (label, out[:80])
         assert out.startswith(head), (label, out[:40])
+
+
+def test_unterminated_comment_swallows_rest_of_file():
+    """Spec behavior (and charset.py:214's existing convention): a
+    ``<!--`` with no ``-->`` comments out everything after it — the
+    ghost content must NOT be extracted and the comment bytes must
+    never leak into text (they previously did, via span expansion
+    across the comment region)."""
+    html = (b"<html><body><p>kept paragraph with enough words to score "
+            b"as real content for the reader.</p>"
+            b"<!-- never closed <p>ghost paragraph that spec-compliant "
+            b"parsers swallow entirely</p></body></html>")
+    out = _extract(html)
+    assert "kept paragraph" in out
+    assert "ghost" not in out
+    assert "<!--" not in out
+
+
+# Review verdicts for specimens whose goldens document a LIMITATION
+# rather than ideal output (re-reviewed whenever goldens regenerate):
+#  * 30_xmp_plaintext: the <xmp> markup example drops under the
+#    tag-density gate (its inner <b>/<i> parse as tags). Deterministic
+#    and acceptable — the block is a markup sample, not prose; the
+#    surrounding paragraphs survive byte-exactly.
+#  * 31_cookie_overlay: the 7-char <title> and the two short
+#    banner/newsletter paragraphs survive (head-adjacent micro-blocks
+#    with zero internal links). Known limitation of the density gates;
+#    tuning them is a frozen-scoring review event (synth oracle byte
+#    arithmetic + 27 goldens), recorded in PLANS.md, not a quick fix.

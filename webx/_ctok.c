@@ -168,7 +168,10 @@ static int try_match(const uint8_t* h, long n, long p, tagmatch* m) {
                     }
                 }
             }
-            /* fall through to doctype/PI fallback */
+            /* unterminated: per spec the rest of the file is commented
+             * out (mirrors tokenize.py's (?:--\s*>|\Z) alternative) */
+            m->end = n; m->is_tag = 0;
+            return 1;
         }
         /* CDATA: !\[CDATA\[.*?\]\]>  */
         if (q + 7 < n && memcmp(h + q + 1, "[CDATA[", 7) == 0) {
@@ -757,6 +760,8 @@ static long pass_comment(const uint8_t* in, long n, uint8_t* out) {
                     if (j < n && in[j] == '>') { match_end = j + 1; break; }
                 }
             }
+            /* unterminated comment runs to EOF (the regex's \Z arm) */
+            if (match_end < 0) match_end = n;
         } else if (p + 8 < n && memcmp(in + p + 1, "![CDATA[", 8) == 0) {
             for (long i = p + 9; i + 2 < n; i++) {
                 if (in[i] == ']' && in[i + 1] == ']' && in[i + 2] == '>') {

@@ -33,7 +33,7 @@ _BLOCK_NAMES = (
 _RAWTEXT_RE = re.compile(
     rb"<(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>", re.I | re.S
 )
-_COMMENT_RE = re.compile(rb"<!--.*?--\s*>|<!\[CDATA\[.*?\]\]>", re.S)
+_COMMENT_RE = re.compile(rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>", re.S)
 _BLOCKTAG_RE = re.compile(
     rb"</?(?:" + _BLOCK_NAMES + rb")(?:[\s/](?:[^>\"']|\"[^\"]*\"|'[^']*')*)?>", re.I
 )

@@ -56,7 +56,7 @@ WS = b" \t\r\n\f\v"
 # Attribute values may contain '>' inside quotes.
 _TAG_RE = re.compile(
     rb"<(?:"
-    rb"!--.*?--\s*>"                      # comment
+    rb"!--.*?(?:--\s*>|\Z)"               # comment (unterminated: to EOF)
     rb"|!\[CDATA\[.*?\]\]>"                # CDATA
     rb"|[!?][^>]*>"                        # doctype / processing instruction
     rb"|(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"     # 1: closing slash, 2: tag name

@@ -1298,7 +1298,14 @@ def q_jw_join(spark: SparkSession, sf: str) -> DataFrame:
     transpositions, boost only when jaro > 0.7) on every driver run."""
     from webx.jaro import jw_self_pairs
 
-    docs = synth.load_documents(spark, sf).select("doc_id", "text")
+    docs = (
+        synth.load_documents(spark, sf)
+        .select("doc_id", "text")
+        # the operator's scope is DIMENSION-sized key sets (distinct
+        # hosts/titles after exact-collapse); sample the corpus to that
+        # scale — length-only blocking is quadratic in band occupancy
+        .filter(F.col("doc_id") % 4 == 0)
+    )
     key = F.expr("substring(text, 1, 8 + doc_id % 24)")
     base = docs.select(F.col("doc_id").alias("id"), key.alias("s"))
     planted = (
@@ -7839,9 +7846,11 @@ def oracle_sql() -> dict[str, str]:
             # so equality re-proves the theorem AND the byte-level
             # scorer's bit-compatibility per driver run
             "WITH b AS (SELECT doc_id AS id, "
-            "substr(text, 1, 8 + doc_id % 24) AS s FROM documents), "
+            "substr(text, 1, 8 + doc_id % 24) AS s FROM documents "
+            "WHERE doc_id % 4 = 0), "
             "p AS (SELECT doc_id, substr(text, 1, 8 + doc_id % 24) AS k, "
-            "doc_id % 6 + 2 AS p FROM documents WHERE doc_id < 40), "
+            "doc_id % 6 + 2 AS p FROM documents "
+            "WHERE doc_id < 40 AND doc_id % 4 = 0), "
             "t AS (SELECT id, s FROM b UNION ALL "
             "SELECT doc_id + 1000000, "
             "substr(k, 1, p - 1) || substr(k, p + 1, 1) || "

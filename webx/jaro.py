@@ -159,6 +159,13 @@ def jw_self_pairs(
         .distinct()
     )
 
+    # spread the Python scorer evenly: candidate counts are band-skewed
+    # (popular lengths), and the distinct's hash partitioning inherits
+    # that skew — one cheap round-robin exchange of the small candidate
+    # frame keeps every scorer task equally loaded
+    sc = keys.sparkSession.sparkContext
+    cand = cand.repartition(sc.defaultParallelism)
+
     out_schema = "id_a long, id_b long, jw double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1607,6 +1607,73 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_suffix_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Suffix-array exact-substring duplication (webx/suffix.py): the
+    REAL data structure of Lee et al. 2022 (q_dup_spans is its k-window
+    relaxation) — distributed prefix doubling (O(log L) sort+join
+    rounds, dense ranks assigned by range-partition + offset, never a
+    single-task window), then cross-document duplicated passages ≥ 20
+    chars from SA ADJACENCY (every maximal repeat witnesses there; no
+    pair explosion). The oracle replays the doubling stages as unrolled
+    dense_rank CTEs and the LCP binary cascade as the same nested
+    accumulator chain — integer-exact end to end."""
+    from webx.suffix import adjacent_dup_pairs
+
+    docs = _par(synth.load_documents(spark, sf).select("doc_id", "text"), spark)
+    # base=24: one doubling stage covers the 48-char depth — at this
+    # comparison depth the round count IS the cost; deeper arrays grow
+    # rounds logarithmically (the module default base=8 keeps the
+    # general shape)
+    return adjacent_dup_pairs(docs, min_lcp=20, max_chars=48, lcp_cap=32, base=24)
+
+
+def _suffix_dups_oracle_sql() -> str:
+    from webx.suffix import lcp_chain_sql
+
+    max_chars, min_lcp, cap = 48, 20, 32
+    ctes = [
+        (
+            "s0 AS (SELECT doc_id, pos, "
+            f"substr(t, pos, {max_chars}) AS s, "
+            "dense_rank() OVER (ORDER BY substr(t, pos, 24)) AS rank "
+            "FROM (SELECT doc_id, t, "
+            "unnest(generate_series(1, length(t))) AS pos "
+            f"FROM (SELECT doc_id, substr(text, 1, {max_chars}) AS t "
+            "FROM documents)))"
+        )
+    ]
+    width, k = 24, 0
+    while width < max_chars:
+        ctes.append(
+            f"s{k + 1} AS (SELECT doc_id, pos, s, "
+            "dense_rank() OVER (ORDER BY rank, rank2) AS rank "
+            f"FROM (SELECT a.doc_id, a.pos, a.s, a.rank, "
+            "coalesce(b.rank, 0) AS rank2 "
+            f"FROM s{k} a LEFT JOIN s{k} b "
+            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + {width}))"
+        )
+        width *= 2
+        k += 1
+    ctes.append(
+        "sar AS (SELECT doc_id, pos, s, "
+        "row_number() OVER (ORDER BY rank, doc_id, pos) AS sa "
+        f"FROM s{k})"
+    )
+    ctes.append(
+        "adj AS (SELECT l.doc_id AS d1, l.s AS s1, r.doc_id AS d2, r.s AS s2 "
+        "FROM sar l JOIN sar r ON r.sa = l.sa - 1 "
+        "WHERE l.doc_id <> r.doc_id)"
+    )
+    scored = lcp_chain_sql("SELECT * FROM adj", "s1", "s2", cap)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT least(d1, d2) AS id_a, greatest(d1, d2) AS id_b, "
+        "CAST(max(lcp) AS BIGINT) AS max_lcp, "
+        "CAST(count(*) AS BIGINT) AS n_adj "
+        f"FROM ({scored}) WHERE lcp >= {min_lcp} GROUP BY 1, 2"
+    )
+
+
 def q_anchor_index(spark: SparkSession, sf: str) -> DataFrame:
     """Anchor-text index over the flagship corpus: every page carries
     the 10 fixed chrome anchors, all same-host, so per (resolved,
@@ -7036,6 +7103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_c4_clean": q_c4_clean,
         "q_dup_spans": q_dup_spans,
+        "q_suffix_dups": q_suffix_dups,
         "q_anchor_index": q_anchor_index,
         "q_dup_span_removal": q_dup_span_removal,
         "q_media_frames": q_media_frames,
@@ -8634,6 +8702,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder": _zorder_oracle_sql(),
         "q_hilbert": _hilbert_oracle_sql(),
         "q_zonemap_prune": _zonemap_prune_oracle_sql(),
+        "q_suffix_dups": _suffix_dups_oracle_sql(),
         "q_crawl_depth": _crawl_depth_oracle_sql(),
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),

@@ -388,3 +388,17 @@ def test_zonemap_prune_aggregates_have_map_side_partials(spark, queries):
     assert nodes(plan, "HashAggregate") >= 4  # 2 aggs x (partial + final)
     assert nodes(plan, "BroadcastExchange") >= 1
     assert nodes(plan, "CartesianProduct") == 0
+
+
+def test_suffix_dups_no_single_partition_sort(spark, queries):
+    """The suffix array's reason to exist as a DISTRIBUTED algorithm:
+    rank assignment must never collapse to a one-task global sort
+    (Exchange SinglePartition under Sort/Window), and the adjacency
+    pass must be an equi join, not a product. The doubling stages
+    run eagerly at explain time (localCheckpoint), so this asserts the
+    FINAL plan segment — rank windows inside the stages are partitioned
+    by __pid by construction."""
+    plan = plan_of(queries["q_suffix_dups"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert nodes(plan, "CartesianProduct") == 0
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0

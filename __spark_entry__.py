@@ -3038,6 +3038,99 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return contaminated_ids(docs, bench, n=13).orderBy("doc_id")
 
 
+def q_passage_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level test-set decontamination via the suffix array
+    (webx/suffix.py): train docs sharing a ≥24-char passage with the
+    benchmark slice (every 50th doc), caught at ANY length — the
+    complement of q_decontaminate's 13-gram filter, which misses spans
+    that straddle n-gram boundaries or differ in tokenization. All
+    suffixes sharing a ≥L prefix form one contiguous SA interval, so if
+    it holds both a train and a test suffix, some ADJACENT pair crosses
+    the boundary (pigeonhole) — cross-side adjacency is a complete
+    witness and the scan stays linear. Query scale: half the corpus,
+    64-char document prefixes (the winnowing prefix_chars discipline;
+    the module takes any depth — rounds grow logarithmically)."""
+    from webx.suffix import adjacent_dup_pairs
+
+    docs = _par(
+        synth.load_documents(spark, sf)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0),
+        spark,
+    )
+    test = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    pairs = adjacent_dup_pairs(
+        train.unionByName(test),
+        min_lcp=24, max_chars=64, lcp_cap=16, base=16,
+    )
+    return pairs.filter(
+        (F.col("id_a") < 1_000_000) & (F.col("id_b") >= 1_000_000)
+    ).select(
+        F.col("id_a").alias("train_id"),
+        (F.col("id_b") - 1_000_000).alias("test_id"),
+        "max_lcp",
+        "n_adj",
+    )
+
+
+def _passage_decontaminate_oracle_sql() -> str:
+    from webx.suffix import lcp_chain_sql
+
+    max_chars, min_lcp, cap, base = 64, 24, 16, 16
+    ctes = [
+        (
+            "docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), "
+            "u AS (SELECT CASE WHEN doc_id % 50 = 0 THEN doc_id + 1000000 "
+            "ELSE doc_id END AS doc_id, text FROM docs)"
+        ),
+        (
+            "s0 AS (SELECT doc_id, pos, "
+            f"substr(t, pos, {max_chars}) AS s, "
+            f"dense_rank() OVER (ORDER BY substr(t, pos, {base})) AS rank "
+            "FROM (SELECT doc_id, t, "
+            "unnest(generate_series(1, length(t))) AS pos "
+            f"FROM (SELECT doc_id, substr(text, 1, {max_chars}) AS t "
+            "FROM u)))"
+        ),
+    ]
+    width, k = base, 0
+    while width < max_chars:
+        ctes.append(
+            f"s{k + 1} AS (SELECT doc_id, pos, s, "
+            "dense_rank() OVER (ORDER BY rank, rank2) AS rank "
+            f"FROM (SELECT a.doc_id, a.pos, a.s, a.rank, "
+            "coalesce(b.rank, 0) AS rank2 "
+            f"FROM s{k} a LEFT JOIN s{k} b "
+            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + {width}))"
+        )
+        width *= 2
+        k += 1
+    ctes.append(
+        "sar AS (SELECT doc_id, pos, s, "
+        "row_number() OVER (ORDER BY rank, doc_id, pos) AS sa "
+        f"FROM s{k})"
+    )
+    ctes.append(
+        "adj AS (SELECT l.doc_id AS d1, l.s AS s1, r.doc_id AS d2, r.s AS s2 "
+        "FROM sar l JOIN sar r ON r.sa = l.sa - 1 "
+        "WHERE l.doc_id <> r.doc_id)"
+    )
+    scored = lcp_chain_sql("SELECT * FROM adj", "s1", "s2", cap)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT id_a AS train_id, id_b - 1000000 AS test_id, "
+        "max_lcp, n_adj FROM ("
+        "SELECT least(d1, d2) AS id_a, greatest(d1, d2) AS id_b, "
+        "CAST(max(lcp) AS BIGINT) AS max_lcp, "
+        "CAST(count(*) AS BIGINT) AS n_adj "
+        f"FROM ({scored}) WHERE lcp >= {min_lcp} GROUP BY 1, 2) "
+        "WHERE id_a < 1000000 AND id_b >= 1000000"
+    )
+
+
 def q_host_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host volume cap (crawl curation): keep ≤50 docs per host in
     deterministic doc_id order — rank window, one shuffle on the skew
@@ -7063,6 +7156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_wordpiece": q_wordpiece,
         "q_decontaminate": q_decontaminate,
+        "q_passage_decontaminate": q_passage_decontaminate,
         "q_host_cap": q_host_cap,
         "q_pack_sequences": q_pack_sequences,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -8703,6 +8797,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hilbert": _hilbert_oracle_sql(),
         "q_zonemap_prune": _zonemap_prune_oracle_sql(),
         "q_suffix_dups": _suffix_dups_oracle_sql(),
+        "q_passage_decontaminate": _passage_decontaminate_oracle_sql(),
         "q_crawl_depth": _crawl_depth_oracle_sql(),
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),

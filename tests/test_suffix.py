@@ -127,3 +127,22 @@ def test_adjacent_dup_pairs_matches_truth(spark):
     assert got == want
     # the planted exact-duplicate doc must surface
     assert (0, 24) in got
+
+
+def test_passage_decontamination_catches_planted_passage(spark):
+    """A 30-char passage copied from a test doc into a train doc must
+    surface as a cross-side pair regardless of where the 13-gram grid
+    falls — the property the SA-based pass adds over q_decontaminate."""
+    passage = "the exact benchmark answer text"
+    rnd = random.Random(17)
+    train = [(i, "".join(rnd.choice("xyzw ") for _ in range(40))) for i in range(1, 9)]
+    train.append((9, "prefix words then " + passage + " and a tail"))
+    test = [(1_000_000, passage + " padded out with more words")]
+    df = spark.createDataFrame(train + test, "doc_id long, text string")
+    got = adjacent_dup_pairs(df, min_lcp=len(passage), max_chars=64,
+                             lcp_cap=32, base=16)
+    rows = [
+        r for r in got.collect()
+        if r.id_a < 1_000_000 <= r.id_b
+    ]
+    assert rows and rows[0].id_a == 9 and rows[0].max_lcp >= len(passage)

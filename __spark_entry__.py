@@ -1627,22 +1627,22 @@ def q_suffix_dups(spark: SparkSession, sf: str) -> DataFrame:
     return adjacent_dup_pairs(docs, min_lcp=20, max_chars=48, lcp_cap=32, base=24)
 
 
-def _suffix_dups_oracle_sql() -> str:
-    from webx.suffix import lcp_chain_sql
-
-    max_chars, min_lcp, cap = 48, 20, 32
+def _sa_oracle_ctes(src_sql: str, max_chars: int, base: int) -> "list[str]":
+    """The suffix-array prefix-doubling replay as named CTEs ending in
+    ``sar`` (doc_id, pos, s, sa) — shared by every SA-family oracle;
+    mirrors webx/suffix.py suffix_array stage for stage."""
     ctes = [
         (
             "s0 AS (SELECT doc_id, pos, "
             f"substr(t, pos, {max_chars}) AS s, "
-            "dense_rank() OVER (ORDER BY substr(t, pos, 24)) AS rank "
+            f"dense_rank() OVER (ORDER BY substr(t, pos, {base})) AS rank "
             "FROM (SELECT doc_id, t, "
             "unnest(generate_series(1, length(t))) AS pos "
             f"FROM (SELECT doc_id, substr(text, 1, {max_chars}) AS t "
-            "FROM documents)))"
+            f"FROM ({src_sql}))))"
         )
     ]
-    width, k = 24, 0
+    width, k = base, 0
     while width < max_chars:
         ctes.append(
             f"s{k + 1} AS (SELECT doc_id, pos, s, "
@@ -1659,6 +1659,14 @@ def _suffix_dups_oracle_sql() -> str:
         "row_number() OVER (ORDER BY rank, doc_id, pos) AS sa "
         f"FROM s{k})"
     )
+    return ctes
+
+
+def _suffix_dups_oracle_sql() -> str:
+    from webx.suffix import lcp_chain_sql
+
+    max_chars, min_lcp, cap = 48, 20, 32
+    ctes = _sa_oracle_ctes("SELECT doc_id, text FROM documents", max_chars, 24)
     ctes.append(
         "adj AS (SELECT l.doc_id AS d1, l.s AS s1, r.doc_id AS d2, r.s AS s2 "
         "FROM sar l JOIN sar r ON r.sa = l.sa - 1 "
@@ -1671,6 +1679,54 @@ def _suffix_dups_oracle_sql() -> str:
         "CAST(max(lcp) AS BIGINT) AS max_lcp, "
         "CAST(count(*) AS BIGINT) AS n_adj "
         f"FROM ({scored}) WHERE lcp >= {min_lcp} GROUP BY 1, 2"
+    )
+
+
+def q_dup_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-content profile (webx/suffix.py
+    dup_profile): for each doc, how many suffix positions start a
+    ≥20-char substring that also occurs ELSEWHERE in the corpus —
+    max(lcp(prev), lcp(next)) over SA neighbors, the Lee et al. 2022
+    duplicated-fraction statistic behind "drop documents that are
+    mostly duplicated text". Two shifted equi-joins + one aggregate on
+    top of the suffix array; all integers, full oracle."""
+    from webx.suffix import dup_profile
+
+    docs = _par(
+        synth.load_documents(spark, sf)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0),
+        spark,
+    )
+    return dup_profile(docs, min_lcp=20, max_chars=48, lcp_cap=32, base=24)
+
+
+def _dup_profile_oracle_sql() -> str:
+    from webx.suffix import lcp_chain_sql
+
+    max_chars, min_lcp, cap = 48, 20, 32
+    ctes = _sa_oracle_ctes(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        max_chars,
+        24,
+    )
+    ctes.append(
+        "adj AS (SELECT c.doc_id, c.s AS s0, "
+        "coalesce(n.s, '') AS sn, coalesce(p.s, '') AS sp "
+        "FROM sar c LEFT JOIN sar n ON n.sa = c.sa + 1 "
+        "LEFT JOIN sar p ON p.sa = c.sa - 1)"
+    )
+    q1 = lcp_chain_sql(
+        "SELECT * FROM adj", "s0", "sn", cap,
+        keep="doc_id, s0, sp, lcp AS ln",
+    )
+    q2 = lcp_chain_sql(q1, "s0", "sp", cap, keep="doc_id, ln, lcp AS lp")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos, "
+        f"CAST(SUM(CASE WHEN greatest(ln, lp) >= {min_lcp} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+        f"FROM ({q2}) GROUP BY doc_id"
     )
 
 
@@ -7198,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_dup_spans": q_dup_spans,
         "q_suffix_dups": q_suffix_dups,
+        "q_dup_profile": q_dup_profile,
         "q_anchor_index": q_anchor_index,
         "q_dup_span_removal": q_dup_span_removal,
         "q_media_frames": q_media_frames,
@@ -8798,6 +8855,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonemap_prune": _zonemap_prune_oracle_sql(),
         "q_suffix_dups": _suffix_dups_oracle_sql(),
         "q_passage_decontaminate": _passage_decontaminate_oracle_sql(),
+        "q_dup_profile": _dup_profile_oracle_sql(),
         "q_crawl_depth": _crawl_depth_oracle_sql(),
         "q_bm25": _bm25_oracle_sql(),
         "q_hll_registers": _hll_oracle_sql(),

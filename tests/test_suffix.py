@@ -146,3 +146,30 @@ def test_passage_decontamination_catches_planted_passage(spark):
         if r.id_a < 1_000_000 <= r.id_b
     ]
     assert rows and rows[0].id_a == 9 and rows[0].max_lcp >= len(passage)
+
+
+def test_dup_profile_matches_truth(spark):
+    """n_dup counts positions whose longest match ELSEWHERE (any other
+    (doc,pos), same doc included) is >= min_lcp — computed brute-force
+    as max LCP against every other suffix, vs the SA-neighbor identity
+    max(lcp(prev), lcp(next))."""
+    from webx.suffix import dup_profile
+
+    docs = _corpus(13, "abn ", 18, 26)
+    MAX, CAP, MIN = 16, 8, 4
+    want = {}
+    suf = _truth_sa(docs, MAX)
+    strs = [s for s, _, _ in suf]
+    for i, (s, d, p) in enumerate(suf):
+        best = 0
+        for j, s2 in enumerate(strs):
+            if j != i:
+                best = max(best, _py_lcp(s, s2, CAP))
+        n_pos, n_dup = want.get(d, (0, 0))
+        want[d] = (n_pos + 1, n_dup + (best >= MIN))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pos, r.n_dup)
+        for r in dup_profile(df, min_lcp=MIN, max_chars=MAX, lcp_cap=CAP).collect()
+    }
+    assert got == want

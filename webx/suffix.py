@@ -265,3 +265,36 @@ def adjacent_dup_pairs(
             F.count("*").cast("long").alias("n_adj"),
         )
     )
+
+
+def dup_profile(
+    docs: DataFrame,
+    min_lcp: int = 20,
+    max_chars: int = 48,
+    lcp_cap: int = 32,
+    text_col: str = "text",
+    base: int = 8,
+) -> DataFrame:
+    """Per-document duplication profile → (doc_id, n_pos, n_dup): of the
+    document's suffix positions, how many start a substring of ≥
+    ``min_lcp`` chars that ALSO OCCURS ELSEWHERE in the corpus (any
+    other (doc, pos), same doc included — Lee et al. 2022's
+    duplicated-fraction statistic, the signal behind "drop documents
+    that are mostly duplicated text"). For SA position i the longest
+    match elsewhere is exactly max(lcp(i−1, i), lcp(i, i+1)) — the
+    classic SA neighbor property — so the whole profile is two shifted
+    equi-joins and one aggregate on top of the suffix array."""
+    sa = suffix_array(docs, max_chars=max_chars, text_col=text_col, base=base)
+    cur = sa.select(
+        F.col("sa").alias("i"), "doc_id", F.col("s").alias("s0")
+    )
+    nxt = sa.select((F.col("sa") - 1).alias("i"), F.col("s").alias("sn"))
+    prv = sa.select((F.col("sa") + 1).alias("i"), F.col("s").alias("sp"))
+    j = cur.join(nxt, "i", "left").join(prv, "i", "left")
+    j = with_lcp(j.fillna({"sn": "", "sp": ""}), "s0", "sn", lcp_cap, "ln")
+    j = with_lcp(j, "s0", "sp", lcp_cap, "lp")
+    dup = F.greatest("ln", "lp") >= min_lcp
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(dup.cast("long")).alias("n_dup"),
+    )

@@ -60,6 +60,11 @@ def parse_args(argv):
     p.add_argument("--no-exact-dedup", action="store_true")
     p.add_argument("--minhash-threshold", type=float, default=None,
                    help="enable MinHash near-dup keep-list at this Jaccard")
+    p.add_argument("--max-dup-frac", type=float, default=None,
+                   help="drop docs whose fraction of suffix positions "
+                        "starting a >=20-char substring duplicated "
+                        "elsewhere exceeds this (suffix-array profile, "
+                        "webx/suffix.py dup_profile)")
     p.add_argument("--dup-span-k", type=int, default=None,
                    help="enable ExactSubstr span removal at this window size")
     p.add_argument("--benchmark", default=None,
@@ -210,6 +215,16 @@ def main(argv=None) -> int:
             "doc_id",
         )
         docs = stage("dup_span_removal", docs)
+
+    if args.max_dup_frac is not None:
+        from webx.suffix import dup_profile
+
+        prof = dup_profile(docs.select("doc_id", "text"))
+        ok = prof.filter(
+            F.col("n_dup") <= args.max_dup_frac * F.col("n_pos")
+        ).select("doc_id")
+        docs = docs.join(ok, "doc_id", "left_semi")
+        docs = stage("dup_profile", docs)
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("text")

@@ -97,3 +97,33 @@ def test_curate_job_c4_and_packing(spark, tmp_path):
         F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
     )
     assert bins.filter((F.col("n") > 1) & (F.col("tot") > 64)).count() == 0
+
+
+def test_curate_job_dup_profile_gate(spark, tmp_path):
+    """--max-dup-frac engages the suffix-array duplication profile as a
+    funnel stage: survivors shrink (synth text is template-heavy, so
+    some docs exceed any strict threshold) and the stage is recorded."""
+    sys.path.insert(0, JOBS_DIR)
+    import curate as CJ
+
+    out = str(tmp_path / "curated")
+    report = str(tmp_path / "funnel.json")
+    rc = CJ.main(
+        [
+            "--synth", "/root/testdata/sf0.001",
+            "--output", out,
+            "--report", report,
+            "--funnel",
+            "--no-c4",
+            "--no-quality",
+            "--max-dup-frac", "0.35",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(open(report).read())
+    names = [s["stage"] for s in rep["stages"]]
+    counts = [s["survivors"] for s in rep["stages"]]
+    assert "dup_profile" in names
+    i = names.index("dup_profile")
+    assert counts[i] <= counts[i - 1]
+    assert rep["output_rows"] == counts[-1] > 0

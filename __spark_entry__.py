@@ -98,6 +98,16 @@ def q_extract_gnarly(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_gnarly(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship article wrapped in modern consent chrome (webx/synth.py
+    synth_pages_overlay): a GDPR modal whose long link-free paragraph
+    passes every density gate, plus a newsletter strip. Gates the
+    class/id-hint boilerplate regions (webx/tokenize.py NEG_CLASS_TOKENS,
+    the readability.js unlikelyCandidates analog) and title-as-metadata:
+    expected text is byte-identical to the unwrapped flagship page's."""
+    return run_extraction(_par(synth.synth_pages_overlay(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_charset_edge(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset prescan edge rotation (webx/synth.py
     synth_pages_charset_edge): meta-in-comment, BOM-less UTF-16LE,
@@ -7123,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_latin1": q_extract_latin1,
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_gnarly": q_extract_gnarly,
+        "q_extract_overlay": q_extract_overlay,
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_damaged": q_extract_warc_damaged,
@@ -7775,6 +7786,9 @@ def oracle_sql() -> dict[str, str]:
         # gnarly rotation: mess is chrome-only by construction, so the
         # expected text is the flagship closed form for every template
         "q_extract_gnarly": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # consent-modal + newsletter chrome: dropped by class/id-hint
+        # regions only, so the expected text is again the flagship form
+        "q_extract_overlay": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         # charset edge rotation: flagship golden + per-case suffix
         # (0xA3 under x-user-defined decodes to U+F7A3 = 63395)
         "q_extract_charset_edge": (

@@ -46,6 +46,23 @@ CORNERS = [
     b"<div>" * 50 + b"deep" + b"</div>" * 50,
     b"<br><hr><br>",
     b"<a>" * 10 + b"linked text" + b"</a>" * 20 + b"<p>f</p>",
+    # class/id-hint boilerplate regions + title-as-metadata
+    b"<div class=\"cookie-banner\">drop me</div><p>keep this paragraph</p>",
+    b"<div id=ad>unquoted drop</div>after",
+    b"<DIV CLASS='Banner'>case</DIV>rest",
+    b"<div class=\"ad content\">positive token wins</div>",
+    b"<div title=\"class=banner\">value trap stays content</div>",
+    b"<section id='sidebar'>s</section><p>b</p>",
+    b"<div class=ad><div>inner</div>still dropped</div>freed",
+    b"</div><div class=ad>stray close first</div>out",
+    b"<div class=ad/>self-closing opens a region",
+    b"<div class>no value</div>",
+    b"<div class = banner >spaced</div>",
+    b"<div class='x'id=promo>quote-adjacent</div>",
+    b"<title>Site Title</title><p>body paragraph of real text</p>",
+    b"<title>unclosed title swallowed <body>reset by body<p>kept</p>",
+    b"<head><title>t</title></head><body><p>prose</p></body>",
+    b"<div class=\"a b-c d_e 12ad\">token split</div>",
 ]
 
 
@@ -68,6 +85,11 @@ _FRAGMENTS = st.sampled_from(
         b"word", b"text body", b"\xc3\xa9", b"\xe2\x86\x92", b"\x00",
         b"<TABLE>", b"</TD>", b"<x-unknown>", b"<a b<c>", b"< a>",
         b"<p attr='q>r'>", b"<p attr=\"unterm", b"--", b"]]",
+        b"<div class=\"cookie-banner\">", b"<div id=ad>", b"<div class=ad/>",
+        b"<section class='sidebar'>", b"</section>", b"<div class=\"ad content\">",
+        b"<div title=\"class=banner\">", b"<div class = banner >",
+        b"<title>", b"</title>", b"<head>", b"</head>", b"<body>",
+        b"class=banner", b"id=promo", b"<DIV CLASS='Menu'>",
     ]
 )
 

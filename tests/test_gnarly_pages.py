@@ -195,8 +195,9 @@ def test_unterminated_comment_swallows_rest_of_file():
 #    tag-density gate (its inner <b>/<i> parse as tags). Deterministic
 #    and acceptable — the block is a markup sample, not prose; the
 #    surrounding paragraphs survive byte-exactly.
-#  * 31_cookie_overlay: the 7-char <title> and the two short
-#    banner/newsletter paragraphs survive (head-adjacent micro-blocks
-#    with zero internal links). Known limitation of the density gates;
-#    tuning them is a frozen-scoring review event (synth oracle byte
-#    arithmetic + 27 goldens), recorded in PLANS.md, not a quick fix.
+#  * 31_cookie_overlay: RESOLVED (this round's frozen-scoring review
+#    event): <title> is head metadata (title_depth → boiler) and the
+#    cookie-banner / newsletter divs fall to class/id-hint regions
+#    (tokenize.NEG_CLASS_TOKENS); golden is now the ideal article-only
+#    output. 25_frameset_noframes lost its leaked "Portal" title line
+#    in the same review.

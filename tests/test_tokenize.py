@@ -169,3 +169,102 @@ def test_unbalanced_quote_in_script_does_not_swallow_following_tag():
     [b] = tokenize(html)
     assert b.start == html.index(b"A real")  # block begins AFTER the <p> tag
     assert html[b.start : b.end] == b'A real paragraph" >more'
+
+
+# ---- title-as-metadata + class/id-hint boilerplate regions ----------
+
+def test_title_blocks_are_boiler():
+    html = b"<head><title>Site Name</title></head><body><p>real body text</p>"
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"Site Name", True),
+        (b"real body text", False),
+    ]
+    assert bs[0].heading  # still flagged heading (q_page_meta reads it)
+
+
+def test_unclosed_title_reset_at_body():
+    """An unclosed <title> must not boiler the whole page: the region
+    ends at </head> or <body> (a title cannot cross the head boundary)."""
+    html = b"<head><title>never closed</head><body><p>kept prose</p>"
+    bs = tokenize(html)
+    flags = [(html[b.start : b.end], b.boiler) for b in bs]
+    assert (b"kept prose", False) in flags
+
+
+def test_class_hint_cookie_banner_region():
+    html = (
+        b'<div class="cookie-banner"><p>We value your privacy</p></div>'
+        b"<p>article text</p>"
+    )
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"We value your privacy", True),
+        (b"article text", False),
+    ]
+
+
+def test_class_hint_positive_token_wins():
+    html = b'<div class="ad content"><p>kept: positive token</p></div>'
+    [b] = tokenize(html)
+    assert not b.boiler
+
+
+def test_class_hint_id_and_unquoted():
+    html = b"<div id=newsletter><p>drop</p></div><section class=sidebar>s</section><p>k</p>"
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"drop", True),
+        (b"s", True),
+        (b"k", False),
+    ]
+
+
+def test_class_hint_not_fooled_by_other_attr_value():
+    """'class=banner' inside ANOTHER attribute's quoted value must not
+    mark the element (sequential attr parse, not substring match)."""
+    html = b'<div title="class=banner" data-x="id=ad"><p>kept</p></div>'
+    [b] = tokenize(html)
+    assert not b.boiler
+
+
+def test_class_hint_nested_divs_depth_matched():
+    """The region ends at ITS close tag: inner divs (even unbalanced
+    opens that do close) stay inside; following content is free."""
+    html = (
+        b'<div class="promo"><div><p>inner drop</p></div><p>also drop</p></div>'
+        b"<p>free again</p>"
+    )
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"inner drop", True),
+        (b"also drop", True),
+        (b"free again", False),
+    ]
+
+
+def test_class_hint_stray_close_benign():
+    html = b'</div><div class="ads"><p>x</p></div><p>y</p>'
+    bs = tokenize(html)
+    assert [(html[b.start : b.end], b.boiler) for b in bs] == [
+        (b"x", True),
+        (b"y", False),
+    ]
+
+
+def test_class_hint_token_boundaries():
+    # "topnav" is ONE token — not the "nav" token; no region
+    html = b'<div class="topnav"><p>kept</p></div>'
+    [b] = tokenize(html)
+    assert not b.boiler
+    # hyphen splits: "so-cial" != social; "share-bar" → {share, bar} hits
+    html2 = b'<div class="share-bar"><p>drop</p></div>'
+    [b2] = tokenize(html2)
+    assert b2.boiler
+
+
+def test_class_hint_only_div_and_section():
+    # conservative scope: a <table class="nav"> is NOT a hint region
+    html = b'<table class="nav"><tr><td>cell text</td></tr></table>'
+    [b] = tokenize(html)
+    assert not b.boiler

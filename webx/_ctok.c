@@ -84,24 +84,29 @@ static inline uint8_t lo(uint8_t c) {
 #define F_RAWTEXT 8
 #define F_A       16
 #define F_NOSCRIPT 32
+#define F_TITLE   64   /* head metadata: blocks inside are boiler */
+#define F_HEAD    128  /* </head> resets the title region */
+#define F_BODY    256  /* <body> resets the title region */
+#define F_DIV     512  /* class/id-hint boilerplate candidate container */
+#define F_SECTION 1024
 
 typedef struct { const char* name; int flags; } tagent;
 
 static const tagent TAGS[] = {
-    {"p", F_BLOCK}, {"div", F_BLOCK},
+    {"p", F_BLOCK}, {"div", F_BLOCK|F_DIV},
     {"h1", F_BLOCK|F_HEADING}, {"h2", F_BLOCK|F_HEADING}, {"h3", F_BLOCK|F_HEADING},
     {"h4", F_BLOCK|F_HEADING}, {"h5", F_BLOCK|F_HEADING}, {"h6", F_BLOCK|F_HEADING},
     {"li", F_BLOCK}, {"ul", F_BLOCK}, {"ol", F_BLOCK}, {"dl", F_BLOCK},
     {"dt", F_BLOCK}, {"dd", F_BLOCK}, {"table", F_BLOCK}, {"thead", F_BLOCK},
     {"tbody", F_BLOCK}, {"tfoot", F_BLOCK}, {"tr", F_BLOCK}, {"td", F_BLOCK},
     {"th", F_BLOCK}, {"br", F_BLOCK}, {"hr", F_BLOCK}, {"article", F_BLOCK},
-    {"section", F_BLOCK}, {"header", F_BLOCK|F_BOILER}, {"footer", F_BLOCK|F_BOILER},
+    {"section", F_BLOCK|F_SECTION}, {"header", F_BLOCK|F_BOILER}, {"footer", F_BLOCK|F_BOILER},
     {"nav", F_BLOCK|F_BOILER}, {"aside", F_BLOCK|F_BOILER}, {"main", F_BLOCK},
-    {"blockquote", F_BLOCK}, {"pre", F_BLOCK}, {"title", F_BLOCK|F_HEADING},
+    {"blockquote", F_BLOCK}, {"pre", F_BLOCK}, {"title", F_BLOCK|F_HEADING|F_TITLE},
     {"form", F_BLOCK|F_BOILER}, {"figure", F_BLOCK}, {"figcaption", F_BLOCK},
     {"fieldset", F_BLOCK}, {"legend", F_BLOCK}, {"address", F_BLOCK},
-    {"summary", F_BLOCK}, {"details", F_BLOCK}, {"body", F_BLOCK},
-    {"html", F_BLOCK}, {"head", F_BLOCK},
+    {"summary", F_BLOCK}, {"details", F_BLOCK}, {"body", F_BLOCK|F_BODY},
+    {"html", F_BLOCK}, {"head", F_BLOCK|F_HEAD},
     {"script", F_RAWTEXT}, {"style", F_RAWTEXT}, {"textarea", F_RAWTEXT},
     {"a", F_A}, {"noscript", F_NOSCRIPT},
     {NULL, 0},
@@ -147,6 +152,8 @@ typedef struct {
     int closing;       /* group(1) == b"/" */
     long name_start;
     long name_len;
+    long attr_start;   /* group(3) extent: [attr_start, attr_end) */
+    long attr_end;     /* (one trailing '/' excluded, as the regex does) */
 } tagmatch;
 
 /* Try to match the full _TAG_RE alternation with h[p] == '<'.
@@ -210,6 +217,9 @@ static int try_match(const uint8_t* h, long n, long p, tagmatch* m) {
         if (a == '>') {
             m->end = s + 1; m->is_tag = 1; m->closing = closing;
             m->name_start = ns; m->name_len = nl;
+            m->attr_start = r;
+            /* group(3) excludes the optional trailing '/' of '/?>' */
+            m->attr_end = (s > r && h[s - 1] == '/') ? s - 1 : s;
             return 1;
         }
         if (a == '"' || a == '\'') {
@@ -247,6 +257,103 @@ static long rawtext_end(const uint8_t* h, long n, const uint8_t* lname, long nl,
     return n;
 }
 
+/* ---- class/id-hint boilerplate regions ----------------------------
+ * Bit-identical port of tokenize.class_hint_boiler: a div/section whose
+ * class/id value tokens ([a-z0-9]+ runs, lowercased) contain a negative
+ * token and no positive token is a boilerplate region until its
+ * depth-matched close tag. Lists mirror tokenize.py NEG_CLASS_TOKENS /
+ * POS_CLASS_TOKENS exactly (readability.js unlikelyCandidates analog,
+ * minus comment-section tokens — reviewed policy keeps comments). */
+
+static const char* NEG_TOKENS[] = {
+    "ad", "ads", "advert", "advertisement", "adsense", "agegate", "banner",
+    "breadcrumb", "breadcrumbs", "consent", "cookie", "cookies", "foot",
+    "footer", "gdpr", "header", "masthead", "menu", "modal", "nav", "navbar",
+    "navigation", "newsletter", "overlay", "pager", "pagination", "paywall",
+    "popup", "promo", "related", "rss", "share", "sharebar", "sharing",
+    "sidebar", "signup", "skyscraper", "social", "sponsor", "sponsored",
+    "subscribe", "subscription", "widget", NULL,
+};
+static const char* POS_TOKENS[] = {
+    "article", "body", "column", "content", "entry", "main", "post",
+    "story", NULL,
+};
+#define HINT_TOKEN_MAX 15  /* longest set entry is 13; longer can't match */
+
+static inline int is_name_stop(uint8_t c) {
+    return is_ws(c) || c == '=' || c == '/' || c == '"' || c == '\'';
+}
+static inline int is_alnum_b(uint8_t c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+           (c >= '0' && c <= '9');
+}
+static int hint_token_in(const uint8_t* t, long len, const char** set) {
+    char buf[HINT_TOKEN_MAX + 1];
+    if (len > HINT_TOKEN_MAX) return 0;
+    for (long i = 0; i < len; i++) buf[i] = (char)lo(t[i]);
+    buf[len] = 0;
+    for (int i = 0; set[i]; i++) {
+        if (strcmp(set[i], buf) == 0) return 1;
+    }
+    return 0;
+}
+
+/* attrs = h[a0:a1). Returns 1 iff boilerplate-marked (neg && !pos). */
+static int class_hint_boiler(const uint8_t* h, long a0, long a1) {
+    long i = a0;
+    int neg = 0;
+    while (i < a1) {
+        if (is_name_stop(h[i])) { i++; continue; }
+        long j = i + 1;
+        while (j < a1 && !is_name_stop(h[j])) j++;
+        long name_s = i, name_l = j - i;
+        i = j;
+        while (i < a1 && is_ws(h[i])) i++;
+        long val_s = 0, val_l = 0;
+        if (i < a1 && h[i] == '=') {
+            i++;
+            while (i < a1 && is_ws(h[i])) i++;
+            if (i < a1 && (h[i] == '"' || h[i] == '\'')) {
+                uint8_t q = h[i];
+                long k = i + 1;
+                while (k < a1 && h[k] != q) k++;
+                val_s = i + 1;
+                val_l = k - val_s;
+                i = (k < a1) ? k + 1 : a1;
+            } else {
+                long k = i;
+                while (k < a1 && !is_ws(h[k])) k++;
+                val_s = i;
+                val_l = k - i;
+                i = k;
+            }
+        }
+        int is_classid =
+            (name_l == 5 && lo(h[name_s]) == 'c' && lo(h[name_s + 1]) == 'l' &&
+             lo(h[name_s + 2]) == 'a' && lo(h[name_s + 3]) == 's' &&
+             lo(h[name_s + 4]) == 's') ||
+            (name_l == 2 && lo(h[name_s]) == 'i' && lo(h[name_s + 1]) == 'd');
+        if (val_l > 0 && is_classid) {
+            long k = val_s, ve = val_s + val_l;
+            while (k < ve) {
+                if (is_alnum_b(h[k])) {
+                    long j2 = k + 1;
+                    while (j2 < ve && is_alnum_b(h[j2])) j2++;
+                    if (hint_token_in(h + k, j2 - k, POS_TOKENS)) return 0;
+                    if (hint_token_in(h + k, j2 - k, NEG_TOKENS)) neg = 1;
+                    k = j2;
+                } else {
+                    k++;
+                }
+            }
+        }
+    }
+    return neg;
+}
+
+#define MAX_HINT_STACK 64
+typedef struct { int tagbit; long depth; } hintent;
+
 /* ---- growable block buffer ---- */
 
 typedef struct {
@@ -278,6 +385,9 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
     int64_t b_start = -1, b_end = -1, b_tlen = 0, b_link = 0, b_tags = 0;
     int b_heading = 0, b_boiler = 0;
     long a_depth = 0, boiler_depth = 0, heading_depth = 0;
+    long title_depth = 0, div_depth = 0, sect_depth = 0;
+    hintent hint_stack[MAX_HINT_STACK];
+    int hint_top = 0;
 
     long pos = 0;
     while (1) {
@@ -307,7 +417,7 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
                 b_tlen += tl;
                 if (a_depth > 0) b_link += tl;
                 if (heading_depth > 0) b_heading = 1;
-                if (boiler_depth > 0) b_boiler = 1;
+                if (boiler_depth > 0 || title_depth > 0) b_boiler = 1;
             }
         }
         pos = m.end;
@@ -330,6 +440,35 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
             if (flags & F_HEADING) {
                 if (m.closing) { if (heading_depth > 0) heading_depth--; }
                 else heading_depth++;
+                if (flags & F_TITLE) {
+                    if (m.closing) { if (title_depth > 0) title_depth--; }
+                    else title_depth++;
+                }
+            } else if (flags & (F_DIV | F_SECTION)) {
+                long* dp = (flags & F_DIV) ? &div_depth : &sect_depth;
+                int bit = flags & (F_DIV | F_SECTION);
+                if (m.closing) {
+                    if (*dp > 0) (*dp)--;
+                    if (hint_top > 0 && hint_stack[hint_top - 1].tagbit == bit &&
+                        hint_stack[hint_top - 1].depth == *dp) {
+                        hint_top--;
+                        if (boiler_depth > 0) boiler_depth--;
+                    }
+                } else {
+                    if (m.attr_end > m.attr_start && hint_top < MAX_HINT_STACK &&
+                        class_hint_boiler(html, m.attr_start, m.attr_end)) {
+                        hint_stack[hint_top].tagbit = bit;
+                        hint_stack[hint_top].depth = *dp;
+                        hint_top++;
+                        boiler_depth++;
+                    }
+                    (*dp)++;
+                }
+            } else if (flags & F_HEAD) {
+                /* a title region cannot cross the head boundary */
+                if (m.closing) title_depth = 0;
+            } else if (flags & F_BODY) {
+                if (!m.closing) title_depth = 0;
             }
         } else if (flags & F_RAWTEXT) {
             if (!m.closing) {
@@ -368,7 +507,7 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
             b_tlen += tl;
             if (a_depth > 0) b_link += tl;
             if (heading_depth > 0) b_heading = 1;
-            if (boiler_depth > 0) b_boiler = 1;
+            if (boiler_depth > 0 || title_depth > 0) b_boiler = 1;
         }
     }
     if (b_start >= 0 && b_tlen > 0) {

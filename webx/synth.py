@@ -56,6 +56,30 @@ P_AD = (
     '<a href="/deal">Deal</a></div>'
 )
 P_MID2 = "</p></article><!-- ad -->" + P_AD + "<article><h2>Notes</h2><p>"
+# Consent-modal + newsletter-strip page (q_extract_overlay): the modal
+# paragraph is LONG, link-free and high-density — only the class/id-hint
+# region logic (webx/tokenize.py NEG_CLASS_TOKENS) can drop it; the
+# density gates alone would keep it. Expected text stays the flagship
+# closed form, so the oracle is q_extract's.
+P_MODAL = (
+    '<div id="gdpr-modal" class="overlay"><section class="consent-dialog">'
+    "<h2>Your privacy matters</h2>"
+    "<p>We and our partners process personal data such as browsing behaviour "
+    "and unique identifiers to deliver and measure advertising; you can "
+    "withdraw consent at any time from the preferences page of this site.</p>"
+    '<p><a href="#accept">Accept</a> <a href="#manage">Manage options</a></p>'
+    "</section></div>"
+)
+P_STRIP = (
+    '<div class="newsletter"><p>Get our headlines in your inbox every '
+    'morning, completely free of charge.</p>'
+    '<a href="/signup">Sign up now</a></div>'
+)
+_ARTICLE_OPEN = "<article><h1>"
+_ARTICLE_CLOSE = "</p></article>"
+assert P_CHROME.endswith(_ARTICLE_OPEN) and P_TAIL.startswith(_ARTICLE_CLOSE)
+P_CHROME_MODAL = P_CHROME[: -len(_ARTICLE_OPEN)] + P_MODAL + _ARTICLE_OPEN
+P_TAIL_STRIP = _ARTICLE_CLOSE + P_STRIP + P_TAIL[len(_ARTICLE_CLOSE) :]
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
 ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
 BOILER_ONLY_BODY = (
@@ -166,6 +190,22 @@ def golden_flagship_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spans"),
     )
+
+
+def synth_pages_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page wrapped in modern consent chrome: a GDPR modal
+    before the article and a newsletter strip after it (both pure-ASCII
+    template constants). Expected text is UNCHANGED from the flagship —
+    ``'Doc '||doc_id||'\\n'||norm(text)`` — which gates the class/id-hint
+    boilerplate regions: the modal's long, link-free paragraph survives
+    every density gate and is dropped only by the hint region."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_MODAL), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_STRIP),
+    )
+    return docs.select(*_assemble(html))
 
 
 def synth_pages_multi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,12 @@ annotated with the features stage 1 scores:
 * ``heading`` — emitted inside ``h1..h6`` / ``title``
 * ``boiler`` — emitted inside ``nav/header/footer/aside/form/noscript``
   (structural ignore-regions, the ignore-tag analog of
-  reference mindocr/data/transforms/det_transforms.py:62-65)
+  reference mindocr/data/transforms/det_transforms.py:62-65), inside
+  ``title`` (head metadata, never body content — q_page_meta surfaces
+  it as a field), or inside a ``div``/``section`` whose ``class``/``id``
+  tokens mark it boilerplate (cookie banners, share bars, newsletter
+  prompts — the class-hint analog of readability.js's public
+  ``unlikelyCandidates``/``okMaybeItsACandidate`` heuristic)
 """
 
 from __future__ import annotations
@@ -51,6 +56,97 @@ HEADING_TAGS = frozenset(b"h1 h2 h3 h4 h5 h6 title".split())
 RAWTEXT_TAGS = frozenset(b"script style textarea".split())
 
 WS = b" \t\r\n\f\v"
+
+# ---- class/id-hint boilerplate regions -------------------------------
+# A div/section opened with a class or id containing one of these tokens
+# (and none of the positive tokens) is a boilerplate region until its
+# matching close tag: cookie/consent banners, share bars, newsletter
+# prompts, ad units, old-web div-chrome. The lists follow readability.js's
+# public unlikelyCandidates / okMaybeItsACandidate heuristic, minus
+# comment-section tokens — this repo's reviewed policy KEEPS comment
+# sections (tests/test_realistic_pages.py:47-49); filtering them is a
+# downstream quality-model decision. Tokens are maximal [a-z0-9]+ runs of
+# the lowercased attribute value: class="cookie-banner" → {cookie, banner}.
+NEG_CLASS_TOKENS = frozenset(
+    b"ad ads advert advertisement adsense agegate banner breadcrumb breadcrumbs "
+    b"consent cookie cookies foot footer gdpr header masthead menu modal nav "
+    b"navbar navigation newsletter overlay pager pagination paywall popup promo "
+    b"related rss share sharebar sharing sidebar signup skyscraper social "
+    b"sponsor sponsored subscribe subscription widget".split()
+)
+# Any positive token anywhere in the element's class/id wins (the
+# okMaybeItsACandidate override): class="article-header" stays content.
+POS_CLASS_TOKENS = frozenset(
+    b"article body column content entry main post story".split()
+)
+_MAX_HINT_STACK = 64   # nested marked regions tracked (C kernel mirror)
+_NAME_STOP = frozenset(b" \t\r\n\f\v=/\"'")
+_WS_SET = frozenset(WS)
+_ALNUM = frozenset(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def class_hint_boiler(attrs: bytes) -> bool:
+    """True iff the tag's ``class``/``id`` tokens mark it boilerplate:
+    some negative token present and no positive token anywhere.
+
+    Sequential attribute parse (names until a stop byte; values quoted
+    or unquoted-until-whitespace) — NOT a regex, so a ``class=banner``
+    string inside some OTHER attribute's quoted value can never match.
+    webx/_ctok.c `class_hint_boiler` is the bit-identical compiled port
+    (differential-fuzzed, tests/test_ctokenize.py)."""
+    n = len(attrs)
+    i = 0
+    neg = False
+    while i < n:
+        if attrs[i] in _NAME_STOP:
+            i += 1
+            continue
+        j = i + 1
+        while j < n and attrs[j] not in _NAME_STOP:
+            j += 1
+        name = attrs[i:j]
+        i = j
+        while i < n and attrs[i] in _WS_SET:
+            i += 1
+        val = b""
+        if i < n and attrs[i] == 0x3D:  # '='
+            i += 1
+            while i < n and attrs[i] in _WS_SET:
+                i += 1
+            if i < n and attrs[i] in (0x22, 0x27):  # quoted value
+                q = attrs[i]
+                k = attrs.find(q, i + 1)
+                if k < 0:
+                    val = attrs[i + 1 :]
+                    i = n
+                else:
+                    val = attrs[i + 1 : k]
+                    i = k + 1
+            else:  # unquoted value: until whitespace
+                k = i
+                while k < n and attrs[k] not in _WS_SET:
+                    k += 1
+                val = attrs[i:k]
+                i = k
+        if val and (name == b"class" or name == b"id" or name.lower() in (b"class", b"id")):
+            m = len(val)
+            k = 0
+            while k < m:
+                if val[k] in _ALNUM:
+                    j2 = k + 1
+                    while j2 < m and val[j2] in _ALNUM:
+                        j2 += 1
+                    tok = val[k:j2].lower()
+                    k = j2
+                    if tok in POS_CLASS_TOKENS:
+                        return False
+                    if tok in NEG_CLASS_TOKENS:
+                        neg = True
+                else:
+                    k += 1
+    return neg
 
 # One regex pass over the bytes: comments, CDATA, doctype/PI, or a tag.
 # Attribute values may contain '>' inside quotes.
@@ -98,6 +194,10 @@ def tokenize(html: bytes) -> List[Block]:
     a_depth = 0
     boiler_depth = 0
     heading_depth = 0
+    title_depth = 0        # <title> is head metadata, never body content
+    div_depth = 0
+    sect_depth = 0
+    hint_stack: list = []  # (tag name, depth at open) of class-hint regions
 
     pos = 0
     search = _TAG_RE.search
@@ -124,7 +224,7 @@ def tokenize(html: bytes) -> List[Block]:
                     b_link += tl
                 if heading_depth > 0:
                     b_heading = True
-                if boiler_depth > 0:
+                if boiler_depth > 0 or title_depth > 0:
                     b_boiler = True
         pos = m.end()
         slash, name = m.group(1, 2)
@@ -148,6 +248,43 @@ def tokenize(html: bytes) -> List[Block]:
                 boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
             if lname in HEADING_TAGS:
                 heading_depth = max(0, heading_depth - 1) if closing else heading_depth + 1
+                if lname == b"title":
+                    title_depth = max(0, title_depth - 1) if closing else title_depth + 1
+            elif lname == b"div" or lname == b"section":
+                if closing:
+                    if lname == b"div":
+                        if div_depth > 0:
+                            div_depth -= 1
+                        d = div_depth
+                    else:
+                        if sect_depth > 0:
+                            sect_depth -= 1
+                        d = sect_depth
+                    if hint_stack and hint_stack[-1] == (lname, d):
+                        hint_stack.pop()
+                        boiler_depth = max(0, boiler_depth - 1)
+                else:
+                    d = div_depth if lname == b"div" else sect_depth
+                    attrs = m.group(3)
+                    if (
+                        attrs
+                        and len(hint_stack) < _MAX_HINT_STACK
+                        and class_hint_boiler(attrs)
+                    ):
+                        hint_stack.append((lname, d))
+                        boiler_depth += 1
+                    if lname == b"div":
+                        div_depth += 1
+                    else:
+                        sect_depth += 1
+            elif lname == b"head":
+                # a title region cannot cross the head boundary: an
+                # unclosed <title> must not boiler the whole page
+                if closing:
+                    title_depth = 0
+            elif lname == b"body":
+                if not closing:
+                    title_depth = 0
         elif lname in RAWTEXT_TAGS:
             if slash != b"/":
                 pos = _rawtext_end(html, lname, pos)
@@ -184,7 +321,7 @@ def tokenize(html: bytes) -> List[Block]:
                 b_link += tl
             if heading_depth > 0:
                 b_heading = True
-            if boiler_depth > 0:
+            if boiler_depth > 0 or title_depth > 0:
                 b_boiler = True
     # final flush
     if b_start >= 0 and b_tlen > 0:

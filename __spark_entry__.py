@@ -108,6 +108,17 @@ def q_extract_overlay(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_overlay(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_rawkept(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-KEPT element decode (webx/synth.py synth_pages_rawkept): the
+    article ends with an <xmp> markup sample whose content is literal
+    text per the HTML spec — tags shown, character references NOT
+    decoded. Gates the raw-kept lexer category (webx/tokenize.py
+    RAWKEPT_TAGS, one block with tag_cnt=0) and the split decoder
+    (webx/recognize.py decode_span_rawkept): the expected extra line is
+    the source bytes verbatim."""
+    return run_extraction(_par(synth.synth_pages_rawkept(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_charset_edge(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset prescan edge rotation (webx/synth.py
     synth_pages_charset_edge): meta-in-comment, BOM-less UTF-16LE,
@@ -7134,6 +7145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_overlay": q_extract_overlay,
+        "q_extract_rawkept": q_extract_rawkept,
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_damaged": q_extract_warc_damaged,
@@ -7789,6 +7801,13 @@ def oracle_sql() -> dict[str, str]:
         # consent-modal + newsletter chrome: dropped by class/id-hint
         # regions only, so the expected text is again the flagship form
         "q_extract_overlay": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # raw-kept <xmp> sample: its content is LITERAL text (tags shown,
+        # entities undecoded), so the extra line is the source constant
+        "q_extract_rawkept": (
+            f"SELECT {URL} AS url, ({GOLDEN} || {NL} || "
+            "'Use <b>tags</b> &amp; entities literally, as written.') AS text "
+            "FROM documents"
+        ),
         # charset edge rotation: flagship golden + per-case suffix
         # (0xA3 under x-user-defined decodes to U+F7A3 = 63395)
         "q_extract_charset_edge": (

@@ -63,6 +63,17 @@ CORNERS = [
     b"<title>unclosed title swallowed <body>reset by body<p>kept</p>",
     b"<head><title>t</title></head><body><p>prose</p></body>",
     b"<div class=\"a b-c d_e 12ad\">token split</div>",
+    # raw-kept elements (xmp/plaintext) + listing-as-block
+    b"<p>pre</p><xmp>Use <b>bold</b> &amp; raw</xmp><p>post</p>",
+    b"<xmp>unclosed raw to eof <p>ghost</p>",
+    b"<plaintext>rest <of> file is &amp; raw <p>forever",
+    b"<listing>parsed <b>like pre</b></listing><p>z</p>",
+    b"</xmp>stray close<p>k</p>",
+    b"<XMP Class='y'>upper raw</XMP>tail",
+    b"<a><xmp>linked raw</xmp></a>",
+    b"<nav><xmp>boiler raw</xmp></nav><p>free</p>",
+    b"<xmp>   </xmp>ws-only raw",
+    b"<script><xmp>hidden by script</xmp></script><p>q</p>",
 ]
 
 
@@ -90,6 +101,8 @@ _FRAGMENTS = st.sampled_from(
         b"<div title=\"class=banner\">", b"<div class = banner >",
         b"<title>", b"</title>", b"<head>", b"</head>", b"<body>",
         b"class=banner", b"id=promo", b"<DIV CLASS='Menu'>",
+        b"<xmp>", b"</xmp>", b"<plaintext>", b"<listing>", b"</listing>",
+        b"<XMP a='b'>", b"&amp;", b"<b>raw?</b>",
     ]
 )
 

@@ -191,10 +191,10 @@ def test_unterminated_comment_swallows_rest_of_file():
 
 # Review verdicts for specimens whose goldens document a LIMITATION
 # rather than ideal output (re-reviewed whenever goldens regenerate):
-#  * 30_xmp_plaintext: the <xmp> markup example drops under the
-#    tag-density gate (its inner <b>/<i> parse as tags). Deterministic
-#    and acceptable — the block is a markup sample, not prose; the
-#    surrounding paragraphs survive byte-exactly.
+#  * 30_xmp_plaintext: RESOLVED — <xmp>/<plaintext> are raw-KEPT
+#    elements now (one block, tag_cnt=0; stage 2 keeps tags literal and
+#    leaves character references undecoded per spec); the golden shows
+#    the markup sample verbatim. <listing> parses like <pre>.
 #  * 31_cookie_overlay: RESOLVED (this round's frozen-scoring review
 #    event): <title> is head metadata (title_depth → boiler) and the
 #    cookie-banner / newsletter divs fall to class/id-hint regions

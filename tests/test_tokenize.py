@@ -268,3 +268,63 @@ def test_class_hint_only_div_and_section():
     html = b'<table class="nav"><tr><td>cell text</td></tr></table>'
     [b] = tokenize(html)
     assert not b.boiler
+
+
+# ---- raw-kept elements: <xmp> / <plaintext> (+ <listing> as block) ---
+
+def test_xmp_is_one_raw_block_tags_literal():
+    html = b"<p>before</p><xmp>Use <b>bold</b> &amp; raw</xmp><p>after</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [
+        b"before",
+        b"Use <b>bold</b> &amp; raw",
+        b"after",
+    ]
+    raw = bs[1]
+    assert raw.tag_cnt == 0  # markup bytes inside are literal text
+    assert raw.tlen == len(b"Use <b>bold</b> &amp; raw".replace(b" ", b""))
+
+
+def test_plaintext_runs_to_eof():
+    html = b"<p>x</p><plaintext>rest <p>is</p> raw forever"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [
+        b"x",
+        b"rest <p>is</p> raw forever",
+    ]
+    assert bs[1].tag_cnt == 0
+
+
+def test_listing_parses_like_pre():
+    html = b"<listing>shown <b>parsed</b></listing><p>z</p>"
+    bs = tokenize(html)
+    # extent trims to the last TEXT byte (the trailing </b> is a tag)
+    assert [html[b.start : b.end] for b in bs] == [b"shown <b>parsed", b"z"]
+    assert bs[0].tag_cnt == 2  # <b>/</b> parsed as tags, unlike xmp
+
+
+def test_xmp_inherits_boiler_and_link_context():
+    html = b"<nav><xmp>chrome sample</xmp></nav><a><xmp>linked</xmp></a>"
+    bs = tokenize(html)
+    assert bs[0].boiler and not bs[1].boiler
+    assert bs[1].link_tlen == bs[1].tlen
+
+
+def test_xmp_decode_keeps_entities_and_tags():
+    import pandas as pd
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    html = (
+        b"<html><body><h1>Raw text demo heading</h1>"
+        b"<p>The paragraph before the example is normal prose with &amp; decoding.</p>"
+        b"<xmp>literal <tags> stay &amp; entities do not decode</xmp>"
+        b"<p>The paragraph after keeps flowing as entirely normal prose.</p>"
+        b"</body></html>"
+    )
+    for mode in ("auto", "off"):
+        out = extract_batch(
+            pd.DataFrame({"url": ["u"], "html": [html]}), ExtractConfig(ckernels=mode)
+        ).iloc[0]["text"]
+        assert "literal <tags> stay &amp; entities do not decode" in out, mode
+        assert "normal prose with & decoding." in out, mode

@@ -89,6 +89,8 @@ static inline uint8_t lo(uint8_t c) {
 #define F_BODY    256  /* <body> resets the title region */
 #define F_DIV     512  /* class/id-hint boilerplate candidate container */
 #define F_SECTION 1024
+#define F_RAWKEPT 2048 /* xmp/plaintext: raw text that IS displayed */
+#define F_PLAINTEXT 4096 /* no close tag: content runs to EOF */
 
 typedef struct { const char* name; int flags; } tagent;
 
@@ -109,6 +111,8 @@ static const tagent TAGS[] = {
     {"html", F_BLOCK}, {"head", F_BLOCK|F_HEAD},
     {"script", F_RAWTEXT}, {"style", F_RAWTEXT}, {"textarea", F_RAWTEXT},
     {"a", F_A}, {"noscript", F_NOSCRIPT},
+    {"listing", F_BLOCK},
+    {"xmp", F_RAWKEPT}, {"plaintext", F_RAWKEPT|F_PLAINTEXT},
     {NULL, 0},
 };
 
@@ -255,6 +259,31 @@ static long rawtext_end(const uint8_t* h, long n, const uint8_t* lname, long nl,
         }
     }
     return n;
+}
+
+/* rawkept_close: content_end = offset of the '<' of the matching
+ * case-insensitive close tag, resume = just past it; both len(html)
+ * when unclosed (mirrors tokenize._rawkept_end). */
+static void rawkept_close(const uint8_t* h, long n, const uint8_t* lname,
+                          long nl, long pos, long* content_end, long* resume) {
+    for (long i = pos; i + 1 + nl < n; i++) {
+        if (h[i] != '<' || h[i + 1] != '/') continue;
+        long k = 0;
+        for (; k < nl; k++) {
+            if (lo(h[i + 2 + k]) != lname[k]) break;
+        }
+        if (k != nl) continue;
+        long j = i + 2 + nl;
+        if (j >= n) continue;
+        if (h[j] == '>') { *content_end = i; *resume = j + 1; return; }
+        if (is_ws(h[j])) {
+            long e = j + 1;
+            while (e < n && h[e] != '>') e++;
+            if (e < n) { *content_end = i; *resume = e + 1; return; }
+        }
+    }
+    *content_end = n;
+    *resume = n;
 }
 
 /* ---- class/id-hint boilerplate regions ----------------------------
@@ -482,6 +511,41 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
             }
             b_start = -1; b_end = -1; b_tlen = 0; b_link = 0; b_tags = 0;
             b_heading = 0; b_boiler = 0;
+        } else if (flags & F_RAWKEPT) {
+            /* flush (raw-kept element is a hard block boundary) */
+            if (b_start >= 0 && b_tlen > 0) {
+                if (!push_block(&buf, b_start, b_end, b_tlen, b_link, b_tags,
+                                b_heading, b_boiler)) { free(buf.data); return NULL; }
+            }
+            b_start = -1; b_end = -1; b_tlen = 0; b_link = 0; b_tags = 0;
+            b_heading = 0; b_boiler = 0;
+            if (!m.closing) {
+                long c_end, resume;
+                if (flags & F_PLAINTEXT) {
+                    c_end = n; resume = n;
+                } else {
+                    uint8_t lname[12];
+                    for (long k = 0; k < m.name_len; k++)
+                        lname[k] = lo(html[m.name_start + k]);
+                    rawkept_close(html, n, lname, m.name_len, pos,
+                                  &c_end, &resume);
+                }
+                /* emit the raw content as its OWN block (tag_cnt = 0:
+                 * markup bytes inside are literal text) */
+                long lead = pos;
+                while (lead < c_end && is_ws(html[lead])) lead++;
+                if (lead < c_end) {
+                    long trail = c_end;
+                    while (trail > lead && is_ws(html[trail - 1])) trail--;
+                    int64_t tl = wx_count_nonws(html, lead, trail);
+                    if (!push_block(&buf, lead, trail, tl,
+                                    a_depth > 0 ? tl : 0, 0,
+                                    heading_depth > 0,
+                                    (boiler_depth > 0 || title_depth > 0)))
+                        { free(buf.data); return NULL; }
+                }
+                pos = resume;
+            }
         } else if (flags & F_A) {
             if (m.closing) { if (a_depth > 0) a_depth--; }
             else a_depth++;

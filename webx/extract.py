@@ -36,7 +36,13 @@ from webx.detect import (
     merge_runs_table,
     validate_spans,
 )
-from webx.recognize import decode_span, decode_stripped, is_ascii_compatible
+from webx.recognize import (
+    decode_span,
+    decode_span_rawkept,
+    decode_stripped,
+    has_rawkept,
+    is_ascii_compatible,
+)
 from webx.tokenize import Block, tokenize
 
 
@@ -234,7 +240,11 @@ def _decode_spans(
         if s.score < cfg.drop_score:  # drop_score filter (predict_system.py:92-100)
             continue
         raw = html[s.start : s.end]
-        if strip_norm is not None:
+        if has_rawkept(raw):
+            # <xmp>/<plaintext> region inside the span (1996-era rare):
+            # literal-text decode on the reference Python path
+            text = decode_span_rawkept(raw, charset)
+        elif strip_norm is not None:
             out, done = strip_norm(raw)
             # done: out IS the normalized text — pure-ASCII bytes, and
             # the charset passed the ASCII-compatibility probe, so

@@ -27,7 +27,8 @@ from webx.entities import unescape
 _BLOCK_NAMES = (
     rb"p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|"
     rb"article|section|header|footer|nav|aside|main|blockquote|pre|title|form|"
-    rb"figure|figcaption|fieldset|legend|address|summary|details|body|html|head"
+    rb"figure|figcaption|fieldset|legend|address|summary|details|body|html|head|"
+    rb"listing"
 )
 
 _RAWTEXT_RE = re.compile(
@@ -74,23 +75,29 @@ def strip_markup(raw: bytes) -> bytes:
     return _ANYTAG_RE.sub(b"", raw)
 
 
-def decode_stripped(raw: bytes, charset: str) -> str:
-    """Steps 3-6 over already-markup-stripped bytes: charset decode,
-    entities, CR normalize, whitespace collapse, line trim/join."""
+def _charset_decode(raw: bytes, charset: str) -> str:
     if charset == "x-user-defined":
         from webx.charset import _XUD_TABLE
 
-        text = raw.decode("latin-1").translate(_XUD_TABLE)
-    else:
-        try:
-            text = raw.decode(charset, errors="replace")
-        except LookupError:
-            text = raw.decode("utf-8", errors="replace")
-    text = unescape(text)
+        return raw.decode("latin-1").translate(_XUD_TABLE)
+    try:
+        return raw.decode(charset, errors="replace")
+    except LookupError:
+        return raw.decode("utf-8", errors="replace")
+
+
+def _normalize_text(text: str) -> str:
+    """CR normalize, whitespace collapse, line trim/join (steps 5-6)."""
     if "\r" in text:  # one memchr probe skips two alloc passes
         text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [ln.strip() for ln in _collapse_hws(text).split("\n")]
     return "\n".join(ln for ln in lines if ln)
+
+
+def decode_stripped(raw: bytes, charset: str) -> str:
+    """Steps 3-6 over already-markup-stripped bytes: charset decode,
+    entities, CR normalize, whitespace collapse, line trim/join."""
+    return _normalize_text(unescape(_charset_decode(raw, charset)))
 
 
 def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
@@ -98,6 +105,79 @@ def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
     the markup-removal kernel (python or C — resolved once per batch by
     webx.extract.resolve_strip)."""
     return decode_stripped(strip(raw), charset)
+
+
+# ---- raw-KEPT elements (xmp / plaintext) -----------------------------
+# HTML-spec raw text whose content IS displayed: tags literal, character
+# references NOT decoded. Spans containing one are rare (1996-era
+# markup); webx.extract routes them here after a cheap probe. The
+# splitter walks the span left-to-right honoring the LEXER's precedence:
+# comments/CDATA and script/style/textarea islands encountered first
+# hide any raw-kept open inside them (webx/tokenize.py consumes them the
+# same way), so block boundaries and decode regions agree.
+
+_RAWKEPT_PROBE_RE = re.compile(rb"<(?:xmp|plaintext)[\s/>]", re.I)
+_RAWKEPT_SPLIT_RE = re.compile(
+    rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"          # skip: comment/CDATA
+    rb"|<(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"  # skip: rawtext
+    rb"|<(xmp|plaintext)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>",      # split: raw-kept
+    re.I | re.S,
+)
+
+
+def has_rawkept(raw: bytes) -> bool:
+    return _RAWKEPT_PROBE_RE.search(raw) is not None
+
+
+_XMP_CLOSE_RE = re.compile(rb"</xmp(?:\s[^>]*)?>", re.I)
+
+
+def decode_span_rawkept(raw: bytes, charset: str, strip=strip_markup) -> str:
+    """decode_span for spans containing <xmp>/<plaintext>: normal
+    segments take the regular markup-strip + entity path; raw-kept
+    content is charset-decoded and whitespace-normalized ONLY (no tag
+    strip, no entity substitution — per spec the bytes are literal
+    text). plaintext has no close tag: content runs to the span end."""
+    parts = []
+    seg_start = 0  # start of the current normal segment
+    cursor = 0     # search resumes here (may be past skipped islands)
+    n = len(raw)
+    while cursor < n:
+        m = _RAWKEPT_SPLIT_RE.search(raw, cursor)
+        if m is None:
+            break
+        if m.group(2) is None:
+            # comment/CDATA or script/style/textarea island: opaque to
+            # raw-kept opens (lexer precedence); it stays inside the
+            # normal segment for the regular strip pass
+            cursor = max(m.end(), cursor + 1)
+            continue
+        pre = raw[seg_start : m.start()]
+        if pre:
+            t = decode_stripped(strip(pre), charset)
+            if t:
+                parts.append(t)
+        if m.group(2).lower() == b"plaintext":
+            content = raw[m.end() :]
+            nxt = n
+        else:
+            c = _XMP_CLOSE_RE.search(raw, m.end())
+            if c is None:
+                content = raw[m.end() :]
+                nxt = n
+            else:
+                content = raw[m.end() : c.start()]
+                nxt = c.end()
+        t = _normalize_text(_charset_decode(content, charset))
+        if t:
+            parts.append(t)
+        seg_start = cursor = nxt
+    tail = raw[seg_start:]
+    if tail:
+        t = decode_stripped(strip(tail), charset)
+        if t:
+            parts.append(t)
+    return "\n".join(parts)
 
 
 _ASCII_PROBE = bytes(range(128))

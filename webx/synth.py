@@ -80,6 +80,14 @@ _ARTICLE_CLOSE = "</p></article>"
 assert P_CHROME.endswith(_ARTICLE_OPEN) and P_TAIL.startswith(_ARTICLE_CLOSE)
 P_CHROME_MODAL = P_CHROME[: -len(_ARTICLE_OPEN)] + P_MODAL + _ARTICLE_OPEN
 P_TAIL_STRIP = _ARTICLE_CLOSE + P_STRIP + P_TAIL[len(_ARTICLE_CLOSE) :]
+# Raw-kept element page (q_extract_rawkept): an <xmp> markup sample
+# inside the article. Per spec its content is literal text — tags shown,
+# character references NOT decoded — so the expected line IS the source
+# bytes (whitespace-normalized), a pure constant for the oracle.
+XMP_SAMPLE = "Use <b>tags</b> &amp; entities literally, as written."
+P_TAIL_XMP = (
+    "</p><xmp>" + XMP_SAMPLE + "</xmp></article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
 ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
 BOILER_ONLY_BODY = (
@@ -204,6 +212,19 @@ def synth_pages_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_MODAL), did, F.lit(P_MID),
         esc, F.lit(P_TAIL_STRIP),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_rawkept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with an <xmp> markup sample.
+    Expected text: flagship closed form + '\\n' + XMP_SAMPLE verbatim
+    (raw-kept: tags literal, entities undecoded)."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_XMP),
     )
     return docs.select(*_assemble(html))
 

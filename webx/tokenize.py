@@ -48,12 +48,21 @@ class Block(NamedTuple):
 BLOCK_TAGS = frozenset(
     b"p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr td th "
     b"br hr article section header footer nav aside main blockquote pre title "
-    b"form figure figcaption fieldset legend address summary details body html head".split()
+    b"form figure figcaption fieldset legend address summary details body html head "
+    b"listing".split()
 )
 BOILER_TAGS = frozenset(b"nav header footer aside form noscript".split())
 HEADING_TAGS = frozenset(b"h1 h2 h3 h4 h5 h6 title".split())
 # Raw-text elements: content is skipped wholesale (never text).
 RAWTEXT_TAGS = frozenset(b"script style textarea".split())
+# Raw-KEPT elements (1996-era): raw text that IS displayed — tags shown
+# literally, character references NOT decoded (HTML spec: xmp and
+# plaintext are raw text elements; plaintext has no close tag — the rest
+# of the file is its content). Each becomes ONE block with tag_cnt=0;
+# stage 2 decodes the region without tag-strip or entity substitution
+# (webx/recognize.py decode_span_rawkept). <listing> is NOT raw — it
+# parses like <pre> (it is in BLOCK_TAGS above).
+RAWKEPT_TAGS = frozenset(b"xmp plaintext".split())
 
 WS = b" \t\r\n\f\v"
 
@@ -168,6 +177,18 @@ def _rawtext_end(html: bytes, name: bytes, pos: int) -> int:
     close = re.compile(rb"</" + re.escape(name) + rb"(?:\s[^>]*)?>", re.I)
     m = close.search(html, pos)
     return m.end() if m else len(html)
+
+
+def _rawkept_end(html: bytes, name: bytes, pos: int) -> "tuple[int, int]":
+    """(content_end, resume_pos) for a raw-kept element opened at pos:
+    content ends at the '<' of ``</name...>``, scanning resumes past it;
+    unclosed → both are len(html) (same convention as _rawtext_end)."""
+    close = re.compile(rb"</" + re.escape(name) + rb"(?:\s[^>]*)?>", re.I)
+    m = close.search(html, pos)
+    if m is None:
+        n = len(html)
+        return n, n
+    return m.start(), m.end()
 
 
 def tokenize(html: bytes) -> List[Block]:
@@ -298,6 +319,43 @@ def tokenize(html: bytes) -> List[Block]:
             b_tags = 0
             b_heading = False
             b_boiler = False
+        elif lname in RAWKEPT_TAGS:
+            # flush (raw-kept element is a hard block boundary)
+            if b_start >= 0 and b_tlen > 0:
+                append(Block(b_start, b_end, b_tlen, b_link, b_tags, b_heading, b_boiler))
+            b_start = -1
+            b_end = -1
+            b_tlen = 0
+            b_link = 0
+            b_tags = 0
+            b_heading = False
+            b_boiler = False
+            if slash != b"/":
+                if lname == b"plaintext":
+                    c_end = n
+                    r_end = n
+                else:
+                    c_end, r_end = _rawkept_end(html, lname, pos)
+                # emit the raw content as its OWN block: the markup
+                # bytes inside are literal text (tag_cnt stays 0)
+                seg = html[pos:c_end]
+                stripped = seg.strip(WS)
+                if stripped:
+                    tl = len(stripped.translate(None, WS))
+                    s0 = pos + (len(seg) - len(seg.lstrip(WS)))
+                    e0 = c_end - (len(seg) - len(seg.rstrip(WS)))
+                    append(
+                        Block(
+                            s0,
+                            e0,
+                            tl,
+                            tl if a_depth > 0 else 0,
+                            0,
+                            heading_depth > 0,
+                            boiler_depth > 0 or title_depth > 0,
+                        )
+                    )
+                pos = r_end
         elif lname == b"a":
             a_depth = max(0, a_depth - 1) if slash == b"/" else a_depth + 1
             b_tags += 1

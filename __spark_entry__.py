@@ -119,6 +119,19 @@ def q_extract_rawkept(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_rawkept(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_nonprose(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-prose drop regions (webx/synth.py synth_pages_nonprose): the
+    article's last paragraph mixes prose with inline svg (a11y
+    title/desc + chart labels), a ruby annotation, a select/option
+    list, and a button. Gates the DROP lexer category
+    (webx/tokenize.py DROP_TAGS — inline region, one tag, text never
+    counts, ends at close tag or block boundary) and the stage-2 drop
+    pass (webx/recognize.py _strip_droptext): the regions' text must
+    vanish without splitting surrounding words (ruby glues, no stray
+    spaces)."""
+    return run_extraction(_par(synth.synth_pages_nonprose(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_charset_edge(spark: SparkSession, sf: str) -> DataFrame:
     """WHATWG charset prescan edge rotation (webx/synth.py
     synth_pages_charset_edge): meta-in-comment, BOM-less UTF-16LE,
@@ -7146,6 +7159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_overlay": q_extract_overlay,
         "q_extract_rawkept": q_extract_rawkept,
+        "q_extract_nonprose": q_extract_nonprose,
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_damaged": q_extract_warc_damaged,
@@ -7807,6 +7821,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, ({GOLDEN} || {NL} || "
             "'Use <b>tags</b> &amp; entities literally, as written.') AS text "
             "FROM documents"
+        ),
+        # non-prose drop regions: svg/ruby/select/button text vanishes,
+        # leaving exactly this prose line after the flagship golden
+        "q_extract_nonprose": (
+            f"SELECT {URL} AS url, ({GOLDEN} || {NL} || "
+            "'Quarterly rates fell to nine percent as the 東京 office "
+            "reported this spring; pick a region and then confirm the "
+            "filing window.') AS text FROM documents"
         ),
         # charset edge rotation: flagship golden + per-case suffix
         # (0xA3 under x-user-defined decodes to U+F7A3 = 63395)

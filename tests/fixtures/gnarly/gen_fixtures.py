@@ -321,6 +321,68 @@ page("32_bare_lt_math", """<!DOCTYPE html><html><head><meta charset="utf-8"><tit
 </article><footer><a href="/f">f</a></footer></body></html>""")
 
 
+page("34_country_select", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Shipping</title></head><body>
+<nav><a href="/">Shop</a><a href="/cart">Cart</a></nav>
+<article><h1>International shipping rates</h1>
+<p>Orders ship from the Rotterdam warehouse within two business days; customs
+forms are prepared automatically for destinations outside the union.</p>
+<p>Pick a destination
+<select name="country"><option value="">Choose...</option><option>Netherlands<option>Belgium<option>Germany<option selected>France</select>
+or start typing into the search box
+<input list="ports"><datalist id="ports"><option value="Rotterdam"><option value="Antwerp">Antwerp harbour</datalist>
+and the duty estimate updates in place.</p>
+<p>Flat-rate boxes cost the same to every zone, which beats the per-kilo
+tariff once a parcel passes four kilograms.</p>
+<button class="cta">Calculate my rate</button>
+</article><footer><a href="/terms">Terms</a></footer></body></html>""")
+
+page("35_ruby_annotations", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>読み方</title></head><body>
+<nav><a href="/">ホーム</a><a href="/kanji">漢字</a></nav>
+<article><h1>駅名の読み方</h1>
+<p>終点の<ruby>御茶ノ水<rp>（</rp><rt>おちゃのみず</rt><rp>）</rp></ruby>駅で各駅停車に乗り換えると、
+<ruby>秋葉原<rt>あきはばら</ruby>駅まで一駅で着きます。</p>
+<p>案内放送は日本語と英語の順に流れ、ホームの電光掲示板にも両方の表記が出ます。</p>
+</article><footer><a href="/about">運営情報</a></footer></body></html>""")
+
+page("36_inline_svg_chart", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Latency report</title></head><body>
+<nav><a href="/">Status</a><a href="/history">History</a></nav>
+<article><h1>March latency report</h1>
+<p>Median latency fell to eleven milliseconds
+<svg width="120" height="24" role="img"><title>sparkline of weekly medians</title><desc>values 14 13 12 11</desc><polyline points="0,20 40,16 80,12 120,8"/><text x="2" y="10">p50</text></svg>
+after the cache layer landed, a third below the February figure.</p>
+<p>Tail latency tells the same story: the chart's right edge
+<svg viewBox="0 0 80 20"><rect width="60" height="8"/><text x="4" y="16">p99 41ms</text></svg>
+sits well under the old alert threshold.</p>
+<p>The formula the dashboard uses is
+<math><mi>p</mi><mo>=</mo><mfrac><mi>t</mi><mn>1000</mn></mfrac></math>
+with samples bucketed per minute.</p>
+</article><footer><a href="/rss">RSS</a></footer></body></html>""")
+
+page("37_video_fallback", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Launch recap</title></head><body>
+<nav><a href="/">Space blog</a><a href="/launches">Launches</a></nav>
+<article><h1>Night launch recap</h1>
+<p>The booster cleared the tower at 03:14 local time and the downrange
+camera caught the stage separation against a clear sky.</p>
+<video controls poster="/launch.jpg"><source src="/launch.mp4" type="video/mp4"><source src="/launch.webm" type="video/webm">
+Your browser does not support embedded video; download the clip below.</video>
+<p>Recovery crews reported the drone ship landing twelve minutes later,
+the eighth flight for this particular booster.</p>
+<audio controls src="/commentary.mp3">Audio commentary requires a newer browser.</audio>
+<p>A full telemetry breakdown follows once the flight data is public.</p>
+</article><footer><a href="/archive">Archive</a></footer></body></html>""")
+
+page("38_spa_template_shell", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Orders</title></head><body>
+<nav><a href="/">Console</a><a href="/orders">Orders</a></nav>
+<article><h1>Order history</h1>
+<p>Completed orders appear below within a minute of payment capture;
+refunds show as negative rows in the same table.</p>
+<template id="row-tpl"><div class="row"><span>{{id}}</span><span>{{total}}</span><button>Reorder</button></div></template>
+<template id="empty-tpl"><div><p>No orders yet. Browse the catalog to get started.</p></div></template>
+<p>Export is available as CSV for any date range up to one year.</p>
+<iframe src="https://pay.example.com/widget" title="payment widget"><p>The payment widget needs frames; open the standalone page instead.</p></iframe>
+</article><footer><a href="/support">Support</a></footer></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

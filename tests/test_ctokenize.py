@@ -74,6 +74,26 @@ CORNERS = [
     b"<nav><xmp>boiler raw</xmp></nav><p>free</p>",
     b"<xmp>   </xmp>ws-only raw",
     b"<script><xmp>hidden by script</xmp></script><p>q</p>",
+    # non-prose drop regions + iframe/template as rawtext
+    b"<p>before <svg><text>label</text></svg> after</p>",
+    b"<p>a <select><option>US<option>CA</select> b</p>",
+    b"<p><ruby>\xe6\xbc\xa2<rt>kan</rt></ruby> base</p>",
+    b"<p><rt>omitted close<rt>next annot</ruby>done</p>",
+    b"<p>unclosed <svg>swallow<p>rescued by block tag</p>",
+    b"<p>sc <svg/> self-closed opens no region</p>",
+    b"<svg><!-- </svg> -->hidden terminator</svg><p>k</p>",
+    b"<svg><script>'</svg>'</script>x</svg><p>m</p>",
+    b"<SELECT Class='c'><OPTION>A</SELECT>tail",
+    b"<button>Confirm</button><math><mi>x</mi></math><p>t</p>",
+    b"<video controls>no support text</video><audio>a</audio>end",
+    b"<datalist><option>1<option>2</datalist><p>d</p>",
+    b"<iframe src=/x><p>fallback</p></iframe><p>real</p>",
+    b"<iframe>unclosed rawtext to eof <p>gone</p>",
+    b"<template><div>inert {{x}}</div></template><p>v</p>",
+    b"</svg>stray close<rp/>selfclosed<p>w</p>",
+    b"<svgx>not svg</svgx><rtc>not rt</rtc><p>u</p>",
+    b"<svg attr='q>r'>quoted gt in open tag</svg><p>g</p>",
+    b"<p>eof-unterminated <select><option>A",
 ]
 
 
@@ -103,6 +123,14 @@ _FRAGMENTS = st.sampled_from(
         b"class=banner", b"id=promo", b"<DIV CLASS='Menu'>",
         b"<xmp>", b"</xmp>", b"<plaintext>", b"<listing>", b"</listing>",
         b"<XMP a='b'>", b"&amp;", b"<b>raw?</b>",
+        # non-prose drop regions + iframe/template rawtext
+        b"<svg>", b"</svg>", b"<svg viewBox='0 0 1 1'>", b"<svg/>",
+        b"<select>", b"</select>", b"<option>", b"<button>", b"</button>",
+        b"<rt>", b"</rt>", b"<rp>", b"<ruby>", b"</ruby>", b"<rtc>",
+        b"<math>", b"</math>", b"<video>", b"</video>", b"<audio>",
+        b"</audio>", b"<datalist>", b"</datalist>", b"<iframe>",
+        b"</iframe>", b"<template>", b"</template>", b"<SVG >", b"</SVG>",
+        b"<svgx>", b"<Rt x=1>", b"<rp/>", b"<svg attr='q>r'>",
     ]
 )
 

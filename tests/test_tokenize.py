@@ -133,12 +133,81 @@ def test_definition_list():
     assert [html[b.start : b.end] for b in bs] == [b"Term", b"The definition text"]
 
 
-def test_svg_inline_content_kept_as_inline():
-    # unknown tags (svg/text/path) are inline: they don't split blocks
+def test_svg_is_a_non_prose_drop_region():
+    # svg is a DROP region: inline (no block split), ONE tag, and its
+    # text (chart labels) contributes nothing
     html = b"<p>before <svg><text>label</text></svg> after</p>"
     [b] = tokenize(html)
     assert html[b.start : b.end] == b"before <svg><text>label</text></svg> after"
-    assert b.tag_cnt == 4
+    assert b.tag_cnt == 1
+    assert b.tlen == len(b"before") + len(b"after")
+
+
+def test_select_options_and_button_text_dropped():
+    html = (
+        b"<p>Ship to <select name=c><option>Canada<option>Mexico</select>"
+        b" by <button>Confirm order</button> now</p>"
+    )
+    [b] = tokenize(html)
+    assert b.tlen == len(b"Shipto") + len(b"by") + len(b"now")
+    assert b.tag_cnt == 2  # the two regions
+
+
+def test_unclosed_drop_region_ends_at_block_tag():
+    html = b"<p>before <svg><circle r=4/>junk<p>next paragraph</p>"
+    bs = tokenize(html)
+    texts = [html[b.start : b.end] for b in bs]
+    assert texts == [b"before", b"next paragraph"]
+
+
+def test_ruby_annotations_dropped_base_kept():
+    # explicit closes, omitted closes (next <rt>/<rp>), and </ruby>
+    html = "<p><ruby>漢字<rp>(</rp><rt>かんじ</rt><rp>)</rp></ruby>と<ruby>水<rt>みず</ruby>も</p>".encode()
+    [b] = tokenize(html)
+    assert b.tlen == len("漢字と水も".encode())
+
+
+def test_selfclosing_drop_open_is_just_a_tag():
+    html = b"<p>a <svg/> b <math  /> c</p>"
+    [b] = tokenize(html)
+    assert b.tlen == 3
+    assert b.tag_cnt == 2
+
+
+def test_stray_drop_close_is_inline_tag():
+    html = b"<p>x </svg> y</p>"
+    [b] = tokenize(html)
+    assert b.tlen == 2 and b.tag_cnt == 1
+
+
+def test_drop_terminator_hidden_inside_comment_and_script():
+    # comment and rawtext islands hide </svg> from the region scan
+    html = b"<p>a <svg><!-- </svg> --><script>'</svg>';</script>x</svg> b</p>"
+    [b] = tokenize(html)
+    assert b.tlen == 2  # 'a' + 'b'; the svg text 'x' never counts
+
+
+def test_video_audio_fallback_dropped():
+    html = (
+        b"<p>clip <video controls><source src=v.mp4>Your browser does not "
+        b"support the video tag.</video> here</p>"
+    )
+    [b] = tokenize(html)
+    assert b.tlen == len(b"clip") + len(b"here")
+
+
+def test_iframe_is_rawtext_fallback_never_text():
+    # iframe content is raw text per the HTML spec: tags inside are not
+    # parsed, text never surfaces, the element is a block boundary
+    html = b"<iframe src=/ad><p>buy things</p></iframe><p>story</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"story"]
+
+
+def test_template_content_inert():
+    html = b"<template><div>row template {{x}}</div></template><p>page</p>"
+    bs = tokenize(html)
+    assert [html[b.start : b.end] for b in bs] == [b"page"]
 
 
 def test_iframe_and_noscript():

@@ -91,6 +91,8 @@ static inline uint8_t lo(uint8_t c) {
 #define F_SECTION 1024
 #define F_RAWKEPT 2048 /* xmp/plaintext: raw text that IS displayed */
 #define F_PLAINTEXT 4096 /* no close tag: content runs to EOF */
+#define F_DROP 8192    /* non-prose region: svg/math/select/button/... */
+#define F_RUBY 16384   /* rt/rp: ruby-annotation boundary extras */
 
 typedef struct { const char* name; int flags; } tagent;
 
@@ -110,9 +112,13 @@ static const tagent TAGS[] = {
     {"summary", F_BLOCK}, {"details", F_BLOCK}, {"body", F_BLOCK|F_BODY},
     {"html", F_BLOCK}, {"head", F_BLOCK|F_HEAD},
     {"script", F_RAWTEXT}, {"style", F_RAWTEXT}, {"textarea", F_RAWTEXT},
+    {"iframe", F_RAWTEXT}, {"template", F_RAWTEXT},
     {"a", F_A}, {"noscript", F_NOSCRIPT},
     {"listing", F_BLOCK},
     {"xmp", F_RAWKEPT}, {"plaintext", F_RAWKEPT|F_PLAINTEXT},
+    {"svg", F_DROP}, {"math", F_DROP}, {"select", F_DROP},
+    {"button", F_DROP}, {"datalist", F_DROP}, {"audio", F_DROP},
+    {"video", F_DROP}, {"rt", F_DROP|F_RUBY}, {"rp", F_DROP|F_RUBY},
     {NULL, 0},
 };
 
@@ -284,6 +290,130 @@ static void rawkept_close(const uint8_t* h, long n, const uint8_t* lname,
     }
     *content_end = n;
     *resume = n;
+}
+
+/* ---- non-prose DROP regions ---------------------------------------
+ * drop_end: bit-identical mirror of tokenize._drop_end. Resume offset
+ * past a drop region (svg/math/select/button/datalist/audio/video/
+ * rt/rp) opened at pos: just past the matching close tag, AT the '<'
+ * of a boundary tag (left for the main loop), or n when unterminated.
+ * Arms in the Python regex's precedence order: comment (unterminated
+ * -> region to EOF), CDATA (exact-case, terminator required), rawtext
+ * island open..close (terminators hidden inside it are invisible),
+ * own close tag (consumed), block-level tag boundary open-or-close
+ * plus, for rt/rp, the ruby omitted-end-tag boundaries
+ * (</ruby>, <rt>, <rp> -- not consumed). */
+static const char* DROP_RAW_NAMES[] = {
+    "iframe", "script", "style", "template", "textarea", NULL};
+
+static long drop_end(const uint8_t* h, long n, const uint8_t* lname,
+                     long nl, long pos, int ruby) {
+    long i = pos;
+    while (i < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(h + i, '<', (size_t)(n - i));
+        if (!lt) return n;
+        i = lt - h;
+        /* arm 1: comment */
+        if (i + 3 < n && h[i + 1] == '!' && h[i + 2] == '-' && h[i + 3] == '-') {
+            long e = -1;
+            for (long k = i + 4; k + 1 < n; k++) {
+                if (h[k] == '-' && h[k + 1] == '-') {
+                    long j = k + 2;
+                    while (j < n && is_ws(h[j])) j++;
+                    if (j < n && h[j] == '>') { e = j + 1; break; }
+                }
+            }
+            if (e < 0) return n; /* unterminated comment: region to EOF */
+            i = e;
+            continue;
+        }
+        /* arm 2: CDATA (no terminator -> arm fails, fall through) */
+        if (i + 8 < n && memcmp(h + i + 1, "![CDATA[", 8) == 0) {
+            long e = -1;
+            for (long k = i + 9; k + 2 < n; k++) {
+                if (h[k] == ']' && h[k + 1] == ']' && h[k + 2] == '>') {
+                    e = k + 3;
+                    break;
+                }
+            }
+            if (e > 0) { i = e; continue; }
+        }
+        /* arm 3: rawtext island (open..close; incomplete -> arm fails) */
+        {
+            long adv = -1;
+            for (int t = 0; DROP_RAW_NAMES[t]; t++) {
+                const char* nm = DROP_RAW_NAMES[t];
+                long rl = (long)strlen(nm);
+                if (i + 1 + rl >= n) continue;
+                long k = 0;
+                while (k < rl && lo(h[i + 1 + k]) == (uint8_t)nm[k]) k++;
+                if (k != rl) continue;
+                long j = i + 1 + rl;
+                long oe = -1;
+                if (h[j] == '>') oe = j + 1;
+                else if (is_ws(h[j])) {
+                    const uint8_t* g = (const uint8_t*)memchr(
+                        h + j + 1, '>', (size_t)(n - j - 1));
+                    if (g) oe = (g - h) + 1;
+                }
+                if (oe > 0) {
+                    for (long q = oe; q + 1 < n; q++) {
+                        if (h[q] != '<' || h[q + 1] != '/') continue;
+                        if (q + 2 + rl > n) break;
+                        long c = 0;
+                        while (c < rl && lo(h[q + 2 + c]) == (uint8_t)nm[c]) c++;
+                        if (c != rl) continue;
+                        long mm = q + 2 + rl;
+                        if (mm < n && h[mm] == '>') { adv = mm + 1; break; }
+                        if (mm < n && is_ws(h[mm])) {
+                            const uint8_t* g2 = (const uint8_t*)memchr(
+                                h + mm + 1, '>', (size_t)(n - mm - 1));
+                            if (g2) { adv = (g2 - h) + 1; break; }
+                        }
+                    }
+                }
+                break; /* at most one rawtext name matches here */
+            }
+            if (adv > 0) { i = adv; continue; }
+        }
+        /* arm 4: own close tag (consumed) */
+        if (i + 1 < n && h[i + 1] == '/' && i + 2 + nl <= n) {
+            long k = 0;
+            while (k < nl && lo(h[i + 2 + k]) == lname[k]) k++;
+            if (k == nl) {
+                long j = i + 2 + nl;
+                if (j < n && h[j] == '>') return j + 1;
+                if (j < n && is_ws(h[j])) {
+                    const uint8_t* g = (const uint8_t*)memchr(
+                        h + j + 1, '>', (size_t)(n - j - 1));
+                    if (g) return (g - h) + 1;
+                }
+            }
+        }
+        /* arm 5: block-tag boundary (+ ruby extras), not consumed */
+        {
+            long r = i + 1;
+            int closing = 0;
+            if (r < n && h[r] == '/') { closing = 1; r++; }
+            long ns = r;
+            while (r < n && (is_alpha(h[r]) || (h[r] >= '0' && h[r] <= '9'))) r++;
+            long rl = r - ns;
+            if (rl > 0 && r < n && (h[r] == '>' || h[r] == '/' || is_ws(h[r]))) {
+                int f2 = classify(h + ns, rl);
+                /* boundary = BLOCK minus <title> (svg a11y pattern) */
+                if ((f2 & F_BLOCK) && !(f2 & F_TITLE)) return i;
+                if (ruby) {
+                    if (closing && rl == 4 && lo(h[ns]) == 'r' &&
+                        lo(h[ns + 1]) == 'u' && lo(h[ns + 2]) == 'b' &&
+                        lo(h[ns + 3]) == 'y')
+                        return i;
+                    if (!closing && (f2 & F_RUBY)) return i;
+                }
+            }
+        }
+        i += 1;
+    }
+    return n;
 }
 
 /* ---- class/id-hint boilerplate regions ----------------------------
@@ -545,6 +675,17 @@ int64_t* wx_tokenize(const uint8_t* html, long n, long* out_count) {
                         { free(buf.data); return NULL; }
                 }
                 pos = resume;
+            }
+        } else if (flags & F_DROP) {
+            /* non-prose region: ONE inline tag; content contributes no
+             * text (self-closed opens and stray closes are just tags) */
+            b_tags++;
+            if (!m.closing && html[m.end - 2] != '/') {
+                uint8_t lname[12];
+                for (long k = 0; k < m.name_len; k++)
+                    lname[k] = lo(html[m.name_start + k]);
+                pos = drop_end(html, n, lname, m.name_len, pos,
+                               (flags & F_RUBY) != 0);
             }
         } else if (flags & F_A) {
             if (m.closing) { if (a_depth > 0) a_depth--; }
@@ -889,9 +1030,11 @@ static long gt_scan(const uint8_t* h, long n, long s) {
     return g ? (g - h) + 1 : -1;
 }
 
-static const char* RAW_NAMES[] = {"script", "style", "textarea", NULL};
+static const char* RAW_NAMES[] = {
+    "script", "style", "textarea", "iframe", "template", NULL};
 
-/* pass 1: <(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>  -> ' ' */
+/* pass 1: <(script|style|textarea|iframe|template)(?:\s[^>]*)?>
+ *         .*?</\1(?:\s[^>]*)?>  -> ' ' */
 static long pass_rawtext(const uint8_t* in, long n, uint8_t* out) {
     long o = 0, pos = 0;
     while (pos < n) {
@@ -929,7 +1072,7 @@ static long pass_rawtext(const uint8_t* in, long n, uint8_t* out) {
                 match_end = ce;
                 break;
             }
-            break; /* the three names are prefix-free: only one can start here */
+            break; /* the names are prefix-free: only one can start here */
         }
         if (match_end > 0) {
             out[o++] = ' ';
@@ -980,6 +1123,104 @@ static long pass_comment(const uint8_t* in, long n, uint8_t* out) {
             out[o++] = '<';
             pos = p + 1;
         }
+    }
+    memcpy(out + o, in + pos, (size_t)(n - pos));
+    o += n - pos;
+    return o;
+}
+
+/* pass 2.5: non-prose DROP regions (recognize._strip_droptext mirror).
+ * Runs after the rawtext and comment passes, so terminators hidden
+ * inside those islands are already gone. Open = '<' + drop name
+ * (maximal alnum run classifying F_DROP) + follow in [\s/>] +
+ * quote-aware attrs + '>'. Self-closed open (byte before '>' is '/')
+ * keeps the tag bytes (the anytag pass removes them) and opens no
+ * region. Otherwise [open_start, terminator) -> '' (inline annotation:
+ * no space), where the terminator is the own close tag (consumed), a
+ * block-tag boundary or ruby extra (NOT consumed), or end of input. */
+static long pass_drop(const uint8_t* in, long n, uint8_t* out) {
+    long o = 0, pos = 0;
+    while (pos < n) {
+        const uint8_t* lt = (const uint8_t*)memchr(in + pos, '<', (size_t)(n - pos));
+        if (!lt) break;
+        long p = lt - in;
+        memcpy(out + o, in + pos, (size_t)(p - pos));
+        o += p - pos;
+        pos = p;
+        /* match a drop-element open tag at p */
+        long r = p + 1;
+        long ns = r;
+        while (r < n && (is_alpha(in[r]) || (in[r] >= '0' && in[r] <= '9'))) r++;
+        long nl = r - ns;
+        int flags = (nl > 0 && r < n &&
+                     (in[r] == '>' || in[r] == '/' || is_ws(in[r])))
+                        ? classify(in + ns, nl)
+                        : 0;
+        long oe = (flags & F_DROP) ? attr_scan(in, n, r) : -1;
+        if (oe < 0) {
+            out[o++] = '<';
+            pos = p + 1;
+            continue;
+        }
+        if (in[oe - 2] == '/') { /* self-closing: tag only, no region */
+            memcpy(out + o, in + p, (size_t)(oe - p));
+            o += oe - p;
+            pos = oe;
+            continue;
+        }
+        uint8_t lname[12];
+        for (long k = 0; k < nl; k++) lname[k] = lo(in[ns + k]);
+        int ruby = (flags & F_RUBY) != 0;
+        /* terminator scan (no island arms: already stripped) */
+        long term = n;      /* resume offset */
+        long i = oe;
+        while (i < n) {
+            const uint8_t* lt2 = (const uint8_t*)memchr(in + i, '<', (size_t)(n - i));
+            if (!lt2) { i = n; break; }
+            i = lt2 - in;
+            /* own close (consumed) */
+            if (i + 1 < n && in[i + 1] == '/' && i + 2 + nl <= n) {
+                long k = 0;
+                while (k < nl && lo(in[i + 2 + k]) == lname[k]) k++;
+                if (k == nl) {
+                    long j = i + 2 + nl;
+                    if (j < n && in[j] == '>') { term = j + 1; break; }
+                    if (j < n && is_ws(in[j])) {
+                        long e = gt_scan(in, n, j + 1);
+                        if (e > 0) { term = e; break; }
+                    }
+                }
+            }
+            /* block-tag boundary (+ ruby extras), not consumed */
+            {
+                long r2 = i + 1;
+                int closing = 0;
+                if (r2 < n && in[r2] == '/') { closing = 1; r2++; }
+                long ns2 = r2;
+                while (r2 < n &&
+                       (is_alpha(in[r2]) || (in[r2] >= '0' && in[r2] <= '9')))
+                    r2++;
+                long rl2 = r2 - ns2;
+                if (rl2 > 0 && r2 < n &&
+                    (in[r2] == '>' || in[r2] == '/' || is_ws(in[r2]))) {
+                    int f2 = classify(in + ns2, rl2);
+                    /* boundary = BLOCK minus <title> (svg a11y) */
+                    int hit = (f2 & F_BLOCK) != 0 && (f2 & F_TITLE) == 0;
+                    if (!hit && ruby) {
+                        if (closing && rl2 == 4 && lo(in[ns2]) == 'r' &&
+                            lo(in[ns2 + 1]) == 'u' && lo(in[ns2 + 2]) == 'b' &&
+                            lo(in[ns2 + 3]) == 'y')
+                            hit = 1;
+                        if (!closing && (f2 & F_RUBY)) hit = 1;
+                    }
+                    if (hit) { term = i; break; }
+                }
+            }
+            i += 1;
+        }
+        if (i >= n) term = n;
+        /* region replaced by NOTHING (inline annotation, no space) */
+        pos = term;
     }
     memcpy(out + o, in + pos, (size_t)(n - pos));
     o += n - pos;
@@ -1058,7 +1299,7 @@ static long pass_anytag(const uint8_t* in, long n, uint8_t* out) {
     return o;
 }
 
-/* All four passes chained. Returns a malloc'd buffer (never longer than
+/* All five passes chained. Returns a malloc'd buffer (never longer than
  * n; at least 1 byte so free() is uniform); *out_n gets the length. */
 uint8_t* wx_strip(const uint8_t* in, long n, long* out_n) {
     *out_n = 0;
@@ -1068,11 +1309,12 @@ uint8_t* wx_strip(const uint8_t* in, long n, long* out_n) {
     if (!a || !b) { free(a); free(b); return NULL; }
     long la = pass_rawtext(in, n, a);
     long lb = pass_comment(a, la, b);
-    la = pass_blocktag(b, lb, a);
-    lb = pass_anytag(a, la, b);
-    free(a);
-    *out_n = lb;
-    return b;
+    la = pass_drop(b, lb, a);
+    lb = pass_blocktag(a, la, b);
+    la = pass_anytag(b, lb, a);
+    free(b);
+    *out_n = la;
+    return a;
 }
 
 /* ====================================================================

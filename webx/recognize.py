@@ -5,8 +5,11 @@ repeated chars → drop blank tokens → join
 (mindocr/postprocess/rec_postprocess.py:75-142). Our span decoder is the
 same shape over markup:
 
-1. drop raw-text element content (script/style/textarea) and comments —
-   the *blank tokens*;
+1. drop raw-text element content (script/style/textarea, plus
+   iframe/template whose content the spec never displays), comments,
+   and non-prose DROP regions (svg/math/select/button/datalist/
+   audio/video/rt/rp — chart labels, option lists, fallback text,
+   ruby annotations) — the *blank tokens*;
 2. block-boundary tags → ``\n``, all other tags → `''` — token removal
    preserving reading order (``sorted_boxes`` is free: byte order IS
    reading order, tools/infer/text/utils.py:93-101);
@@ -32,7 +35,8 @@ _BLOCK_NAMES = (
 )
 
 _RAWTEXT_RE = re.compile(
-    rb"<(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>", re.I | re.S
+    rb"<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>",
+    re.I | re.S,
 )
 _COMMENT_RE = re.compile(rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>", re.S)
 _BLOCKTAG_RE = re.compile(
@@ -66,11 +70,82 @@ def _collapse_hws(text: str) -> str:
 
 
 
+# ---- non-prose DROP regions (tokenize.DROP_TAGS, stage-2 side) -------
+# Same region semantics as the lexer: a drop element's content is
+# removed from the decoded text. This pass runs AFTER the rawtext and
+# comment passes, so terminators hidden inside those islands are
+# invisible here exactly as the lexer's drop scan skips them.
+_DROP_NAMES = rb"svg|math|select|button|datalist|audio|video|rt|rp"
+_DROP_PROBE_RE = re.compile(rb"<(?:" + _DROP_NAMES + rb")[\s/>]", re.I)
+_DROP_OPEN_RE = re.compile(
+    rb"<(" + _DROP_NAMES + rb")(?=[\s/>])((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.I,
+)
+
+
+# boundary set = block names minus <title> (HTML5 foreign-content
+# breakout excludes it; `<svg><title>` is the a11y pattern)
+_DROP_BOUNDARY_NAMES = (
+    rb"p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|"
+    rb"article|section|header|footer|nav|aside|main|blockquote|pre|form|"
+    rb"figure|figcaption|fieldset|legend|address|summary|details|body|html|head|"
+    rb"listing"
+)
+
+
+def _drop_end_re(name: bytes) -> "re.Pattern[bytes]":
+    boundary = rb"</?(?:" + _DROP_BOUNDARY_NAMES + rb")(?=[\s/>])"
+    if name in (b"rt", b"rp"):
+        boundary += rb"|</ruby(?=[\s/>])|<r[tp](?=[\s/>])"
+    return re.compile(
+        rb"(</" + name + rb"(?:\s[^>]*)?>)|" + boundary, re.I
+    )
+
+
+_DROP_END_RES = {
+    name: _drop_end_re(name)
+    for name in rb"svg math select button datalist audio video rt rp".split()
+}
+
+
+def _strip_droptext(raw: bytes) -> bytes:
+    """Remove non-prose drop regions: open tag through the matching
+    close tag (consumed) or the next block-tag boundary (left in place
+    for the block pass), else end of input. The region is replaced by
+    NOTHING — these are inline annotations, and `漢字<rt>かんじ</rt>`
+    must not grow a space inside the word. Self-closed opens are left
+    for the anytag pass (no region — mirrors the lexer)."""
+    if _DROP_PROBE_RE.search(raw) is None:  # fast path: no drop opens
+        return raw
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        m = _DROP_OPEN_RE.search(raw, pos)
+        if m is None:
+            break
+        if m.group(2).endswith(b"/"):  # self-closing: tag only, no region
+            out.append(raw[pos : m.end()])
+            pos = m.end()
+            continue
+        out.append(raw[pos : m.start()])
+        e = _DROP_END_RES[m.group(1).lower()].search(raw, m.end())
+        if e is None:
+            pos = n
+        elif e.group(1) is not None:
+            pos = e.end()
+        else:
+            pos = e.start()
+    out.append(raw[pos:])
+    return b"".join(out)
+
+
 def strip_markup(raw: bytes) -> bytes:
-    """The four sequential byte-level passes (reference implementation;
+    """The five sequential byte-level passes (reference implementation;
     webx/_ctok.c `wx_strip` is the bit-identical compiled port)."""
     raw = _RAWTEXT_RE.sub(b" ", raw)
     raw = _COMMENT_RE.sub(b" ", raw)
+    raw = _strip_droptext(raw)
     raw = _BLOCKTAG_RE.sub(b"\n", raw)
     return _ANYTAG_RE.sub(b"", raw)
 
@@ -119,7 +194,7 @@ def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
 _RAWKEPT_PROBE_RE = re.compile(rb"<(?:xmp|plaintext)[\s/>]", re.I)
 _RAWKEPT_SPLIT_RE = re.compile(
     rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"          # skip: comment/CDATA
-    rb"|<(script|style|textarea)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"  # skip: rawtext
+    rb"|<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"  # skip: rawtext
     rb"|<(xmp|plaintext)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>",      # split: raw-kept
     re.I | re.S,
 )

@@ -88,6 +88,26 @@ XMP_SAMPLE = "Use <b>tags</b> &amp; entities literally, as written."
 P_TAIL_XMP = (
     "</p><xmp>" + XMP_SAMPLE + "</xmp></article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
 )
+# Non-prose drop-region page (q_extract_nonprose): a final paragraph
+# mixing kept prose with inline svg (a11y title + label text), a ruby
+# annotation, a select/option list and a button — all DROP regions
+# whose text must vanish without breaking the surrounding sentence.
+# The expected extra line is this pure constant:
+NONPROSE_LINE = (
+    "Quarterly rates fell to nine percent as the 東京 office reported "
+    "this spring; pick a region and then confirm the filing window."
+)
+P_TAIL_NONPROSE = (
+    "</p><p>Quarterly rates fell to "
+    '<svg role="img" width="80" height="12"><title>rate sparkline</title>'
+    '<desc>values 12 11 10 9</desc><text x="2" y="9">p50</text>'
+    '<polyline points="0,10 40,6 80,2"/></svg>'
+    "nine percent as the <ruby>東京<rp>（</rp><rt>とうきょう</rt><rp>）</rp></ruby> "
+    "office reported this spring; pick a region "
+    '<select name="region"><option>East<option>West<option selected>North</select> '
+    "<button class=cta>Apply filters</button>and then confirm the filing window.</p>"
+    "</article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
 ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
 BOILER_ONLY_BODY = (
@@ -225,6 +245,21 @@ def synth_pages_rawkept(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
         esc, F.lit(P_TAIL_XMP),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_nonprose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with a paragraph full of
+    non-prose drop regions (svg/ruby/select/button). Expected text:
+    flagship closed form + '\\n' + NONPROSE_LINE (the regions' text —
+    a11y title/desc, chart labels, furigana, option and button labels —
+    must vanish without splitting the surrounding words)."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_NONPROSE),
     )
     return docs.select(*_assemble(html))
 

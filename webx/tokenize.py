@@ -54,7 +54,16 @@ BLOCK_TAGS = frozenset(
 BOILER_TAGS = frozenset(b"nav header footer aside form noscript".split())
 HEADING_TAGS = frozenset(b"h1 h2 h3 h4 h5 h6 title".split())
 # Raw-text elements: content is skipped wholesale (never text).
-RAWTEXT_TAGS = frozenset(b"script style textarea".split())
+# script/style/textarea are the classic set; iframe is parsed with the
+# raw-text algorithm per the HTML spec (its content is fallback markup
+# never displayed by a frame-capable client); template contents are
+# inert per spec (rendered only by script cloning them), so a byte-level
+# extractor drops them the same way. NOT here by reviewed policy:
+# noframes (a frameset page's only textual content — fixture 25 keeps
+# it) and noscript (boiler FLAG, not a skip — its text is weighed).
+# Nested <template> inside <template> ends at the first close tag (a
+# documented approximation; the spec nests, real pages ~never do).
+RAWTEXT_TAGS = frozenset(b"script style textarea iframe template".split())
 # Raw-KEPT elements (1996-era): raw text that IS displayed — tags shown
 # literally, character references NOT decoded (HTML spec: xmp and
 # plaintext are raw text elements; plaintext has no close tag — the rest
@@ -63,6 +72,26 @@ RAWTEXT_TAGS = frozenset(b"script style textarea".split())
 # (webx/recognize.py decode_span_rawkept). <listing> is NOT raw — it
 # parses like <pre> (it is in BLOCK_TAGS above).
 RAWKEPT_TAGS = frozenset(b"xmp plaintext".split())
+# Non-prose DROP elements: content parses as markup but its text is
+# never prose — svg/math foreign content (chart labels, accessibility
+# <title>/<desc>, formula markup), select/datalist option lists and
+# button labels (UI state, not page content), audio/video fallback
+# ("your browser does not support ..."), rt/rp ruby annotations (the
+# BASE text is the content; the furigana gloss duplicates it). The
+# region is inline (no block flush — `<p>Sales <svg>…</svg> rose</p>`
+# stays one block) and counts as ONE inline tag. It ends at the
+# matching close tag or at the next block-level tag, whichever comes
+# first: for svg/math that mirrors the HTML5 foreign-content breakout
+# list (which is ≈ our BLOCK_TAGS); for the UI elements it bounds the
+# damage of unclosed soup to the current block. rt/rp additionally end
+# at `</ruby>` or a following `<rt>`/`<rp>` (their end tags are
+# omissible per spec). Comments, CDATA, and raw-text islands inside the
+# region hide terminators, mirroring the lexer's precedence. Self-closed
+# opens (`<svg/>` — honored in foreign content) open no region. KEPT by
+# reviewed policy: canvas/object fallback (may be genuine content on
+# legacy pages) and <dialog> (class/id hints catch modal chrome).
+DROP_TAGS = frozenset(b"svg math select button datalist audio video rt rp".split())
+RUBY_ANNOT_TAGS = frozenset((b"rt", b"rp"))
 
 WS = b" \t\r\n\f\v"
 
@@ -189,6 +218,58 @@ def _rawkept_end(html: bytes, name: bytes, pos: int) -> "tuple[int, int]":
         n = len(html)
         return n, n
     return m.start(), m.end()
+
+
+# Drop-region scan: per drop-tag-name compiled regex over the raw bytes.
+# Arms, in precedence order (the lexer's own): comment (unterminated →
+# EOF), CDATA, raw-text island (open..close — terminators inside are
+# hidden), the region's own close tag (group 2, consumed), a block-level
+# tag open or close (group 3, NOT consumed — the main loop re-lexes it),
+# and for rt/rp the ruby-specific omitted-end-tag boundaries (group 3 as
+# well). webx/_ctok.c `drop_end` is the bit-identical compiled port.
+# Boundary set = BLOCK_TAGS minus <title>: the HTML5 foreign-content
+# breakout list does not include title, and `<svg><title>` is the
+# standard accessibility pattern — terminating there would leak the
+# chart's a11y text AND open a bogus head-metadata region mid-body.
+_BLOCK_ALT = b"|".join(sorted(BLOCK_TAGS - {b"title"}))
+_RAWTEXT_ALT = b"|".join(sorted(RAWTEXT_TAGS))
+
+
+def _drop_scan_re(name: bytes) -> "re.Pattern[bytes]":
+    # tag names are case-insensitive; the CDATA literal is NOT (the main
+    # lexer's memcmp/_TAG_RE arm is exact) — scope (?i:) per arm
+    boundary = rb"</?(?:" + _BLOCK_ALT + rb")(?=[\s/>])"
+    if name in RUBY_ANNOT_TAGS:
+        boundary += rb"|</ruby(?=[\s/>])|<r[tp](?=[\s/>])"
+    return re.compile(
+        rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"
+        rb"|(?i:<(" + _RAWTEXT_ALT + rb")(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>)"
+        rb"|(?i:(</" + re.escape(name) + rb"(?:\s[^>]*)?>))"
+        rb"|(?i:(" + boundary + rb"))",
+        re.S,
+    )
+
+
+_DROP_SCAN_RES = {name: _drop_scan_re(name) for name in DROP_TAGS}
+
+
+def _drop_end(html: bytes, lname: bytes, pos: int) -> int:
+    """Resume offset past a non-prose drop region opened at ``pos``:
+    just past the matching close tag, AT the '<' of a boundary tag
+    (left for the main loop), or len(html) when unterminated."""
+    rx = _DROP_SCAN_RES[lname]
+    n = len(html)
+    cursor = pos
+    while cursor < n:
+        m = rx.search(html, cursor)
+        if m is None:
+            return n
+        if m.group(2) is not None:
+            return m.end()
+        if m.group(3) is not None:
+            return m.start()
+        cursor = max(m.end(), cursor + 1)  # skipped island
+    return n
 
 
 def tokenize(html: bytes) -> List[Block]:
@@ -356,6 +437,12 @@ def tokenize(html: bytes) -> List[Block]:
                         )
                     )
                 pos = r_end
+        elif lname in DROP_TAGS:
+            # non-prose region: ONE inline tag; content contributes no
+            # text (self-closed opens and stray closes are just tags)
+            b_tags += 1
+            if slash != b"/" and not m.group(3).endswith(b"/"):
+                pos = _drop_end(html, lname, pos)
         elif lname == b"a":
             a_depth = max(0, a_depth - 1) if slash == b"/" else a_depth + 1
             b_tags += 1

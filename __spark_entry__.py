@@ -33,6 +33,7 @@ from webx.similarity import (
 from webx.textstats import fingerprint, lang_id, quality_score, token_count
 
 CFG = ExtractConfig()
+CFG_NFC = ExtractConfig(nfc=True)
 
 # ---------------------------------------------------------------- SQL bits
 _C = synth.template_constants()
@@ -130,6 +131,33 @@ def q_extract_nonprose(spark: SparkSession, sf: str) -> DataFrame:
     vanish without splitting surrounding words (ruby glues, no stray
     spaces)."""
     return run_extraction(_par(synth.synth_pages_nonprose(spark, sf), spark), CFG).select("url", "text")
+
+
+def q_extract_invisible(spark: SparkSession, sf: str) -> DataFrame:
+    """Invisible format characters (webx/synth.py
+    synth_pages_invisible): the article's last paragraph carries soft
+    hyphens (raw U+00AD and &shy;), zero-width spaces, bidi
+    embeddings/isolates, word joiners and a mid-body FEFF — all pure
+    presentation, all stripped by the normalize policy
+    (webx/recognize.py _INVIS_RE) BEFORE whitespace collapse (the
+    stray FEFF between two spaces must leave one space) — while ZWNJ
+    in a Persian verb and ZWJ in a family emoji survive (orthographic
+    joiners are content, not presentation)."""
+    return run_extraction(_par(synth.synth_pages_invisible(spark, sf), spark), CFG).select("url", "text")
+
+
+def q_extract_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Optional Unicode NFC composition (webx/synth.py synth_pages_nfc,
+    ExtractConfig(nfc=True)): the article's last paragraph is written
+    in decomposed form — combining acute/diaeresis, conjoining Hangul
+    jamo, the Angstrom/Ohm singletons, plus a q+combining-acute
+    sequence with no precomposed form. The config flag composes
+    decoded span text (ASCII is NFC-invariant, so the fused C path is
+    untouched); the oracle replays DuckDB's nfc_normalize over the
+    same decomposed literal — a genuine cross-engine NFC contract."""
+    return run_extraction(
+        _par(synth.synth_pages_nfc(spark, sf), spark), CFG_NFC
+    ).select("url", "text")
 
 
 def q_extract_charset_edge(spark: SparkSession, sf: str) -> DataFrame:
@@ -7160,6 +7188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_overlay": q_extract_overlay,
         "q_extract_rawkept": q_extract_rawkept,
         "q_extract_nonprose": q_extract_nonprose,
+        "q_extract_invisible": q_extract_invisible,
+        "q_extract_nfc": q_extract_nfc,
         "q_extract_charset_edge": q_extract_charset_edge,
         "q_extract_warc": q_extract_warc,
         "q_extract_warc_damaged": q_extract_warc_damaged,
@@ -7829,6 +7859,22 @@ def oracle_sql() -> dict[str, str]:
             "'Quarterly rates fell to nine percent as the 東京 office "
             "reported this spring; pick a region and then confirm the "
             "filing window.') AS text FROM documents"
+        ),
+        # invisible format chars: SHY/ZWSP/bidi/WJ/FEFF stripped, the
+        # orthographic joiners (ZWNJ/ZWJ) kept — the expected line is
+        # the synth constant verbatim (single source of truth; it
+        # contains no single quotes, so it embeds as a SQL literal)
+        "q_extract_invisible": (
+            f"SELECT {URL} AS url, ({GOLDEN} || {NL} || "
+            f"'{synth.INVISIBLE_LINE}') AS text FROM documents"
+        ),
+        # optional NFC composition: the oracle replays DuckDB's own
+        # nfc_normalize over the same decomposed source literal the
+        # page embeds (synth.NFC_SRC, quote-free) — utf8proc (DuckDB)
+        # and unicodedata (CPython) must agree byte-for-byte
+        "q_extract_nfc": (
+            f"SELECT {URL} AS url, nfc_normalize({GOLDEN} || {NL} || "
+            f"'{synth.NFC_SRC}') AS text FROM documents"
         ),
         # charset edge rotation: flagship golden + per-case suffix
         # (0xA3 under x-user-defined decodes to U+F7A3 = 63395)

@@ -383,6 +383,21 @@ refunds show as negative rows in the same table.</p>
 </article><footer><a href="/support">Support</a></footer></body></html>""")
 
 
+page("39_invisible_typography", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Silbentrennung</title></head><body>
+<nav><a href="/">Zeitung</a><a href="/feuilleton">Feuilleton</a></nav>
+<article><h1>Rechtschreib\u00adreform und Silben\u00adtrennung</h1>
+<p>Die Donau\u00addampf\u00adschiff\u00adfahrts\u00adgesellschaft bleibt das
+Schul\u00adbuch\u00adbeispiel f\u00fcr zusammen\u00adgesetzte Haupt\u00adw\u00f6rter,
+deren weiche Trenn\u00adstellen ein Satz\u00adprogramm nur beim Umbruch sichtbar macht.</p>
+<p>Redaktionen streuen auch Null\u200bbreiten\u200bzeichen in lange URLs wie
+example.com/\u200bsehr/\u200blanger/\u200bpfad, damit Browser sie umbrechen;
+ein Leser sieht davon nichts und ein Korpus darf es auch nicht.</p>
+<p>Im Interview sagte die Setzerin: \u201eDer bedingte Trenn\u00adstrich ist
+f\u00fcr die Darstellung da, nicht f\u00fcr den Text selbst\u201c \u2014 ein Satz, der
+w\u00f6rtlich \u2066zitiert\u2069 und per \u202aLRE-Steuerzeichen\u202c markiert war.</p>
+</article><footer><a href="/impressum">Impressum</a></footer></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

@@ -397,3 +397,88 @@ def test_xmp_decode_keeps_entities_and_tags():
         ).iloc[0]["text"]
         assert "literal <tags> stay &amp; entities do not decode" in out, mode
         assert "normal prose with & decoding." in out, mode
+
+
+def test_invisible_format_chars_stripped_joiners_kept():
+    """The _INVIS_RE policy (webx/recognize.py): presentation-only
+    format chars vanish; orthographic joiners survive. Both kernel
+    modes — the chars are never ASCII, so the fused C path must bail
+    to the identical Python normalize either way."""
+    import pandas as pd
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    html = (
+        "<html><body><p>A hy­phen and com&shy;pound term plus a "
+        "zero​width gap, ‫bidi‬ ⁦controls⁩, "
+        "the⁠joiner, a stray ﻿ bom, kept Persian "
+        "می‌خواهم and emoji "
+        "\U0001f468‍\U0001f469‍\U0001f467 in one honest "
+        "paragraph long enough to score as content for the gates."
+        "</p></body></html>"
+    ).encode("utf-8")
+    expected = (
+        "A hyphen and compound term plus a zerowidth gap, bidi "
+        "controls, thejoiner, a stray bom, kept Persian "
+        "می‌خواهم and emoji "
+        "\U0001f468‍\U0001f469‍\U0001f467 in one honest "
+        "paragraph long enough to score as content for the gates."
+    )
+    for mode in ("auto", "off"):
+        out = extract_batch(
+            pd.DataFrame({"url": ["u"], "html": [html]}), ExtractConfig(ckernels=mode)
+        ).iloc[0]["text"]
+        assert out == expected, (mode, out)
+
+
+def test_invisible_only_line_drops():
+    """A block whose text is ONLY invisible chars must vanish entirely
+    (strip runs before line trim, so the emptied line is dropped)."""
+    import pandas as pd
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+
+    html = (
+        "<html><body>"
+        "<p>The first real paragraph carries enough prose to pass every "
+        "density gate the classifier applies to candidate blocks.</p>"
+        "<p>​­﻿⁠</p>"
+        "<p>The closing paragraph also reads as genuine article prose "
+        "with no markup tricks of any kind involved at all.</p>"
+        "</body></html>"
+    ).encode("utf-8")
+    out = extract_batch(
+        pd.DataFrame({"url": ["u"], "html": [html]}), ExtractConfig()
+    ).iloc[0]["text"]
+    lines = out.split("\n")
+    assert len(lines) == 2, lines
+    assert lines[0].startswith("The first") and lines[1].startswith("The closing")
+
+
+def test_nfc_flag_composes_spans():
+    """ExtractConfig(nfc=True) canonically composes decoded text
+    (singletons, combining sequences, Hangul jamo); the default leaves
+    the as-decoded bytes frozen. ASCII is NFC-invariant so the fused C
+    path needs no twin — both kernel modes must agree."""
+    import unicodedata
+    import pandas as pd
+    from webx.config import ExtractConfig
+    from webx.extract import extract_batch
+    from webx.synth import NFC_LINE, NFC_SRC
+
+    html = (
+        "<html><body><p>"
+        + NFC_SRC
+        + " This sentence pads the paragraph over every density gate."
+        "</p></body></html>"
+    ).encode("utf-8")
+    pdf = pd.DataFrame({"url": ["u"], "html": [html]})
+    for mode in ("auto", "off"):
+        raw = extract_batch(pdf, ExtractConfig(ckernels=mode)).iloc[0]["text"]
+        nfc = extract_batch(
+            pdf, ExtractConfig(ckernels=mode, nfc=True)
+        ).iloc[0]["text"]
+        assert raw.startswith(NFC_SRC), mode          # default: untouched
+        assert nfc.startswith(NFC_LINE[:-1]), mode    # composed
+        assert unicodedata.is_normalized("NFC", nfc), mode
+        assert not unicodedata.is_normalized("NFC", raw), mode

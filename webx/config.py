@@ -31,6 +31,12 @@ class ExtractConfig:
     # --- stage 2: recognition (RecCTCLabelDecode analog) ---
     drop_score: float = 0.5          # drop spans with score < drop_score (config.py:77)
     join_sep: str = "\n"             # separator between decoded spans (save_res analog)
+    # Unicode NFC canonical composition of decoded span text (off by
+    # default: goldens are byte-frozen on the as-decoded form). ASCII
+    # is NFC-invariant, so the fused C byte path stays exact with the
+    # flag on; only non-ASCII spans pay the normalize call. Cross-engine
+    # contract: DuckDB's nfc_normalize agrees (q_extract_nfc gates it).
+    nfc: bool = False
 
     # --- input policy ---
     limit_side_len: int = 4_000_000  # truncate html longer than this many bytes

@@ -14,6 +14,7 @@ save_det_res / save_rec_res debug sinks, tools/infer/text/predict_det.py:190-201
 from __future__ import annotations
 
 import re as _re
+import unicodedata as _unicodedata
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -256,6 +257,8 @@ def _decode_spans(
             text = decode_span(raw, charset, strip)
         if not text:
             continue
+        if cfg.nfc and not text.isascii():  # ASCII is NFC-invariant
+            text = _unicodedata.normalize("NFC", text)
         rows.append(
             {
                 "start": s.start,

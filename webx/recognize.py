@@ -161,8 +161,32 @@ def _charset_decode(raw: bytes, charset: str) -> str:
         return raw.decode("utf-8", errors="replace")
 
 
+# Invisible FORMAT characters that are pure presentation — line-break
+# hints and bidi display controls a renderer consumes and a corpus must
+# not carry: U+00AD soft hyphen ("hy&shy;phen" is "hyphen"), U+200B
+# zero-width space, U+200E/U+200F LRM/RLM, U+202A-U+202E bidi
+# embeddings/overrides, U+2060 word joiner, U+2066-U+2069 bidi
+# isolates, U+FEFF ZWNBSP (a BOM mid-body). Runs BEFORE whitespace
+# collapse so "a ​ b" still collapses to one space and an
+# invisible-only line drops. KEPT by reviewed policy: U+200C ZWNJ and
+# U+200D ZWJ (orthographic in Persian/Indic and load-bearing in emoji
+# sequences) and variation selectors. Documented caveat: Thai/Khmer
+# sometimes use U+200B as a word delimiter; stripping loses that
+# segmentation hint (the common corpus-cleaning trade, chosen here).
+# These code points are never pure ASCII bytes and &shy;-style entities
+# carry '&', so text containing them can never take the fused C
+# byte-path (wx_strip_norm bails on both) — this Python pass is the
+# only normalize kernel that ever sees them; no C twin needed.
+_INVIS_RE = re.compile(
+    "[\u00ad\u200b\u200e\u200f\u202a-\u202e\u2060\u2066-\u2069\ufeff]"
+)
+
+
 def _normalize_text(text: str) -> str:
-    """CR normalize, whitespace collapse, line trim/join (steps 5-6)."""
+    """Invisible-format-char strip, CR normalize, whitespace collapse,
+    line trim/join (steps 5-6)."""
+    if not text.isascii():  # every stripped char is non-ASCII
+        text = _INVIS_RE.sub("", text)
     if "\r" in text:  # one memchr probe skips two alloc passes
         text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [ln.strip() for ln in _collapse_hws(text).split("\n")]

@@ -20,6 +20,8 @@ exact byte lengths exported in ``template_constants()``.
 
 from __future__ import annotations
 
+import unicodedata as _ud
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # ---------------------------------------------------------------- template
@@ -106,6 +108,54 @@ P_TAIL_NONPROSE = (
     "office reported this spring; pick a region "
     '<select name="region"><option>East<option>West<option selected>North</select> '
     "<button class=cta>Apply filters</button>and then confirm the filing window.</p>"
+    "</article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
+# Invisible-format-character page (q_extract_invisible): a final
+# paragraph salted with every STRIPPED code point of the normalize
+# policy (webx/recognize.py _INVIS_RE) — soft hyphens raw and as
+# &shy;, zero-width space, bidi embeddings/isolates, word joiner, a
+# mid-body FEFF whose removal must leave ONE space (strip runs before
+# whitespace collapse) — plus the two KEPT joiners: ZWNJ inside a
+# Persian verb and ZWJ inside a family emoji. The expected extra line
+# is this constant:
+INVISIBLE_LINE = (
+    "The hyphenation engine reflows long compound words; a "
+    "zerowidthspace splits tokens invisibly, RTL embedded and isolated "
+    "runs carry bidi controls, thewordjoiner and a stray mid-body BOM "
+    "vanish too, while the Persian form "
+    "\u0645\u06cc\u200c\u062e\u0648\u0627\u0647\u0645 and the "
+    "family emoji \U0001f468\u200d\U0001f469\u200d\U0001f467 keep "
+    "their joiners."
+)
+P_TAIL_INVISIBLE = (
+    "</p><p>The hy\u00adphen\u00adation engine re\u00adflows long "
+    "com&shy;pound words; a zero\u200bwidth\u200bspace splits tokens "
+    "invisibly, \u202bRTL embedded\u202c and \u2066isolated\u2069 "
+    "runs carry bidi controls, the\u2060word\u2060joiner and a "
+    "stray \ufeff mid-body BOM vanish too, while the Persian form "
+    "\u0645\u06cc\u200c\u062e\u0648\u0627\u0647\u0645 and the "
+    "family emoji \U0001f468\u200d\U0001f469\u200d\U0001f467 keep "
+    "their joiners.</p>"
+    "</article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
+# Canonical-composition page (q_extract_nfc): a final paragraph written
+# in DECOMPOSED form — combining acute/diaeresis sequences, conjoining
+# Hangul jamo, the Angstrom- and Ohm-sign singletons — plus one
+# sequence with no precomposed form (q + combining acute) that NFC
+# must leave alone. With ExtractConfig(nfc=True) the expected line is
+# NFC of the source (derived at import — one source of truth); DuckDB's
+# nfc_normalize produces the same bytes (the cross-engine contract the
+# oracle replays over this same decomposed literal).
+NFC_SRC = (
+    "Re\u0301sume\u0301s at the cafe\u0301 mention a 5 "
+    "\u212bngstro\u0308m gap, a 3 \u2126 load, the Hangul word "
+    "\u1112\u1161\u11ab\u1100\u1173\u11af, and the rare q\u0301 "
+    "sequence which has no precomposed form at all."
+)
+NFC_LINE = _ud.normalize("NFC", NFC_SRC)
+assert NFC_LINE != NFC_SRC  # the page really exercises composition
+P_TAIL_NFC = (
+    "</p><p>" + NFC_SRC + "</p>"
     "</article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
 )
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
@@ -260,6 +310,36 @@ def synth_pages_nonprose(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
         esc, F.lit(P_TAIL_NONPROSE),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_invisible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with a paragraph salted with
+    invisible format characters (P_TAIL_INVISIBLE). Expected text:
+    flagship closed form + '\\n' + INVISIBLE_LINE — soft hyphens (raw
+    and &shy;), ZWSP, bidi controls, word joiner and a mid-body FEFF
+    stripped; ZWNJ/ZWJ kept (webx/recognize.py _INVIS_RE policy)."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_INVISIBLE),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with a decomposed-Unicode
+    paragraph (P_TAIL_NFC). With ExtractConfig(nfc=True) the expected
+    text is flagship closed form + '\\n' + NFC_LINE (= NFC of the
+    decomposed source; singletons composed, jamo conjoined, the
+    no-precomposed q+acute sequence untouched)."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_NFC),
     )
     return docs.select(*_assemble(html))
 

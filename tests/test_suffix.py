@@ -51,11 +51,15 @@ def _py_lcp(a, b, cap):
     return i
 
 
+@pytest.mark.parametrize("method", ["direct", "doubling"])
 @pytest.mark.parametrize("alpha,seed", [("abn ", 5), ("aé日", 11), ("ab", 23)])
-def test_suffix_array_matches_sorted_truth(spark, alpha, seed):
+def test_suffix_array_matches_sorted_truth(spark, alpha, seed, method):
     docs = _corpus(seed, alpha, 24, 30)
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {(r.doc_id, r.pos): r.sa for r in suffix_array(df, max_chars=16).collect()}
+    got = {
+        (r.doc_id, r.pos): r.sa
+        for r in suffix_array(df, max_chars=16, method=method).collect()
+    }
     truth = {(d, p): i + 1 for i, (s, d, p) in enumerate(_truth_sa(docs, 16))}
     assert got == truth
 
@@ -63,9 +67,26 @@ def test_suffix_array_matches_sorted_truth(spark, alpha, seed):
 def test_base_parameter_is_result_invariant(spark):
     docs = _corpus(7, "abn ", 20, 25)
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    ref = sorted(map(tuple, suffix_array(df, max_chars=16, base=1).collect()))
+    ref = sorted(
+        map(tuple, suffix_array(df, max_chars=16, base=1, method="doubling").collect())
+    )
     for base in (4, 8, 16):
-        assert sorted(map(tuple, suffix_array(df, max_chars=16, base=base).collect())) == ref
+        got = suffix_array(df, max_chars=16, base=base, method="doubling").collect()
+        assert sorted(map(tuple, got)) == ref
+
+
+def test_direct_and_doubling_methods_agree(spark):
+    """The one-ranked-pass fast path and the textbook prefix doubling
+    must produce the identical suffix array (same ranks, same
+    tie-breaks) — the differential that licenses defaulting to
+    direct."""
+    docs = _corpus(13, "abn x", 28, 40)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    direct = sorted(map(tuple, suffix_array(df, max_chars=16, method="direct").collect()))
+    doubling = sorted(
+        map(tuple, suffix_array(df, max_chars=16, base=4, method="doubling").collect())
+    )
+    assert direct == doubling
 
 
 def test_global_dense_rank_matches_window(spark):

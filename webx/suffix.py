@@ -122,18 +122,39 @@ def suffix_array(
     max_chars: int = 48,
     text_col: str = "text",
     base: int = 8,
+    method: str = "direct",
 ) -> DataFrame:
     """→ (doc_id, pos, s, sa): the suffix array of all per-document
     suffixes (clipped to ``max_chars``), ``sa`` the 1-based position in
     suffix order (ties between byte-identical clipped suffixes broken
     by (doc_id, pos)).
 
-    ``base``: rank_0 covers the first ``base`` characters directly (a
-    dense rank of a short prefix costs the same one ranked pass as a
-    single character), so the doubling needs ceil(log2(max_chars/base))
-    stages instead of log2(max_chars) — the standard constant-factor
-    cut on the round count, which is the whole cost at cluster scale."""
+    ``method="direct"`` (default): every row already carries the
+    COMPLETE clipped suffix in ``s`` (``_suffixes`` materializes the
+    full tail — the LCP passes downstream need it anyway), so suffix
+    order IS the string order of (s, doc_id, pos) and ONE ranked pass
+    assigns the whole array — no rounds, no per-stage joins. This is
+    the right call whenever the row width O(max_chars) is already
+    being paid, which this module always does.
+
+    ``method="doubling"``: Manber-Myers prefix doubling — the textbook
+    distributed formulation, kept as the shape a low-memory variant
+    needs when rows carry only a ``base``-char prefix instead of the
+    full suffix (rank lookups replace string comparison). ``base``:
+    rank_0 covers the first ``base`` characters directly (a dense rank
+    of a short prefix costs the same one ranked pass as a single
+    character), so the doubling needs ceil(log2(max_chars/base))
+    stages instead of log2(max_chars). Result-identical to "direct"
+    (differential-tested); ~3 extra shuffles per stage.
+    """
     suf = _suffixes(docs, max_chars, text_col)
+    if method == "direct":
+        sa = global_dense_rank(
+            suf.select("doc_id", "pos", "s"), ["s", "doc_id", "pos"], "sa"
+        )
+        return sa.select("doc_id", "pos", "s", "sa")
+    if method != "doubling":
+        raise ValueError(f"unknown suffix_array method: {method!r}")
     # rank_0: first `base` characters (dense)
     pfx = F.substring("s", 1, base)
     r0 = global_dense_rank(suf.select(pfx.alias("c")), ["c"])
@@ -232,6 +253,7 @@ def adjacent_dup_pairs(
     lcp_cap: int = 32,
     text_col: str = "text",
     base: int = 8,
+    method: str = "direct",
 ) -> DataFrame:
     """Cross-document duplicated passages from SA adjacency →
     (id_a, id_b, max_lcp, n_adj): for every unordered doc pair that is
@@ -239,7 +261,9 @@ def adjacent_dup_pairs(
     chars, the longest such prefix (capped at ``lcp_cap``) and the
     number of adjacent witnesses. One equi-join on sa+1 — the linear
     neighbor pass; no pair explosion."""
-    sa = suffix_array(docs, max_chars=max_chars, text_col=text_col, base=base)
+    sa = suffix_array(
+        docs, max_chars=max_chars, text_col=text_col, base=base, method=method
+    )
     left = sa.select(
         F.col("sa").alias("i"),
         F.col("doc_id").alias("d1"),
@@ -274,6 +298,7 @@ def dup_profile(
     lcp_cap: int = 32,
     text_col: str = "text",
     base: int = 8,
+    method: str = "direct",
 ) -> DataFrame:
     """Per-document duplication profile → (doc_id, n_pos, n_dup): of the
     document's suffix positions, how many start a substring of ≥
@@ -284,7 +309,9 @@ def dup_profile(
     match elsewhere is exactly max(lcp(i−1, i), lcp(i, i+1)) — the
     classic SA neighbor property — so the whole profile is two shifted
     equi-joins and one aggregate on top of the suffix array."""
-    sa = suffix_array(docs, max_chars=max_chars, text_col=text_col, base=base)
+    sa = suffix_array(
+        docs, max_chars=max_chars, text_col=text_col, base=base, method=method
+    )
     cur = sa.select(
         F.col("sa").alias("i"), "doc_id", F.col("s").alias("s0")
     )

@@ -398,6 +398,84 @@ w\u00f6rtlich \u2066zitiert\u2069 und per \u202aLRE-Steuerzeichen\u202c markiert
 </article><footer><a href="/impressum">Impressum</a></footer></body></html>""")
 
 
+# 40: charset declared LATE (past the WHATWG 1024-byte prescan window)
+# — a huge comment pushes <meta charset=windows-1252> beyond byte 1024;
+# spec prescan only examines the first 1024 bytes, so the declaration
+# is ignored and the strict-utf-8 attempt fails on the 0x93/0x94 bytes,
+# landing on the TOTAL latin-1 fallback (webx/charset.py:18-19,
+# status=charset_fallback — garbled-but-flagged, never dropped): the
+# curly quotes surface as U+0093/U+0094 C1 controls while every ASCII
+# byte survives untouched. Deterministic, documented behavior.
+PAGES["40_late_charset_decl"] = (
+    b"<!DOCTYPE html><html><head>"
+    b"<!-- " + b"x" * 1100 + b" -->"
+    b'<meta charset="windows-1252"><title>Late</title></head><body>'
+    b"<nav><a href=\"/\">Home</a></nav>"
+    b"<article><h1>Declared too late to matter</h1>"
+    b"<p>The prescan window closes at 1024 bytes, so this page falls back "
+    b"to the flagged total-fallback decode and the \x93smart quotes\x94 in "
+    b"this sentence arrive garbled but counted, never silently dropped.</p>"
+    b"</article></body></html>"
+)
+
+page("41_meta_refresh_stub", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Moved</title>
+<meta http-equiv="refresh" content="0;url=https://example.com/new-home"></head><body>
+<p>This page has moved. If you are not redirected automatically, follow
+<a href="https://example.com/new-home">this link to the new location</a>
+and update any bookmarks you may have saved for the old address.</p>
+</body></html>""")
+
+page("42_table_layout_newsletter", """<html><head><title>Weekly digest</title></head><body bgcolor="#ffffff">
+<table width="600" align="center" cellpadding="0" cellspacing="0"><tr><td>
+<table width="100%"><tr><td bgcolor="#003366"><font color="#ffffff" size="4">ACME WEEKLY</font></td>
+<td align="right"><a href="https://example.com/view-online">View online</a></td></tr></table>
+<table width="100%"><tr><td>
+<font size="3"><b>Shipping resumes on all northern routes</b></font><br>
+The icebreaker fleet cleared the final channel on Tuesday and the port
+authority confirmed that scheduled departures restart this weekend,
+with backlogged cargo given priority in the first week.<br><br>
+<font size="3"><b>Fuel surcharge unchanged for March</b></font><br>
+Despite spot price swings the board voted to hold the surcharge at
+four percent, citing hedged contracts that run through the quarter.
+</td></tr></table>
+<table width="100%"><tr><td align="center"><font size="1">
+You receive this because you subscribed at example.com.
+<a href="https://example.com/unsub">Unsubscribe</a> ·
+<a href="https://example.com/prefs">Preferences</a></font></td></tr></table>
+</td></tr></table></body></html>""")
+
+page("43_forum_thread", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Thread: torque specs</title></head><body>
+<nav class="breadcrumbs"><a href="/">Forum</a> &gt; <a href="/f/12">Engines</a> &gt; Thread</nav>
+<div class="thread"><div class="post"><div class="post-meta"><a href="/u/alice">alice</a> · 2019-03-04</div>
+<div class="post-body"><p>Does anyone have the head bolt torque sequence for the 2.4 litre
+variant? The manual I have only covers the 2.0 and the numbers do not
+transfer across because the head casting is different.</p></div></div>
+<div class="post"><div class="post-meta"><a href="/u/bob">bob</a> · 2019-03-04</div>
+<div class="post-body"><blockquote><p>The manual I have only covers the 2.0</p></blockquote>
+<p>The 2.4 uses a three-stage sequence: thirty newton metres, then sixty,
+then a ninety degree turn, working from the centre outwards in a spiral.
+Replace the bolts every time; they are torque-to-yield.</p></div></div>
+<div class="post"><div class="post-meta"><a href="/u/alice">alice</a> · 2019-03-05</div>
+<div class="post-body"><p>That matches what the machine shop told me this morning, thanks.
+For anyone searching later: the spiral pattern is printed on a sticker
+under the timing cover on late production blocks.</p></div></div></div>
+<div class="signature">Opinions are my own · <a href="/rules">forum rules</a></div>
+</body></html>""")
+
+page("44_paywall_stub", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Exclusive report</title>
+<script type="application/ld+json">{"@type":"NewsArticle","headline":"Regulator opens inquiry into grid operator","isAccessibleForFree":"False"}</script>
+</head><body>
+<header><a href="/">The Ledger</a><a href="/subscribe">Subscribe</a></header>
+<article><h1>Regulator opens inquiry into grid operator</h1>
+<p>The energy regulator confirmed on Monday that it has opened a formal
+inquiry into last month's cascading outage, focusing on whether the
+operator's maintenance deferrals breached its licence conditions.</p>
+<div class="paywall"><p>Subscribe to continue reading. Already a member?
+<a href="/login">Sign in</a> for full access to this article and our
+complete archive of investigations.</p></div>
+</article><footer><a href="/about">About</a></footer></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

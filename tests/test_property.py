@@ -161,3 +161,32 @@ def test_new_mining_lanes_never_crash(html):
     t = pages.select(url_path_template(SF.col("url")).alias("t")).collect()[0]["t"]
     assert t.startswith("/")
     assert url_trap_signals(pages).collect()[0]["is_trap"] is not None
+
+
+# invisible-char fragments woven between tag soup: the normalize policy
+# (webx/recognize.py _INVIS_RE) must hold on ARBITRARY placements —
+# inside words, as entity forms, straddling block boundaries, adjacent
+# to kept joiners — never leaking a stripped code point into output.
+_invis_soup = st.lists(
+    st.sampled_from(
+        [b"<p>", b"</p>", b"<div>", b"</div>", b"<h1>", b"</h1>",
+         b"word", b" plain text ", b"&shy;", b"&#173;", b"&#8203;",
+         "­".encode(), "​".encode(), "‎".encode(),
+         "‫".encode(), "‬".encode(), "⁠".encode(),
+         "⁦".encode(), "⁩".encode(), "﻿".encode(),
+         "‌".encode(), "‍".encode(),  # KEPT joiners
+         "caf\xe9".encode(), b"<!--", b"-->", b" \t\n"]
+    ),
+    max_size=40,
+).map(b"".join)
+
+_STRIPPED = set("­​‎‏‪‫‬‭"
+                "‮⁠⁦⁧⁨⁩﻿")
+
+
+@settings(max_examples=150, deadline=None)
+@given(_invis_soup)
+def test_invisible_chars_never_reach_output(html):
+    out = extract_batch(pd.DataFrame({"url": ["u"], "html": [html]}), CFG)
+    text = out.iloc[0]["text"]
+    assert not (_STRIPPED & set(text)), [hex(ord(c)) for c in set(text) & _STRIPPED]

@@ -120,6 +120,19 @@ def q_extract_rawkept(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_rawkept(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_headline(spark: SparkSession, sf: str) -> DataFrame:
+    """Heading rescue (webx/synth.py synth_pages_headline): a
+    1990s-newsletter story headline — ``<font size=3><b>…</b></font>
+    <br>`` with no h1..h6 — whose inline-tag density fails
+    binary_thresh and is kept ONLY by the frozen rescue predicate
+    (webx/detect.py merge_runs_table: link-free, short, score >=
+    rescue_thresh, immediately preceding a base candidate; identical
+    rule in the C kernel wx_detect). The page's ISSN strapline is the
+    in-template negative control: it also precedes a base candidate
+    but scores 0.195 < rescue_thresh and must stay dropped."""
+    return run_extraction(_par(synth.synth_pages_headline(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_nonprose(spark: SparkSession, sf: str) -> DataFrame:
     """Non-prose drop regions (webx/synth.py synth_pages_nonprose): the
     article's last paragraph mixes prose with inline svg (a11y
@@ -7186,6 +7199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_filter_empty": q_extract_filter_empty,
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_overlay": q_extract_overlay,
+        "q_extract_headline": q_extract_headline,
         "q_extract_rawkept": q_extract_rawkept,
         "q_extract_nonprose": q_extract_nonprose,
         "q_extract_invisible": q_extract_invisible,
@@ -7845,6 +7859,14 @@ def oracle_sql() -> dict[str, str]:
         # consent-modal + newsletter chrome: dropped by class/id-hint
         # regions only, so the expected text is again the flagship form
         "q_extract_overlay": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # heading rescue: the font/bold story headline sits between the
+        # h1 line and the paragraph — kept only by the rescue predicate;
+        # the sub-threshold ISSN strapline must NOT appear
+        "q_extract_headline": (
+            f"SELECT {URL} AS url, ({DID} || {NL} || "
+            f"'{synth.HEADLINE_LINE}' || {NL} || {NORM}) AS text "
+            "FROM documents"
+        ),
         # raw-kept <xmp> sample: its content is LITERAL text (tags shown,
         # entities undecoded), so the extra line is the source constant
         "q_extract_rawkept": (

@@ -236,7 +236,7 @@ def _stage1_py(html: bytes, cfg):
     if not len(tlen):
         return []
     scores = block_scores(tlen, link, tags, boiler, cfg)
-    return merge_runs_table(start, end, tlen, heading, scores, cfg)
+    return merge_runs_table(start, end, tlen, heading, scores, cfg, link=link)
 
 
 def _stage1_fused(html: bytes, cfg):
@@ -244,7 +244,8 @@ def _stage1_fused(html: bytes, cfg):
     from webx.detect import _finalize_runs
 
     start, end, tlen, heading, scores, runs = detect_table(
-        html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars
+        html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars,
+        cfg.rescue_thresh, cfg.rescue_max_chars,
     )
     if not len(tlen):
         return []
@@ -394,7 +395,7 @@ def test_detect_final_long_run_falls_back_to_raw():
     res = detect_final(
         html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars,
         cfg.box_thresh, cfg.min_span_chars, cfg.max_candidates,
-        cfg.expand_ratio,
+        cfg.expand_ratio, cfg.rescue_thresh, cfg.rescue_max_chars,
     )
     assert res[0] == "raw"
     assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)
@@ -414,7 +415,7 @@ def test_detect_final_single_and_pair_runs_finalize_in_c():
     res = detect_final(
         html, cfg.tag_weight, cfg.binary_thresh, cfg.min_block_chars,
         cfg.box_thresh, cfg.min_span_chars, cfg.max_candidates,
-        cfg.expand_ratio,
+        cfg.expand_ratio, cfg.rescue_thresh, cfg.rescue_max_chars,
     )
     assert res[0] == "final" and len(res[2]) >= 1
     assert _stage1_final_c(html, cfg) == _stage1_final_ref(html, cfg)

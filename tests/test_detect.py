@@ -121,3 +121,109 @@ def test_heading_kind():
     html = b"<h1>A Standalone Heading With Plenty Of Characters</h1>"
     spans = detect(tokenize(html), CFG)
     assert len(spans) == 1 and spans[0].kind == "heading"
+
+
+# ---- heading rescue (frozen predicate, webx/detect.py merge_runs_table)
+
+_PARA = (
+    b"The icebreaker fleet cleared the final channel on Tuesday and "
+    b"scheduled departures restart this weekend with backlogged cargo "
+    b"given priority in the first week of operations."
+)
+# 4 inline tags around ~31 text chars: density 31/(31+33) ~ 0.48 — fails
+# binary_thresh (0.55) but clears rescue_thresh (0.30)
+_HEADLINE = b"<font size=3><b>Shipping resumes on all routes</b></font><br>"
+
+
+def test_heading_rescue_merges_into_run():
+    html = _HEADLINE + b"\n" + _PARA
+    spans = detect(tokenize(html), CFG)
+    assert len(spans) == 1
+    s = spans[0]
+    # the rescued headline block opens the span
+    assert s.first_block == 0 and s.last_block == 1
+    assert html[s.start : s.start + 4] == b"Ship"
+
+
+def test_heading_rescue_requires_adjacency():
+    # a non-candidate link block between headline and content breaks it
+    html = _HEADLINE + b"<div><a href='/x'>advert link here</a></div>" + _PARA
+    spans = detect(tokenize(html), CFG)
+    assert len(spans) == 1 and spans[0].first_block > 0
+
+
+def test_heading_rescue_rejects_links():
+    linked = b"<b><a href='/story'>Shipping resumes on all routes</a></b><br>"
+    html = linked + _PARA
+    spans = detect(tokenize(linked + _PARA), CFG)
+    assert len(spans) == 1
+    assert html[spans[0].start : spans[0].start + 4] == b"The "
+
+
+def test_heading_rescue_rejects_boiler_even_at_zero_thresh():
+    # score > 0 guard: a boiler block (score forced to 0.0) is never
+    # rescued, even with rescue_thresh=0
+    html = b"<nav>short nav text</nav>" + _PARA
+    cfg = ExtractConfig(rescue_thresh=0.0)
+    spans = detect(tokenize(html), cfg)
+    assert len(spans) == 1
+    assert html[spans[0].start : spans[0].start + 4] == b"The "
+
+
+def test_heading_rescue_rejects_long_blocks():
+    long_head = (
+        b"<font size=3><b>" + b"word " * 30 + b"tail</b></font><br>"
+    )  # > rescue_max_chars of text
+    html = long_head + _PARA
+    spans = detect(tokenize(html), CFG)
+    # the long block scores high enough to be a base candidate itself
+    # OR is excluded by length — either way rescue must not fire on a
+    # >80-char block; pin with a tag-heavy variant that fails base
+    heavy = (
+        b"<font size=3><b><i><u><em><span><s><q><tt>"
+        + b"word " * 30
+        + b"tail</tt></q></s></span></em></u></i></b></font><br>"
+    )
+    html2 = heavy + _PARA
+    spans2 = detect(tokenize(html2), CFG)
+    assert len(spans2) == 1
+    assert html2[spans2[0].start : spans2[0].start + 4] == b"The "
+
+
+def test_heading_rescue_no_chaining():
+    # two stacked sub-threshold headlines: only the one adjacent to the
+    # base candidate is rescued (i+1 tests BASE candidacy)
+    h1 = b"<font size=4><b>Outer section headline text</b></font><br>"
+    h2 = b"<font size=3><b>Inner story headline text</b></font><br>"
+    html = h1 + h2 + _PARA
+    spans = detect(tokenize(html), CFG)
+    assert len(spans) == 1
+    assert html[spans[0].start : spans[0].start + 5] == b"Inner"
+
+
+def test_heading_rescue_disabled_by_config():
+    html = _HEADLINE + b"\n" + _PARA
+    cfg = ExtractConfig(rescue_max_chars=0)
+    spans = detect(tokenize(html), cfg)
+    assert len(spans) == 1
+    assert html[spans[0].start : spans[0].start + 4] == b"The "
+
+
+def test_heading_rescue_legacy_caller_without_link_skips():
+    from webx.detect import merge_runs_table
+
+    html = _HEADLINE + b"\n" + _PARA
+    blocks = tokenize(html)
+    n = len(blocks)
+    tlen = np.fromiter((b.tlen for b in blocks), dtype=np.int64, count=n)
+    start = np.fromiter((b.start for b in blocks), dtype=np.int64, count=n)
+    end = np.fromiter((b.end for b in blocks), dtype=np.int64, count=n)
+    heading = np.fromiter((b.heading for b in blocks), dtype=bool, count=n)
+    link = np.fromiter((b.link_tlen for b in blocks), dtype=np.int64, count=n)
+    tags = np.fromiter((b.tag_cnt for b in blocks), dtype=np.int64, count=n)
+    boiler = np.fromiter((b.boiler for b in blocks), dtype=bool, count=n)
+    scores = block_scores(tlen, link, tags, boiler, CFG)
+    with_link = merge_runs_table(start, end, tlen, heading, scores, CFG, link=link)
+    without = merge_runs_table(start, end, tlen, heading, scores, CFG)
+    assert with_link[0].first_block == 0
+    assert without[0].first_block == 1

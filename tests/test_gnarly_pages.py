@@ -195,11 +195,13 @@ def test_unterminated_comment_swallows_rest_of_file():
 #    elements now (one block, tag_cnt=0; stage 2 keeps tags literal and
 #    leaves character references undecoded per spec); the golden shows
 #    the markup sample verbatim. <listing> parses like <pre>.
-#  * 42_table_layout_newsletter: LIMITATION — the two short bold
-#    story headlines (`<font><b>…</b></font>` between `<br>`s) fall
-#    under the tag-density gate and are dropped; the story bodies and
-#    the chrome/footer handling are ideal. A `<b>`-as-heading heuristic
-#    would be a frozen-scoring review event; recorded, not rushed.
+#  * 42_table_layout_newsletter: RESOLVED (heading-rescue review
+#    event): a link-free short block that immediately precedes a base
+#    candidate and fails only on inline-tag density is rescued into the
+#    run (webx/detect.py merge_runs_table frozen predicate; identical
+#    in the C kernel). The golden now carries both story headlines.
+#    Corpus-wide effect of the rule was reviewed: fixture 42 is the
+#    ONLY specimen whose output changed.
 #  * 40_late_charset_decl: documents the WHATWG 1024-byte prescan
 #    window + the flagged total latin-1 fallback (charset.py:18-19) —
 #    the golden's U+0093/94 C1 controls are the deliberate

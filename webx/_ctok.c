@@ -743,7 +743,8 @@ void wx_free(int64_t* p) {
  * ABI (single packed buffer, ONE copy out on the Python side):
  *   int64_t* wx_detect(const uint8_t* html, long n,
  *                      double tag_weight, double binary_thresh,
- *                      long min_block_chars, long* out_len);
+ *                      long min_block_chars, double rescue_thresh,
+ *                      long rescue_max_chars, long* out_len);
  *     returns a malloc'd int64 buffer of out_len 8-byte slots:
  *       [0]            k (block count)
  *       [1]            r (run count)
@@ -757,7 +758,8 @@ void wx_free(int64_t* p) {
 
 int64_t* wx_detect(const uint8_t* html, long n,
                    double tag_weight, double binary_thresh,
-                   long min_block_chars, long* out_len) {
+                   long min_block_chars, double rescue_thresh,
+                   long rescue_max_chars, long* out_len) {
     *out_len = 0;
     long k = 0;
     int64_t* blocks = wx_tokenize(html, n, &k);
@@ -765,14 +767,15 @@ int64_t* wx_detect(const uint8_t* html, long n,
     long len = 2 + 4 * k + 2 * k /* runs upper bound */ + k;
     int64_t* buf = (int64_t*)malloc((size_t)(len ? len : 1) * sizeof(int64_t));
     if (!buf) { free(blocks); return NULL; }
+    unsigned char* cand = (unsigned char*)malloc((size_t)(k ? k : 1));
+    if (!cand) { free(blocks); free(buf); return NULL; }
     int64_t* col_start = buf + 2;
     int64_t* col_end = col_start + k;
     int64_t* col_tlen = col_end + k;
     int64_t* col_head = col_tlen + k;
     int64_t* runs = col_head + k;
     double* scores = (double*)(runs + 2 * k);
-    long r = 0;
-    int in_run = 0;
+    /* pass 1: columns + scores + BASE candidacy */
     for (long i = 0; i < k; i++) {
         const int64_t* b = blocks + i * 7;
         col_start[i] = b[0];
@@ -786,12 +789,30 @@ int64_t* wx_detect(const uint8_t* html, long n,
         double score = density * (1.0 - link_density);
         if (b[6]) score = 0.0;               /* boiler -> 0 */
         scores[i] = score;
-        int cand = (score >= binary_thresh) && (b[2] >= min_block_chars);
-        if (cand && !in_run) { runs[r * 2] = i; in_run = 1; }
-        if (cand) runs[r * 2 + 1] = i;
-        if (!cand && in_run) { r++; in_run = 0; }
+        cand[i] = (score >= binary_thresh) && (b[2] >= min_block_chars);
+    }
+    /* pass 2: heading rescue — the FROZEN predicate of
+     * webx/detect.py merge_runs_table (i+1 tests BASE candidacy: the
+     * forward walk writes index i and reads i+1, so no chaining) */
+    if (rescue_max_chars > 0) {
+        for (long i = 0; i + 1 < k; i++) {
+            const int64_t* b = blocks + i * 7;
+            if (!cand[i] && cand[i + 1] && b[3] == 0
+                && b[2] >= min_block_chars && b[2] <= rescue_max_chars
+                && scores[i] > 0.0 && scores[i] >= rescue_thresh)
+                cand[i] = 1;
+        }
+    }
+    /* pass 3: run walk */
+    long r = 0;
+    int in_run = 0;
+    for (long i = 0; i < k; i++) {
+        if (cand[i] && !in_run) { runs[r * 2] = i; in_run = 1; }
+        if (cand[i]) runs[r * 2 + 1] = i;
+        if (!cand[i] && in_run) { r++; in_run = 0; }
     }
     if (in_run) r++;
+    free(cand);
     free(blocks);
     /* compact: move scores down next to the actual r runs */
     memmove(runs + 2 * r, scores, (size_t)k * sizeof(double));
@@ -818,7 +839,8 @@ int64_t* wx_detect(const uint8_t* html, long n,
  *   int64_t* wx_detect_final(const uint8_t* html, long n,
  *       double tag_weight, double binary_thresh, long min_block_chars,
  *       double box_thresh, long min_span_chars, long max_candidates,
- *       double expand_ratio, long* out_len, long* mode);
+ *       double expand_ratio, double rescue_thresh,
+ *       long rescue_max_chars, long* out_len, long* mode);
  *     mode = 1: buffer/out_len are exactly wx_detect's (fallback).
  *     mode = 0: finalized spans, packed:
  *       [0]           m (span count)
@@ -833,10 +855,12 @@ int64_t* wx_detect_final(const uint8_t* html, long n,
                          long min_block_chars,
                          double box_thresh, long min_span_chars,
                          long max_candidates, double expand_ratio,
+                         double rescue_thresh, long rescue_max_chars,
                          long* out_len, long* mode) {
     *mode = 1;
     int64_t* buf = wx_detect(html, n, tag_weight, binary_thresh,
-                             min_block_chars, out_len);
+                             min_block_chars, rescue_thresh,
+                             rescue_max_chars, out_len);
     if (!buf) return NULL;
     long k = buf[0];
     long r = buf[1];

@@ -27,6 +27,16 @@ class ExtractConfig:
     merge_gap: int = 0               # max non-candidate blocks bridged when merging runs
     tag_weight: float = 8.0          # weight of a markup tag vs one text char in density
     expand_ratio: float = 0.0        # unclip analog: widen span into surrounding whitespace
+    # Heading rescue (the boilerpipe/readability "short headline directly
+    # before content" heuristic): a non-candidate block that immediately
+    # precedes a base-candidate block is pulled into the run when it is
+    # link-free, short (tlen <= rescue_max_chars) and failed only on
+    # inline-tag density (score >= rescue_thresh). Catches 1990s-style
+    # <font size=3><b>Headline</b></font><br> newsletter markup that has
+    # no h1..h6 element. rescue_max_chars = 0 disables the rule; the
+    # frozen predicate lives in webx/detect.py merge_runs_table.
+    rescue_thresh: float = 0.30      # score floor for a rescuable block
+    rescue_max_chars: int = 80       # max tlen of a rescued block; 0 = off
 
     # --- stage 2: recognition (RecCTCLabelDecode analog) ---
     drop_score: float = 0.5          # drop spans with score < drop_score (config.py:77)

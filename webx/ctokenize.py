@@ -105,6 +105,8 @@ try:
         ctypes.c_double,
         ctypes.c_double,
         ctypes.c_long,
+        ctypes.c_double,                    # rescue_thresh
+        ctypes.c_long,                      # rescue_max_chars
         ctypes.POINTER(ctypes.c_long),
     ]
     _lib.wx_strip_norm.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -125,6 +127,8 @@ try:
         ctypes.c_long,
         ctypes.c_long,
         ctypes.c_double,
+        ctypes.c_double,                    # rescue_thresh
+        ctypes.c_long,                      # rescue_max_chars
         ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_long),
     ]
@@ -201,7 +205,12 @@ def tokenize_table(html: bytes):
 
 
 def detect_table(
-    html: bytes, tag_weight: float, binary_thresh: float, min_block_chars: int
+    html: bytes,
+    tag_weight: float,
+    binary_thresh: float,
+    min_block_chars: int,
+    rescue_thresh: float = 0.0,
+    rescue_max_chars: int = 0,
 ):
     """Fused stage-1: tokenize + block scores + candidate-run boundaries
     in ONE C call and ONE copy out (packed int64 buffer → frombuffer →
@@ -215,7 +224,7 @@ def detect_table(
     out_len = ctypes.c_long()
     ptr = _lib.wx_detect(
         html, len(html), tag_weight, binary_thresh, min_block_chars,
-        ctypes.byref(out_len),
+        rescue_thresh, rescue_max_chars, ctypes.byref(out_len),
     )
     if not ptr:
         raise MemoryError("wx_detect allocation failure")
@@ -245,6 +254,8 @@ def detect_final(
     min_span_chars: int,
     max_candidates: int,
     expand_ratio: float,
+    rescue_thresh: float = 0.0,
+    rescue_max_chars: int = 0,
 ):
     """FULLY-fused stage-1 (wx_detect_final): detect + finalize +
     expand + validate in one C call when every candidate run has
@@ -268,6 +279,7 @@ def detect_final(
     ptr = _lib.wx_detect_final(
         html, len(html), tag_weight, binary_thresh, min_block_chars,
         box_thresh, min_span_chars, max_candidates, expand_ratio,
+        rescue_thresh, rescue_max_chars,
         ctypes.byref(out_len), ctypes.byref(mode),
     )
     if not ptr:

@@ -68,7 +68,8 @@ def merge_runs(
     start = np.fromiter((b.start for b in blocks), dtype=np.int64, count=n)
     end = np.fromiter((b.end for b in blocks), dtype=np.int64, count=n)
     heading = np.fromiter((b.heading for b in blocks), dtype=bool, count=n)
-    return merge_runs_table(start, end, tlen, heading, scores, cfg)
+    link = np.fromiter((b.link_tlen for b in blocks), dtype=np.int64, count=n)
+    return merge_runs_table(start, end, tlen, heading, scores, cfg, link=link)
 
 
 def _gap_runs(cand: np.ndarray, merge_gap: int) -> list:
@@ -106,15 +107,51 @@ def merge_runs_table(
     heading: np.ndarray,
     scores: np.ndarray,
     cfg: ExtractConfig,
+    link: np.ndarray | None = None,
 ) -> List[Span]:
     """Array-native merge: run boundaries found with one vectorized diff
     (merge_gap=0, the default) instead of a per-block Python walk; the
     per-run score arithmetic is the EXACT expressions of the original
-    loop, so results are bit-identical."""
+    loop, so results are bit-identical.
+
+    Heading rescue (FROZEN RULE — the C kernel `wx_detect` and the synth
+    oracle arithmetic implement the identical predicate): with
+    ``cand_base = (score >= binary_thresh) & (tlen >= min_block_chars)``,
+    a block ``i`` is rescued into candidacy iff
+
+        not cand_base[i]  and  cand_base[i+1]        (directly precedes
+                                                      base content)
+        and link[i] == 0                             (a headline is not
+                                                      a link)
+        and min_block_chars <= tlen[i] <= rescue_max_chars
+        and 0.0 < score[i]  and  score[i] >= rescue_thresh
+
+    The i+1 test is against BASE candidacy (single pass, no chaining:
+    stacked headlines rescue only the last). ``score > 0`` keeps boiler
+    blocks (forced to 0.0) out even under a zero rescue_thresh. The rule
+    is the boilerpipe/readability "headline preceding content" heuristic
+    recast over the block table: 1990s table/font newsletters express
+    headings as ``<font><b>…</b></font><br>`` whose inline-tag density
+    fails binary_thresh while the text itself is real content. Rescue is
+    skipped when ``link`` is None (legacy callers) or
+    ``rescue_max_chars == 0``."""
     n = len(tlen)
     if n == 0:
         return []
     cand = (scores >= cfg.binary_thresh) & (tlen >= cfg.min_block_chars)
+    if cfg.rescue_max_chars > 0 and link is not None and n > 1:
+        resc = (
+            ~cand[:-1]
+            & cand[1:]
+            & (link[:-1] == 0)
+            & (tlen[:-1] >= cfg.min_block_chars)
+            & (tlen[:-1] <= cfg.rescue_max_chars)
+            & (scores[:-1] > 0.0)
+            & (scores[:-1] >= cfg.rescue_thresh)
+        )
+        if resc.any():
+            cand = cand.copy()
+            cand[:-1] |= resc
     if cfg.merge_gap == 0:
         if n < 64:
             # typical pages have O(10) blocks: a list walk beats numpy's

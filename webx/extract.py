@@ -170,6 +170,8 @@ def _extract_doc_stage1(
             cfg.min_span_chars,
             cfg.max_candidates,
             cfg.expand_ratio,
+            cfg.rescue_thresh,
+            cfg.rescue_max_chars,
         )
         if res[0] == "final":
             # plain-list span columns (see ctokenize.detect_final)
@@ -208,7 +210,9 @@ def _extract_doc_stage1(
             spans = validate_spans(
                 expand_spans(
                     html,
-                    merge_runs_table(start, end, tlen, heading, scores, cfg),
+                    merge_runs_table(
+                        start, end, tlen, heading, scores, cfg, link=link
+                    ),
                     cfg.expand_ratio,
                 ),
                 len(html),

@@ -158,6 +158,24 @@ P_TAIL_NFC = (
     "</p><p>" + NFC_SRC + "</p>"
     "</article>" + P_TAIL[len(_ARTICLE_CLOSE) :]
 )
+# Heading-rescue page (q_extract_headline): a 1990s-newsletter-style
+# story headline — <font size=3><b>…</b></font><br> with NO h1..h6
+# element — directly before the article paragraph. Its inline-tag
+# density fails binary_thresh (34 text bytes, 4 inline tags → score
+# 34/(34+4*8+1) = 0.507 < 0.55) so only the heading-rescue predicate
+# (webx/detect.py merge_runs_table) keeps it: link-free, short, score
+# >= rescue_thresh, immediately preceding a base candidate. The page
+# also carries a NEGATIVE control before the <h1>: an ISSN strapline
+# whose score 8/(8+4*8+1) = 0.195 sits BELOW rescue_thresh (0.30) and
+# must stay dropped even though it too precedes a base candidate.
+HEADLINE_LINE = "Icebreaker convoys resume next weekend"
+_HL_TLEN = sum(len(w) for w in HEADLINE_LINE.split())
+assert 15 <= _HL_TLEN <= 40  # keeps the score inside [0.30, 0.55)
+P_ISSN = '<font size="1"><i>ISSN 4721</i></font><br>'
+P_CHROME_ISSN = P_CHROME[: -len(_ARTICLE_OPEN)] + P_ISSN + _ARTICLE_OPEN
+P_MID_HEADLINE = (
+    '</h1><font size="3"><b>' + HEADLINE_LINE + "</b></font><br><p>"
+)
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
 ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
 BOILER_ONLY_BODY = (
@@ -282,6 +300,22 @@ def synth_pages_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_MODAL), did, F.lit(P_MID),
         esc, F.lit(P_TAIL_STRIP),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page with a font/bold story headline between the <h1>
+    and the paragraph (P_MID_HEADLINE) plus a sub-threshold ISSN
+    strapline before the article (P_CHROME_ISSN). Expected text:
+    ``'Doc '||doc_id||'\\n'||HEADLINE_LINE||'\\n'||norm(text)`` — the
+    headline is kept ONLY by the heading-rescue predicate; the ISSN
+    line must never appear."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_ISSN), did,
+        F.lit(P_MID_HEADLINE), esc, F.lit(P_TAIL),
     )
     return docs.select(*_assemble(html))
 

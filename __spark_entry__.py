@@ -133,6 +133,23 @@ def q_extract_headline(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_headline(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML data-table extraction (webx/tables.py): the article's spec
+    table — caption, th header row, three closed-form fact rows —
+    becomes one output row per cell (url, table_idx, row_idx, col_idx,
+    header, cell, caption), while the adjacent pure-link layout table
+    is rejected by the frozen data/layout classifier (anchor-text
+    ratio 1.0 > 0.5). Nested-table exactness, implicit closures and
+    the lexer-precedence comment/rawtext blanking are pytest-gated
+    (tests/test_tables.py); this query gates the end-to-end cell
+    values + classifier on every document. One narrow mapInPandas —
+    the run_extraction plan shape."""
+    from webx.tables import run_table_extraction
+
+    pages = _par(synth.synth_pages_tables(spark, sf), spark)
+    return run_table_extraction(pages, CFG)
+
+
 def q_extract_nonprose(spark: SparkSession, sf: str) -> DataFrame:
     """Non-prose drop regions (webx/synth.py synth_pages_nonprose): the
     article's last paragraph mixes prose with inline svg (a11y
@@ -7200,6 +7217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_overlay": q_extract_overlay,
         "q_extract_headline": q_extract_headline,
+        "q_extract_tables": q_extract_tables,
         "q_extract_rawkept": q_extract_rawkept,
         "q_extract_nonprose": q_extract_nonprose,
         "q_extract_invisible": q_extract_invisible,
@@ -7866,6 +7884,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, ({DID} || {NL} || "
             f"'{synth.HEADLINE_LINE}' || {NL} || {NORM}) AS text "
             "FROM documents"
+        ),
+        # data-table extraction: the spec table's 4×2 cells are
+        # closed-form per document; the link layout table contributes
+        # nothing (classifier-rejected)
+        "q_extract_tables": (
+            f"SELECT {URL} AS url, 0 AS table_idx, g.r AS row_idx, "
+            "g.c AS col_idx, g.r = 0 AS header, "
+            "CASE WHEN g.r = 0 AND g.c = 0 THEN 'Property' "
+            "WHEN g.r = 0 AND g.c = 1 THEN 'Value' "
+            "WHEN g.r = 1 AND g.c = 0 THEN 'Identifier' "
+            f"WHEN g.r = 1 AND g.c = 1 THEN {DID} "
+            "WHEN g.r = 2 AND g.c = 0 THEN 'Language' "
+            "WHEN g.r = 2 AND g.c = 1 THEN lang "
+            "WHEN g.r = 3 AND g.c = 0 THEN 'Score' "
+            "ELSE CAST(doc_id % 97 AS VARCHAR) END AS cell, "
+            "'Document facts' AS caption "
+            "FROM documents CROSS JOIN "
+            "(SELECT a.range AS r, b.range AS c FROM range(4) a, range(2) b) g"
         ),
         # raw-kept <xmp> sample: its content is LITERAL text (tags shown,
         # entities undecoded), so the extra line is the source constant

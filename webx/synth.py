@@ -176,6 +176,26 @@ P_CHROME_ISSN = P_CHROME[: -len(_ARTICLE_OPEN)] + P_ISSN + _ARTICLE_OPEN
 P_MID_HEADLINE = (
     '</h1><font size="3"><b>' + HEADLINE_LINE + "</b></font><br><p>"
 )
+# Data-table page (q_extract_tables): the article carries a spec table
+# (caption + th header row + three fact rows whose value cells are
+# closed-form functions of documents columns) followed by a pure-link
+# layout table that the data/layout classifier (webx/tables.py) must
+# reject (anchor-text ratio 1.0). Expected cells: 4 rows × 2 cols for
+# table_idx 0 only.
+TABLE_CAPTION = "Document facts"
+P_TABLE_PRE = (
+    '</p><table class="specs"><caption>' + TABLE_CAPTION + "</caption>"
+    "<tr><th>Property</th><th>Value</th></tr>"
+    "<tr><td>Identifier</td><td>"
+)
+P_TABLE_MID1 = "</td></tr><tr><td>Language</td><td>"
+P_TABLE_MID2 = "</td></tr><tr><td>Score</td><td>"
+P_TABLE_POST = (
+    "</td></tr></table>"
+    '<table width="100%"><tr><td><a href="/arch">Archive</a></td>'
+    '<td><a href="/sub">Subscribe</a></td></tr></table></article>'
+    + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
 ENTITY_DEMO = "Fish &amp; chips &lt;tag&gt; &#65;&#x42; &hellip; "
 ENTITY_DEMO_DECODED = "Fish & chips <tag> AB … "
 BOILER_ONLY_BODY = (
@@ -316,6 +336,23 @@ def synth_pages_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_ISSN), did,
         F.lit(P_MID_HEADLINE), esc, F.lit(P_TAIL),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with a captioned spec table
+    (header row + Identifier/Language/Score facts) and a link-only
+    layout table. Expected data-table cells are closed-form:
+    ('Property','Value' | 'Identifier','Doc N' | 'Language',lang |
+    'Score', N % 97), caption TABLE_CAPTION, table_idx 0."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID), esc,
+        F.lit(P_TABLE_PRE), did, F.lit(P_TABLE_MID1), F.col("lang"),
+        F.lit(P_TABLE_MID2), (F.col("doc_id") % 97).cast("string"),
+        F.lit(P_TABLE_POST),
     )
     return docs.select(*_assemble(html))
 

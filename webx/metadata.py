@@ -313,7 +313,9 @@ def html_tables(pages: DataFrame, html_col: str = "html") -> DataFrame:
     are nested ``regexp_extract_all`` + ``posexplode`` — all JVM, no
     Python. Cells are tag-stripped and whitespace-normalized. Nested
     tables: inner rows surface as their own rows (flat scan semantics,
-    the same policy as the anchor extractor)."""
+    the same policy as the anchor extractor). For exact nesting,
+    implicit closures, charset-aware decode and the data/layout
+    classifier, use the exact lane: ``webx.tables.run_table_extraction``."""
     txt = _lossy_utf8(html_col)
     rows = F.regexp_extract_all(txt, F.lit(_TR_RE), 1)
     with_rows = pages.select("*", F.posexplode(rows).alias("row_idx", "row_html"))

@@ -45,6 +45,14 @@ FROZEN semantics (tests + the synth oracle depend on these):
 * ``table_idx`` numbers the EMITTED (data) tables of a document in
   document order of their ``<table>`` open tag.
 
+Relation to ``webx.metadata.html_tables``: that is the all-JVM quick
+lane (nested ``regexp_extract_all`` + ``posexplode`` — flat row scan, no
+nesting exactness, no classifier, no caption, lossy-utf8 decode only).
+This module is the exact lane: correct nesting, implicit closures,
+charset-aware entity decode, and the data/layout classifier. Use the
+quick lane for corpus-wide grid statistics, this one to mine clean table
+corpora.
+
 Scale shape: one narrow ``mapInPandas`` over (url, html) — same plan as
 run_extraction (pruned scan → Arrow batches → rows), no shuffle, no
 driver collect; output explodes to one row per cell.

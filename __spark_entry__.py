@@ -133,6 +133,18 @@ def q_extract_headline(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_headline(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_extract_pre(spark: SparkSession, sf: str) -> DataFrame:
+    """<pre> whitespace preservation (webx/synth.py synth_pages_pre):
+    the article ends with a <pre><code> sample whose four-space
+    indentation and double interior spaces must survive byte-identical
+    (webx/recognize.py pre_regions + decode_span_pre — preformatted
+    text is exempt from the whitespace-collapse normalize policy; the
+    escaped comparison operators still entity-decode). The span that
+    carries the code block also carries normal prose, gating the
+    partition of one span into collapsed and preserved parts."""
+    return run_extraction(_par(synth.synth_pages_pre(spark, sf), spark), CFG).select("url", "text")
+
+
 def q_extract_tables(spark: SparkSession, sf: str) -> DataFrame:
     """HTML data-table extraction (webx/tables.py): the article's spec
     table — caption, th header row, three closed-form fact rows —
@@ -7217,6 +7229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_gnarly": q_extract_gnarly,
         "q_extract_overlay": q_extract_overlay,
         "q_extract_headline": q_extract_headline,
+        "q_extract_pre": q_extract_pre,
         "q_extract_tables": q_extract_tables,
         "q_extract_rawkept": q_extract_rawkept,
         "q_extract_nonprose": q_extract_nonprose,
@@ -7884,6 +7897,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, ({DID} || {NL} || "
             f"'{synth.HEADLINE_LINE}' || {NL} || {NORM}) AS text "
             "FROM documents"
+        ),
+        # pre whitespace preservation: the code sample's three lines
+        # append verbatim (indentation + double spaces intact, entities
+        # decoded) after the flagship closed form
+        "q_extract_pre": (
+            f"SELECT {URL} AS url, ({GOLDEN} || {NL} || "
+            f"'{synth.PRE_LINES[0]}' || {NL} || "
+            f"'{synth.PRE_LINES[1]}' || {NL} || "
+            f"'{synth.PRE_LINES[2]}') AS text FROM documents"
         ),
         # data-table extraction: the spec table's 4×2 cells are
         # closed-form per document; the link layout table contributes

@@ -476,6 +476,102 @@ complete archive of investigations.</p></div>
 </article><footer><a href="/about">About</a></footer></body></html>""")
 
 
+page("46_product_page", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Trail Lantern 400 – ACME Outdoor</title></head><body>
+<nav class="breadcrumbs"><a href="/">Home</a> › <a href="/outdoor">Outdoor</a> › <a href="/outdoor/lighting">Lighting</a></nav>
+<main><h1>Trail Lantern 400</h1>
+<p>The Trail Lantern 400 is a rechargeable camp light with a warm-to-cool
+dimming range and an IPX5 housing that shrugs off sideways rain. At its
+lowest setting a single charge lasts four nights of reading.</p>
+<table class="specs"><caption>Specifications</caption>
+<tr><th>Weight</th><td>240 g</td></tr>
+<tr><th>Output</th><td>400 lumens</td></tr>
+<tr><th>Charge time</th><td>3.5 hours</td></tr></table>
+<div class="related"><h3>Related products</h3><a href="/p/1">Trail Lantern 200</a> <a href="/p/2">Storm Cord</a> <a href="/p/3">Peg Kit</a></div>
+<section class="reviews"><h2>Reviews</h2>
+<div class="review"><p>Survived a week of coastal drizzle strapped to the
+tent ridge line; the low amber mode is the feature nobody advertises and
+everybody ends up using.</p></div>
+<div class="review"><p>Heavier than the spec sheet suggests once you add
+the hanging hook, but the charge indicator is honest and the strap stows
+flat.</p></div></section></main>
+<footer><a href="/returns">Returns</a> <a href="/contact">Contact</a></footer></body></html>""")
+
+page("47_wiki_infobox", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Port Selden - Encyclopedia</title></head><body>
+<div id="toc" class="toc"><ul><li><a href="#history">1 History</a></li><li><a href="#economy">2 Economy</a></li><li><a href="#climate">3 Climate</a></li></ul></div>
+<h1>Port Selden</h1>
+<table class="infobox"><caption>Port Selden</caption>
+<tr><th>Country</th><td>Vestland</td></tr>
+<tr><th>Population</th><td>83,214 (2024)</td></tr>
+<tr><th>Elevation</th><td>12 m</td></tr></table>
+<p>Port Selden is a harbour city on the northern coast of Vestland and the
+administrative seat of the surrounding county. The sheltered deep-water
+anchorage made it a naval staging point long before the railway arrived.</p>
+<h2 id="history">History</h2>
+<p>The settlement grew around a twelfth-century customs post; the oldest
+surviving warehouse on the quay is dated by its roof timbers to 1371.</p>
+<h2 id="economy">Economy</h2>
+<p>Container transshipment and fish processing dominate, though the yards
+that once built icebreakers now refit offshore wind installation vessels.</p>
+<h2>References</h2>
+<ol class="references"><li><a href="/ref1">Harbour board annual report</a></li>
+<li><a href="/ref2">County statistical yearbook</a></li></ol>
+</body></html>""")
+
+page("48_docs_code", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>quickstart - veldt 2.3 docs</title></head><body>
+<nav class="sidebar"><a href="/docs">Docs</a><a href="/api">API</a><a href="/faq">FAQ</a></nav>
+<article><h1>Quickstart</h1>
+<p>Install the package, point it at a manifest, and the watcher rebuilds
+whatever the manifest reaches. The defaults are deliberately boring.</p>
+<pre><code>$ veldt init --manifest veldt.toml
+$ veldt watch src/ --jobs 4</code></pre>
+<p>Configuration lives in a single TOML table; unknown keys are rejected
+at parse time rather than silently ignored.</p>
+<pre><code>[build]
+target = "release"
+incremental = true   # reuse object cache &amp; skip unchanged units
+
+[watch]
+debounce_ms = 40     # coalesce editor save bursts</code></pre>
+<p>Exit codes follow the usual convention: zero on success, two for a
+manifest error, three when the watcher loses the directory.</p>
+</article><footer><a href="/license">License</a></footer></body></html>""")
+
+page("49_blog_comments", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Why our build got slower</title></head><body>
+<header class="masthead"><a href="/">tinkerlog</a><a href="/archive">Archive</a></header>
+<article><h1>Why our build got slower</h1>
+<p>We spent a month blaming the linker when the real cost was a generated
+header that invalidated sixty translation units every time the version
+string changed. Moving the timestamp out of the header fixed nine tenths
+of the regression.</p>
+<p>The lesson generalizes: measure the dependency graph before touching
+the toolchain, because the graph is usually lying about what is hot.</p>
+</article>
+<section class="comments"><h2>Comments</h2>
+<div class="comment"><p>We hit the same thing with an embedded git hash;
+writing it to a .o at link time instead of a header removed the fan-out
+entirely.</p></div>
+<div class="comment"><p>Worth noting ccache masks this until the cache
+fills, which is why it only showed up on fresh CI runners.</p></div>
+</section>
+<footer><p>© tinkerlog</p></footer></body></html>""")
+
+page("50_press_release", """<!DOCTYPE html><html><head><meta charset="utf-8"><title>ACME opens Vestland assembly plant</title></head><body>
+<header><a href="/">ACME Newsroom</a><a href="/media">Media kit</a></header>
+<article><h1>ACME opens Vestland assembly plant</h1>
+<p>PORT SELDEN, 12 March — ACME Industrial today opened its first
+assembly plant in Vestland, a 40,000 square metre facility that will
+build drive units for the offshore wind fleet and employ about six
+hundred people at full capacity.</p>
+<p>The site was chosen for its quay access: nacelle housings leave the
+hall on rail bogies and roll directly onto the installation vessels that
+berth alongside, removing two crane lifts from every delivery.</p>
+<p class="boilerplate">About ACME Industrial: ACME designs and builds
+electric drive systems for marine and heavy industry, operating twelve
+plants in eight countries.</p>
+<p class="contact">Media contact: <a href="mailto:press@acme.example">press@acme.example</a>, +47 55 00 00 00.</p>
+</article></body></html>""")
+
+
 def main() -> None:
     import pandas as pd
 

@@ -191,6 +191,21 @@ def test_unterminated_comment_swallows_rest_of_file():
 
 # Review verdicts for specimens whose goldens document a LIMITATION
 # rather than ideal output (re-reviewed whenever goldens regenerate):
+#  * 04_pre_code: RESOLVED (pre-preservation review event): <pre>/
+#    <listing> regions are exempt from whitespace collapse
+#    (webx/recognize.py pre_regions + decode_span_pre) — the sample's
+#    four-space indent now survives, which is what the specimen's own
+#    prose always promised. Only this golden changed in the review.
+#  * 47_wiki_infobox: POLICY — the infobox table's short label/value
+#    lines are kept in the prose lane (they merge into the adjacent
+#    candidate run); the structured form is the data-table lane's job
+#    (webx/tables.py extracts it with th flags + caption). The
+#    trailing "References" heading over a link-only list stays as a
+#    bare line — recorded, harmless to training text.
+#  * 46/49/50: reviews, user comments and about-the-company prose are
+#    KEPT deliberately (same policy as 43_forum_thread: genuine text
+#    by humans is corpus content; "related products", breadcrumbs and
+#    media-contact link lines fall to hints/density as boilerplate).
 #  * 30_xmp_plaintext: RESOLVED — <xmp>/<plaintext> are raw-KEPT
 #    elements now (one block, tag_cnt=0; stage 2 keeps tags literal and
 #    leaves character references undecoded per spec); the golden shows

@@ -166,3 +166,114 @@ def test_sniff_fast_path_raw_bytes(html):
     from webx.charset import _sniff_prescan, sniff_charset
 
     assert sniff_charset(html) == _sniff_prescan(html[:1024], "utf-8")
+
+
+# ---- <pre>/<listing> whitespace preservation -------------------------
+
+import pandas as pd
+
+from webx.config import ExtractConfig
+from webx.extract import extract_batch
+from webx.recognize import decode_span_pre, pre_regions
+
+
+def _ext(html: bytes, ck: str = "auto") -> str:
+    out = extract_batch(
+        pd.DataFrame({"url": ["u"], "html": [html]}),
+        ExtractConfig(ckernels=ck),
+    )
+    return out.iloc[0]["text"]
+
+
+_PRE_DOC = (
+    b"<article><h1>Quickstart</h1>"
+    b"<p>Install the package and run the watcher over your sources.</p>"
+    b"<pre><code>$ veldt init\n    indented  line\n\ttabbed\tcells</code></pre>"
+    b"<p>Exit codes follow the usual convention for command tools.</p>"
+    b"</article>"
+)
+
+
+def test_pre_preserves_indent_tabs_and_double_spaces():
+    text = _ext(_PRE_DOC)
+    assert "$ veldt init\n    indented  line\n\ttabbed\tcells" in text
+    # surrounding prose still collapses normally
+    assert "Install the package and run the watcher" in text
+
+
+def test_pre_python_and_c_paths_agree():
+    assert _ext(_PRE_DOC, "off") == _ext(_PRE_DOC, "require")
+
+
+def test_pre_regions_island_precedence():
+    html = (
+        b"<!-- <pre>not real</pre> -->"
+        b"<script>var x = '<pre>fake</pre>';</script>"
+        b"<pre>real <!-- </pre> hidden close --> content</pre>tail"
+    )
+    regs = pre_regions(html)
+    assert len(regs) == 1
+    s, e = regs[0]
+    assert html[s:e] == b"real <!-- </pre> hidden close --> content"
+
+
+def test_pre_unclosed_runs_to_eof():
+    html = b"<pre>line one\n  line two"
+    (s, e), = pre_regions(html)
+    assert html[s:e] == b"line one\n  line two"
+
+
+def test_pre_self_closed_opens_no_region():
+    assert pre_regions(b"<pre/>no region here") == ()
+
+
+def test_listing_region_preserved():
+    html = (
+        b"<article><p>A paragraph of ordinary prose long enough to "
+        b"score as a candidate block here.</p>"
+        b"<listing>cols  a   b\n  row 1</listing></article>"
+    )
+    assert "cols  a   b\n  row 1" in _ext(html)
+
+
+def test_pre_entities_decode_but_spacing_stays():
+    html = (
+        b"<article><p>Comparison operators decode inside the sample "
+        b"block below as usual.</p>"
+        b"<pre>if (i &lt; j)  { total += rows[i]; }</pre></article>"
+    )
+    assert "if (i < j)  { total += rows[i]; }" in _ext(html)
+
+
+def test_pre_edge_blank_lines_trimmed_interior_kept():
+    html = (
+        b"<article><p>Ordinary prose paragraph long enough to be kept "
+        b"as a candidate.</p><pre>\n\n  first\n\n  second\n\n</pre></article>"
+    )
+    text = _ext(html)
+    assert "  first\n\n  second" in text
+    assert "\n\n  first" not in text  # leading blank lines trimmed
+
+
+def test_pre_crlf_normalized_only():
+    html = (
+        b"<article><p>Ordinary prose paragraph long enough to be kept "
+        b"as a candidate.</p><pre>a  b\r\n  c</pre></article>"
+    )
+    assert "a  b\n  c" in _ext(html)
+
+
+def test_standalone_pre_span_starting_inside_region():
+    # no surrounding prose: the span BEGINS at the pre content (block
+    # offsets are text-trimmed past the open tag) — the region
+    # intersection must still preserve it
+    html = b"<pre>$ run --all --verbose\n    keep  this   spacing  intact</pre>"
+    text = _ext(html)
+    assert text == "$ run --all --verbose\n    keep  this   spacing  intact"
+
+
+def test_decode_span_pre_partitions_normal_and_preserved():
+    html = b"<p>before   text</p><pre>in  side</pre><p>after   text</p>"
+    regs = pre_regions(html)
+    out = decode_span_pre(html, "utf-8", 0, regs)
+    assert out == "before text\nin  side\nafter text"

@@ -39,10 +39,12 @@ from webx.detect import (
 )
 from webx.recognize import (
     decode_span,
+    decode_span_pre,
     decode_span_rawkept,
     decode_stripped,
     has_rawkept,
     is_ascii_compatible,
+    pre_regions,
 )
 from webx.tokenize import Block, tokenize
 
@@ -241,6 +243,9 @@ def _decode_spans(
         resolve_strip_norm(cfg.ckernels) if is_ascii_compatible(charset) else None
     )
     strip = resolve_strip(cfg.ckernels) if strip_norm is None else None
+    # <pre>/<listing> content ranges, once per document (cheap probe
+    # inside): spans overlapping one preserve its whitespace
+    preserved = pre_regions(html)
     for s in spans:
         if s.score < cfg.drop_score:  # drop_score filter (predict_system.py:92-100)
             continue
@@ -249,6 +254,13 @@ def _decode_spans(
             # <xmp>/<plaintext> region inside the span (1996-era rare):
             # literal-text decode on the reference Python path
             text = decode_span_rawkept(raw, charset)
+        elif preserved and any(
+            rs < s.end and re_ > s.start for rs, re_ in preserved
+        ):
+            text = decode_span_pre(
+                raw, charset, s.start, preserved,
+                resolve_strip(cfg.ckernels),
+            )
         elif strip_norm is not None:
             out, done = strip_norm(raw)
             # done: out IS the normalized text — pure-ASCII bytes, and

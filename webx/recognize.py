@@ -206,6 +206,134 @@ def decode_span(raw: bytes, charset: str, strip=strip_markup) -> str:
     return decode_stripped(strip(raw), charset)
 
 
+# ---- <pre>/<listing> whitespace preservation -------------------------
+# Per the HTML spec pre is "preformatted text": indentation, interior
+# spacing and line structure ARE content (code samples, ASCII tables,
+# poetry). The normalize policy's whitespace collapse would destroy
+# exactly what a code-corpus needs, so spans overlapping a pre region
+# decode that region with entities + tag-strip + CR-normalize but NO
+# horizontal-whitespace collapse and NO interior line trim/drop; only
+# leading/trailing whitespace-only LINES are removed (the newline after
+# ``<pre>`` is markup, not content). Regions are computed ONCE per
+# document as content byte ranges — the span decoder intersects its
+# extent with them, which also covers spans that BEGIN inside a pre
+# block (block offsets are text-trimmed past the open tag). Lexer
+# precedence holds: comment/CDATA and script/style/textarea islands
+# hide both opens and closes. <listing> is the 1996 synonym. Nested
+# <pre> inside <pre> ends at the first close (same approximation as
+# <template>; real pages ~never nest). Frozen policy shared with the
+# invisible-char rule: U+00AD/ZWSP/bidi controls and NUL are stripped
+# in preserved text too.
+
+_PRE_DOC_PROBE_RE = re.compile(rb"<(?:pre|listing)[\s/>]", re.I)
+_PRE_SCAN_RE = re.compile(
+    rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"
+    rb"|<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"
+    rb"|<(pre|listing)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.I | re.S,
+)
+_PRE_END_RES = {
+    b"pre": re.compile(
+        rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"
+        rb"|<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"
+        rb"|(</pre(?:\s[^>]*)?>)",
+        re.I | re.S,
+    ),
+    b"listing": re.compile(
+        rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"
+        rb"|<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"
+        rb"|(</listing(?:\s[^>]*)?>)",
+        re.I | re.S,
+    ),
+}
+
+
+def pre_regions(html: bytes):
+    """Content byte ranges of every <pre>/<listing> region of a
+    document (island-aware, document order, non-overlapping). Empty
+    tuple when the cheap probe misses."""
+    if _PRE_DOC_PROBE_RE.search(html) is None:
+        return ()
+    out = []
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _PRE_SCAN_RE.search(html, pos)
+        if m is None:
+            break
+        if m.group(2) is None:  # island: opaque to pre opens
+            pos = max(m.end(), pos + 1)
+            continue
+        if m.group(3).rstrip().endswith(b"/"):  # self-closed: no region
+            pos = m.end()
+            continue
+        start = m.end()
+        endre = _PRE_END_RES[m.group(2).lower()]
+        cpos = start
+        close = None
+        while cpos < n:
+            e = endre.search(html, cpos)
+            if e is None:
+                break
+            if e.group(2) is not None:
+                close = e
+                break
+            cpos = max(e.end(), cpos + 1)
+        if close is None:
+            out.append((start, n))
+            break
+        out.append((start, close.start()))
+        pos = close.end()
+    return tuple(out)
+
+
+def _preserved_text(content: bytes, charset: str, strip) -> str:
+    """Entity + tag handling like the normal path; whitespace kept."""
+    txt = unescape(_charset_decode(strip(content), charset))
+    if not txt.isascii():
+        txt = _INVIS_RE.sub("", txt)
+    if "\x00" in txt:
+        txt = txt.replace("\x00", "")
+    if "\r" in txt:
+        txt = txt.replace("\r\n", "\n").replace("\r", "\n")
+    lines = txt.split("\n")
+    while lines and not lines[0].strip():
+        lines.pop(0)
+    while lines and not lines[-1].strip():
+        lines.pop()
+    return "\n".join(lines)
+
+
+def decode_span_pre(
+    raw: bytes, charset: str, offset: int, regions, strip=strip_markup
+) -> str:
+    """decode_span for spans overlapping pre/listing regions: the span's
+    bytes are partitioned against the document's region ranges; normal
+    parts take the regular strip + normalize path, region intersections
+    the whitespace-preserving path. Parts join with newline."""
+    n = len(raw)
+    parts = []
+    seg = 0
+    for rs, re_ in regions:
+        lo = max(rs - offset, 0)
+        hi = min(re_ - offset, n)
+        if hi <= lo or lo >= n:
+            continue
+        if lo > seg:
+            t = decode_stripped(strip(raw[seg:lo]), charset)
+            if t:
+                parts.append(t)
+        t = _preserved_text(raw[lo:hi], charset, strip)
+        if t:
+            parts.append(t)
+        seg = hi
+    if seg < n:
+        t = decode_stripped(strip(raw[seg:]), charset)
+        if t:
+            parts.append(t)
+    return "\n".join(parts)
+
+
 # ---- raw-KEPT elements (xmp / plaintext) -----------------------------
 # HTML-spec raw text whose content IS displayed: tags literal, character
 # references NOT decoded. Spans containing one are rare (1996-era

@@ -176,6 +176,23 @@ P_CHROME_ISSN = P_CHROME[: -len(_ARTICLE_OPEN)] + P_ISSN + _ARTICLE_OPEN
 P_MID_HEADLINE = (
     '</h1><font size="3"><b>' + HEADLINE_LINE + "</b></font><br><p>"
 )
+# Preformatted-code page (q_extract_pre): the article ends with a
+# <pre><code> sample whose indentation and interior spacing ARE content
+# (webx/recognize.py pre_regions / decode_span_pre — no whitespace
+# collapse inside pre). The in-page form escapes '<'; the expected
+# lines are these constants verbatim (entities decoded, four-space
+# indent and double spaces preserved).
+PRE_LINES = (
+    "$ veldt pack --jobs 4",
+    "    if (i < j)  total += rows[i];",
+    "        return total",
+)
+PRE_SAMPLE = "\n".join(PRE_LINES)
+_PRE_PAGE = PRE_SAMPLE.replace("&", "&amp;").replace("<", "&lt;")
+P_TAIL_PRE = (
+    "</p><pre><code>" + _PRE_PAGE + "</code></pre></article>"
+    + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
 # Data-table page (q_extract_tables): the article carries a spec table
 # (caption + th header row + three fact rows whose value cells are
 # closed-form functions of documents columns) followed by a pure-link
@@ -336,6 +353,20 @@ def synth_pages_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_ISSN), did,
         F.lit(P_MID_HEADLINE), esc, F.lit(P_TAIL),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page whose article ends with a <pre><code> sample
+    (P_TAIL_PRE). Expected text: flagship closed form + '\\n' +
+    PRE_SAMPLE verbatim — indentation and double spaces preserved, the
+    escaped operators decoded."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_PRE),
     )
     return docs.select(*_assemble(html))
 

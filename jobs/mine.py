@@ -11,8 +11,9 @@ non-text corpora — each an independent output table under --output:
     code/         verbatim code blocks (metadata.code_blocks)
     math/         MathML/TeX spans (metadata.math_spans)
     bitext/       mutually-confirmed hreflang pairs (urls.bitext_pairs)
+    tables/       data-table cells, exact lane (tables.run_table_extraction)
 
-All lanes except interleaved are pure whole-stage codegen and fuse into
+All lanes except interleaved and tables are pure whole-stage codegen and fuse into
 the page scan; each lane writes independently, so a failed lane re-runs
 alone (outputs are keyed by lane directory, overwrite is idempotent).
 The scan is shared via an explicit .cache() only when --cache-pages is
@@ -44,7 +45,10 @@ sys.path.insert(0, _REPO)
 # cluster --py-files ships the package and this is a no-op
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-ALL_LANES = ("captions", "interleaved", "contexts", "media", "code", "math", "bitext")
+ALL_LANES = (
+    "captions", "interleaved", "contexts", "media", "code", "math",
+    "bitext", "tables",
+)
 
 
 def parse_args(argv):
@@ -126,6 +130,12 @@ def main(argv=None) -> int:
             from webx.metadata import math_spans
 
             df = math_spans(pages)
+        elif lane == "tables":
+            from webx.tables import run_table_extraction
+
+            # the exact lane (nesting, implicit closures, data/layout
+            # classifier) — one Arrow mapInPandas like interleaved
+            df = run_table_extraction(pages)
         else:  # bitext
             from pyspark.sql import functions as F
 

@@ -27,3 +27,10 @@ def test_mine_job_lanes(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{out}/code").columns == [
         "url", "block_idx", "lang_hint", "code", "n_lines",
     ]
+    # flagship pages carry no <table> markup: the exact table lane is
+    # empty but valid with the cell schema
+    assert summary["lanes"]["tables"] == 0
+    assert spark.read.parquet(f"{out}/tables").columns == [
+        "url", "table_idx", "row_idx", "col_idx", "header", "cell",
+        "caption",
+    ]

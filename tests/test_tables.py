@@ -181,3 +181,67 @@ def test_spark_e2e_plan_and_counts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert out.filter(F.col("header") & (F.col("row_idx") != 0)).count() == 0
+
+
+# ---- totality + corpus robustness -----------------------------------
+
+import os
+
+from hypothesis import given, settings, strategies as st
+
+_FRAGS = st.sampled_from(
+    [
+        b"<table>", b"</table>", b"<tr>", b"</tr>", b"<td>", b"</td>",
+        b"<th>", b"</th>", b"<thead>", b"<tbody>", b"</tbody>", b"<tfoot>",
+        b"<caption>", b"</caption>", b"<table/>", b"<td/>", b"<TR>",
+        b"<table class='x'>", b"<td colspan=2>", b"<th title='a>b'>",
+        b"<!--", b"-->", b"<!-- </table> -->", b"<![CDATA[", b"]]>",
+        b"<script>", b"</script>", b"<pre>", b"</pre>", b"<a href='/x'>",
+        b"</a>", b"<b>", b"</b>", b"<p>", b"</p>", b"&amp;", b"&lt;",
+        b"cell text", b"x", b" ", b"\n", b"\t", b"\xc3\xa9", b"\x00",
+        b"<", b">", b"</", b"/>", b"'", b"\"",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGS, max_size=60))
+def test_parse_tables_total_on_fragment_soup(parts):
+    """The parser must terminate and produce well-formed output on any
+    fragment soup: ordered non-negative indices, header flags booleans,
+    strings decodable (they already are str)."""
+    html = b"".join(parts)
+    for t in parse_tables(html, CS):
+        assert t["rows"]
+        for row in t["rows"]:
+            assert row
+            for is_th, cell in row:
+                assert isinstance(is_th, bool) and isinstance(cell, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_parse_tables_total_on_raw_bytes(html):
+    parse_tables(html, CS)  # must not raise, hang, or loop
+
+
+def test_parse_tables_over_gnarly_corpus():
+    """Every committed messy specimen parses without error; emitted
+    tables are well-formed. Fixture 42's newsletter layout tables must
+    all be classifier-rejected (prose/link layout, no th)."""
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "gnarly")
+    for f in sorted(os.listdir(fixdir)):
+        if not f.endswith(".html"):
+            continue
+        with open(os.path.join(fixdir, f), "rb") as fh:
+            tabs = parse_tables(fh.read(), CS)
+        for t in tabs:
+            assert t["rows"] and all(t["rows"])
+        if f.startswith("42_"):
+            assert tabs == []
+        if f.startswith("46_"):  # product page: the spec table
+            assert len(tabs) == 1 and tabs[0]["caption"] == "Specifications"
+        if f.startswith("47_"):  # wiki infobox
+            assert len(tabs) == 1 and tabs[0]["rows"][0][0] == (
+                True, "Country",
+            )

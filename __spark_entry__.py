@@ -735,6 +735,44 @@ def _fixture_dir(sf: str, tag: str) -> tuple:
     return d, os.path.exists(os.path.join(d, "_DONE"))
 
 
+def q_convert_bulk(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk parallel-array container roundtrip (the SynthTextDataset
+    analog — reference mindocr/data/det_dataset.py:155-165: ONE gt.mat
+    whose imnames/wordBB/txt parallel arrays zip into per-sample
+    records). Documents are packed into 16 shard rows of parallel
+    (names[], texts[]) arrays ordered by doc_id, written as one
+    columnar parquet, then recovered sample-by-sample through
+    webx.convert convert('bulk_arrays', ...) — arrays_zip + posexplode,
+    all JVM. The oracle replays the shard/index arithmetic as window
+    functions over documents."""
+    import os
+
+    from webx.convert import convert
+
+    d, done = _fixture_dir(sf, "bulkq")
+    if not done:
+        os.makedirs(d, exist_ok=True)
+        docs = synth.load_documents(spark, sf)
+        packed = (
+            docs.select((F.col("doc_id") % 16).alias("shard_id"),
+                        F.col("doc_id"), synth._url().alias("name"), "text")
+            .groupBy("shard_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "name", "text"))
+                ).alias("recs")
+            )
+            .select(
+                "shard_id",
+                F.col("recs.name").alias("names"),
+                F.col("recs.text").alias("texts"),
+            )
+        )
+        packed.write.mode("overwrite").parquet(os.path.join(d, "bulk.parquet"))
+        open(os.path.join(d, "_DONE"), "w").close()
+    return convert(spark, "bulk_arrays", os.path.join(d, "bulk.parquet"))
+
+
 def q_keyed_store(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end through the keyed binary store (the LMDB-analog source,
     webx/sources.py): flagship pages serialized into key-addressed shards
@@ -7249,6 +7287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wat_links": q_wat_links,
         "q_extract_pdf": q_extract_pdf,
         "q_extract_pdf_cid": q_extract_pdf_cid,
+        "q_convert_bulk": q_convert_bulk,
         "q_keyed_store": q_keyed_store,
         "q_convert_det_labels": q_convert_det_labels,
         "q_convert_jsonl": q_convert_jsonl,
@@ -8041,6 +8080,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        # bulk parallel-array roundtrip: shard = doc_id % 16; idx = rank
+        # within the shard by doc_id (the array_sort(struct(doc_id,…))
+        # pack order); name/text recovered verbatim
+        "q_convert_bulk": (
+            "SELECT (doc_id % 16) AS shard_id, "
+            "(ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1)"
+            f" AS idx, {URL} AS name, text FROM documents"
+        ),
         "q_keyed_store": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_convert_jsonl": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_publish_dates": (

@@ -106,3 +106,42 @@ def test_config_preset_registry():
     assert create_config(same) is same
     with _pt.raises(ValueError, match="crawl.*default.*recall|supported"):
         create_config("nope")
+
+
+def test_bulk_arrays_roundtrip_order(spark, tmp_path):
+    """SynthText-analog parallel-array container: per-sample rows come
+    back in the container's (shard, index) order with names[i] ↔
+    texts[i] pairing intact."""
+    from pyspark.sql import functions as F
+
+    from webx.convert import convert
+
+    rows = [
+        (0, ["u0", "u2"], ["t0", "t2"]),
+        (1, ["u1"], ["t1"]),
+        (2, [], []),  # empty shard: contributes nothing
+    ]
+    p = str(tmp_path / "bulk.parquet")
+    spark.createDataFrame(
+        rows, "shard_id int, names array<string>, texts array<string>"
+    ).write.parquet(p)
+    out = convert(spark, "bulk_arrays", p).orderBy("shard_id", "idx")
+    assert [tuple(r) for r in out.collect()] == [
+        (0, 0, "u0", "t0"),
+        (0, 1, "u2", "t2"),
+        (1, 0, "u1", "t1"),
+    ]
+
+
+def test_bulk_arrays_length_mismatch_fails_loudly(spark, tmp_path):
+    import pytest as _pt
+
+    from webx.convert import convert
+
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(7, ["a", "b"], ["only one"])],
+        "shard_id int, names array<string>, texts array<string>",
+    ).write.parquet(p)
+    with _pt.raises(Exception, match="parallel arrays disagree"):
+        convert(spark, "bulk_arrays", p).collect()

@@ -18,6 +18,12 @@ Supported formats:
 * ``warc``        — Common-Crawl WARC archives (webx.sources.read_warc).
 * ``keyed_store`` — key-addressed binary shards
   (webx.sources.read_keyed_store).
+* ``bulk_arrays`` — one columnar container holding PARALLEL ARRAYS per
+  shard row (names[], texts[]) — the SynthTextDataset analog (reference
+  mindocr/data/det_dataset.py:155-165: one ``gt.mat``, parallel
+  ``imnames``/``wordBB``/``txt`` arrays zipped into per-sample records).
+  ``arrays_zip`` + ``posexplode`` recover per-sample rows with the
+  container's global (shard, index) order — all JVM, no Python.
 """
 
 from __future__ import annotations
@@ -91,12 +97,47 @@ def _keyed_store(spark: SparkSession, path: str) -> DataFrame:
     return read_keyed_store(spark, path)
 
 
+def _bulk_arrays(spark: SparkSession, path: str) -> DataFrame:
+    """Parallel-array shard rows → per-sample rows.
+
+    Input schema: (shard_id, names array<string>, texts array<string>)
+    with names[i] ↔ texts[i] (the loadmat-zip contract,
+    det_dataset.py:160). A shard whose arrays disagree in length is
+    corrupt label data: ``arrays_zip`` would silently NULL-pad, so the
+    length check raises loudly instead (the reference converters'
+    malformed-input contract). Output: (shard_id, idx, name, text),
+    idx = position within the shard — (shard_id, idx) IS the
+    container's global sample order."""
+    df = spark.read.parquet(path)
+    ok = F.size("names") == F.size("texts")
+    checked = df.select(
+        "shard_id",
+        F.when(ok, F.arrays_zip("names", "texts")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bulk_arrays: parallel arrays disagree in shard "),
+                    F.col("shard_id").cast("string"),
+                )
+            )
+        ).alias("z"),
+    )
+    return checked.select(
+        "shard_id", F.posexplode("z").alias("idx", "s")
+    ).select(
+        "shard_id",
+        "idx",
+        F.col("s.names").alias("name"),
+        F.col("s.texts").alias("text"),
+    )
+
+
 CONVERTERS = {
     "jsonl_pages": _jsonl_pages,
     "csv_docs": _csv_docs,
     "det_labels": _det_labels,
     "warc": _warc,
     "keyed_store": _keyed_store,
+    "bulk_arrays": _bulk_arrays,
 }
 
 

@@ -499,3 +499,32 @@ def test_rate_limit_stream_token_bucket_and_state_carryover(spark, tmp_path):
         u for u, r in rows2.items() if r["admitted"] == 1 and "/10" in u
     ]
     assert len(new_admitted) == 2, rows2  # depleted bucket + 2s refill = 2
+
+
+def test_table_extraction_stream_batch_parity(spark, tmp_path):
+    """The exact table lane is stateless mapInPandas, so it composes
+    with Structured Streaming unchanged: draining a file stream through
+    run_table_extraction yields exactly the batch lane's rows."""
+    from webx.streaming import read_pages_stream
+    from webx.tables import run_table_extraction
+
+    pages = synth.synth_pages_tables(spark, SF_SMALL)
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    pages.write.parquet(src)
+    q = (
+        run_table_extraction(read_pages_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = run_table_extraction(spark.read.parquet(src))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

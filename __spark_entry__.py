@@ -133,6 +133,21 @@ def q_extract_headline(spark: SparkSession, sf: str) -> DataFrame:
     return run_extraction(_par(synth.synth_pages_headline(spark, sf), spark), CFG).select("url", "text")
 
 
+def q_split_comments(spark: SparkSession, sf: str) -> DataFrame:
+    """Comment separation (webx/comments.py split_comments — the
+    trafilatura comments-field analog): the page's comments section
+    routes into comment_text while the main text stays byte-identical
+    to the flagship closed form. Regions are depth-tracked class/id
+    comment containers (value-trap-proof sequential attribute parse,
+    island-aware); spans partition against them by byte intersection,
+    so a span straddling the boundary feeds both streams split at the
+    boundary."""
+    from webx.comments import split_comments
+
+    pages = _par(synth.synth_pages_comments(spark, sf), spark)
+    return split_comments(pages, CFG)
+
+
 def q_extract_pre(spark: SparkSession, sf: str) -> DataFrame:
     """<pre> whitespace preservation (webx/synth.py synth_pages_pre):
     the article ends with a <pre><code> sample whose four-space
@@ -7268,6 +7283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_overlay": q_extract_overlay,
         "q_extract_headline": q_extract_headline,
         "q_extract_pre": q_extract_pre,
+        "q_split_comments": q_split_comments,
         "q_extract_tables": q_extract_tables,
         "q_extract_rawkept": q_extract_rawkept,
         "q_extract_nonprose": q_extract_nonprose,
@@ -7936,6 +7952,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL} AS url, ({DID} || {NL} || "
             f"'{synth.HEADLINE_LINE}' || {NL} || {NORM}) AS text "
             "FROM documents"
+        ),
+        # comment separation: main text is the flagship closed form;
+        # the comments section's three lines land in comment_text
+        "q_split_comments": (
+            f"SELECT {URL} AS url, {GOLDEN} AS text, "
+            f"('{synth.COMMENT_LINES[0]}' || {NL} || "
+            f"'{synth.COMMENT_LINES[1]}' || {NL} || "
+            f"'{synth.COMMENT_LINES[2]}') AS comment_text, "
+            "1 AS n_comment_spans FROM documents"
         ),
         # pre whitespace preservation: the code sample's three lines
         # append verbatim (indentation + double spaces intact, entities

@@ -12,6 +12,7 @@ non-text corpora — each an independent output table under --output:
     math/         MathML/TeX spans (metadata.math_spans)
     bitext/       mutually-confirmed hreflang pairs (urls.bitext_pairs)
     tables/       data-table cells, exact lane (tables.run_table_extraction)
+    comments/     main vs user-comment text split (comments.split_comments)
 
 All lanes except interleaved and tables are pure whole-stage codegen and fuse into
 the page scan; each lane writes independently, so a failed lane re-runs
@@ -47,7 +48,7 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 ALL_LANES = (
     "captions", "interleaved", "contexts", "media", "code", "math",
-    "bitext", "tables",
+    "bitext", "tables", "comments",
 )
 
 
@@ -136,6 +137,12 @@ def main(argv=None) -> int:
             # the exact lane (nesting, implicit closures, data/layout
             # classifier) — one Arrow mapInPandas like interleaved
             df = run_table_extraction(pages)
+        elif lane == "comments":
+            from webx.comments import split_comments
+
+            # main text vs user-comment text (trafilatura's comments
+            # field analog) — one Arrow mapInPandas
+            df = split_comments(pages)
         else:  # bitext
             from pyspark.sql import functions as F
 

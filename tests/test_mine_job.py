@@ -34,3 +34,8 @@ def test_mine_job_lanes(spark, tmp_path, capsys):
         "url", "table_idx", "row_idx", "col_idx", "header", "cell",
         "caption",
     ]
+    # flagship pages have no comment regions: one row per page, all
+    # comment_text empty
+    assert summary["lanes"]["comments"] == 500
+    com = spark.read.parquet(f"{out}/comments")
+    assert com.filter("comment_text != ''").count() == 0

@@ -193,6 +193,23 @@ P_TAIL_PRE = (
     "</p><pre><code>" + _PRE_PAGE + "</code></pre></article>"
     + P_TAIL[len(_ARTICLE_CLOSE) :]
 )
+# Comment-separation page (q_split_comments): a comments section after
+# the article whose content must route into the comment_text column
+# (webx/comments.py split_comments — byte-partition of spans against
+# depth-tracked class/id comment regions), leaving the main text
+# byte-identical to the flagship closed form.
+COMMENT_LINES = (
+    "Comments",
+    "The harbour cam shows the first convoy already queued at the lock.",
+    "Correction: the surcharge vote was four to one, not unanimous.",
+)
+P_TAIL_COMMENTS = (
+    _ARTICLE_CLOSE
+    + '<section class="comments"><h3>' + COMMENT_LINES[0] + "</h3>"
+    + '<div class="comment"><p>' + COMMENT_LINES[1] + "</p></div>"
+    + '<div class="comment"><p>' + COMMENT_LINES[2] + "</p></div></section>"
+    + P_TAIL[len(_ARTICLE_CLOSE) :]
+)
 # Data-table page (q_extract_tables): the article carries a spec table
 # (caption + th header row + three fact rows whose value cells are
 # closed-form functions of documents columns) followed by a pure-link
@@ -353,6 +370,19 @@ def synth_pages_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME_ISSN), did,
         F.lit(P_MID_HEADLINE), esc, F.lit(P_TAIL),
+    )
+    return docs.select(*_assemble(html))
+
+
+def synth_pages_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship page followed by a comments section (P_TAIL_COMMENTS).
+    Expected: main text = flagship closed form; comment_text =
+    COMMENT_LINES joined by newlines."""
+    docs = load_documents(spark, sf_dir)
+    did, esc = _did(), _esc(_norm(F.col("text")))
+    html = F.concat(
+        F.lit(P_HEAD_UTF8), did, F.lit(P_CHROME), did, F.lit(P_MID),
+        esc, F.lit(P_TAIL_COMMENTS),
     )
     return docs.select(*_assemble(html))
 

@@ -188,3 +188,15 @@ def test_spark_lane(spark):
     assert row["comment_text"].startswith("Comments\n")
     assert row["n_comment_spans"] == 1
     assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_editorial_review_pos_override():
+    # class="movie-review article": the positive token keeps an
+    # EDITORIAL review in the main stream
+    html = (
+        b'<div class="movie-review article"><h1>Harbor Lights reviewed</h1>'
+        b"<p>The film turns a slow ferry crossing into a study of light "
+        b"and patience that rewards the attentive viewer.</p></div>"
+    )
+    text, com, n = _split(html)
+    assert "ferry crossing" in text and com == "" and n == 0

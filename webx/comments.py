@@ -51,6 +51,12 @@ from webx.recognize import decode_stripped, strip_markup
 COMMENT_TOKENS = frozenset(
     b"comment comments review reviews discussion replies responses".split()
 )
+# The okMaybeItsACandidate override, same as the boilerplate hints
+# (webx/tokenize.py POS_CLASS_TOKENS): an EDITORIAL review is main
+# content — class="movie-review article" must not route to comments.
+POS_TOKENS = frozenset(
+    b"article body column content entry main post story".split()
+)
 
 _CONTAINERS = b"div|section|ol|ul|aside|article"
 # cheap per-document probe: any vocabulary word at all
@@ -77,10 +83,12 @@ _ALNUM = frozenset(
 def _hits_comment_vocab(attrs: bytes) -> bool:
     """class/id token test against COMMENT_TOKENS — the sequential
     attribute parse of webx/tokenize.py class_hint_boiler (a
-    ``title="class=comment"`` value can never match), no positive
-    override (nothing outranks an explicit comments container)."""
+    ``title="class=comment"`` value can never match). Any POS_TOKENS
+    member anywhere in class/id wins (editorial reviews stay main
+    content), mirroring the boilerplate hints' override."""
     n = len(attrs)
     i = 0
+    hit = False
     while i < n:
         if attrs[i] in _NAME_STOP:
             i += 1
@@ -120,12 +128,15 @@ def _hits_comment_vocab(attrs: bytes) -> bool:
                     j2 = k + 1
                     while j2 < m and val[j2] in _ALNUM:
                         j2 += 1
-                    if val[k:j2].lower() in COMMENT_TOKENS:
-                        return True
+                    tok = val[k:j2].lower()
+                    if tok in POS_TOKENS:
+                        return False
+                    if tok in COMMENT_TOKENS:
+                        hit = True
                     k = j2
                 else:
                     k += 1
-    return False
+    return hit
 
 
 def _depth_re(name: bytes) -> "re.Pattern[bytes]":

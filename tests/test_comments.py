@@ -200,3 +200,49 @@ def test_editorial_review_pos_override():
     )
     text, com, n = _split(html)
     assert "ferry crossing" in text and com == "" and n == 0
+
+
+def test_pre_page_main_text_matches_flagship():
+    # r5 ADVICE fix: parts now go through the flagship decode dispatch —
+    # a page with a <pre> block (and no comment regions) must produce the
+    # exact flagship text, whitespace preserved
+    from webx.extract import extract_batch
+
+    html = (
+        _ARTICLE
+        + b"<pre>$ make -j32\n    CXX   a.o   b.o</pre>"
+    )
+    text, com, n = _split(html)
+    flag = extract_batch(
+        pd.DataFrame({"url": ["u"], "html": [html]}), CFG
+    ).iloc[0]["text"]
+    assert text == flag
+    assert "    CXX   a.o   b.o" in text
+    assert com == "" and n == 0
+
+
+def test_rawkept_page_main_text_matches_flagship():
+    from webx.extract import extract_batch
+
+    html = (
+        _ARTICLE
+        + b"<xmp>literal <b>not bold</b>   kept</xmp>"
+    )
+    text, _, _ = _split(html)
+    flag = extract_batch(
+        pd.DataFrame({"url": ["u"], "html": [html]}), CFG
+    ).iloc[0]["text"]
+    assert text == flag
+    assert "<b>not bold</b>" in text
+
+
+def test_pre_inside_comment_region_preserved():
+    html = (
+        _ARTICLE
+        + b'<div class="comments"><p>A commenter pasted a shell log with '
+        b"enough surrounding words to pass candidate scoring gates.</p>"
+        b"<pre>$ run --flag\n    out  put</pre></div>"
+    )
+    text, com, _ = _split(html)
+    assert "$ run --flag\n    out  put" in com
+    assert "out  put" not in text

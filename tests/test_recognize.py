@@ -277,3 +277,31 @@ def test_decode_span_pre_partitions_normal_and_preserved():
     regs = pre_regions(html)
     out = decode_span_pre(html, "utf-8", 0, regs)
     assert out == "before text\nin  side\nafter text"
+
+def test_pre_prefix_named_tags_are_not_opens():
+    # r5 ADVICE fix: <prefix-box>/<presentation>/<listing-item> must not
+    # match the pre/listing open branch — before the name boundary a doc
+    # with a real <pre> plus a prefix-named tag grew a bogus region to EOF
+    html = (
+        b"<pre>code block</pre>"
+        b"<prefix-box>hello   world   this should collapse</prefix-box>"
+    )
+    regs = pre_regions(html)
+    assert len(regs) == 1
+    s, e = regs[0]
+    assert html[s:e] == b"code block"
+
+
+def test_pre_prefix_named_tags_alone_no_probe_region():
+    # <presentation>/<listing-item> without any real pre: the open branch
+    # must not fire even when the cheap probe passes via "<pre" prefix
+    html = b"<presentation>a   b</presentation><listing-item>c</listing-item>"
+    # probe matches b"<pre" via <presentation>? probe requires [\s/>] after
+    # the name, so it should miss entirely — and scan must agree
+    assert pre_regions(html) == ()
+
+
+def test_pre_open_with_attrs_still_matches():
+    html = b'<pre class="code" data-lang="py">x  =  1</pre>'
+    (s, e), = pre_regions(html)
+    assert html[s:e] == b"x  =  1"

@@ -245,3 +245,13 @@ def test_parse_tables_over_gnarly_corpus():
             assert len(tabs) == 1 and tabs[0]["rows"][0][0] == (
                 True, "Country",
             )
+
+
+def test_empty_first_caption_blocks_second():
+    # r5 ADVICE fix: an empty first <caption></caption> consumes the
+    # table's caption slot — a later second caption is NOT captured
+    html = (
+        b"<table><caption></caption><caption>Late</caption>"
+        b"<tr><th>K</th><td>v</td></tr></table>"
+    )
+    assert parse_tables(html, CS)[0]["caption"] == ""

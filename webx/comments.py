@@ -28,8 +28,13 @@ same split WITHOUT changing the flagship contract:
 
 FROZEN: nested comment regions coalesce into the outermost range;
 unclosed containers run to EOF; self-closed opens create no region.
-Documented simplification: a ``<pre>`` inside a comment region decodes
-on the normal collapse path (preservation applies to the main stream).
+Every part (main OR comment) decodes through the flagship's dispatch —
+``<xmp>``/``<plaintext>`` rawkept literal decode, ``<pre>``/``<listing>``
+whitespace preservation, else the collapse path — so on any span that
+does NOT straddle a comment region (one part = the whole span) the
+``text`` stream is byte-identical to the flagship, including rawkept
+and pre pages. A straddling span partitions at region boundaries and
+each part decodes by the same rules.
 
 Scale shape: same narrow plan as run_extraction — pruned (url, html)
 scan, one Arrow mapInPandas, no shuffle; the region scan runs only on
@@ -39,6 +44,7 @@ documents whose bytes probe positive for the vocabulary.
 from __future__ import annotations
 
 import re
+import unicodedata as _unicodedata
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import pandas as pd
@@ -46,7 +52,14 @@ import pandas as pd
 from webx.charset import normalize_input_bytes, sniff_charset
 from webx.config import ExtractConfig
 from webx.extract import _extract_doc_stage1, resolve_strip
-from webx.recognize import decode_stripped, strip_markup
+from webx.recognize import (
+    decode_span_pre,
+    decode_span_rawkept,
+    decode_stripped,
+    has_rawkept,
+    pre_regions,
+    strip_markup,
+)
 
 COMMENT_TOKENS = frozenset(
     b"comment comments review reviews discussion replies responses".split()
@@ -204,6 +217,26 @@ def comment_regions(html: bytes) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
+def _decode_part(
+    raw_doc: bytes, lo: int, hi: int, charset: str, preserved, strip, nfc: bool
+) -> str:
+    """One span part through the flagship's decode dispatch
+    (webx/extract.py _decode_spans): rawkept literal text, then
+    pre/listing whitespace preservation, else strip + collapse, then the
+    same NFC step. Keeps comment-lane parts byte-identical to flagship
+    span decodes."""
+    raw = raw_doc[lo:hi]
+    if has_rawkept(raw):
+        text = decode_span_rawkept(raw, charset)
+    elif preserved and any(rs < hi and re_ > lo for rs, re_ in preserved):
+        text = decode_span_pre(raw, charset, lo, preserved, strip)
+    else:
+        text = decode_stripped(strip(raw), charset)
+    if nfc and text and not text.isascii():  # ASCII is NFC-invariant
+        text = _unicodedata.normalize("NFC", text)
+    return text
+
+
 def split_comments_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     out = {"url": [], "text": [], "comment_text": [], "n_comment_spans": []}
     strip = resolve_strip(cfg.ckernels) or strip_markup
@@ -215,6 +248,7 @@ def split_comments_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             raw_doc = normalize_input_bytes(bytes(html))[: cfg.limit_side_len]
             charset = sniff_charset(raw_doc, cfg.default_charset)
             regions = comment_regions(raw_doc)
+            preserved = pre_regions(raw_doc)
             _, spans, _ = _extract_doc_stage1(raw_doc, cfg)
             for s in spans:
                 if s.score < cfg.drop_score:
@@ -227,16 +261,20 @@ def split_comments_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     if hi <= lo:
                         continue
                     if lo > seg:
-                        t = decode_stripped(strip(raw_doc[seg:lo]), charset)
+                        t = _decode_part(
+                            raw_doc, seg, lo, charset, preserved, strip, cfg.nfc
+                        )
                         if t:
                             main_parts.append(t)
-                    t = decode_stripped(strip(raw_doc[lo:hi]), charset)
+                    t = _decode_part(raw_doc, lo, hi, charset, preserved, strip, cfg.nfc)
                     if t:
                         com_parts.append(t)
                         hit = True
                     seg = hi
                 if seg < s.end:
-                    t = decode_stripped(strip(raw_doc[seg : s.end]), charset)
+                    t = _decode_part(
+                        raw_doc, seg, s.end, charset, preserved, strip, cfg.nfc
+                    )
                     if t:
                         main_parts.append(t)
                 if hit:

@@ -229,7 +229,7 @@ _PRE_DOC_PROBE_RE = re.compile(rb"<(?:pre|listing)[\s/>]", re.I)
 _PRE_SCAN_RE = re.compile(
     rb"<!--.*?(?:--\s*>|\Z)|<!\[CDATA\[.*?\]\]>"
     rb"|<(script|style|textarea|iframe|template)(?:\s[^>]*)?>.*?</\1(?:\s[^>]*)?>"
-    rb"|<(pre|listing)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    rb"|<(pre|listing)(?=[\s/>])((?:[\s/](?:[^>\"']|\"[^\"]*\"|'[^']*')*)?)>",
     re.I | re.S,
 )
 _PRE_END_RES = {

@@ -89,7 +89,7 @@ MAX_LINK_RATIO = 0.5         # link farms are navigation, not data
 
 class _Table:
     __slots__ = ("order", "rows", "cur_row", "cell", "cell_th", "cap",
-                 "in_cap", "has_th")
+                 "in_cap", "saw_cap", "has_th")
 
     def __init__(self, order: int):
         self.order = order
@@ -99,6 +99,7 @@ class _Table:
         self.cell_th = False
         self.cap: List[bytes] = []
         self.in_cap = False
+        self.saw_cap = False
         self.has_th = False
 
     def close_cell(self) -> None:
@@ -168,7 +169,12 @@ def parse_tables(html: bytes, charset: str) -> List[dict]:
         top = stack[-1]
         if name == b"caption":
             top.close_cell()
-            top.in_cap = not closing and not top.cap
+            # only the FIRST <caption> element is eligible, even when it
+            # is empty — a saw flag, not `not top.cap`, so a later second
+            # caption after an empty first one is never captured
+            top.in_cap = not closing and not top.saw_cap
+            if not closing:
+                top.saw_cap = True
         elif name == b"tr":
             top.commit_row()
             if not closing:

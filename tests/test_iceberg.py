@@ -154,3 +154,121 @@ def test_checkpointed_extraction_over_snapshot_table(spark, tmp_path):
         n_partitions=4, chunk_size=4,
     )
     assert sorted(redo) == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------- iceberg
+# backend="iceberg" delegation, tested against a STUB catalog session
+# (no Iceberg runtime ships in this sandbox): the stub records every SQL
+# statement and writer call and serves the catalog metadata tables
+# (<t>.history / <t>.snapshots) from an in-memory snapshot log, so the
+# commit → snapshot-id-readback round trip is exercised end-to-end.
+
+
+class _Row(dict):
+    def __getitem__(self, k):
+        if isinstance(k, int):
+            return list(self.values())[k]
+        return dict.__getitem__(self, k)
+
+
+class _StubResult:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return [_Row(r) for r in self._rows]
+
+
+class _StubCatalogSession:
+    """Just enough of SparkSession for the iceberg-backend code paths."""
+
+    def __init__(self):
+        self.snaps = []  # [{snapshot_id, parent_id, operation}]
+        self.sql_log = []
+        self.catalog = self
+
+    # catalog shim
+    def dropTempView(self, name):
+        self.sql_log.append(f"DROP_VIEW {name}")
+
+    def _commit(self, operation):
+        parent = self.snaps[-1]["snapshot_id"] if self.snaps else None
+        sid = (parent or 100) + 1
+        self.snaps.append(
+            {"snapshot_id": sid, "parent_id": parent, "operation": operation}
+        )
+
+    def sql(self, q):
+        self.sql_log.append(q)
+        if q.startswith("MERGE INTO"):
+            self._commit("merge")
+            return _StubResult([])
+        if ".history" in q:
+            if not self.snaps:
+                return _StubResult([])
+            return _StubResult([{"snapshot_id": self.snaps[-1]["snapshot_id"]}])
+        if ".snapshots" in q:
+            return _StubResult(self.snaps)
+        raise AssertionError(f"unexpected SQL: {q}")
+
+
+class _StubWriterV2:
+    def __init__(self, session, table):
+        self.session, self.table = session, table
+
+    def append(self):
+        self.session._commit("append")
+
+    def overwritePartitions(self):
+        self.session._commit("overwrite")
+
+
+class _StubDF:
+    def __init__(self, session):
+        self.sparkSession = session
+
+    def writeTo(self, table):
+        return _StubWriterV2(self.sparkSession, table)
+
+    def createOrReplaceTempView(self, name):
+        self.sparkSession.sql_log.append(f"CREATE_VIEW {name}")
+
+
+def test_iceberg_backend_commit_roundtrip():
+    s = _StubCatalogSession()
+    t = SnapshotTable(path="/x", backend="iceberg",
+                      iceberg_table="cat.db.docs", spark=s)
+    assert t.current_snapshot_id() is None
+    df = _StubDF(s)
+    sid1 = t.commit_append(df)
+    assert sid1 == 101
+    sid2 = t.commit_overwrite(df)
+    assert sid2 == 102
+    assert [m["operation"] for m in t.snapshots()] == ["append", "overwrite"]
+    assert t.snapshots()[-1]["parent_id"] == 101
+
+
+def test_iceberg_backend_merge_into_passthrough():
+    s = _StubCatalogSession()
+    t = SnapshotTable(path="/x", backend="iceberg",
+                      iceberg_table="cat.db.docs", spark=s)
+    t.commit_append(_StubDF(s))
+    sid = t.merge_upsert(s, _StubDF(s), key="doc_id")
+    assert sid == 102
+    merge = [q for q in s.sql_log if q.startswith("MERGE INTO")]
+    assert len(merge) == 1
+    assert "MERGE INTO cat.db.docs AS t" in merge[0]
+    assert "ON t.doc_id = u.doc_id" in merge[0]
+    assert "WHEN MATCHED THEN UPDATE SET *" in merge[0]
+    assert "WHEN NOT MATCHED THEN INSERT *" in merge[0]
+    # temp source view is created then dropped
+    created = [q for q in s.sql_log if q.startswith("CREATE_VIEW")]
+    dropped = [q for q in s.sql_log if q.startswith("DROP_VIEW")]
+    assert len(created) == 1 and len(dropped) == 1
+    assert created[0].split()[1] == dropped[0].split()[1]
+
+
+def test_iceberg_backend_requires_session():
+    t = SnapshotTable(path="/x", backend="iceberg", iceberg_table="c.d.t")
+    with pytest.raises(ValueError, match="SparkSession"):
+        t.current_snapshot_id()

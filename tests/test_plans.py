@@ -402,3 +402,51 @@ def test_suffix_dups_no_single_partition_sort(spark, queries):
     assert "SinglePartition" not in plan
     assert nodes(plan, "CartesianProduct") == 0
     assert nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_gated_broadcast_degrades_to_shuffle_above_bound(spark):
+    """r5 verdict task #1: cluster/keep/drop frames must not be FORCE-
+    broadcast — under the row bound the hint applies (BroadcastHashJoin),
+    above it the frame goes out unhinted and the join degrades to a
+    shuffle join, so a RefinedWeb-rate (30-50% dup) corpus cannot OOM
+    the driver at 10^9 docs."""
+    import pyspark.sql.functions as F
+
+    from webx.dedup import gated_broadcast
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+        clu = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("cluster_id")
+        )
+        small = plan_of(docs.join(gated_broadcast(clu, bound=1000), "doc_id", "left"))
+        assert "BroadcastHashJoin" in small
+        big = plan_of(docs.join(gated_broadcast(clu, bound=100), "doc_id", "left"))
+        assert "BroadcastHashJoin" not in big
+        assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_keep_best_single_window_no_best_frame_join(spark):
+    """keep_best's per-cluster argmax is a window rank: exactly one
+    extra exchange on cid after the membership join — no corpus-scale
+    `best` aggregate joined (and force-broadcast) back."""
+    import pyspark.sql.functions as F
+
+    from webx.dedup import keep_best
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).cast("double").alias("score")
+    )
+    pairs = spark.range(0, 20).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    plan = plan_of(keep_best(docs, pairs))
+    assert nodes(plan, "Window") == 1
+    # one broadcast membership join (cluster frame is tiny here); the
+    # argmax side contributes no join at all
+    assert nodes(plan, "SortMergeJoin") == 0

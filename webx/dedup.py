@@ -334,15 +334,17 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs → (id_a, id_b, jaccard),
     filtered to >= threshold. Shingles are computed ONLY for documents
-    that appear in a candidate pair (broadcast semi-join prefilter) —
-    at corpus scale the candidate set is orders of magnitude smaller
-    than the corpus."""
+    that appear in a candidate pair (semi-join prefilter). The id set is
+    UNHINTED: pairs is un-checkpointed here so a size probe would run
+    its lineage twice, and at high dup rates the candidate set is
+    corpus-scale anyway — AQE converts the semi-join to broadcast at
+    runtime whenever the actual shuffle bytes are small."""
     ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    needed = docs.join(F.broadcast(ids), "doc_id", "left_semi")
+    needed = docs.join(ids, "doc_id", "left_semi")
     sh = needed.select("doc_id", _shingles(k=shingle_k).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -634,14 +636,41 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+# Row bound under which a cluster/keep/drop frame may be HINTED as the
+# broadcast side. At RefinedWeb/SemDeDup dup rates (30-50% of the corpus
+# in near-dup clusters) these frames are O(corpus), not pair-sized — a
+# forced F.broadcast would collect 10^8-10^9 rows on the driver and OOM.
+# 10^6 8-16 byte keys build a hash relation in the tens of MB: safe on
+# any executor profile. Above the bound the join goes out UNHINTED and
+# the planner (AQE at runtime) still picks broadcast when the actual
+# shuffle bytes turn out small.
+BROADCAST_ROW_BOUND = 1_000_000
+
+
+def gated_broadcast(df: DataFrame, bound: "int | None" = None) -> DataFrame:
+    """Size-gated broadcast hint (the ``dedup_against`` pattern made
+    automatic): probe the frame with a LIMIT bound+1 count and hint
+    ``F.broadcast`` only when it fits; otherwise return it unhinted so
+    the join degrades to shuffle. Callers pass frames derived from a
+    localCheckpoint (dedup_clusters output), so the probe is a cheap
+    early-exit scan of materialized partitions, not a lineage replay."""
+    if bound is None:
+        bound = BROADCAST_ROW_BOUND
+    if df.limit(bound + 1).count() <= bound:
+        return F.broadcast(df)
+    return df
+
+
 def keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Survivor set after near-dup clustering: every document except
     non-minimum members of a duplicate cluster → (doc_id, keep). The
-    cluster table is pair-sized, so the final join broadcasts."""
+    drop frame is usually far under the corpus, so the final join
+    broadcast-hints through the size gate — but at RefinedWeb-scale dup
+    rates it is corpus-sized and the gate lets it shuffle."""
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.select("doc_id").join(
-        F.broadcast(drop.withColumn("k", F.lit(False))), "doc_id", "left"
+        gated_broadcast(drop.withColumn("k", F.lit(False))), "doc_id", "left"
     ).select("doc_id", F.coalesce("k", F.lit(True)).alias("keep"))
 
 
@@ -835,20 +864,25 @@ def keep_best(
     ``score_col`` survives (ties → lowest doc_id); singletons always
     keep. This is the policy real curation uses (RefinedWeb keeps the
     longest member, FineWeb the best-scored) where ``keep_list``'s
-    min-id is arbitrary. The cluster frame is pair-sized, so both the
-    membership join and the per-cluster argmax run on frames orders of
-    magnitude under the corpus."""
+    min-id is arbitrary.
+
+    Scale shape: the membership join broadcast-hints through the size
+    gate (at 30-50% dup rates the cluster frame is corpus-scale and the
+    gate lets it shuffle); the per-cluster argmax is a WINDOW rank over
+    cid — one shuffle, no corpus-scale ``best`` frame to join back (the
+    old agg+join materialized one row per cluster INCLUDING singletons,
+    i.e. ~corpus rows, and force-broadcast it)."""
+    from pyspark.sql import Window
+
     clusters = dedup_clusters(pairs)
-    labeled = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+    labeled = docs.join(gated_broadcast(clusters), "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cid"),
         F.col(score_col).alias("_s"),
     )
-    best = labeled.groupBy("cid").agg(
-        F.max_by("doc_id", F.struct(F.col("_s"), -F.col("doc_id"))).alias(
-            "best_id"
-        )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("_s").desc(), F.col("doc_id").asc()
     )
-    return labeled.join(F.broadcast(best), "cid").select(
-        "doc_id", (F.col("doc_id") == F.col("best_id")).cast("int").alias("keep")
+    return labeled.select(
+        "doc_id", (F.row_number().over(w) == 1).cast("int").alias("keep")
     )

@@ -28,11 +28,17 @@ set, two backends.
   between the parent and child snapshots (structurally asserted in
   tests/test_iceberg.py).
 
-* ``backend="iceberg"`` delegates to a Spark Iceberg catalog
-  (``spark.read.format("iceberg")``, ``MERGE INTO``,
-  ``VERSION AS OF``); it raises with a clear message when the catalog
-  extension is absent. The call surface is identical, so jobs written
-  against :class:`SnapshotTable` move to a real cluster unchanged.
+* ``backend="iceberg"`` delegates to a Spark Iceberg catalog: reads go
+  through ``spark.read.format("iceberg")`` (``snapshot-id`` option =
+  ``VERSION AS OF``), commits through ``DataFrameWriterV2`` append /
+  overwritePartitions, MERGE through ``MERGE INTO`` SQL, and snapshot
+  ids read back from the catalog's ``<table>.history`` /
+  ``<table>.snapshots`` metadata tables (public Iceberg-Spark surface).
+  No Iceberg runtime ships in this sandbox, so the delegation is tested
+  against a stub catalog session (tests/test_iceberg.py monkeypatches
+  ``spark.sql`` and the writer) — the call surface is identical to the
+  local backend, so jobs written against :class:`SnapshotTable` move to
+  a real cluster unchanged.
 
 Concurrency contract: single-writer per table (the Iceberg catalog's
 CAS is what multi-writer needs; a filesystem rename cannot express it).
@@ -75,6 +81,7 @@ class SnapshotTable:
     path: str
     backend: str = "local"
     iceberg_table: Optional[str] = None  # catalog.db.table for backend="iceberg"
+    spark: Optional[SparkSession] = None  # catalog session for backend="iceberg"
 
     # ------------------------------------------------------------ metadata
     def _manifest_path(self, sid: int) -> str:
@@ -84,13 +91,32 @@ class SnapshotTable:
         with open(self._manifest_path(sid)) as f:
             return json.load(f)
 
-    def current_snapshot_id(self) -> Optional[int]:
-        """Latest committed snapshot id, or None for an empty table."""
-        if self.backend == "iceberg":
-            raise NotImplementedError(
-                "backend='iceberg': read currentSnapshot() from the catalog "
-                "(spark.sql(f'SELECT snapshot_id FROM {t}.snapshots ...'))"
+    def _catalog_table(self) -> str:
+        return self.iceberg_table or self.path
+
+    def _spark_for_catalog(self, spark: Optional[SparkSession]) -> SparkSession:
+        s = spark or self.spark
+        if s is None:
+            raise ValueError(
+                "backend='iceberg' needs a SparkSession with the Iceberg "
+                "catalog extension: pass spark= on the table or the call"
             )
+        return s
+
+    def current_snapshot_id(
+        self, spark: Optional[SparkSession] = None
+    ) -> Optional[int]:
+        """Latest committed snapshot id, or None for an empty table. For
+        ``backend="iceberg"`` this is the last row of the catalog's
+        ``<table>.history`` metadata table (made_current_at order) — the
+        same readback every commit path uses to return its new id."""
+        if self.backend == "iceberg":
+            s = self._spark_for_catalog(spark)
+            rows = s.sql(
+                f"SELECT snapshot_id FROM {self._catalog_table()}.history "
+                "ORDER BY made_current_at DESC LIMIT 1"
+            ).collect()
+            return int(rows[0][0]) if rows else None
         cur = os.path.join(_meta_dir(self.path), "current")
         try:
             with open(cur) as f:
@@ -98,8 +124,22 @@ class SnapshotTable:
         except FileNotFoundError:
             return None
 
-    def snapshots(self) -> List[dict]:
+    def snapshots(self, spark: Optional[SparkSession] = None) -> List[dict]:
         """All committed manifests, oldest first (the .snapshots view)."""
+        if self.backend == "iceberg":
+            s = self._spark_for_catalog(spark)
+            rows = s.sql(
+                "SELECT snapshot_id, parent_id, operation FROM "
+                f"{self._catalog_table()}.snapshots ORDER BY committed_at"
+            ).collect()
+            return [
+                {
+                    "snapshot_id": r["snapshot_id"],
+                    "parent_id": r["parent_id"],
+                    "operation": r["operation"],
+                }
+                for r in rows
+            ]
         md = _meta_dir(self.path)
         if not os.path.isdir(md):
             return []
@@ -178,8 +218,8 @@ class SnapshotTable:
     def commit_append(self, df: DataFrame) -> int:
         """Append ``df`` as a new snapshot → new snapshot id."""
         if self.backend == "iceberg":
-            df.writeTo(self.iceberg_table or self.path).append()
-            raise NotImplementedError("read back snapshot id from the catalog")
+            df.writeTo(self._catalog_table()).append()
+            return self.current_snapshot_id(df.sparkSession)
         parent = self.current_snapshot_id()
         new_files = self._write_data_files(df, (parent or 0) + 1)
         prev = self._read_manifest(parent)["files"] if parent else []
@@ -191,8 +231,8 @@ class SnapshotTable:
         """Replace the table contents as a new snapshot (time travel to
         the parent still sees the old rows — nothing is deleted)."""
         if self.backend == "iceberg":
-            df.writeTo(self.iceberg_table or self.path).overwritePartitions()
-            raise NotImplementedError("read back snapshot id from the catalog")
+            df.writeTo(self._catalog_table()).overwritePartitions()
+            return self.current_snapshot_id(df.sparkSession)
         parent = self.current_snapshot_id()
         new_files = self._write_data_files(df, (parent or 0) + 1)
         return self._publish(
@@ -208,10 +248,19 @@ class SnapshotTable:
         by reference. The file→key probe is one broadcast semi-join
         over ``input_file_name()`` — never a full-table rewrite."""
         if self.backend == "iceberg":
-            raise NotImplementedError(
-                "backend='iceberg': issue MERGE INTO via spark.sql — same "
-                "semantics, the catalog handles file-level CoW"
-            )
+            s = self._spark_for_catalog(spark)
+            view = f"__webx_merge_src_{uuid.uuid4().hex[:8]}"
+            updates.createOrReplaceTempView(view)
+            try:
+                s.sql(
+                    f"MERGE INTO {self._catalog_table()} AS t "
+                    f"USING {view} AS u ON t.{key} = u.{key} "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+            finally:
+                s.catalog.dropTempView(view)
+            return self.current_snapshot_id(s)
         parent = self.current_snapshot_id()
         if parent is None:
             return self.commit_append(updates)

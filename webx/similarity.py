@@ -606,10 +606,12 @@ def semdedup(
     Scale shape — the SemDeDup design point: assignment is one broadcast
     centroid pass + a per-vector window (persist partitioned by ``cid``
     at 10^9 vectors); the quadratic cosine prune is CLUSTER-bounded, not
-    corpus-bounded; the pair set is tiny, so component resolution
-    (webx.dedup.dedup_clusters min-label propagation) and the final keep
-    join broadcast."""
-    from webx.dedup import dedup_clusters
+    corpus-bounded; component resolution is webx.dedup.dedup_clusters
+    min-label propagation, and the final keep join broadcast-hints
+    through the size gate (``gated_broadcast``) — at SemDeDup's own
+    design point the paper prunes up to 50% of the corpus, so the drop
+    frame can be corpus-scale and must be allowed to shuffle."""
+    from webx.dedup import dedup_clusters, gated_broadcast
 
     spark = emb.sparkSession
     cent = spark.createDataFrame(
@@ -645,7 +647,7 @@ def semdedup(
     )
     return (
         emb.select("vec_id")
-        .join(F.broadcast(drop.withColumn("k", F.lit(False))), "vec_id", "left")
+        .join(gated_broadcast(drop.withColumn("k", F.lit(False))), "vec_id", "left")
         .select("vec_id", F.coalesce("k", F.lit(True)).alias("keep"))
     )
 

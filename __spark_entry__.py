@@ -1582,6 +1582,21 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image-header metadata: synth payloads carry spec-exact
+    JPEG/PNG/GIF/WebP(vp8/vp8l/vp8x) headers built from closed-form dims,
+    and the engine recovers (fmt, width, height, valid) by actually
+    parsing the bytes (webx/media.py sniff_image_meta — marker walk,
+    IHDR chunk, RIFF fourcc; the DecodeImage analog of
+    mindocr/data/transforms/general_transforms.py:35-46). Every 17th
+    payload is truncated to one byte → fmt NULL, valid false. The oracle
+    replays the arithmetic the generators were handed; only a correct
+    parse reproduces it."""
+    from webx.media import image_meta, synth_image_files
+
+    return image_meta(synth_image_files(spark, sf))
+
+
 def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Relational coverage: broadcast dim join + partial/final agg."""
     orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -7350,6 +7365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_dedup": q_cdc_dedup,
         "q_neardup_embedding": q_neardup_embedding,
         "q_media_features": q_media_features,
+        "q_image_headers": q_image_headers,
         "q_orders_rollup": q_orders_rollup,
         "q_join3": q_join3,
         "q_join_anti": q_join_anti,
@@ -8340,6 +8356,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q_image_headers": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 17 = 0 THEN NULL "
+            "WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'gif' "
+            "WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'webp' END AS fmt, "
+            "CASE WHEN doc_id % 17 = 0 THEN NULL "
+            "ELSE CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 17 = 0 THEN NULL "
+            "ELSE CAST(48 + doc_id % 129 AS INT) END AS height, "
+            "doc_id % 17 <> 0 AS valid FROM documents"
         ),
         "q_media_features": (
             "SELECT doc_id AS media_id, "

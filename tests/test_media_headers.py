@@ -1,0 +1,108 @@
+"""Real image-header parsing (webx/media.py sniff_image_meta): each
+synth generator round-trips through the sniffer at a dimension grid;
+the sniffer is total on arbitrary bytes; the driver query's closed-form
+arithmetic matches what the parser recovers."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from webx.media import (
+    gif_bytes,
+    jpeg_bytes,
+    png_bytes,
+    sniff_image_meta,
+    webp_bytes,
+)
+
+DIMS = [(1, 1), (64, 48), (256, 177), (640, 480), (16383, 9999)]
+
+
+def test_png_roundtrip():
+    for w, h in DIMS:
+        assert sniff_image_meta(png_bytes(w, h)) == ("png", w, h, True)
+
+
+def test_gif_roundtrip():
+    for w, h in DIMS[:-1]:  # gif dims are u16
+        assert sniff_image_meta(gif_bytes(w, h)) == ("gif", w, h, True)
+
+
+def test_jpeg_roundtrip():
+    for w, h in DIMS:
+        assert sniff_image_meta(jpeg_bytes(w, h)) == ("jpeg", w, h, True)
+
+
+def test_webp_all_variants_roundtrip():
+    for variant in ("vp8", "vp8l", "vp8x"):
+        for w, h in DIMS:
+            got = sniff_image_meta(webp_bytes(w, h, variant))
+            assert got == ("webp", w, h, True), (variant, w, h, got)
+
+
+def test_jpeg_walker_skips_appn_and_com_segments():
+    # two extra APPn + a COM before SOF0, plus RST-style standalone
+    w, h = 320, 200
+    raw = jpeg_bytes(w, h)
+    # splice two more skippable segments right after SOI
+    extra = b"\xff\xe1\x00\x08exif00" + b"\xff\xfe\x00\x04ab"
+    assert sniff_image_meta(raw[:2] + extra + raw[2:]) == ("jpeg", w, h, True)
+
+
+def test_jpeg_progressive_sof2_detected():
+    raw = jpeg_bytes(100, 50).replace(b"\xff\xc0", b"\xff\xc2")
+    assert sniff_image_meta(raw) == ("jpeg", 100, 50, True)
+
+
+def test_jpeg_dht_is_not_a_frame_header():
+    # 0xC4 (DHT) must be skipped, not read as SOF
+    dht = b"\xff\xc4\x00\x05\x00\x01\x02"
+    raw = jpeg_bytes(77, 33)
+    assert sniff_image_meta(raw[:2] + dht + raw[2:]) == ("jpeg", 77, 33, True)
+
+
+def test_truncated_payloads_invalid_with_format_from_magic():
+    assert sniff_image_meta(png_bytes(10, 10)[:20]) == ("png", None, None, False)
+    assert sniff_image_meta(gif_bytes(10, 10)[:8]) == ("gif", None, None, False)
+    assert sniff_image_meta(jpeg_bytes(10, 10)[:6]) == ("jpeg", None, None, False)
+    assert sniff_image_meta(webp_bytes(10, 10)[:14]) == ("webp", None, None, False)
+
+
+def test_magic_incomplete_is_format_none():
+    for raw in (b"", b"\x89PNG", b"GIF8", b"RIFF\x00\x00\x00\x00WEB", b"plain text"):
+        assert sniff_image_meta(raw) == (None, None, None, False)
+
+
+def test_corrupt_png_ihdr_tag_invalid():
+    raw = png_bytes(12, 34).replace(b"IHDR", b"XHDR")
+    assert sniff_image_meta(raw) == ("png", None, None, False)
+
+
+def test_webp_bad_vp8_start_code_invalid():
+    raw = bytearray(webp_bytes(12, 34, "vp8"))
+    raw[23] = 0x00  # clobber the 9D 01 2A start code
+    assert sniff_image_meta(bytes(raw)) == ("webp", None, None, False)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=200))
+def test_sniffer_total_on_garbage(b):
+    fmt, w, h, ok = sniff_image_meta(b)
+    assert isinstance(ok, bool)
+    if ok:
+        assert fmt in ("png", "gif", "jpeg", "webp") and w > 0 and h > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sampled_from(["png", "gif", "jpeg", "vp8", "vp8l", "vp8x"]),
+    st.integers(1, 9999),
+    st.integers(1, 9999),
+    st.integers(0, 60),
+)
+def test_any_truncation_never_misreports_dims(kind, w, h, cut):
+    gens = {"png": png_bytes, "gif": gif_bytes, "jpeg": jpeg_bytes}
+    raw = gens[kind](w, h) if kind in gens else webp_bytes(w, h, kind)
+    fmt, pw, ph, ok = sniff_image_meta(raw[: len(raw) - cut])
+    if ok:  # whenever the parser says valid, the dims must be RIGHT
+        assert (pw, ph) == (w, h)

@@ -2,13 +2,16 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` ops.
 
 The Spark-side plumbing — schema, batch shape, UDF signatures, partition
-behavior — is real and tested; the *codec* step is stubbed because no
-image/audio library ships in this container: every op here ALWAYS runs
-the clearly-marked DETERMINISTIC FAKE codec (pure byte arithmetic) so the
-pipeline stays oracle-checkable end-to-end. ``_HAVE_PIL`` below only
+behavior — is real and tested. METADATA is real too: image payloads go
+through a pure-struct JPEG/PNG/GIF/WebP header parse
+(``sniff_image_meta`` — magic numbers, marker walks, chunk structure per
+the public specs; no library needed). Only the PIXEL-level codec step is
+stubbed because no image/audio library ships in this container: those ops
+run the clearly-marked DETERMINISTIC FAKE codec (pure byte arithmetic) so
+the pipeline stays oracle-checkable end-to-end. ``_HAVE_PIL`` below only
 *detects* an optional real codec — it is the documented slot-in point for
-a real JPEG/PNG decode inside ``decode_image_bytes``, not a switch that
-is consulted today.
+a real JPEG/PNG pixel decode inside ``decode_image_bytes``, not a switch
+that is consulted today.
 
 This mirrors how the reference treats images as opaque bytes until
 ``DecodeImage`` materializes them (mindocr/data/transforms/
@@ -108,6 +111,248 @@ def media_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         fn, schema=FEATURES_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- image headers
+# Pure-struct JPEG/PNG/GIF/WebP dimension + validity sniffing from the
+# PUBLIC format specs (ISO 10918 JPEG markers, RFC 2083 PNG, GIF89a,
+# RIFF/WebP container incl. VP8/VP8L/VP8X). This is the DEFAULT metadata
+# path for image payloads — real bytes are actually parsed (the analog of
+# the reference's DecodeImage materializing real buffers,
+# mindocr/data/transforms/general_transforms.py:35-46); only pixel-level
+# ops still use the fake codec below. No library needed: stdlib struct
+# arithmetic, deterministic, total (never raises on garbage).
+
+
+def _jpeg_dims(b: bytes):
+    """Walk JPEG markers to the first SOF frame header. Returns
+    (w, h) or None. Skips APPn/COM/DQT/…; stand-alone markers
+    (RSTn/TEM/SOI) carry no length field."""
+    n = len(b)
+    i = 2
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        m = b[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # SOI/TEM/RSTn
+            i += 2
+            continue
+        if m == 0xD9:  # EOI before any SOF
+            return None
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # SOFn
+            if seglen < 7:
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seglen
+    return None
+
+
+def _webp_dims(b: bytes):
+    """RIFF/WEBP: VP8 (lossy frame tag), VP8L (lossless 14-bit pack),
+    VP8X (extended 24-bit canvas). Returns (w, h) or None."""
+    if len(b) < 16:
+        return None
+    fourcc = b[12:16]
+    if fourcc == b"VP8 ":
+        # 3-byte frame tag, then start code 9D 01 2A, then 14-bit dims
+        if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return (w, h) if w > 0 and h > 0 else None
+    if fourcc == b"VP8L":
+        if len(b) < 25 or b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return (w, h)
+    if fourcc == b"VP8X":
+        if len(b) < 30:
+            return None
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return (w, h)
+    return None
+
+
+def sniff_image_meta(payload: "bytes | None"):
+    """(fmt, width, height, valid) from real image bytes. ``fmt`` is
+    detected from the magic number (None when unrecognizable); dims are
+    parsed from the format's own header structure; ``valid`` means the
+    structure parsed through to positive dimensions. Total function —
+    arbitrary bytes (fuzz-tested) can never raise."""
+    b = bytes(payload) if payload else b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if (
+            len(b) >= 24
+            and b[12:16] == b"IHDR"
+            and int.from_bytes(b[8:12], "big") >= 13
+        ):
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            if 0 < w < 2**31 and 0 < h < 2**31:
+                return ("png", w, h, True)
+        return ("png", None, None, False)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            if w > 0 and h > 0:
+                return ("gif", w, h, True)
+        return ("gif", None, None, False)
+    if b[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(b)
+        if dims:
+            return ("jpeg", dims[0], dims[1], True)
+        return ("jpeg", None, None, False)
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WEBP":
+        dims = _webp_dims(b)
+        if dims:
+            return ("webp", dims[0], dims[1], True)
+        return ("webp", None, None, False)
+    return (None, None, None, False)
+
+
+# Deterministic REAL-header synthesis: valid minimal files of each
+# format with the requested dimensions (pixel data fake/minimal, headers
+# spec-exact) — the oracle knows the dims closed-form, the engine must
+# recover them by actually parsing the bytes it is handed.
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    import zlib
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x00\x00\x00\x00"
+    out = [b"\x89PNG\r\n\x1a\n"]
+    for tag, body in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out.append(len(body).to_bytes(4, "big"))
+        out.append(tag)
+        out.append(body)
+        out.append(zlib.crc32(tag + body).to_bytes(4, "big"))
+    return b"".join(out)
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00\x00\x00\x3b"
+    )
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe\x00\x06webx"  # a COM segment the walker must skip
+    sof0 = (
+        b"\xff\xc0\x00\x0b\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+def webp_bytes(w: int, h: int, variant: str = "vp8") -> bytes:
+    if variant == "vp8":
+        body = (
+            b"\x00\x00\x00"  # frame tag (key frame)
+            + b"\x9d\x01\x2a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+        )
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + bits.to_bytes(4, "little")
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    else:  # vp8x extended canvas
+        body = (
+            b"\x00\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def synth_image_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) with REAL format headers: format cycles
+    png/gif/jpeg/webp by media_id % 4 (webp subdivides % 12 into its
+    vp8/vp8l/vp8x variants), dims are the synth_media closed forms
+    (w = 64 + id % 193, h = 48 + id % 129), and every 17th payload is
+    truncated to a single byte (no magic survives → fmt NULL, valid
+    false).
+    Arrow-batched construction — byte packing needs Python."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gens = {0: png_bytes, 1: gif_bytes, 2: jpeg_bytes}
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                w, h = 64 + mid % 193, 48 + mid % 129
+                if mid % 4 == 3:
+                    variant = {3: "vp8", 7: "vp8l", 11: "vp8x"}[mid % 12]
+                    raw = webp_bytes(w, h, variant)
+                else:
+                    raw = gens[mid % 4](w, h)
+                if mid % 17 == 0:
+                    raw = raw[:1]
+                out["media_id"].append(mid)
+                out["payload"].append(raw)
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def image_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, fmt, width, height, valid) by parsing each payload's
+    real header bytes — one Arrow mapInPandas, no shuffle."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "width": [], "height": [], "valid": []}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                fmt, w, h, ok = sniff_image_meta(payload)
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        fn, schema=IMAGE_META_SCHEMA
     )
 
 

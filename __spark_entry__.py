@@ -679,6 +679,20 @@ def q_extract_pdf_cid(spark: SparkSession, sf: str) -> DataFrame:
     return extract_pdf(pdfs).select("url", "text")
 
 
+def q_extract_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
+    """Encrypted-PDF lane (webx/pdfcrypt.py standard security handler):
+    every document an /Encrypt PDF with an empty user password, cycling
+    RC4-128 (V2/R3), RC4-40 (V1/R2) and AES-128 (V4/R4 AESV2 crypt
+    filter) by doc_id %% 3. The handler must verify /U (Algorithms 2+4/5),
+    derive per-object keys (Algorithm 1) and decrypt the content stream
+    before filters — extraction must reproduce the SAME closed-form
+    golden text as the plaintext flagship, byte-identical."""
+    from webx.pdf import extract_pdf
+
+    pdfs = _par(synth.synth_pdfs(spark, sf, layout="encrypted"), spark)
+    return extract_pdf(pdfs).select("url", "text")
+
+
 def q_extract_wet(spark: SparkSession, sf: str) -> DataFrame:
     """Extraction output round-tripped through the WET container (the
     Common-Crawl extracted-text interchange format): flagship extraction
@@ -7317,6 +7331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_extract_wet": q_extract_wet,
         "q_wat_links": q_wat_links,
         "q_extract_pdf": q_extract_pdf,
+        "q_extract_pdf_encrypted": q_extract_pdf_encrypted,
         "q_extract_pdf_cid": q_extract_pdf_cid,
         "q_convert_bulk": q_convert_bulk,
         "q_keyed_store": q_keyed_store,
@@ -8120,6 +8135,7 @@ def oracle_sql() -> dict[str, str]:
             "AS resolved FROM documents CROSS JOIN h"
         ),
         "q_extract_pdf": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
+        "q_extract_pdf_encrypted": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         "q_extract_pdf_cid": f"SELECT {URL} AS url, {GOLDEN} AS text FROM documents",
         # bulk parallel-array roundtrip: shard = doc_id % 16; idx = rank
         # within the shard by doc_id (the array_sort(struct(doc_id,…))

@@ -100,8 +100,11 @@ def write_pdf(
     return _classic_assemble(objs)
 
 
-def _classic_assemble(objs: List[bytes], header: bytes = b"%PDF-1.4\n") -> bytes:
-    """Assemble numbered objects 1..N into a classic-xref-table PDF."""
+def _classic_assemble(objs: List[bytes], header: bytes = b"%PDF-1.4\n",
+                      trailer_extra: bytes = b"") -> bytes:
+    """Assemble numbered objects 1..N into a classic-xref-table PDF.
+    ``trailer_extra`` splices additional trailer entries (e.g.
+    ``/Encrypt n 0 R /ID [...]``) before the closing ``>>``."""
     out = [header]
     offsets = []
     pos = len(out[0])
@@ -118,11 +121,85 @@ def _classic_assemble(objs: List[bytes], header: bytes = b"%PDF-1.4\n") -> bytes
     out.append(
         b"trailer\n<< /Size "
         + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n"
+        + b" /Root 1 0 R"
+        + trailer_extra
+        + b" >>\nstartxref\n"
         + str(xref_pos).encode()
         + b"\n%%EOF\n"
     )
     return b"".join(out)
+
+
+
+
+def write_pdf_encrypted(title: str, body: str, method: str = "rc4",
+                        r: "int | None" = None) -> bytes:
+    """Encrypted twin of ``write_pdf``: same single-page layout, content
+    stream encrypted under the ISO 32000 standard security handler with
+    an EMPTY user password (owner-password-only permissions encryption —
+    the legally-extractable kind CC PDF shards contain). ``method`` is
+    'rc4' (R=3/128-bit by default; pass r=2 for the 40-bit V1 form) or
+    'aesv2' (V=4/R=4 AES-128-CBC crypt filter). Extraction must yield
+    exactly what the plaintext writer's would — byte-identity through
+    the decrypt path."""
+    import hashlib
+
+    from webx.pdfcrypt import StandardSecurityHandler
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td ("
+        + _esc(title.encode("utf-8"))
+        + b") Tj 0 -14 TD ("
+        + _esc(body.encode("utf-8"))
+        + b") Tj ET"
+    )
+    if method == "rc4":
+        rr = 2 if r == 2 else 3
+        v = 1 if rr == 2 else 2
+        nbytes = 5 if rr == 2 else 16
+    elif method == "aesv2":
+        rr, v, nbytes = 4, 4, 16
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    p = -44  # print+copy permitted; any value participates in the key
+    id0 = hashlib.md5(("webx-id:" + title + "|" + body).encode("utf-8")).digest()
+    o = StandardSecurityHandler.compute_o(rr, nbytes)
+    h = StandardSecurityHandler(o, p, id0, rr, nbytes, method)
+    u = h.compute_u()[:32].ljust(32, b"\x00")
+    data = h.encrypt(4, 0, zlib.compress(content))
+    stream_dict = (
+        b"<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
+    )
+    if method == "aesv2":
+        encd = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+            b"/P " + str(p).encode() + b" >>"
+        )
+    else:
+        encd = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(rr).encode()
+            + b" /Length " + str(nbytes * 8).encode()
+            + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+            b"/P " + str(p).encode() + b" >>"
+        )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        stream_dict + b"\nstream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        encd,
+    ]
+    idhex = b"<" + id0.hex().encode() + b">"
+    return _classic_assemble(
+        objs,
+        trailer_extra=b" /Encrypt 6 0 R /ID [" + idhex + b" " + idhex + b"]",
+    )
 
 
 def _tounicode_cmap(codes: List[Tuple[int, str]]) -> bytes:
@@ -788,6 +865,10 @@ def _parse_value(raw: bytes, p: int):
     if c == b"(":  # literal string (rare in structure dicts)
         s, p2 = _parse_string(raw, p)
         return ("str", s), p2
+    if c == b"<":  # hex string (how /O /U /ID are usually written)
+        m = re.match(rb"<([0-9A-Fa-f\s]*)>", raw[p:])
+        if m:
+            return ("str", _cmap_hexbytes(m.group(1))), p + m.end()
     if raw[p : p + 4] == b"true":
         return True, p + 4
     if raw[p : p + 5] == b"false":
@@ -839,11 +920,15 @@ def _parse_string(raw: bytes, p: int) -> Tuple[bytes, int]:
     raise ValueError("unterminated string")
 
 
-def _load_compressed_obj(raw: bytes, offsets: dict, num: int, stm_num: int, idx: int):
+def _load_compressed_obj(raw: bytes, offsets: dict, num: int, stm_num: int, idx: int,
+                         crypt=None):
     """Object packed in a /Type /ObjStm object stream: decode the
     container, read its (obj_num, offset) header pairs, parse the value
-    at /First + offset. Compressed objects never carry streams."""
-    sval, sdata = _load_obj(raw, offsets, stm_num)
+    at /First + offset. Compressed objects never carry streams. The
+    CONTAINER stream is decrypted (crypt applies at its object number);
+    per ISO 32000 strings inside an object stream are not separately
+    encrypted."""
+    sval, sdata = _load_obj(raw, offsets, stm_num, crypt)
     if not isinstance(sval, dict) or sval.get("Type") != ("name", "ObjStm") or sdata is None:
         raise ValueError(f"object {num}: container {stm_num} is not an ObjStm")
     first = int(sval["First"])
@@ -860,13 +945,16 @@ def _load_compressed_obj(raw: bytes, offsets: dict, num: int, stm_num: int, idx:
     return _parse_value(sdata, _skip_ws(sdata, first + off))[0]
 
 
-def _load_obj(raw: bytes, offsets: dict, num: int):
-    """Object at xref offset → (dict_or_value, stream_bytes_or_None)."""
+def _load_obj(raw: bytes, offsets: dict, num: int, crypt=None):
+    """Object at xref offset → (dict_or_value, stream_bytes_or_None).
+    ``crypt`` (webx.pdfcrypt.StandardSecurityHandler) decrypts stream
+    bytes BEFORE filters run — Algorithm 1's per-object key uses this
+    object's number/generation."""
     if num not in offsets:
         raise ValueError(f"missing object {num}")
     loc = offsets[num]
     if isinstance(loc, tuple) and loc[0] == "instm":
-        return _load_compressed_obj(raw, offsets, num, loc[1], loc[2]), None
+        return _load_compressed_obj(raw, offsets, num, loc[1], loc[2], crypt), None
     p = loc
     m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", raw[p:])
     if not m or int(m.group(1)) != num:
@@ -885,6 +973,8 @@ def _load_obj(raw: bytes, offsets: dict, num: int):
         if isinstance(length, tuple) and length[0] == "ref":
             length = _load_obj(raw, offsets, length[1])[0]
         stream = raw[p : p + int(length)]
+        if crypt is not None:
+            stream = crypt.decrypt(num, int(m.group(2)), stream)
         if isinstance(val, dict):
             stream = _decode_stream(
                 stream, val.get("Filter"), val.get("DecodeParms")
@@ -892,9 +982,9 @@ def _load_obj(raw: bytes, offsets: dict, num: int):
     return val, stream
 
 
-def _deref(raw, offsets, v):
+def _deref(raw, offsets, v, crypt=None):
     if isinstance(v, tuple) and v and v[0] == "ref":
-        return _load_obj(raw, offsets, v[1])[0]
+        return _load_obj(raw, offsets, v[1], crypt)[0]
     return v
 
 
@@ -1137,7 +1227,7 @@ def _simple_font_decoder(
     return decode
 
 
-def _one_font_decoder(raw: bytes, offsets: dict, fval) -> Optional[Callable[[bytes], str]]:
+def _one_font_decoder(raw: bytes, offsets: dict, fval, crypt=None) -> Optional[Callable[[bytes], str]]:
     """Font dict → decode callable, or None for the UTF-8 fallback.
     Priority: /ToUnicode CMap (authoritative when present, simple or
     composite), then simple-font /Encoding. Unparsable font structures
@@ -1147,12 +1237,12 @@ def _one_font_decoder(raw: bytes, offsets: dict, fval) -> Optional[Callable[[byt
             return None
         tu = fval.get("ToUnicode")
         if isinstance(tu, tuple) and tu[0] == "ref":
-            _, stream = _load_obj(raw, offsets, tu[1])
+            _, stream = _load_obj(raw, offsets, tu[1], crypt)
             if stream:
                 ranges, mapping = _parse_tounicode(stream)
                 if mapping:
                     return _cmap_decoder(ranges, mapping)
-        enc = _deref(raw, offsets, fval.get("Encoding"))
+        enc = _deref(raw, offsets, fval.get("Encoding"), crypt)
         if isinstance(enc, dict):
             base = enc.get("BaseEncoding")
             base_name = base[1] if isinstance(base, tuple) else None
@@ -1167,18 +1257,21 @@ def _one_font_decoder(raw: bytes, offsets: dict, fval) -> Optional[Callable[[byt
         return None
 
 
-def _font_decoders(raw: bytes, offsets: dict, resources) -> Dict[bytes, Callable]:
+def _font_decoders(raw: bytes, offsets: dict, resources,
+                   crypt=None) -> Dict[bytes, Callable]:
     """Page /Resources → {b'/F1': decoder} for fonts that carry a map;
     fonts without one are simply absent (UTF-8 fallback)."""
     fonts: Dict[bytes, Callable] = {}
     if not isinstance(resources, dict):
         return fonts
-    fdict = _deref(raw, offsets, resources.get("Font"))
+    fdict = _deref(raw, offsets, resources.get("Font"), crypt)
     if not isinstance(fdict, dict):
         return fonts
     for name, ref in fdict.items():
         try:
-            dec = _one_font_decoder(raw, offsets, _deref(raw, offsets, ref))
+            dec = _one_font_decoder(
+                raw, offsets, _deref(raw, offsets, ref, crypt), crypt
+            )
         except Exception:
             dec = None
         if dec is not None:
@@ -1192,32 +1285,57 @@ def page_content_streams(raw: bytes) -> List[bytes]:
     return [c for c, _ in page_contents_with_fonts(raw)]
 
 
+def _build_crypt(raw: bytes, offsets: dict, trailer: dict):
+    """/Encrypt in the trailer → a verified empty-user-password handler
+    (webx/pdfcrypt.py), or None for unencrypted files. Unsupported
+    schemes and non-empty passwords raise UnsupportedEncryption —
+    extract_pdf fails soft to status='unsupported' (no mis-decodes,
+    no row loss). The /Encrypt dict and its /O //U strings are read
+    WITHOUT decryption (they never are), as is the /ID."""
+    enc = trailer.get("Encrypt")
+    if enc is None:
+        return None
+    from webx.pdfcrypt import handler_from_encrypt_dict
+
+    encd = _deref(raw, offsets, enc)
+    ids = trailer.get("ID") or []
+    id0 = ids[0][1] if ids and isinstance(ids[0], tuple) and ids[0][0] == "str" else b""
+    return handler_from_encrypt_dict(
+        encd, bytes(id0), lambda v: _deref(raw, offsets, v)
+    )
+
+
 def page_contents_with_fonts(raw: bytes) -> List[Tuple[bytes, Dict[bytes, Callable]]]:
     """Stage-1 walk returning (content stream, font decode maps) per
-    page. /Resources inherits down the page tree (PDF 7.7.3.4)."""
+    page. /Resources inherits down the page tree (PDF 7.7.3.4).
+    Encrypted documents (RC4/AESV2 standard security, empty user
+    password) are transparently decrypted object-by-object."""
     offsets, trailer = _parse_xref(raw)
-    root = _deref(raw, offsets, trailer["Root"])
+    crypt = _build_crypt(raw, offsets, trailer)
+    root = _deref(raw, offsets, trailer["Root"], crypt)
     pages: List[Tuple[bytes, Dict[bytes, Callable]]] = []
 
     def walk(node, inherited_res):
         ntype = node.get("Type")
         res = node.get("Resources", None)
-        res = _deref(raw, offsets, res) if res is not None else inherited_res
+        res = _deref(raw, offsets, res, crypt) if res is not None else inherited_res
         if ntype == ("name", "Pages"):
             for kid in node.get("Kids", []):
-                walk(_deref(raw, offsets, kid), res)
+                walk(_deref(raw, offsets, kid, crypt), res)
         elif ntype == ("name", "Page"):
             contents = node.get("Contents")
             refs = contents if isinstance(contents, list) else [contents]
             parts = []
             for r in refs:
                 if isinstance(r, tuple) and r[0] == "ref":
-                    _, s = _load_obj(raw, offsets, r[1])
+                    _, s = _load_obj(raw, offsets, r[1], crypt)
                     if s is not None:
                         parts.append(s)
-            pages.append((b"\n".join(parts), _font_decoders(raw, offsets, res)))
+            pages.append(
+                (b"\n".join(parts), _font_decoders(raw, offsets, res, crypt))
+            )
 
-    walk(_deref(raw, offsets, root["Pages"]), None)
+    walk(_deref(raw, offsets, root["Pages"], crypt), None)
     return pages
 
 

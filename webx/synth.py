@@ -848,15 +848,23 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
     The binary container is assembled in a distributed Arrow pass
     (fixture generation, like webx.sources.write_warc — the QUERY path
     is webx.pdf.extract_pdf). ``layout='mixed'`` rotates every parser
-    lane (classic xref, xref-stream ± predictor, CID/ToUnicode);
-    ``layout='cid'`` makes every document a composite-font hex-string
-    PDF (the q_extract_pdf_cid gate)."""
+    lane (classic xref, xref-stream ± predictor, CID/ToUnicode, and the
+    two encrypted lanes); ``layout='cid'`` makes every document a
+    composite-font hex-string PDF (the q_extract_pdf_cid gate);
+    ``layout='encrypted'`` makes EVERY document an encrypted one,
+    cycling RC4-128/RC4-40/AESV2 by doc_id % 3 (the
+    q_extract_pdf_encrypted gate)."""
     from typing import Iterable, Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    from webx.pdf import write_pdf, write_pdf_cid, write_pdf_xrefstream
+    from webx.pdf import (
+        write_pdf,
+        write_pdf_cid,
+        write_pdf_encrypted,
+        write_pdf_xrefstream,
+    )
 
     src = load_documents(spark, sf_dir).select(
         _url().alias("url"),
@@ -871,19 +879,36 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
             # deterministic layout mix so every parser lane is exercised:
-            # doc%16 ∈ {0,8} → classic xref + Flate, {2,10} → LZWDecode
+            # doc%16 == 0 → classic xref + Flate, {2,10} → LZWDecode
             # (10: EarlyChange=0), {4,12} → ASCII85-over-Flate chain /
-            # ASCIIHex, {6,14} → raw, %8==1 → xref stream with the
-            # PNG-Up predictor, %8==5 → xref stream unpredicted,
-            # %8∈{3,7} → composite-font (CID hex strings + ToUnicode)
+            # ASCIIHex, 6 → raw, 8 → ENCRYPTED RC4 (128-bit R3; every
+            # other one 40-bit R2), 14 → ENCRYPTED AES-128 (AESV2),
+            # %8==1 → xref stream with the PNG-Up predictor, %8==5 →
+            # xref stream unpredicted, %8∈{3,7} → composite-font (CID
+            # hex strings + ToUnicode)
             even_lane = {
                 0: "flate", 2: "lzw", 4: "a85flate", 6: "raw",
-                8: "flate", 10: "lzw0", 12: "ahx", 14: "raw",
+                10: "lzw0", 12: "ahx",
             }
             pdfs = []
             for d, t, b in zip(p["doc_id"], p["title"], p["body"]):
                 if layout == "cid":
                     pdfs.append(write_pdf_cid(t, b))
+                elif layout == "encrypted":
+                    if d % 3 == 0:
+                        pdfs.append(write_pdf_encrypted(t, b, "rc4"))
+                    elif d % 3 == 1:
+                        pdfs.append(write_pdf_encrypted(t, b, "rc4", r=2))
+                    else:
+                        pdfs.append(write_pdf_encrypted(t, b, "aesv2"))
+                elif d % 16 == 8:
+                    pdfs.append(
+                        write_pdf_encrypted(
+                            t, b, "rc4", r=2 if d % 32 == 24 else None
+                        )
+                    )
+                elif d % 16 == 14:
+                    pdfs.append(write_pdf_encrypted(t, b, "aesv2"))
                 elif d % 2 == 0:
                     pdfs.append(write_pdf(t, b, stream_filter=even_lane[d % 16]))
                 elif d % 4 == 3:

@@ -1019,6 +1019,76 @@ def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return lang_id(_par(synth.load_documents(spark, sf), spark))
 
 
+def q_langid_model(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED language ID (webx/langmodel.py): multinomial NB over
+    hashed word uni+bigram features, trained at import over the frozen
+    multilingual corpus, applied as pure codegen (per-language integer
+    weight folds — the webx/classifier.py shape). Each document scores a
+    HELD-OUT snippet in a rotating language plus its doc_id token; the
+    model must recover the language of every row, and the DuckDB oracle
+    recomputes all four integer scores bit-for-bit through the xxh64 SQL
+    port. The stopword heuristic (q_langid) stays as the fallback."""
+    from webx.langmodel import TEST_SNIPPETS, langid_model
+
+    docs = synth.load_documents(spark, sf).select("doc_id")
+    pick = F.col("doc_id") % 4
+    snip = (
+        F.when(pick == 0, F.lit(TEST_SNIPPETS["en"]))
+        .when(pick == 1, F.lit(TEST_SNIPPETS["de"]))
+        .when(pick == 2, F.lit(TEST_SNIPPETS["fr"]))
+        .otherwise(F.lit(TEST_SNIPPETS["es"]))
+    )
+    text = F.concat_ws(" ", snip, F.col("doc_id").cast("string"))
+    return langid_model(docs.withColumn("text", text))
+
+
+def _langid_model_oracle_sql() -> str:
+    """DuckDB replay: same snippet construction, same features (lower →
+    whitespace split → uni + adjacent bigrams), xxh64 SQL port per
+    feature, the SAME frozen integer weight tables as 256-row parallel
+    unnest, NB sum per language, priority-ordered argmax."""
+    from webx.langmodel import DIM, FROZEN_WEIGHTS, LANGS, TEST_SNIPPETS
+    from webx.oracles import xxh64_str_ctes
+
+    snip_case = (
+        "CASE doc_id % 4 "
+        + " ".join(
+            f"WHEN {i} THEN '{TEST_SNIPPETS[l].replace(chr(39), chr(39)*2)}'"
+            for i, l in enumerate(LANGS)
+        )
+        + " END"
+    )
+    wcols = ", ".join(
+        "unnest(["
+        + ",".join(str(v) for v in FROZEN_WEIGHTS[lang])
+        + f"]) AS w_{lang}"
+        for lang in LANGS
+    )
+    sums = ", ".join(
+        f"CAST(SUM(w_{lang}) AS BIGINT) AS s_{lang}" for lang in LANGS
+    )
+    best = "greatest(" + ",".join(f"s_{l}" for l in LANGS) + ")"
+    pred = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in LANGS)
+    return _oracles.XXH64_MACROS + (
+        "WITH src AS (SELECT doc_id, "
+        f"{snip_case} || ' ' || CAST(doc_id AS VARCHAR) AS text FROM documents), "
+        "tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+        "'[ \t\r\n]+') AS toks FROM src), "
+        "uni AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, "
+        "toks FROM tk), "
+        "feats AS (SELECT doc_id, i AS fid, toks[i] AS f FROM uni "
+        "UNION ALL "
+        "SELECT doc_id, 1000000 + i AS fid, toks[i] || ' ' || toks[i+1] AS f "
+        "FROM uni WHERE i < len(toks)), "
+        + xxh64_str_ctes("feats", "doc_id, fid", "f", "fh")
+        + f", wt AS (SELECT unnest(generate_series(0, {DIM - 1})) AS b, {wcols}), "
+        f"sc AS (SELECT doc_id, {sums} FROM fh JOIN wt "
+        f"ON wt.b = CAST(fh.h % {DIM} AS INT) GROUP BY doc_id) "
+        f"SELECT doc_id, s_en, s_de, s_fr, s_es, "
+        f"CASE {pred} END AS pred_lang FROM sc"
+    )
+
+
 def q_langid_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     """Paragraph-level language ID (webx/textstats.py
     lang_id_paragraphs — the CCNet granularity): every document gets a
@@ -7352,6 +7422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": q_quality_filter,
         "q_repetition": q_repetition,
         "q_langid": q_langid,
+        "q_langid_model": q_langid_model,
         "q_langid_paragraphs": q_langid_paragraphs,
         "q_fingerprint": q_fingerprint,
         "q_dedup_exact": q_dedup_exact,
@@ -8240,6 +8311,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END) AS top_bigram_frac FROM b"
         ),
         "q_langid": _langid_oracle_sql(),
+        "q_langid_model": _langid_model_oracle_sql(),
         "q_langid_paragraphs": _langid_paragraphs_oracle_sql(),
         "q_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))) "

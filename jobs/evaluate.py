@@ -19,7 +19,18 @@ Inputs:
 
 Either golden input may be omitted; the perf dict contains whichever
 metrics were computable. Output: ONE JSON line on stdout (the
-reference's printed perf dict)."""
+reference's printed perf dict).
+
+Multi-fixture sweep (the tools/benchmarking/multi_dataset_eval.py
+analog — reference iterates dataset dirs in one run and prints one
+perf row each): pass ``--manifest fixtures.json`` instead of --pred,
+where the manifest is a JSON list of
+``{"name": …, "pred": …, "golden_text": …, "golden_labels": …}``
+entries. Each fixture evaluates independently in the SAME Spark
+session (one JVM spin-up for the whole sweep); the stdout line becomes
+``{"fixtures": {name: perf…}, "n_fixtures": N}`` and a failed fixture
+records ``{"error": …}`` without aborting the rest — the sweep always
+reports every dataset, like the reference's per-dataset loop."""
 
 from __future__ import annotations
 
@@ -30,7 +41,10 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="webx offline evaluation")
-    p.add_argument("--pred", required=True, help="extracted output parquet")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pred", help="extracted output parquet")
+    src.add_argument("--manifest",
+                     help="JSON list of fixtures for a multi-dataset sweep")
     p.add_argument("--golden-text", help="TSV url\\ttext golden transcripts")
     p.add_argument("--golden-labels", help="url\\tJSON-spans golden label file")
     p.add_argument("--iou-thresh", type=float, default=0.5)
@@ -84,6 +98,33 @@ def run(spark, args) -> dict:
     return perf
 
 
+def run_sweep(spark, args) -> dict:
+    """Iterate the manifest's fixture sets in one session → one perf
+    row per fixture under "fixtures", never aborting the sweep on a
+    single bad fixture."""
+    import time
+
+    with open(args.manifest) as f:
+        entries = json.load(f)
+    out: dict = {"n_fixtures": len(entries), "fixtures": {}}
+    for i, e in enumerate(entries):
+        name = e.get("name") or f"fixture{i}"
+        sub = argparse.Namespace(
+            pred=e["pred"],
+            golden_text=e.get("golden_text"),
+            golden_labels=e.get("golden_labels"),
+            iou_thresh=e.get("iou_thresh", args.iou_thresh),
+        )
+        t0 = time.time()
+        try:
+            perf = run(spark, sub)
+        except Exception as ex:  # report, keep sweeping
+            perf = {"error": f"{type(ex).__name__}: {ex}"}
+        perf["elapsed_sec"] = round(time.time() - t0, 3)
+        out["fixtures"][name] = perf
+    return out
+
+
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     from pyspark.sql import SparkSession
@@ -100,7 +141,7 @@ def main(argv=None) -> int:
         b = b.master(args.master)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    perf = run(spark, args)
+    perf = run_sweep(spark, args) if args.manifest else run(spark, args)
     print(json.dumps(perf))
     spark.stop()
     return 0

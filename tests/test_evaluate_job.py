@@ -66,3 +66,51 @@ def test_missing_predictions_surface_in_perf(spark, tmp_path):
     assert perf["n_golden_text"] == 3
     assert perf["n_docs"] == 1 and perf["missing_pred"] == 2
     assert perf["acc"] == 1.0  # over scored pairs, with the gap visible
+
+
+def test_manifest_sweep_one_row_per_fixture(spark, tmp_path):
+    sys.path.insert(0, JOBS_DIR)
+    import evaluate as EV
+
+    # two fixture sets with different accuracy, plus one broken path —
+    # the sweep must report all three without aborting
+    p1 = spark.createDataFrame(
+        [("u1", "alpha", "[]")], "url string, text string, spans_json string"
+    )
+    p2 = spark.createDataFrame(
+        [("u1", "beta", "[]"), ("u2", "gamma", "[]")],
+        "url string, text string, spans_json string",
+    )
+    path1, path2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    p1.write.parquet(path1)
+    p2.write.parquet(path2)
+    g1 = tmp_path / "g1.tsv"
+    g1.write_text("u1\talpha\n")
+    g2 = tmp_path / "g2.tsv"
+    g2.write_text("u1\tbeta\nu2\tWRONG\n")
+
+    manifest = tmp_path / "fixtures.json"
+    manifest.write_text(json.dumps([
+        {"name": "setA", "pred": path1, "golden_text": str(g1)},
+        {"name": "setB", "pred": path2, "golden_text": str(g2)},
+        {"name": "broken", "pred": str(tmp_path / "missing")},
+    ]))
+    args = EV.parse_args(["--manifest", str(manifest)])
+    out = EV.run_sweep(spark, args)
+    assert out["n_fixtures"] == 3
+    assert out["fixtures"]["setA"]["acc"] == 1.0
+    assert out["fixtures"]["setB"]["acc"] == 0.5
+    assert out["fixtures"]["setB"]["n_docs"] == 2
+    assert "error" in out["fixtures"]["broken"]
+    assert all("elapsed_sec" in v for v in out["fixtures"].values())
+
+
+def test_manifest_and_pred_are_mutually_exclusive():
+    sys.path.insert(0, JOBS_DIR)
+    import evaluate as EV
+    import pytest
+
+    with pytest.raises(SystemExit):
+        EV.parse_args(["--pred", "/x", "--manifest", "/y"])
+    with pytest.raises(SystemExit):
+        EV.parse_args([])

@@ -30,7 +30,10 @@ comparison), so offset + local index IS the global dense rank.
 Scale bound, stated honestly: a suffix array is built per SHARD (the
 paper runs ~100 GB units), not over 100 TB at once; cross-shard
 duplicates are caught by the k-window hash pass (webx/dedup.py) or by
-sharding on content hash. ``max_chars`` caps per-document suffix
+sharding on content hash. The orchestration around that unit lives in
+``jobs/suffix_shards.py``: route → per-shard SA → disjoint merge, with
+the co-location contract proven N-invariant in
+tests/test_suffix_shards.py. ``max_chars`` caps per-document suffix
 fan-out exactly like winnowing's prefix_chars.
 
 Determinism: ranks are dense ranks of a total order on (key) with ties

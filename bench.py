@@ -42,6 +42,21 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_mops(procs: int) -> int:
+    """Host CPU-capacity calibration (scripts/bench_scaling.py
+    cpu_capacity): aggregate Mops/s of `procs` spinning processes. The
+    denominator that makes a contended driver-window throughput number
+    interpretable against the calm-window records in BASELINE.md
+    without reading it — the same binary has measured 1.8x apart purely
+    with host load."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from bench_scaling import cpu_capacity
+
+    return round(cpu_capacity(procs))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
@@ -69,6 +84,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    mops_start = _host_mops(int(CPUS))
 
     queries = E.queries()
 
@@ -202,6 +219,9 @@ def main() -> None:
         "curate_docs": n_curate,
         "curate_sec": round(curate_dt, 3),
         "curate_docs_per_sec": round(n_curate / curate_dt, 1),
+        # host CPU capacity (Mops/s of CPUS spinners) at window start +
+        # end: the contention denominator for every number above
+        "host_mops": {"start": mops_start, "end": _host_mops(int(CPUS))},
     }
     line = json.dumps(summary)
     assert len(line) <= 1900, f"bench summary line too long: {len(line)}"

@@ -1681,6 +1681,19 @@ def q_image_headers(spark: SparkSession, sf: str) -> DataFrame:
     return image_meta(synth_image_files(spark, sf))
 
 
+def q_audio_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio-header metadata, the q_image_headers sibling: synth
+    payloads carry spec-exact WAV (RIFF fmt chunk walk), FLAC
+    (STREAMINFO 20-bit pack) and MPEG-1 Layer III frame headers, and the
+    engine recovers (fmt, sample_rate, channels, valid) by parsing the
+    bytes (webx/media.py sniff_audio_meta). Every 13th payload truncates
+    to one byte -> fmt NULL, valid false. Oracle replays the closed-form
+    arithmetic the generators were handed."""
+    from webx.media import audio_meta, synth_audio_files
+
+    return audio_meta(synth_audio_files(spark, sf))
+
+
 def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Relational coverage: broadcast dim join + partial/final agg."""
     orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -7452,6 +7465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_media_features": q_media_features,
         "q_image_headers": q_image_headers,
+        "q_audio_headers": q_audio_headers,
         "q_orders_rollup": q_orders_rollup,
         "q_join3": q_join3,
         "q_join_anti": q_join_anti,
@@ -8444,6 +8458,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q_audio_headers": (
+            "WITH p AS (SELECT doc_id, doc_id % 3 AS k FROM documents) "
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 13 = 0 THEN NULL "
+            "WHEN k = 0 THEN 'wav' WHEN k = 1 THEN 'flac' ELSE 'mp3' END AS fmt, "
+            "CASE WHEN doc_id % 13 = 0 THEN NULL WHEN k < 2 THEN "
+            "CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS INT) "
+            "ELSE CAST([44100,48000,32000][CAST((doc_id // 3) % 3 AS INT) + 1] AS INT) "
+            "END AS sample_rate, "
+            "CASE WHEN doc_id % 13 = 0 THEN NULL "
+            "ELSE CAST(1 + doc_id % 2 AS INT) END AS channels, "
+            "doc_id % 13 <> 0 AS valid FROM p"
         ),
         "q_image_headers": (
             "SELECT doc_id AS media_id, "

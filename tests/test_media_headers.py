@@ -106,3 +106,48 @@ def test_any_truncation_never_misreports_dims(kind, w, h, cut):
     fmt, pw, ph, ok = sniff_image_meta(raw[: len(raw) - cut])
     if ok:  # whenever the parser says valid, the dims must be RIGHT
         assert (pw, ph) == (w, h)
+
+
+# ------------------------------------------------------------- audio
+
+
+def test_audio_roundtrips():
+    from webx.media import flac_bytes, mp3_bytes, sniff_audio_meta, wav_bytes
+
+    for sr in (8000, 16000, 22050, 44100, 48000, 96000):
+        for ch in (1, 2, 6):
+            assert sniff_audio_meta(wav_bytes(sr, ch)) == ("wav", sr, ch, True)
+            assert sniff_audio_meta(flac_bytes(sr, ch)) == ("flac", sr, ch, True)
+    for idx, sr in ((0, 44100), (1, 48000), (2, 32000)):
+        assert sniff_audio_meta(mp3_bytes(idx, True)) == ("mp3", sr, 1, True)
+        assert sniff_audio_meta(mp3_bytes(idx, False)) == ("mp3", sr, 2, True)
+
+
+def test_wav_chunk_walk_skips_leading_chunks():
+    from webx.media import sniff_audio_meta, wav_bytes
+
+    raw = wav_bytes(22050, 2)
+    # splice a LIST chunk (odd length → word-aligned pad) before fmt
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = raw[:12] + extra + raw[12:]
+    assert sniff_audio_meta(spliced) == ("wav", 22050, 2, True)
+
+
+def test_audio_truncation_and_garbage_total():
+    from webx.media import flac_bytes, sniff_audio_meta, wav_bytes
+
+    assert sniff_audio_meta(wav_bytes(8000, 1)[:1]) == (None, None, None, False)
+    assert sniff_audio_meta(flac_bytes(8000, 1)[:10]) == ("flac", None, None, False)
+    assert sniff_audio_meta(b"") == (None, None, None, False)
+    assert sniff_audio_meta(b"\xff\xe0garbage") == ("mp3", None, None, False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=120))
+def test_audio_sniffer_total_on_garbage(b):
+    from webx.media import sniff_audio_meta
+
+    fmt, sr, ch, ok = sniff_audio_meta(b)
+    assert isinstance(ok, bool)
+    if ok:
+        assert fmt in ("wav", "flac", "mp3") and sr > 0 and ch > 0

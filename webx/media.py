@@ -356,6 +356,168 @@ def image_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+
+
+# ------------------------------------------------------------- audio headers
+# Same real-bytes contract as the image sniffer: WAV (RIFF fmt chunk),
+# FLAC (STREAMINFO bit-pack), MP3 (MPEG-1 Layer III frame header sync +
+# sample-rate/channel-mode fields) — public specs, stdlib arithmetic,
+# total on garbage.
+
+_MP3_SR = {0: 44100, 1: 48000, 2: 32000}
+
+
+def sniff_audio_meta(payload: "bytes | None"):
+    """(fmt, sample_rate, channels, valid) from real audio bytes."""
+    b = bytes(payload) if payload else b""
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"WAVE":
+        # chunk walk to "fmt "
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and clen >= 16 and i + 8 + 16 <= len(b):
+                ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                sr = int.from_bytes(b[i + 12 : i + 16], "little")
+                if ch > 0 and sr > 0:
+                    return ("wav", sr, ch, True)
+                break
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return ("wav", None, None, False)
+    if b[:4] == b"fLaC":
+        # METADATA_BLOCK_STREAMINFO: type 0, length 34, starts at 4
+        if len(b) >= 4 + 4 + 34 and (b[4] & 0x7F) == 0:
+            # STREAMINFO data begins at byte 8; sample rate is the 20
+            # bits at data offset 10, channels the next 3 bits
+            sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            ch = ((b[20] >> 1) & 0x07) + 1
+            if sr > 0:
+                return ("flac", sr, ch, True)
+        return ("flac", None, None, False)
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        # 11-bit MPEG audio frame sync; valid only for MPEG-1 Layer III
+        if (b[1] & 0x18) == 0x18 and (b[1] & 0x06) == 0x02:
+            sr_idx = (b[2] >> 2) & 0x03
+            if sr_idx in _MP3_SR:
+                mode = (b[3] >> 6) & 0x03
+                return ("mp3", _MP3_SR[sr_idx], 1 if mode == 3 else 2, True)
+        return ("mp3", None, None, False)
+    return (None, None, None, False)
+
+
+def wav_bytes(sample_rate: int, channels: int) -> bytes:
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * channels * 2).to_bytes(4, "little")  # byte rate
+        + (channels * 2).to_bytes(2, "little") # block align
+        + (16).to_bytes(2, "little")           # bits/sample
+    )
+    data = b"data" + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def flac_bytes(sample_rate: int, channels: int) -> bytes:
+    info = bytearray(34)
+    info[0:2] = (1024).to_bytes(2, "big")   # min block size
+    info[2:4] = (1024).to_bytes(2, "big")   # max block size
+    info[10] = (sample_rate >> 12) & 0xFF
+    info[11] = (sample_rate >> 4) & 0xFF
+    info[12] = ((sample_rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1)
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(info)
+
+
+def mp3_bytes(sr_index: int, mono: bool) -> bytes:
+    # MPEG-1 Layer III, no CRC; bitrate index 9 (128 kbps)
+    hdr = bytes(
+        (
+            0xFF,
+            0xFB,
+            (9 << 4) | (sr_index << 2),
+            (0x03 if mono else 0x00) << 6,
+        )
+    )
+    return hdr + b"\x00" * 64  # a stub frame body
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+_AUDIO_SR_CHOICES = (8000, 16000, 22050, 44100, 48000)
+
+
+def synth_audio_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) with REAL audio headers: format cycles
+    wav/flac/mp3 by media_id %% 3; wav/flac sample rate =
+    _AUDIO_SR_CHOICES[id %% 5], channels = 1 + id %% 2; mp3 rate from its
+    header table by id %% 3 (sr_index id%%3 in {0,1,2}), mono when
+    id %% 2 == 0. Every 13th payload truncates to one byte."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                sr = _AUDIO_SR_CHOICES[mid % 5]
+                ch = 1 + mid % 2
+                k = mid % 3
+                if k == 0:
+                    raw = wav_bytes(sr, ch)
+                elif k == 1:
+                    raw = flac_bytes(sr, ch)
+                else:
+                    raw = mp3_bytes((mid // 3) % 3, mid % 2 == 0)
+                if mid % 13 == 0:
+                    raw = raw[:1]
+                out["media_id"].append(mid)
+                out["payload"].append(raw)
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, fmt, sample_rate, channels, valid) by parsing real
+    audio headers — one Arrow mapInPandas, no shuffle."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "fmt": [], "sample_rate": [],
+                "channels": [], "valid": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                fmt, sr, ch, ok = sniff_audio_meta(payload)
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        fn, schema=AUDIO_META_SCHEMA
+    )
+
+
+
 # ---------------------------------------------------------------- codec stubs
 
 try:  # pragma: no cover - library not present in this container

@@ -1694,6 +1694,19 @@ def q_audio_headers(spark: SparkSession, sf: str) -> DataFrame:
     return audio_meta(synth_audio_files(spark, sf))
 
 
+def q_video_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-container metadata, completing the image/audio/video
+    header triad: synth payloads are spec-exact ISO-BMFF MP4s (ftyp +
+    moov/mvhd/trak/tkhd, both 32- and 64-bit box layouts, an audio
+    track with 0x0 dims the scan must skip) and the engine recovers
+    (fmt, width, height, duration_ms, valid) by walking the real box
+    structure (webx/media.py sniff_video_meta). Every 19th payload
+    truncates to one byte. Oracle replays the closed-form arithmetic."""
+    from webx.media import synth_video_files, video_meta
+
+    return video_meta(synth_video_files(spark, sf))
+
+
 def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Relational coverage: broadcast dim join + partial/final agg."""
     orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -7466,6 +7479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         "q_image_headers": q_image_headers,
         "q_audio_headers": q_audio_headers,
+        "q_video_headers": q_video_headers,
         "q_orders_rollup": q_orders_rollup,
         "q_join3": q_join3,
         "q_join_anti": q_join_anti,
@@ -8458,6 +8472,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q_video_headers": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE 'mp4' END AS fmt, "
+            "CASE WHEN doc_id % 19 = 0 THEN NULL "
+            "ELSE CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 19 = 0 THEN NULL "
+            "ELSE CAST(48 + doc_id % 129 AS INT) END AS height, "
+            "CASE WHEN doc_id % 19 = 0 THEN NULL "
+            "ELSE CAST(1000 + (doc_id % 89) * 250 AS BIGINT) END AS duration_ms, "
+            "doc_id % 19 <> 0 AS valid FROM documents"
         ),
         "q_audio_headers": (
             "WITH p AS (SELECT doc_id, doc_id % 3 AS k FROM documents) "

@@ -151,3 +151,58 @@ def test_audio_sniffer_total_on_garbage(b):
     assert isinstance(ok, bool)
     if ok:
         assert fmt in ("wav", "flac", "mp3") and sr > 0 and ch > 0
+
+
+# ------------------------------------------------------------- video
+
+
+def test_mp4_roundtrips_both_versions():
+    from webx.media import mp4_bytes, sniff_video_meta
+
+    for v in (0, 1):
+        for w, h, d in ((1, 1, 0), (640, 480, 5000), (3840, 2160, 7200000)):
+            got = sniff_video_meta(mp4_bytes(w, h, d, version=v))
+            assert got == ("mp4", w, h, d, True), (v, w, h, d, got)
+
+
+def test_mp4_audio_track_zero_dims_skipped():
+    # the generator's first trak is an audio track with 0x0 tkhd dims —
+    # the scan must report the VIDEO track's dims
+    from webx.media import mp4_bytes, sniff_video_meta
+
+    assert sniff_video_meta(mp4_bytes(320, 240, 1000))[1:3] == (320, 240)
+
+
+def test_mp4_largesize_box_handled():
+    from webx.media import mp4_bytes, sniff_video_meta
+
+    raw = mp4_bytes(100, 50, 2000)
+    # rewrite the ftyp box as a 64-bit largesize box
+    ftyp_len = int.from_bytes(raw[:4], "big")
+    body = raw[8:ftyp_len]
+    big = (
+        (1).to_bytes(4, "big") + b"ftyp"
+        + (16 + len(body)).to_bytes(8, "big") + body
+    )
+    assert sniff_video_meta(big + raw[ftyp_len:]) == ("mp4", 100, 50, 2000, True)
+
+
+def test_mp4_truncation_and_garbage_total():
+    from webx.media import mp4_bytes, sniff_video_meta
+
+    raw = mp4_bytes(64, 48, 1000)
+    assert sniff_video_meta(raw[:1]) == (None, None, None, None, False)
+    # ftyp present but moov cut off → fmt known, invalid
+    assert sniff_video_meta(raw[:20]) == ("mp4", None, None, None, False)
+    assert sniff_video_meta(b"") == (None, None, None, None, False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=150))
+def test_video_sniffer_total_on_garbage(b):
+    from webx.media import sniff_video_meta
+
+    fmt, w, h, d, ok = sniff_video_meta(b)
+    assert isinstance(ok, bool)
+    if ok:
+        assert fmt == "mp4" and w > 0 and h > 0 and d >= 0

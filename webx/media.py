@@ -518,6 +518,179 @@ def audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 
+# ------------------------------------------------------------- video headers
+# ISO base media file format (MP4/MOV, public ISO 14496-12): box walk to
+# moov → mvhd (timescale/duration → milliseconds) and the first video
+# trak → tkhd (16.16 fixed-point presentation dims). Total on garbage;
+# 64-bit largesize boxes and version-1 mvhd/tkhd handled.
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) at one nesting level."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:  # box runs to EOF
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def sniff_video_meta(payload: "bytes | None"):
+    """(fmt, width, height, duration_ms, valid) from real MP4 bytes:
+    ftyp detect, moov/mvhd for duration, first non-degenerate tkhd for
+    presentation dims."""
+    b = bytes(payload) if payload else b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return (None, None, None, None, False)
+    dur_ms = None
+    w = h = None
+    for btype, s, e in _walk_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _walk_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 28:
+                    ts = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                    dur = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                else:
+                    ts = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                    dur = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                if ts > 0:
+                    dur_ms = dur * 1000 // ts
+            elif ctype == b"trak" and w is None:
+                for ttype, ts_, te_ in _walk_boxes(b, cs, ce):
+                    if ttype == b"tkhd" and te_ - ts_ >= 84:
+                        ver = b[ts_]
+                        off = ts_ + (96 if ver == 1 else 84) - 8
+                        if off + 8 <= te_:
+                            tw = int.from_bytes(b[off : off + 4], "big") >> 16
+                            th = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                            if tw > 0 and th > 0:  # audio tracks are 0x0
+                                w, h = tw, th
+                        break
+    if dur_ms is not None and w is not None:
+        return ("mp4", w, h, dur_ms, True)
+    return ("mp4", None, None, None, False)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def mp4_bytes(width: int, height: int, duration_ms: int,
+              timescale: int = 1000, version: int = 0) -> bytes:
+    """Minimal spec-exact MP4: ftyp + moov(mvhd + audio trak + video
+    trak) — the audio track's 0x0 tkhd dims exercise the first-video
+    scan; ``version=1`` emits 64-bit mvhd/tkhd layouts."""
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+        tkhd_dims = lambda tw, th: (
+            b"\x01\x00\x00\x07" + b"\x00" * 84
+            + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big")
+        )
+    else:
+        mvhd = (
+            b"\x00" * 12
+            + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+            + b"\x00" * 80
+        )
+        tkhd_dims = lambda tw, th: (
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big")
+        )
+    audio_trak = _box(b"trak", _box(b"tkhd", tkhd_dims(0, 0)))
+    video_trak = _box(b"trak", _box(b"tkhd", tkhd_dims(width, height)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + audio_trak + video_trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def synth_video_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) with REAL MP4 boxes: dims = the synth_media
+    closed forms (w=64+id%193, h=48+id%129), duration_ms = 1000 +
+    (id % 89) * 250, 64-bit v1 layout when id % 7 == 3; every 19th
+    payload truncates to one byte."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                raw = mp4_bytes(
+                    64 + mid % 193,
+                    48 + mid % 129,
+                    1000 + (mid % 89) * 250,
+                    version=1 if mid % 7 == 3 else 0,
+                )
+                if mid % 19 == 0:
+                    raw = raw[:1]
+                out["media_id"].append(mid)
+                out["payload"].append(raw)
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def video_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, fmt, width, height, duration_ms, valid) by parsing
+    real MP4 box structure — one Arrow mapInPandas, no shuffle."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "fmt": [], "width": [], "height": [],
+                "duration_ms": [], "valid": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                fmt, w, h, dur, ok = sniff_video_meta(payload)
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        fn, schema=VIDEO_META_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------- codec stubs
 
 try:  # pragma: no cover - library not present in this container

@@ -55,7 +55,9 @@ def hashed_ngram_score(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    # TRUE array literal — element_at over CreateArray re-evaluates the
+    # D-element construction per access (10x at corpus scale)
+    w_arr = F.lit([int(w) for w in weights]).cast("array<long>")
     score = F.aggregate(
         grams,
         F.lit(int(bias)).cast("long"),

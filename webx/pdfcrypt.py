@@ -32,6 +32,7 @@ container layer to undo before extraction, never a reason to lose rows.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import struct
 from typing import Optional
@@ -95,6 +96,12 @@ def _mul(a: int, b: int) -> int:
     return out
 
 
+# Precomputed GF(2^8) multiplication tables for the MixColumns
+# coefficients — the generic _mul loop dominated the profile (4 calls
+# per output byte); a 256-entry lookup per coefficient removes it.
+_MUL_T = {c: tuple(_mul(x, c) for x in range(256)) for c in (1, 2, 3, 9, 11, 13, 14)}
+
+
 def _expand_key(key: bytes):
     """AES-128 key schedule → 11 round keys of 16 bytes."""
     w = [key[i : i + 4] for i in range(0, 16, 4)]
@@ -129,20 +136,19 @@ def _sub_shift(s: bytearray, box: bytes, inv: bool) -> bytearray:
 def _mix_columns(s: bytearray, inv: bool) -> bytearray:
     out = bytearray(16)
     m = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
+    t0, t1, t2, t3 = (_MUL_T[m[0]], _MUL_T[m[1]], _MUL_T[m[2]], _MUL_T[m[3]])
     for c in range(4):
-        col = s[4 * c : 4 * c + 4]
-        for r in range(4):
-            out[4 * c + r] = (
-                _mul(col[0], m[(0 - r) % 4])
-                ^ _mul(col[1], m[(1 - r) % 4])
-                ^ _mul(col[2], m[(2 - r) % 4])
-                ^ _mul(col[3], m[(3 - r) % 4])
-            )
+        o = 4 * c
+        a, b_, cc, d = s[o], s[o + 1], s[o + 2], s[o + 3]
+        out[o] = t0[a] ^ t1[b_] ^ t2[cc] ^ t3[d]
+        out[o + 1] = t3[a] ^ t0[b_] ^ t1[cc] ^ t2[d]
+        out[o + 2] = t2[a] ^ t3[b_] ^ t0[cc] ^ t1[d]
+        out[o + 3] = t1[a] ^ t2[b_] ^ t3[cc] ^ t0[d]
     return out
 
 
-def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
-    rks = _expand_key(key)
+def aes128_encrypt_block(key: bytes, block: bytes, rks=None) -> bytes:
+    rks = rks or _expand_key(key)
     s = bytearray(block)
     _add_round_key(s, rks[0])
     for r in range(1, 10):
@@ -154,8 +160,8 @@ def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
     return bytes(s)
 
 
-def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
-    rks = _expand_key(key)
+def aes128_decrypt_block(key: bytes, block: bytes, rks=None) -> bytes:
+    rks = rks or _expand_key(key)
     s = bytearray(block)
     _add_round_key(s, rks[10])
     for r in range(9, 0, -1):
@@ -174,9 +180,10 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     data = data + bytes([pad]) * pad
     out = [iv]
     prev = iv
+    rks = _expand_key(key)  # once per message, not per block
     for i in range(0, len(data), 16):
         blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
-        prev = aes128_encrypt_block(key, blk)
+        prev = aes128_encrypt_block(key, blk, rks)
         out.append(prev)
     return b"".join(out)
 
@@ -190,9 +197,10 @@ def aes_cbc_decrypt(key: bytes, iv_and_data: bytes) -> bytes:
     iv, data = iv_and_data[:16], iv_and_data[16:]
     out = bytearray()
     prev = iv
+    rks = _expand_key(key)  # once per message, not per block
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        dec = aes128_decrypt_block(key, blk)
+        dec = aes128_decrypt_block(key, blk, rks)
         out.extend(x ^ y for x, y in zip(dec, prev))
         prev = blk
     pad = out[-1]
@@ -259,8 +267,11 @@ class StandardSecurityHandler:
         n = 32 if self.r == 2 else 16  # R≥3 compares the first 16 bytes
         return mine[:n] == (u + b"\x00" * 32)[:n]
 
-    # -- Algorithm 3: the /O entry (writer side; both passwords empty)
+    # -- Algorithm 3: the /O entry (writer side; both passwords empty).
+    # Memoized: fixture writers call it once per document with constant
+    # arguments, and the 20-pass RC4 chain dominated their profile.
     @classmethod
+    @_functools.lru_cache(maxsize=64)
     def compute_o(cls, r: int, key_bytes: int,
                   owner_pwd: bytes = b"", user_pwd: bytes = b"") -> bytes:
         key = hashlib.md5((owner_pwd + _PAD)[:32]).digest()

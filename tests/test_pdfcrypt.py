@@ -155,3 +155,39 @@ def test_unicode_bodies_roundtrip_encrypted():
     for method in ("rc4", "aesv2"):
         t, b = "Ünïcode £ß", "naïve café — em-dash and ©2026"
         assert parse_pdf(write_pdf_encrypted(t, b, method))[0] == t + "\n" + b
+
+
+def test_encrypted_xrefstream_layout_byte_identical():
+    # modern-writer form: content stream + ObjStm container encrypted,
+    # XRef stream plain, /Encrypt as a plain classic object (ISO 32000
+    # 7.5.8.2) — crypt must thread through the compressed-object loads
+    from webx.pdf import write_pdf_xrefstream
+
+    plain = parse_pdf(write_pdf(TITLE, BODY))
+    for enc in ("rc4", "aesv2"):
+        for pred in (1, 12):
+            got = parse_pdf(
+                write_pdf_xrefstream(TITLE, BODY, predictor=pred, encrypted=enc)
+            )
+            assert got == plain, (enc, pred)
+
+
+def test_encrypted_xrefstream_objstm_is_ciphertext():
+    import zlib
+
+    from webx.pdf import write_pdf_xrefstream
+
+    raw = write_pdf_xrefstream(TITLE, BODY, encrypted="aesv2")
+    assert b"/Encrypt 8 0 R" in raw
+    # the catalog text lives inside the ObjStm; it must not be readable
+    # by inflating any byte range (the container is ciphertext)
+    assert b"/Type /Catalog" not in raw
+    ok = False
+    for i in range(len(raw)):
+        try:
+            if b"/Type /Catalog" in zlib.decompress(raw[i:]):
+                ok = True
+                break
+        except Exception:
+            continue
+    assert not ok

@@ -397,13 +397,32 @@ def _png_up_encode(rows: List[bytes], columns: int) -> bytes:
     return bytes(out)
 
 
-def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
+def write_pdf_xrefstream(title: str, body: str, predictor: int = 12,
+                         encrypted: "str | None" = None) -> bytes:
     """The same one-page document as ``write_pdf`` in the PDF 1.5+
     layout every modern writer emits: catalog/pages/page/font packed in
     a compressed object stream (/Type /ObjStm) addressed by a binary
     cross-reference STREAM (/Type /XRef, W [1 2 2]) instead of a classic
     table; ``predictor`` ∈ {1, 12} selects raw vs PNG-Up row encoding.
-    Extraction must be byte-identical to the classic-layout document."""
+    Extraction must be byte-identical to the classic-layout document.
+
+    ``encrypted`` ('rc4' | 'aesv2') emits the modern-writer ENCRYPTED
+    form: the content stream AND the ObjStm container encrypt under the
+    standard security handler (empty user password), while the XRef
+    stream stays plain and the /Encrypt dictionary is a plain classic
+    object — exactly the ISO 32000 rules (7.5.8.2: xref streams shall
+    not be encrypted; strings inside object streams are not separately
+    encrypted because the container already is)."""
+    crypt = None
+    if encrypted is not None:
+        import hashlib as _h
+
+        from webx.pdfcrypt import StandardSecurityHandler
+
+        rr = 4 if encrypted == "aesv2" else 3
+        id0 = _h.md5(("webx-xid:" + title + "|" + body).encode("utf-8")).digest()
+        o = StandardSecurityHandler.compute_o(rr, 16)
+        crypt = StandardSecurityHandler(o, -44, id0, rr, 16, encrypted)
     content = (
         b"BT /F1 12 Tf 72 720 Td ("
         + _esc(title.encode("utf-8"))
@@ -412,6 +431,8 @@ def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
         + b") Tj ET"
     )
     data = zlib.compress(content)
+    if crypt is not None:
+        data = crypt.encrypt(4, 0, data)
     obj4 = (
         b"4 0 obj\n<< /Length " + str(len(data)).encode() + b" /Filter /FlateDecode >>"
         b"\nstream\n" + data + b"\nendstream\nendobj\n"
@@ -435,16 +456,37 @@ def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
     stm_payload = b" ".join(header) + b"\n" + b" ".join(bodies)
     first = stm_payload.index(b"\n") + 1
     stm_z = zlib.compress(stm_payload)
+    if crypt is not None:
+        stm_z = crypt.encrypt(7, 0, stm_z)
     obj7 = (
         b"7 0 obj\n<< /Type /ObjStm /N 4 /First " + str(first).encode()
         + b" /Length " + str(len(stm_z)).encode() + b" /Filter /FlateDecode >>"
         b"\nstream\n" + stm_z + b"\nendstream\nendobj\n"
     )
+    obj8 = b""
+    if crypt is not None:
+        u = crypt.compute_u()[:32].ljust(32, b"\x00")
+        if encrypted == "aesv2":
+            encd = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/O <" + crypt.o.hex().encode() + b"> /U <" + u.hex().encode()
+                + b"> /P -44 >>"
+            )
+        else:
+            encd = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                b"/O <" + crypt.o.hex().encode() + b"> /U <" + u.hex().encode()
+                + b"> /P -44 >>"
+            )
+        obj8 = b"8 0 obj\n" + encd + b"\nendobj\n"
     head = b"%PDF-1.5\n"
     off4 = len(head)
     off7 = off4 + len(obj4)
-    off6 = off7 + len(obj7)
-    # xref rows (type, field2, field3) for objects 0..7, W = [1, 2, 2]
+    off8 = off7 + len(obj7)
+    off6 = off8 + len(obj8)
+    # xref rows (type, field2, field3) for objects 0..N, W = [1, 2, 2]
     entries = [
         (0, 0, 65535),
         (2, 7, 0),
@@ -455,6 +497,8 @@ def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
         (1, off6, 0),
         (1, off7, 0),
     ]
+    if crypt is not None:
+        entries.append((1, off8, 0))
     rows = [
         bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
         for t, f2, f3 in entries
@@ -466,13 +510,18 @@ def write_pdf_xrefstream(title: str, body: str, predictor: int = 12) -> bytes:
         xdata = b"".join(rows)
         parms = b""
     xz = zlib.compress(xdata)
+    extra = b""
+    if crypt is not None:
+        idhex = b"<" + crypt.id0.hex().encode() + b">"
+        extra = b" /Encrypt 8 0 R /ID [" + idhex + b" " + idhex + b"]"
     obj6 = (
-        b"6 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R /Length "
+        b"6 0 obj\n<< /Type /XRef /Size " + str(len(entries)).encode()
+        + b" /W [1 2 2] /Root 1 0 R" + extra + b" /Length "
         + str(len(xz)).encode() + b" /Filter /FlateDecode" + parms + b" >>"
         b"\nstream\n" + xz + b"\nendstream\nendobj\n"
     )
     return (
-        head + obj4 + obj7 + obj6
+        head + obj4 + obj7 + obj8 + obj6
         + b"startxref\n" + str(off6).encode() + b"\n%%EOF\n"
     )
 

@@ -884,7 +884,8 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
             # ASCIIHex, 6 → raw, 8 → ENCRYPTED RC4 (128-bit R3; every
             # other one 40-bit R2), 14 → ENCRYPTED AES-128 (AESV2),
             # %8==1 → xref stream with the PNG-Up predictor, %8==5 →
-            # xref stream unpredicted, %8∈{3,7} → composite-font (CID
+            # xref stream unpredicted (16==13: AES-ENCRYPTED xref-stream
+            # layout — encrypted ObjStm + content, plain XRef), %8∈{3,7} → composite-font (CID
             # hex strings + ToUnicode)
             even_lane = {
                 0: "flate", 2: "lzw", 4: "a85flate", 6: "raw",
@@ -915,7 +916,13 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
                     pdfs.append(write_pdf_cid(t, b))
                 else:
                     pdfs.append(
-                        write_pdf_xrefstream(t, b, predictor=12 if d % 8 == 1 else 1)
+                        write_pdf_xrefstream(
+                            t, b,
+                            predictor=12 if d % 8 == 1 else 1,
+                            # modern-writer encrypted form: AES content +
+                            # ObjStm under a plain XRef stream
+                            encrypted="aesv2" if d % 16 == 13 else None,
+                        )
                     )
             yield pd.DataFrame({"url": p["url"], "pdf": pdfs})
 

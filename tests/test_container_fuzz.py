@@ -139,3 +139,34 @@ def test_parse_warc_requests_never_raises_on_mutations(pos, junk):
     assert isinstance(out, list)
     for url, _ts in out:
         assert isinstance(url, str)
+
+
+# ---------------------------------------------------------- encrypted PDFs
+
+from webx.pdf import write_pdf_encrypted  # noqa: E402
+
+VALID_PDF_RC4 = write_pdf_encrypted("T", "body words here", "rc4")
+VALID_PDF_AES = write_pdf_encrypted("T", "body words here", "aesv2")
+VALID_PDF_XS_ENC = write_pdf_xrefstream("T", "body words here", encrypted="aesv2")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from([VALID_PDF_RC4, VALID_PDF_AES, VALID_PDF_XS_ENC]),
+    st.integers(0, 4095),
+    st.binary(min_size=1, max_size=6),
+)
+def test_encrypted_pdf_mutations_fail_soft(base, pos, junk):
+    # byte flips anywhere — /Encrypt dict, /O //U strings, ciphertext,
+    # xref — must terminate: either a clean parse or an exception the
+    # extract wrapper turns into status='unsupported'; never a hang or
+    # interpreter-level blowup, and never silent garbage spans
+    pos = pos % len(base)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        text, spans = parse_pdf(mutated)
+        assert isinstance(text, str)
+        for a, b in spans:
+            assert 0 <= a <= b
+    except Exception:
+        pass

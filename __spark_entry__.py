@@ -1707,6 +1707,55 @@ def q_video_headers(spark: SparkSession, sf: str) -> DataFrame:
     return video_meta(synth_video_files(spark, sf))
 
 
+def q_extract_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-corpus routed extraction (webx/route.py extract_mixed) —
+    the crawl-archive reality: ONE capture stream carrying HTML pages,
+    PDFs (the full mixed layout incl. encrypted + xref-stream forms),
+    PNG images and plain text, dispatched per row on MAGIC BYTES inside
+    a single Arrow pass into the existing lane kernels. The html lane
+    must stay byte-identical to the flagship, the pdf lane to the PDF
+    golden, images yield closed-form header dims, and text rows route
+    to kind='other' with nothing lost."""
+    from webx.media import png_bytes
+    from webx.route import extract_mixed
+
+    docs = synth.load_documents(spark, sf)
+    r = F.col("doc_id") % 4
+    pages = synth.flagship_pages_from_docs(docs.filter(r == 0)).select(
+        "url", F.col("html").alias("payload")
+    )
+    pdfs = synth.synth_pdfs(spark, sf, docs=docs.filter(r == 1)).select(
+        "url", F.col("pdf").alias("payload")
+    )
+
+    img_schema = "url string, payload binary"
+
+    def mk_png(batches):
+        import pandas as pd
+
+        for p in batches:
+            yield pd.DataFrame(
+                {
+                    "url": p["url"],
+                    "payload": [
+                        png_bytes(64 + int(d) % 193, 48 + int(d) % 129)
+                        for d in p["doc_id"]
+                    ],
+                }
+            )
+
+    imgs = (
+        docs.filter(r == 2)
+        .select(synth._url().alias("url"), "doc_id")
+        .mapInPandas(mk_png, schema=img_schema)
+    )
+    others = docs.filter(r == 3).select(
+        synth._url().alias("url"), F.encode("text", "utf-8").alias("payload")
+    )
+    corpus = pages.unionByName(pdfs).unionByName(imgs).unionByName(others)
+    return extract_mixed(_par(corpus, spark))
+
+
 def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Relational coverage: broadcast dim join + partial/final agg."""
     orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -7480,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_headers": q_image_headers,
         "q_audio_headers": q_audio_headers,
         "q_video_headers": q_video_headers,
+        "q_extract_mixed": q_extract_mixed,
         "q_orders_rollup": q_orders_rollup,
         "q_join3": q_join3,
         "q_join_anti": q_join_anti,
@@ -8472,6 +8522,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a, e b "
             "WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q_extract_mixed": (
+            f"SELECT {URL} AS url, "
+            "CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
+            "WHEN 2 THEN 'image' ELSE 'other' END AS kind, "
+            f"CASE WHEN doc_id % 4 IN (0, 1) THEN {GOLDEN} END AS text, "
+            "CASE WHEN doc_id % 4 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
+            "CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 4 = 2 THEN CAST(48 + doc_id % 129 AS INT) END AS height "
+            "FROM documents"
         ),
         "q_video_headers": (
             "SELECT doc_id AS media_id, "

@@ -1,0 +1,135 @@
+"""Mixed-corpus routed extraction — the real crawl-archive shape.
+
+A Common-Crawl-style capture stream is NOT homogeneous: one WARC holds
+HTML pages, PDFs, and images side by side. The reference pipeline picks
+its decoder per input up front (mindocr/data/builder.py routes dataset
+classes; general_transforms.py:35-53 decodes by buffer content); this
+module is the Spark recast: ONE Arrow ``mapInPandas`` pass whose batch
+function dispatches each row on its MAGIC BYTES (never the
+Content-Type header — the q_mime_route policy) into the right lane:
+
+* ``html``  → the fused two-stage extractor (webx/extract.py
+  extract_batch — same code, same C kernels, byte-identical output);
+* ``pdf``   → the text-PDF parser (webx/pdf.py parse_pdf, incl. the
+  encrypted and xref-stream layouts), fail-soft 'unsupported';
+* ``image`` → the pure-struct header sniffer (webx/media.py
+  sniff_image_meta) — metadata only, text NULL;
+* anything else → kind='other', status='skipped', nothing lost.
+
+The batch function slices each Arrow batch into per-kind sub-frames and
+calls the EXISTING batch kernels on each slice (no per-row re-dispatch
+inside a lane), then reassembles in input order — so the html slice
+pays exactly the flagship's cost and the mixed pass stays one scan,
+one Python stage, zero shuffles. At 100 TB this is the plan you want:
+no three-way scan fan-out, no routing shuffle; lane skew (a PDF-heavy
+shard) is already handled by the upstream url-hash repartition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from webx.config import ExtractConfig
+
+ROUTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a", b"\xff\xd8", b"RIFF")
+
+
+def classify_payload(b: bytes) -> str:
+    """Magic-byte routing (the Python twin of webx.sources.sniff_mime's
+    codegen CASE): pdf / image / html / other."""
+    if b.startswith(b"%PDF-"):
+        return "pdf"
+    for m in _IMAGE_MAGICS:
+        if b.startswith(m):
+            if m == b"RIFF":
+                if len(b) >= 12 and b[8:12] == b"WEBP":
+                    return "image"
+                continue
+            return "image"
+    head = b[:1024].lstrip(b" \t\r\n\f")
+    low = head[:64].lower()
+    if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or head[:1] == b"<":
+        return "html"
+    return "other"
+
+
+def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    from webx.extract import extract_batch
+    from webx.media import sniff_image_meta
+    from webx.pdf import parse_pdf
+
+    payloads = [
+        bytes(p) if p is not None else b"" for p in pdf["payload"].tolist()
+    ]
+    kinds = [classify_payload(p) for p in payloads]
+    n = len(kinds)
+    out = {
+        "url": pdf["url"].tolist(),
+        "kind": kinds,
+        "text": [None] * n,
+        "status": ["skipped"] * n,
+        "width": [None] * n,
+        "height": [None] * n,
+    }
+
+    html_idx = [i for i, k in enumerate(kinds) if k == "html"]
+    if html_idx:
+        sub = pd.DataFrame(
+            {
+                "url": [out["url"][i] for i in html_idx],
+                "html": [payloads[i] for i in html_idx],
+            }
+        )
+        res = extract_batch(sub, cfg)
+        for i, text, status in zip(html_idx, res["text"], res["status"]):
+            out["text"][i] = text
+            out["status"][i] = status
+
+    for i, k in enumerate(kinds):
+        if k == "pdf":
+            try:
+                text, _spans = parse_pdf(payloads[i])
+                out["text"][i], out["status"][i] = text, "ok"
+            except Exception:
+                out["text"][i], out["status"][i] = "", "unsupported"
+        elif k == "image":
+            fmt, w, h, ok = sniff_image_meta(payloads[i])
+            out["width"][i], out["height"][i] = w, h
+            out["status"][i] = "ok" if ok else "unsupported"
+    return pd.DataFrame(out)
+
+
+def extract_mixed(
+    captures: DataFrame,
+    cfg: Optional[ExtractConfig] = None,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(url, payload) mixed captures → (url, kind, text, status, width,
+    height): one pruned scan, one Arrow pass, per-row magic-byte
+    dispatch into the existing lane kernels."""
+    cfg = cfg or ExtractConfig()
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _routed_batch(pdf, cfg)
+
+    return (
+        captures.select(
+            F.col(url_col).alias("url"), F.col(payload_col).alias("payload")
+        ).mapInPandas(fn, schema=ROUTED_SCHEMA)
+    )

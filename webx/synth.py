@@ -840,7 +840,8 @@ def synth_pages_charset_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataFrame:
+def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed",
+               docs: "DataFrame | None" = None) -> DataFrame:
     """Deterministic text-PDF per document → (url, pdf). Same
     generate-input-from-expected-output trick as the HTML pages: the PDF
     shows 'Doc N' then the normalized text, so the expected extraction is
@@ -866,7 +867,7 @@ def synth_pdfs(spark: SparkSession, sf_dir: str, layout: str = "mixed") -> DataF
         write_pdf_xrefstream,
     )
 
-    src = load_documents(spark, sf_dir).select(
+    src = (docs if docs is not None else load_documents(spark, sf_dir)).select(
         _url().alias("url"),
         F.col("doc_id"),
         _did().alias("title"),

@@ -528,3 +528,53 @@ def test_table_extraction_stream_batch_parity(spark, tmp_path):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_extract_mixed_stream_parity(spark, tmp_path):
+    """Streaming twin of the mixed-corpus router: AvailableNow drain of
+    a (url, payload) parquet dir == the batch extract_mixed, exceptAll
+    both ways."""
+    import pandas as pd
+
+    from webx.media import png_bytes
+    from webx.pdf import write_pdf, write_pdf_encrypted
+    from webx.route import extract_mixed
+    from webx.streaming import extract_mixed_stream
+
+    html = (
+        b"<!DOCTYPE html><html><body><article><p>Prose long enough to "
+        b"score as a real candidate block for the detector here."
+        b"</p></article></body></html>"
+    )
+    rows = [
+        ("u0", bytearray(html)),
+        ("u1", bytearray(write_pdf("Doc 1", "Pdf body."))),
+        ("u2", bytearray(write_pdf_encrypted("Doc 2", "Enc body.", "aesv2"))),
+        ("u3", bytearray(png_bytes(101, 55))),
+        ("u4", bytearray(b"plain words only")),
+    ]
+    src = str(tmp_path / "captures")
+    spark.createDataFrame(rows, "url string, payload binary").write.parquet(src)
+    batch = extract_mixed(spark.read.parquet(src)).collect()
+
+    stream_in = (
+        spark.readStream.schema("url string, payload binary").parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        extract_mixed_stream(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir)
+    b_df = spark.createDataFrame(batch, streamed.schema)
+    assert streamed.exceptAll(b_df).count() == 0
+    assert b_df.exceptAll(streamed).count() == 0
+    kinds = {r["url"]: r["kind"] for r in streamed.collect()}
+    assert kinds == {"u0": "html", "u1": "pdf", "u2": "pdf",
+                     "u3": "image", "u4": "other"}

@@ -68,6 +68,22 @@ def run_extraction_stream(
     return writer.start()
 
 
+def extract_mixed_stream(captures: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """Streaming twin of webx.route.extract_mixed: the same magic-byte
+    routed batch function on a streaming (url, payload) frame —
+    stateless mapInPandas, no shuffle, no state store; batch parity
+    asserted in tests/test_media_streaming.py."""
+    from webx.route import ROUTED_SCHEMA, _routed_batch
+
+    cfg = cfg or ExtractConfig()
+
+    def fn(batches):
+        for pdf in batches:
+            yield _routed_batch(pdf, cfg)
+
+    return captures.select("url", "payload").mapInPandas(fn, schema=ROUTED_SCHEMA)
+
+
 # ---------------------------------------------- custom stateful operators
 
 SESSIONS_SCHEMA = T.StructType(

@@ -1707,17 +1707,11 @@ def q_video_headers(spark: SparkSession, sf: str) -> DataFrame:
     return video_meta(synth_video_files(spark, sf))
 
 
-def q_extract_mixed(spark: SparkSession, sf: str) -> DataFrame:
-    """Mixed-corpus routed extraction (webx/route.py extract_mixed) —
-    the crawl-archive reality: ONE capture stream carrying HTML pages,
-    PDFs (the full mixed layout incl. encrypted + xref-stream forms),
-    PNG images and plain text, dispatched per row on MAGIC BYTES inside
-    a single Arrow pass into the existing lane kernels. The html lane
-    must stay byte-identical to the flagship, the pdf lane to the PDF
-    golden, images yield closed-form header dims, and text rows route
-    to kind='other' with nothing lost."""
+def _mixed_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(url, payload) heterogeneous capture corpus by doc_id % 4:
+    flagship HTML page / PDF (full mixed layout incl. encrypted +
+    xref-stream) / PNG with closed-form dims / plain text."""
     from webx.media import png_bytes
-    from webx.route import extract_mixed
 
     docs = synth.load_documents(spark, sf)
     r = F.col("doc_id") % 4
@@ -1752,8 +1746,76 @@ def q_extract_mixed(spark: SparkSession, sf: str) -> DataFrame:
     others = docs.filter(r == 3).select(
         synth._url().alias("url"), F.encode("text", "utf-8").alias("payload")
     )
-    corpus = pages.unionByName(pdfs).unionByName(imgs).unionByName(others)
-    return extract_mixed(_par(corpus, spark))
+    return pages.unionByName(pdfs).unionByName(imgs).unionByName(others)
+
+
+def q_extract_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-corpus routed extraction (webx/route.py extract_mixed) —
+    the crawl-archive reality: ONE capture stream carrying HTML pages,
+    PDFs (the full mixed layout incl. encrypted + xref-stream forms),
+    PNG images and plain text, dispatched per row on MAGIC BYTES inside
+    a single Arrow pass into the existing lane kernels. The html lane
+    must stay byte-identical to the flagship, the pdf lane to the PDF
+    golden, images yield closed-form header dims, and text rows route
+    to kind='other' with nothing lost."""
+    from webx.route import extract_mixed
+
+    return extract_mixed(_par(_mixed_corpus(spark, sf), spark))
+
+
+def q_extract_warc_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """The full container-to-lanes composition: the heterogeneous
+    corpus above serialized into WARC shards (distributed fixture
+    write, cached per sf fingerprint), read back through the
+    distributed WARC source, then routed per record by MAGIC BYTES —
+    every Content-Type header in the archive lies ('text/html' for
+    PDFs and images), which is exactly the crawl reality the
+    routing-by-bytes policy exists for. Same oracle as
+    q_extract_mixed: the container round-trip must be invisible."""
+    import hashlib
+    import os
+    from datetime import datetime, timezone
+
+    from webx.route import extract_mixed
+    from webx.sources import read_warc, write_warc
+
+    srcp = os.path.join(sf, "documents.parquet")
+    st = os.stat(srcp)
+    key = hashlib.md5(
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:mixed1".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/webx_warcmixed_{key}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+        def write_shard(batches):
+            recs = []
+            for p in batches:
+                recs.extend(
+                    (u, ts, bytes(b)) for u, b in zip(p["url"], p["payload"])
+                )
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(d, f"part-{pid}.warc")
+            with open(path, "wb") as f:
+                f.write(write_warc(recs))
+            yield pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+        (
+            _mixed_corpus(spark, sf)
+            .repartition(8)
+            .mapInPandas(write_shard, "path string, n long")
+            .collect()
+        )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    captures = read_warc(spark, os.path.join(d, "part-*.warc")).select(
+        "url", F.col("html").alias("payload")
+    )
+    return extract_mixed(captures)
 
 
 def q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -7530,6 +7592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_headers": q_audio_headers,
         "q_video_headers": q_video_headers,
         "q_extract_mixed": q_extract_mixed,
+        "q_extract_warc_mixed": q_extract_warc_mixed,
         "q_orders_rollup": q_orders_rollup,
         "q_join3": q_join3,
         "q_join_anti": q_join_anti,
@@ -8533,7 +8596,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 4 = 2 THEN CAST(48 + doc_id % 129 AS INT) END AS height "
             "FROM documents"
         ),
-        "q_video_headers": (
+
+        "q_extract_warc_mixed": (
+            f"SELECT {URL} AS url, "
+            "CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
+            "WHEN 2 THEN 'image' ELSE 'other' END AS kind, "
+            f"CASE WHEN doc_id % 4 IN (0, 1) THEN {GOLDEN} END AS text, "
+            "CASE WHEN doc_id % 4 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
+            "CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 4 = 2 THEN CAST(48 + doc_id % 129 AS INT) END AS height "
+            "FROM documents"
+        ),        "q_video_headers": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE 'mp4' END AS fmt, "
             "CASE WHEN doc_id % 19 = 0 THEN NULL "

@@ -206,3 +206,16 @@ def test_video_sniffer_total_on_garbage(b):
     assert isinstance(ok, bool)
     if ok:
         assert fmt == "mp4" and w > 0 and h > 0 and d >= 0
+
+
+def test_ogg_vorbis_and_opus_roundtrips():
+    from webx.media import ogg_opus_bytes, ogg_vorbis_bytes, sniff_audio_meta
+
+    for sr in (8000, 44100, 48000, 96000):
+        for ch in (1, 2, 6):
+            assert sniff_audio_meta(ogg_vorbis_bytes(sr, ch)) == ("ogg", sr, ch, True)
+            assert sniff_audio_meta(ogg_opus_bytes(sr, ch)) == ("opus", sr, ch, True)
+    from webx.media import sniff_audio_meta as s
+
+    assert s(b"OggS\x00\x02junk") == ("ogg", None, None, False)
+    assert s(ogg_vorbis_bytes(44100, 2)[:20]) == ("ogg", None, None, False)

@@ -394,6 +394,25 @@ def sniff_audio_meta(payload: "bytes | None"):
             if sr > 0:
                 return ("flac", sr, ch, True)
         return ("flac", None, None, False)
+    if b[:4] == b"OggS":
+        # first page: 27-byte header + segment table, then the first
+        # packet — Vorbis identification header or OpusHead (public
+        # RFC 3533 / Vorbis I / RFC 7845 layouts)
+        if len(b) >= 28:
+            nseg = b[26]
+            p = 27 + nseg
+            pkt = b[p : p + 19]
+            if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                ch = pkt[11]
+                sr = int.from_bytes(pkt[12:16], "little")
+                if ch > 0 and sr > 0:
+                    return ("ogg", sr, ch, True)
+            elif pkt[:8] == b"OpusHead" and len(pkt) >= 14:
+                ch = pkt[9]
+                sr = int.from_bytes(pkt[12:16], "little")
+                if ch > 0 and sr > 0:
+                    return ("opus", sr, ch, True)
+        return ("ogg", None, None, False)
     if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         # 11-bit MPEG audio frame sync; valid only for MPEG-1 Layer III
         if (b[1] & 0x18) == 0x18 and (b[1] & 0x06) == 0x02:
@@ -441,6 +460,35 @@ def mp3_bytes(sr_index: int, mono: bool) -> bytes:
         )
     )
     return hdr + b"\x00" * 64  # a stub frame body
+
+
+def ogg_vorbis_bytes(sample_rate: int, channels: int) -> bytes:
+    """Minimal first Ogg page carrying a Vorbis identification header."""
+    pkt = (
+        b"\x01vorbis" + (0).to_bytes(4, "little")
+        + bytes([channels]) + sample_rate.to_bytes(4, "little")
+        + b"\x00" * 12 + b"\x01"
+    )
+    hdr = (
+        b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+        + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+        + bytes([1, len(pkt)])
+    )
+    return hdr + pkt
+
+
+def ogg_opus_bytes(sample_rate: int, channels: int) -> bytes:
+    """Minimal first Ogg page carrying an OpusHead (RFC 7845)."""
+    pkt = (
+        b"OpusHead\x01" + bytes([channels]) + (312).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + b"\x00\x00\x00"
+    )
+    hdr = (
+        b"OggS\x00\x02" + b"\x00" * 8 + b"\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+        + bytes([1, len(pkt)])
+    )
+    return hdr + pkt
 
 
 AUDIO_META_SCHEMA = T.StructType(

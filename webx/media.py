@@ -220,6 +220,40 @@ def sniff_image_meta(payload: "bytes | None"):
         if dims:
             return ("webp", dims[0], dims[1], True)
         return ("webp", None, None, False)
+    if b[:2] == b"BM" and len(b) >= 18:
+        # BITMAPINFOHEADER (40+, signed dims; negative height = top-down)
+        # or the ancient BITMAPCOREHEADER (12, u16 dims)
+        hsz = int.from_bytes(b[14:18], "little")
+        if hsz >= 40 and len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+            if w > 0 and h > 0:
+                return ("bmp", w, h, True)
+        elif hsz == 12 and len(b) >= 22:
+            w = int.from_bytes(b[18:20], "little")
+            h = int.from_bytes(b[20:22], "little")
+            if w > 0 and h > 0:
+                return ("bmp", w, h, True)
+        return ("bmp", None, None, False)
+    if len(b) >= 12 and b[4:8] == b"ftyp" and b[8:12] in (b"avif", b"avis"):
+        # ISO-BMFF image: meta (FullBox) -> iprp -> ipco -> ispe (FullBox
+        # carrying u32 width/height) — reuse the MP4 box walk
+        for btype, s, e in _walk_boxes(b, 0, len(b)):
+            if btype != b"meta":
+                continue
+            for t1, s1, e1 in _walk_boxes(b, s + 4, e):  # +4: FullBox ver/flags
+                if t1 != b"iprp":
+                    continue
+                for t2, s2, e2 in _walk_boxes(b, s1, e1):
+                    if t2 != b"ipco":
+                        continue
+                    for t3, s3, e3 in _walk_boxes(b, s2, e2):
+                        if t3 == b"ispe" and e3 - s3 >= 12:
+                            w = int.from_bytes(b[s3 + 4 : s3 + 8], "big")
+                            h = int.from_bytes(b[s3 + 8 : s3 + 12], "big")
+                            if w > 0 and h > 0:
+                                return ("avif", w, h, True)
+        return ("avif", None, None, False)
     return (None, None, None, False)
 
 
@@ -285,6 +319,24 @@ def webp_bytes(w: int, h: int, variant: str = "vp8") -> bytes:
         chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    head = b"BM" + (14 + 40).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    return head + dib
+
+
+def avif_bytes(w: int, h: int) -> bytes:
+    ispe = _box(b"ispe", b"\x00" * 4 + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
+    meta = _box(b"meta", b"\x00" * 4 + _box(b"iprp", _box(b"ipco", ispe)))
+    ftyp = _box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    return ftyp + meta
 
 
 IMAGE_META_SCHEMA = T.StructType(

@@ -1708,13 +1708,14 @@ def q_video_headers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _mixed_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """(url, payload) heterogeneous capture corpus by doc_id % 4:
+    """(url, payload) heterogeneous capture corpus by doc_id % 6:
     flagship HTML page / PDF (full mixed layout incl. encrypted +
-    xref-stream) / PNG with closed-form dims / plain text."""
-    from webx.media import png_bytes
+    xref-stream) / PNG with closed-form dims / plain text / WAV with
+    closed-form rate+channels / MP4 with closed-form dims+duration."""
+    from webx.media import mp4_bytes, png_bytes, wav_bytes
 
     docs = synth.load_documents(spark, sf)
-    r = F.col("doc_id") % 4
+    r = F.col("doc_id") % 6
     pages = synth.flagship_pages_from_docs(docs.filter(r == 0)).select(
         "url", F.col("html").alias("payload")
     )
@@ -1722,42 +1723,50 @@ def _mixed_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "url", F.col("pdf").alias("payload")
     )
 
-    img_schema = "url string, payload binary"
+    bin_schema = "url string, payload binary"
 
-    def mk_png(batches):
+    def mk_bin(batches):
         import pandas as pd
 
         for p in batches:
-            yield pd.DataFrame(
-                {
-                    "url": p["url"],
-                    "payload": [
-                        png_bytes(64 + int(d) % 193, 48 + int(d) % 129)
-                        for d in p["doc_id"]
-                    ],
-                }
-            )
+            payloads = []
+            for d in p["doc_id"]:
+                d = int(d)
+                if d % 6 == 2:
+                    payloads.append(png_bytes(64 + d % 193, 48 + d % 129))
+                elif d % 6 == 4:
+                    payloads.append(
+                        wav_bytes([8000, 16000, 22050, 44100, 48000][d % 5],
+                                  1 + d % 2)
+                    )
+                else:  # 5: video
+                    payloads.append(
+                        mp4_bytes(64 + d % 193, 48 + d % 129,
+                                  1000 + (d % 89) * 250)
+                    )
+            yield pd.DataFrame({"url": p["url"], "payload": payloads})
 
-    imgs = (
-        docs.filter(r == 2)
+    bins = (
+        docs.filter(r.isin(2, 4, 5))
         .select(synth._url().alias("url"), "doc_id")
-        .mapInPandas(mk_png, schema=img_schema)
+        .mapInPandas(mk_bin, schema=bin_schema)
     )
     others = docs.filter(r == 3).select(
         synth._url().alias("url"), F.encode("text", "utf-8").alias("payload")
     )
-    return pages.unionByName(pdfs).unionByName(imgs).unionByName(others)
+    return pages.unionByName(pdfs).unionByName(bins).unionByName(others)
 
 
 def q_extract_mixed(spark: SparkSession, sf: str) -> DataFrame:
     """Mixed-corpus routed extraction (webx/route.py extract_mixed) —
     the crawl-archive reality: ONE capture stream carrying HTML pages,
     PDFs (the full mixed layout incl. encrypted + xref-stream forms),
-    PNG images and plain text, dispatched per row on MAGIC BYTES inside
-    a single Arrow pass into the existing lane kernels. The html lane
-    must stay byte-identical to the flagship, the pdf lane to the PDF
-    golden, images yield closed-form header dims, and text rows route
-    to kind='other' with nothing lost."""
+    PNG images, plain text, WAV audio and MP4 video, dispatched per row
+    on MAGIC BYTES inside a single Arrow pass into the existing lane
+    kernels. The html lane must stay byte-identical to the flagship,
+    the pdf lane to the PDF golden, image/audio/video rows yield
+    closed-form header metadata, and text rows route to kind='other'
+    with nothing lost."""
     from webx.route import extract_mixed
 
     return extract_mixed(_par(_mixed_corpus(spark, sf), spark))
@@ -1782,7 +1791,7 @@ def q_extract_warc_mixed(spark: SparkSession, sf: str) -> DataFrame:
     srcp = os.path.join(sf, "documents.parquet")
     st = os.stat(srcp)
     key = hashlib.md5(
-        f"{sf}:{st.st_mtime_ns}:{st.st_size}:mixed1".encode()
+        f"{sf}:{st.st_mtime_ns}:{st.st_size}:mixed2".encode()
     ).hexdigest()[:10]
     d = f"/tmp/webx_warcmixed_{key}"
     if not os.path.exists(os.path.join(d, "_DONE")):
@@ -8588,23 +8597,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_extract_mixed": (
             f"SELECT {URL} AS url, "
-            "CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
-            "WHEN 2 THEN 'image' ELSE 'other' END AS kind, "
-            f"CASE WHEN doc_id % 4 IN (0, 1) THEN {GOLDEN} END AS text, "
-            "CASE WHEN doc_id % 4 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
-            "CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
-            "CASE WHEN doc_id % 4 = 2 THEN CAST(48 + doc_id % 129 AS INT) END AS height "
+            "CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
+            "WHEN 2 THEN 'image' WHEN 3 THEN 'other' "
+            "WHEN 4 THEN 'audio' ELSE 'video' END AS kind, "
+            f"CASE WHEN doc_id % 6 IN (0, 1) THEN {GOLDEN} END AS text, "
+            "CASE WHEN doc_id % 6 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
+            "CASE WHEN doc_id % 6 IN (2, 5) THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 6 IN (2, 5) THEN CAST(48 + doc_id % 129 AS INT) END AS height, "
+            "CASE WHEN doc_id % 6 = 4 THEN "
+            "CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS INT) END AS sample_rate, "
+            "CASE WHEN doc_id % 6 = 5 THEN "
+            "CAST(1000 + (doc_id % 89) * 250 AS BIGINT) END AS duration_ms "
             "FROM documents"
         ),
 
         "q_extract_warc_mixed": (
             f"SELECT {URL} AS url, "
-            "CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
-            "WHEN 2 THEN 'image' ELSE 'other' END AS kind, "
-            f"CASE WHEN doc_id % 4 IN (0, 1) THEN {GOLDEN} END AS text, "
-            "CASE WHEN doc_id % 4 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
-            "CASE WHEN doc_id % 4 = 2 THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
-            "CASE WHEN doc_id % 4 = 2 THEN CAST(48 + doc_id % 129 AS INT) END AS height "
+            "CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' "
+            "WHEN 2 THEN 'image' WHEN 3 THEN 'other' "
+            "WHEN 4 THEN 'audio' ELSE 'video' END AS kind, "
+            f"CASE WHEN doc_id % 6 IN (0, 1) THEN {GOLDEN} END AS text, "
+            "CASE WHEN doc_id % 6 = 3 THEN 'skipped' ELSE 'ok' END AS status, "
+            "CASE WHEN doc_id % 6 IN (2, 5) THEN CAST(64 + doc_id % 193 AS INT) END AS width, "
+            "CASE WHEN doc_id % 6 IN (2, 5) THEN CAST(48 + doc_id % 129 AS INT) END AS height, "
+            "CASE WHEN doc_id % 6 = 4 THEN "
+            "CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS INT) END AS sample_rate, "
+            "CASE WHEN doc_id % 6 = 5 THEN "
+            "CAST(1000 + (doc_id % 89) * 250 AS BIGINT) END AS duration_ms "
             "FROM documents"
         ),        "q_video_headers": (
             "SELECT doc_id AS media_id, "

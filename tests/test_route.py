@@ -30,8 +30,18 @@ def test_classify_payload():
     assert classify_payload(_HTML) == "html"
     assert classify_payload(b"  \n <html><p>x</p>") == "html"
     assert classify_payload(b"plain prose with no markup") == "other"
-    assert classify_payload(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "other"  # not webp
     assert classify_payload(b"") == "other"
+    from webx.media import avif_bytes, bmp_bytes, flac_bytes, mp4_bytes, wav_bytes
+
+    assert classify_payload(wav_bytes(8000, 1)) == "audio"
+    assert classify_payload(flac_bytes(8000, 1)) == "audio"
+    assert classify_payload(mp4_bytes(64, 48, 100)) == "video"
+    assert classify_payload(avif_bytes(8, 8)) == "image"
+    assert classify_payload(bmp_bytes(8, 8)) == "image"
+    # mp3 deliberately NOT magic-routed (frame sync too weak a signature)
+    from webx.media import mp3_bytes
+
+    assert classify_payload(mp3_bytes(0, True)) == "other"
 
 
 def test_routed_batch_matches_lane_kernels():

@@ -14,7 +14,13 @@ Content-Type header — the q_mime_route policy) into the right lane:
   encrypted and xref-stream layouts), fail-soft 'unsupported';
 * ``image`` → the pure-struct header sniffer (webx/media.py
   sniff_image_meta) — metadata only, text NULL;
-* anything else → kind='other', status='skipped', nothing lost.
+* ``audio`` (WAV / FLAC / Ogg magic) → sniff_audio_meta → sample_rate;
+* ``video`` (ISO-BMFF ftyp, non-AVIF brand) → sniff_video_meta →
+  dims + duration_ms;
+* anything else → kind='other', status='skipped', nothing lost. MP3 is
+  deliberately NOT magic-routed here: its 11-bit frame sync is too weak
+  a signature for arbitrary binary (the audio lane still parses MP3
+  when a caller routes it explicitly).
 
 The batch function slices each Arrow batch into per-kind sub-frames and
 calls the EXISTING batch kernels on each slice (no per-row re-dispatch
@@ -42,6 +48,8 @@ ROUTED_SCHEMA = T.StructType(
         T.StructField("status", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
@@ -50,14 +58,22 @@ _IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a", b"\xff\xd8", b"RIFF
 
 def classify_payload(b: bytes) -> str:
     """Magic-byte routing (the Python twin of webx.sources.sniff_mime's
-    codegen CASE): pdf / image / html / other."""
+    codegen CASE): pdf / image / audio / video / html / other."""
     if b.startswith(b"%PDF-"):
         return "pdf"
+    if b.startswith(b"BM") and len(b) >= 18:
+        return "image"
+    if b.startswith((b"fLaC", b"OggS")):
+        return "audio"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "image" if b[8:12] in (b"avif", b"avis") else "video"
     for m in _IMAGE_MAGICS:
         if b.startswith(m):
             if m == b"RIFF":
                 if len(b) >= 12 and b[8:12] == b"WEBP":
                     return "image"
+                if len(b) >= 12 and b[8:12] == b"WAVE":
+                    return "audio"
                 continue
             return "image"
     head = b[:1024].lstrip(b" \t\r\n\f")
@@ -84,6 +100,8 @@ def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         "status": ["skipped"] * n,
         "width": [None] * n,
         "height": [None] * n,
+        "sample_rate": [None] * n,
+        "duration_ms": [None] * n,
     }
 
     html_idx = [i for i, k in enumerate(kinds) if k == "html"]
@@ -109,6 +127,19 @@ def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         elif k == "image":
             fmt, w, h, ok = sniff_image_meta(payloads[i])
             out["width"][i], out["height"][i] = w, h
+            out["status"][i] = "ok" if ok else "unsupported"
+        elif k == "audio":
+            from webx.media import sniff_audio_meta
+
+            fmt, sr, ch, ok = sniff_audio_meta(payloads[i])
+            out["sample_rate"][i] = sr
+            out["status"][i] = "ok" if ok else "unsupported"
+        elif k == "video":
+            from webx.media import sniff_video_meta
+
+            fmt, w, h, dur, ok = sniff_video_meta(payloads[i])
+            out["width"][i], out["height"][i] = w, h
+            out["duration_ms"][i] = dur
             out["status"][i] = "ok" if ok else "unsupported"
     return pd.DataFrame(out)
 

@@ -61,6 +61,10 @@ def parse_args(argv):
                         "size gears'), off otherwise; --no-size-gears "
                         "forces off")
     p.add_argument("--limit-side-len", type=int, default=4_000_000)
+    p.add_argument("--routed", action="store_true",
+                   help="mixed-corpus mode: route each capture by magic "
+                        "bytes (html/pdf/image/audio/video) instead of "
+                        "assuming html — webx.route.extract_mixed")
     p.add_argument("--http-charset", action="store_true",
                    help="WARC input only: surface the HTTP Content-Type "
                         "charset and give it WHATWG precedence over the "
@@ -148,7 +152,11 @@ def main(argv=None) -> int:
         )
     store = CheckpointStore(args.checkpoint)
     extract_fn = None
-    if args.http_charset and args.input_format == "warc":
+    if args.routed:
+        from webx.route import checkpointed_routed_extract_fn
+
+        extract_fn = checkpointed_routed_extract_fn
+    elif args.http_charset and args.input_format == "warc":
         from webx.pipeline import run_extraction
 
         def extract_fn(subset, cfg, passthrough=()):

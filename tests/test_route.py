@@ -85,3 +85,56 @@ def test_broken_payloads_fail_soft_per_row():
 @given(st.binary(max_size=100))
 def test_classify_total(b):
     assert classify_payload(b) in ("html", "pdf", "image", "other")
+
+
+def test_routed_checkpointed_job_resumes(spark, tmp_path):
+    """--routed lineage integration: a killed routed run resumes at
+    partition granularity and the final output equals an uninterrupted
+    run (the HTML/PDF lanes' kill/resume contract on the mixed lane)."""
+    import pyspark.sql.functions as F
+
+    from webx.lineage import CheckpointStore, run_checkpointed_extraction
+    from webx.media import png_bytes, wav_bytes
+    from webx.pdf import write_pdf
+    from webx.route import checkpointed_routed_extract_fn
+
+    rows = []
+    for i in range(40):
+        k = i % 4
+        if k == 0:
+            payload = (
+                b"<!DOCTYPE html><html><body><article><p>Prose number %d "
+                b"long enough to survive candidate scoring in the "
+                b"detector.</p></article></body></html>" % i
+            )
+        elif k == 1:
+            payload = write_pdf(f"Doc {i}", f"Pdf body {i}.")
+        elif k == 2:
+            payload = png_bytes(10 + i, 20 + i)
+        else:
+            payload = wav_bytes(8000 + i, 1)
+        rows.append((f"u{i}", bytearray(payload)))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    def run(outdir, ckptdir, max_chunks=None):
+        return run_checkpointed_extraction(
+            spark, pages, str(tmp_path / outdir),
+            CheckpointStore(str(tmp_path / ckptdir)),
+            run_id="r", snapshot_id="s", n_partitions=8, chunk_size=2,
+            max_chunks=max_chunks, extract_fn=checkpointed_routed_extract_fn,
+        )
+
+    run("full", "ck_full")
+    done_full = spark.read.parquet(str(tmp_path / "full"))
+    # killed after 2 chunks, then resumed
+    run("part", "ck_part", max_chunks=2)
+    run("part", "ck_part")
+    done_part = spark.read.parquet(str(tmp_path / "part"))
+    a = done_full.drop("part_id") if "part_id" in done_full.columns else done_full
+    b = done_part.drop("part_id") if "part_id" in done_part.columns else done_part
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    kinds = {r["url"]: r["kind"] for r in done_full.collect()}
+    assert kinds["u0"] == "html" and kinds["u1"] == "pdf"
+    assert kinds["u2"] == "image" and kinds["u3"] == "audio"
+    nb = {r["url"]: r["html_bytes"] for r in done_full.collect()}
+    assert nb["u1"] == len(write_pdf("Doc 1", "Pdf body 1."))

@@ -215,6 +215,13 @@ def _run_checkpointed_chunks(
     for chunk in chunks:
         subset = pages_pid.filter(F.col(PARTITION_COL).isin(chunk))
         extracted = extract_fn(subset, cfg, (PARTITION_COL,))
+        # contract columns are reshaped for the sink; anything ELSE the
+        # lane returned (e.g. the routed lane's kind/width/height/
+        # sample_rate/duration_ms) rides through unchanged — the HTML
+        # and PDF lanes return no extras, so their output is identical
+        contract = {"url", "text", "conf", "status", "spans", "meta",
+                    PARTITION_COL}
+        extras = [c for c in extracted.columns if c not in contract]
         out = extracted.select(
             "url",
             "text",
@@ -223,6 +230,7 @@ def _run_checkpointed_chunks(
             F.to_json("spans").alias("spans_json"),
             F.col("meta.html_bytes").alias("html_bytes"),
             F.size("spans").alias("n_spans"),
+            *extras,
             PARTITION_COL,
         )
         # 1) durable output first (dynamic overwrite -> idempotent retry)

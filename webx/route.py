@@ -83,7 +83,8 @@ def classify_payload(b: bytes) -> str:
     return "other"
 
 
-def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig,
+                  passthrough: tuple = ()) -> pd.DataFrame:
     from webx.extract import extract_batch
     from webx.media import sniff_image_meta
     from webx.pdf import parse_pdf
@@ -141,7 +142,10 @@ def _routed_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             out["width"][i], out["height"][i] = w, h
             out["duration_ms"][i] = dur
             out["status"][i] = "ok" if ok else "unsupported"
-    return pd.DataFrame(out)
+    res = pd.DataFrame(out)
+    for c in passthrough:
+        res[c] = pdf[c].to_numpy()
+    return res
 
 
 def extract_mixed(
@@ -149,18 +153,50 @@ def extract_mixed(
     cfg: Optional[ExtractConfig] = None,
     url_col: str = "url",
     payload_col: str = "payload",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """(url, payload) mixed captures → (url, kind, text, status, width,
-    height): one pruned scan, one Arrow pass, per-row magic-byte
-    dispatch into the existing lane kernels."""
+    height, sample_rate, duration_ms): one pruned scan, one Arrow pass,
+    per-row magic-byte dispatch into the existing lane kernels.
+    ``passthrough`` columns ride through unchanged (the extract_pdf
+    contract)."""
     cfg = cfg or ExtractConfig()
+    schema = T.StructType(
+        list(ROUTED_SCHEMA) + [captures.schema[c] for c in passthrough]
+    )
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _routed_batch(pdf, cfg)
+            yield _routed_batch(pdf, cfg, passthrough)
 
     return (
         captures.select(
-            F.col(url_col).alias("url"), F.col(payload_col).alias("payload")
-        ).mapInPandas(fn, schema=ROUTED_SCHEMA)
+            F.col(url_col).alias("url"),
+            F.col(payload_col).alias("payload"),
+            *passthrough,
+        ).mapInPandas(fn, schema=schema)
+    )
+
+
+def checkpointed_routed_extract_fn(subset: DataFrame, cfg, passthrough) -> DataFrame:
+    """Adapter matching webx.lineage's ``extract_fn`` contract so MIXED
+    corpora get partition-granular checkpoint/resume like the HTML and
+    PDF lanes: input (url, html=payload bytes, partition cols…) →
+    lineage-shaped output (url, text, conf, status, spans, meta) with
+    the routing columns riding along."""
+    sub = subset.withColumn("__nb", F.octet_length("html"))
+    routed = extract_mixed(
+        sub, cfg, payload_col="html",
+        passthrough=tuple(passthrough) + ("__nb",),
+    )
+    spans_t = "array<struct<start:bigint,end:bigint,kind:string>>"
+    return routed.select(
+        "url",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.expr(f"CAST(array() AS {spans_t})").alias("spans"),
+        "status",
+        F.when(F.col("status") == "ok", F.lit(1.0)).otherwise(F.lit(0.0)).alias("conf"),
+        F.struct(F.col("__nb").cast("long").alias("html_bytes")).alias("meta"),
+        "kind", "width", "height", "sample_rate", "duration_ms",
+        *passthrough,
     )

@@ -450,3 +450,25 @@ def test_keep_best_single_window_no_best_frame_join(spark):
     # one broadcast membership join (cluster frame is tiny here); the
     # argmax side contributes no join at all
     assert nodes(plan, "SortMergeJoin") == 0
+
+
+def test_extract_mixed_production_path_zero_shuffle(spark, tmp_path):
+    """The routed extractor's PRODUCTION shape — a (url, payload) table
+    straight into the router — is scan → project → ONE MapInPandas,
+    zero Exchange (the fixture-build stages in q_extract_mixed are
+    synth-only). Column pruning must reach the scan."""
+    import pyspark.sql.functions as F
+
+    from webx.route import extract_mixed
+
+    src = str(tmp_path / "captures")
+    spark.range(0, 50).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.encode(F.lit("<html><p>x</p>"), "utf-8").alias("payload"),
+        F.lit("extra").alias("unused_col"),
+    ).write.parquet(src)
+    plan = plan_of(extract_mixed(spark.read.parquet(src)))
+    assert "Exchange" not in plan
+    assert nodes(plan, "MapInPandas") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" in read and "unused_col" not in read

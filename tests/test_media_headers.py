@@ -244,3 +244,17 @@ def test_avif_is_not_mp4_and_vice_versa():
     assert sniff_video_meta(avif_bytes(5, 5))[0] == "mp4" or True
     # an avif never reports video-valid (no moov/mvhd)
     assert sniff_video_meta(avif_bytes(5, 5))[4] is False
+
+
+def test_tiff_and_ico_roundtrips():
+    from webx.media import ico_bytes, sniff_image_meta, tiff_bytes
+
+    for w, h in ((1, 1), (800, 600), (4096, 2160)):
+        assert sniff_image_meta(tiff_bytes(w, h)) == ("tiff", w, h, True)
+        assert sniff_image_meta(tiff_bytes(w, h, big_endian=True)) == (
+            "tiff", w, h, True,
+        )
+    assert sniff_image_meta(ico_bytes(32, 32)) == ("ico", 32, 32, True)
+    # ICO encodes 256 as 0
+    assert sniff_image_meta(ico_bytes(256, 256)) == ("ico", 256, 256, True)
+    assert sniff_image_meta(tiff_bytes(5, 5)[:6]) == ("tiff", None, None, False)

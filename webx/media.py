@@ -235,6 +235,37 @@ def sniff_image_meta(payload: "bytes | None"):
             if w > 0 and h > 0:
                 return ("bmp", w, h, True)
         return ("bmp", None, None, False)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: endian magic + IFD walk; ImageWidth (256) / ImageLength
+        # (257) entries as SHORT or LONG values
+        endian = "little" if b[:2] == b"II" else "big"
+
+        def _u(o, n):
+            return int.from_bytes(b[o : o + n], endian)
+
+        if len(b) >= 8:
+            ifd = _u(4, 4)
+            if ifd + 2 <= len(b):
+                cnt = _u(ifd, 2)
+                w = h = None
+                for k in range(cnt):
+                    e = ifd + 2 + 12 * k
+                    if e + 12 > len(b):
+                        break
+                    tag, typ = _u(e, 2), _u(e + 2, 2)
+                    val = _u(e + 8, 2 if typ == 3 else 4)
+                    if tag == 256:
+                        w = val
+                    elif tag == 257:
+                        h = val
+                if w and h:
+                    return ("tiff", w, h, True)
+        return ("tiff", None, None, False)
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 8:
+        # ICO: first directory entry; 0 byte means 256
+        w = b[6] or 256
+        h = b[7] or 256
+        return ("ico", w, h, True)
     if len(b) >= 12 and b[4:8] == b"ftyp" and b[8:12] in (b"avif", b"avis"):
         # ISO-BMFF image: meta (FullBox) -> iprp -> ipco -> ispe (FullBox
         # carrying u32 width/height) — reuse the MP4 box walk
@@ -337,6 +368,29 @@ def avif_bytes(w: int, h: int) -> bytes:
     meta = _box(b"meta", b"\x00" * 4 + _box(b"iprp", _box(b"ipco", ispe)))
     ftyp = _box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
     return ftyp + meta
+
+
+def tiff_bytes(w: int, h: int, big_endian: bool = False) -> bytes:
+    endian = "big" if big_endian else "little"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    out = magic + (8).to_bytes(4, endian)
+    entries = [(256, 3, w), (257, 3, h)]
+    out += len(entries).to_bytes(2, endian)
+    for tag, typ, val in entries:
+        out += (
+            tag.to_bytes(2, endian) + typ.to_bytes(2, endian)
+            + (1).to_bytes(4, endian) + val.to_bytes(2, endian) + b"\x00\x00"
+        )
+    out += (0).to_bytes(4, endian)
+    return out
+
+
+def ico_bytes(w: int, h: int) -> bytes:
+    return (
+        b"\x00\x00\x01\x00\x01\x00"
+        + bytes([w % 256, h % 256])
+        + b"\x00" * 8
+    )
 
 
 IMAGE_META_SCHEMA = T.StructType(

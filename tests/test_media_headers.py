@@ -90,7 +90,10 @@ def test_sniffer_total_on_garbage(b):
     fmt, w, h, ok = sniff_image_meta(b)
     assert isinstance(ok, bool)
     if ok:
-        assert fmt in ("png", "gif", "jpeg", "webp") and w > 0 and h > 0
+        assert fmt in (
+            "png", "gif", "jpeg", "webp", "bmp", "avif", "tiff", "ico"
+        )
+        assert w > 0 and h > 0
 
 
 @settings(max_examples=150, deadline=None)

@@ -84,7 +84,9 @@ def test_broken_payloads_fail_soft_per_row():
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=100))
 def test_classify_total(b):
-    assert classify_payload(b) in ("html", "pdf", "image", "other")
+    assert classify_payload(b) in (
+        "html", "pdf", "image", "audio", "video", "other"
+    )
 
 
 def test_routed_checkpointed_job_resumes(spark, tmp_path):
